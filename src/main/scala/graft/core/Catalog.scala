@@ -1,0 +1,157 @@
+package graft.core
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.hadoop.fs.{FileSystem, Path}
+
+/** Qualified name parsing — reference parity with QualifiedName
+  * (lib/pgcp/qualified_name.rb:1-21): "schema.table" <-> parts. */
+final case class QualifiedName(schema: String, table: String) {
+  def fullName: String = s"$schema.$table"
+}
+object QualifiedName {
+  def parse(s: String): QualifiedName = s.split('.') match {
+    case Array(sch, tbl) => QualifiedName(sch, tbl)
+    case Array(tbl)      => QualifiedName("public", tbl)
+    case _ => throw new IllegalArgumentException(
+      s"expected <schema>.<table> with exactly one '.', got: $s")
+  }
+}
+
+/** A source/destination of tables. Two backends: a parquet directory
+  * (one `<table>.parquet` per table — the sandbox corpus layout,
+  * TESTDATA.md) and JDBC (live-Postgres parity; same API, untestable
+  * here — zero egress).
+  *
+  * Reference semantics covered: list_tables (postgres.rb:20-36),
+  * schema_names (:108-120), table_exist? (:280-284,327-346),
+  * column_definitions (:137-167). The reference's glob fan-out listed
+  * tables on the DESTINATION by mistake (transport.rb:25, SURVEY §2a
+  * #12) — listing here is always on the receiver, so callers list the
+  * source explicitly.
+  */
+trait TableSource {
+  def listTables(): Seq[String]
+  def tableExists(name: String): Boolean
+  def read(spark: SparkSession, name: String): DataFrame
+  def schemaOf(spark: SparkSession, name: String): Seq[TypeMap.ColumnDef] =
+    TypeMap.fromStructType(read(spark, name).schema)
+}
+
+trait TableSink {
+  /** Staged write + atomic publish (reference hotswap_table semantics,
+    * postgres.rb:93-106 / transport.rb:128-143: readers never observe a
+    * half-copied table). */
+  def write(df: DataFrame, name: String): Unit
+}
+
+/** Parquet-directory backend: `$dir/<table>.parquet`. */
+final class ParquetDir(dir: String) extends TableSource with TableSink {
+  private def pathOf(name: String) = s"$dir/$name.parquet"
+
+  private def fs(spark: SparkSession): FileSystem =
+    new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  // Listing needs an FS handle; parquet-dir listing is driver-side and
+  // cheap (directory metadata only), matching the reference's
+  // information_schema scan in spirit.
+  def listTablesWith(spark: SparkSession): Seq[String] = {
+    val f = fs(spark)
+    val p = new Path(dir)
+    if (!f.exists(p)) Seq.empty
+    else f.listStatus(p).toSeq
+      .map(_.getPath.getName)
+      .filter(_.endsWith(".parquet"))
+      .map(_.stripSuffix(".parquet"))
+      .sorted
+  }
+
+  override def listTables(): Seq[String] = {
+    val d = new java.io.File(dir)
+    Option(d.list()).getOrElse(Array.empty[String]).toSeq
+      .filter(_.endsWith(".parquet")).map(_.stripSuffix(".parquet")).sorted
+  }
+
+  override def tableExists(name: String): Boolean =
+    new java.io.File(pathOf(name)).exists()
+
+  override def read(spark: SparkSession, name: String): DataFrame =
+    spark.read.parquet(pathOf(name))
+
+  /** Write to `.staging/<uuid>` then atomically rename into place —
+    * the Spark analogue of temp-table + hotswap (transport.rb:128-143).
+    * Unlike the reference, failures PROPAGATE (the reference's pipe
+    * exit-check is broken, transport.rb:71-74 — SURVEY §2a #13). */
+  override def write(df: DataFrame, name: String): Unit = {
+    val spark = df.sparkSession
+    val f = fs(spark)
+    val staging = new Path(s"$dir/.staging_${java.util.UUID.randomUUID().toString.take(8)}_$name")
+    val target = new Path(pathOf(name))
+    try {
+      df.write.mode("overwrite").parquet(staging.toString)
+      if (f.exists(target)) f.delete(target, true) // hotswap: drop then rename
+      if (!f.rename(staging, target))
+        throw new java.io.IOException(s"atomic publish failed: $staging -> $target")
+    } finally {
+      if (f.exists(staging)) f.delete(staging, true) // ensure-drop temp (transport.rb:141-142)
+    }
+  }
+}
+
+/** JDBC backend — live-Postgres parity path. Thin by design (SURVEY
+  * §7.3: no live PG in the sandbox); mirrors the parquet path's
+  * operator semantics so oracle-checked logic is shared. At cluster
+  * scale, reads partition on `partitionColumn` so a 100 TB table scans
+  * across executors instead of one connection (the reference is a
+  * single psql pipe, transport.rb:66-75). */
+final class JdbcSource(
+    url: String,
+    props: java.util.Properties,
+    partitionColumn: Option[String] = None,
+    numPartitions: Int = 32) extends TableSource with TableSink {
+
+  override def listTables(): Seq[String] = Seq.empty // requires a live connection
+
+  override def tableExists(name: String): Boolean = false
+
+  override def read(spark: SparkSession, name: String): DataFrame = {
+    val r = spark.read.format("jdbc")
+      .option("url", url).option("dbtable", name)
+    val withPart = partitionColumn match {
+      case Some(col) =>
+        // Bounds subquery pushes min/max to the DB; Spark then issues
+        // numPartitions parallel range scans.
+        r.option("partitionColumn", col)
+          .option("numPartitions", numPartitions)
+          .option("dbtable",
+            s"(SELECT * FROM $name) AS t")
+      case None => r
+    }
+    props.stringPropertyNames().forEach(k => withPart.option(k, props.getProperty(k)))
+    withPart.load()
+  }
+
+  override def write(df: DataFrame, name: String): Unit =
+    df.write.mode("append").format("jdbc")
+      .option("url", url).option("dbtable", name)
+      .option("batchsize", 10000)
+      .save()
+}
+
+/** Catalog report queries (DataFrame-shaped so they are oracle-checkable). */
+object Catalog {
+  /** Table listing as a one-column DataFrame. */
+  def tablesDf(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    new ParquetDir(dir).listTables().toDF("table_name")
+  }
+
+  /** Schema report: (col_name, pg_type, nullable) per column — the
+    * reference's column_definitions (postgres.rb:137-167) re-expressed
+    * through TypeMap over the parquet footer schema. */
+  def schemaReport(spark: SparkSession, dir: String, table: String): DataFrame = {
+    import spark.implicits._
+    new ParquetDir(dir).schemaOf(spark, table)
+      .map(c => (c.name, c.pgType, c.nullable))
+      .toDF("col_name", "pg_type", "is_nullable")
+  }
+}

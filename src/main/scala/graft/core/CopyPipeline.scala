@@ -1,0 +1,95 @@
+package graft.core
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import scala.concurrent.{Await, ExecutionContext, Future}
+import scala.concurrent.duration.Duration
+
+/** The reference's entire data path, Spark-first.
+  *
+  * Reference lifecycle (transport.rb:33-62): create schema -> create
+  * dest table -> copy via temp + hotswap -> replay indexes; the single
+  * data-bearing query is `COPY (SELECT * FROM t) TO STDOUT`
+  * (transport.rb:83-87). Here: `source.read` -> optional
+  * project/filter (pushed to the scan by Catalyst) -> staged write ->
+  * atomic publish. Deviations from the reference are deliberate bug
+  * fixes (SURVEY §2a #11-13): source-side glob listing, real error
+  * propagation, no composite-PK truncation.
+  *
+  * Scale story: each table copy is one Spark job whose parallelism
+  * comes from the source partitioning (parquet splits / JDBC range
+  * partitions), and the glob fan-out runs table copies CONCURRENTLY
+  * (the reference is strictly sequential, one pipe at a time,
+  * transport.rb:26-30). At 100 TB the copy is shuffle-free: scan ->
+  * (narrow project/filter) -> write, no exchange in the plan.
+  */
+object CopyPipeline {
+
+  final case class CopyOptions(
+      columns: Option[Seq[String]] = None,   // projection copy
+      filter: Option[Column] = None,         // predicate copy (pushed down)
+      sortWithinPartitions: Option[Seq[String]] = None) // layout for downstream scans
+
+  final case class CopyResult(table: String, rows: Long, columns: Int)
+
+  /** Single-table copy: the flagship operator (reference direct_copy,
+    * transport.rb:66-75). Identity projection unless options narrow it. */
+  def copyTable(
+      spark: SparkSession,
+      source: TableSource,
+      sink: TableSink,
+      table: String,
+      destTable: Option[String] = None,
+      options: CopyOptions = CopyOptions()): CopyResult = {
+    var df = source.read(spark, table)
+    options.columns.foreach(cs => df = df.select(cs.map(df.col): _*))
+    options.filter.foreach(p => df = df.filter(p))
+    options.sortWithinPartitions.foreach { keys =>
+      df = df.sortWithinPartitions(keys.map(df.col): _*)
+    }
+    val dest = destTable.getOrElse(table)
+    sink.write(df, dest)
+    // Count AFTER publish, from the sink side when it is also a source
+    // (verifies the copy really landed — the reference never verified,
+    // its exit check was broken, transport.rb:71-74).
+    val rows = sink match {
+      case s: TableSource => s.read(spark, dest).count()
+      case _              => df.count()
+    }
+    CopyResult(dest, rows, df.schema.size)
+  }
+
+  /** Glob fan-out (reference copy_tables, transport.rb:20-31) with the
+    * dest-vs-src listing bug fixed: matches are found on the SOURCE.
+    * Copies run concurrently — independent Spark jobs share the
+    * cluster; the scheduler interleaves their stages. */
+  def copyTables(
+      spark: SparkSession,
+      source: TableSource,
+      sink: TableSink,
+      glob: String,
+      options: CopyOptions = CopyOptions(),
+      parallelism: Int = 4): Seq[CopyResult] = {
+    val re = globToRegex(glob)
+    val matches = source.listTables().filter(t => re.matches(t))
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(
+      java.util.concurrent.Executors.newFixedThreadPool(math.max(1, parallelism)))
+    val futures = matches.map { t =>
+      Future(copyTable(spark, source, sink, t, None, options))
+    }
+    // Real error propagation: any failed copy fails the fan-out.
+    Await.result(Future.sequence(futures), Duration.Inf)
+  }
+
+  /** fnmatch-style glob (the reference used File.fnmatch,
+    * transport.rb:27) -> anchored regex. */
+  private[core] def globToRegex(glob: String): scala.util.matching.Regex = {
+    val sb = new StringBuilder("^")
+    glob.foreach {
+      case '*' => sb.append("[^/]*")
+      case '?' => sb.append("[^/]")
+      case c if "\\.[]{}()+-^$|".contains(c) => sb.append("\\").append(c)
+      case c => sb.append(c)
+    }
+    sb.append("$").toString().r
+  }
+}

@@ -1,0 +1,110 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.core.Tables
+
+/** Event-time operators over the `events` table (FIXTURES.md §2):
+  * tumbling/sliding windows, gap-based sessionization, as-of join,
+  * JSON extraction. Batch-first formulations with oracle twins; the
+  * Structured Streaming variants live in graft.streaming and share the
+  * same windowing semantics (SURVEY §2b "Streaming-shaped").
+  *
+  * Timestamps: parquet `ts` is ns; Spark reads µs (sub-µs is zero in
+  * the corpus, verified). All outputs surface timestamps as epoch
+  * microseconds (bigint) so the DuckDB oracle (which reads ns)
+  * compares exactly.
+  */
+object Events {
+
+  /** Tumbling 1-hour windows per event_type. Uses Spark's `window()`
+    * (the Structured-Streaming-compatible form); surfaces the window
+    * start as epoch micros. One shuffle on (window, type). */
+  def tumbling(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+           round(sum(col("value").cast("decimal(18,2)")), 2).cast("double").as("sum_value"))
+      .select(unix_micros(col("w.start")).as("w_start_us"), col("event_type"),
+              col("n"), col("sum_value"))
+      .orderBy("w_start_us", "event_type")
+
+  /** Sliding windows: 1-hour width, 30-minute slide — each event lands
+    * in two windows. */
+  def sliding(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(window(col("ts"), "1 hour", "30 minutes").as("w"))
+      .agg(count(lit(1)).as("n"))
+      .select(unix_micros(col("w.start")).as("w_start_us"), col("n"))
+      .orderBy("w_start_us")
+
+  /** Gap-based sessionization (30-min inactivity): the classic
+    * lag + cumulative-sum-of-boundaries formulation — two window
+    * functions over one shuffle on user_id. */
+  def sessionize(spark: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy(col("ts").asc, col("event_id").asc)
+    val gapUs = 30L * 60 * 1000000 // 30 min in µs
+    Tables.events(spark, dir)
+      .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(byUser))
+      .withColumn("boundary",
+        when(col("prev_us").isNull ||
+             unix_micros(col("ts")) - col("prev_us") > gapUs, 1L).otherwise(0L))
+      .withColumn("session_id", sum(col("boundary")).over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("user_id", "session_id")
+      .agg(count(lit(1)).as("n_events"),
+           min(unix_micros(col("ts"))).as("start_us"),
+           max(unix_micros(col("ts"))).as("end_us"))
+      .orderBy("user_id", "session_id")
+  }
+
+  /** Session summary per user (built on sessionize). */
+  def sessionStats(spark: SparkSession, dir: String): DataFrame =
+    sessionize(spark, dir)
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_sessions"),
+           sum(col("n_events")).as("n_events"),
+           max(col("end_us") - col("start_us")).as("max_session_us"))
+      .orderBy("user_id")
+
+  /** As-of join: for each purchase, the most recent STRICTLY-earlier
+    * click by the same user — union-and-window formulation: one shuffle
+    * on user_id, no join at all. (The naive formulation is a range
+    * join purchase x click which explodes at scale.) */
+  def asofPurchaseClick(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts").asc, col("event_id").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    Tables.events(spark, dir)
+      .filter(col("event_type").isin("click", "purchase"))
+      .withColumn("last_click_us",
+        max(when(col("event_type") === "purchase", lit(null))
+          .otherwise(unix_micros(col("ts")))).over(w))
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"),
+              unix_micros(col("ts")).as("ts_us"), col("last_click_us"))
+      .orderBy("event_id")
+  }
+
+  /** Analytic window: per-user value delta between consecutive events. */
+  def valueDelta(spark: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy(col("ts").asc, col("event_id").asc)
+    Tables.events(spark, dir)
+      .withColumn("prev_value", lag(col("value"), 1).over(byUser))
+      .filter(col("prev_value").isNotNull)
+      .select(col("event_id"), col("user_id"),
+              round(col("value") - col("prev_value"), 6).as("value_delta"))
+      .orderBy("event_id")
+  }
+
+  /** JSON extraction from `props` ({"k": <int>}) + aggregation. */
+  def jsonExtract(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .withColumn("k", get_json_object(col("props"), "$.k").cast("int"))
+      .withColumn("k_bucket", floor(col("k") / 10).cast("int"))
+      .groupBy("k_bucket")
+      .agg(count(lit(1)).as("n"),
+           countDistinct(col("user_id")).as("n_users"))
+      .orderBy("k_bucket")
+}

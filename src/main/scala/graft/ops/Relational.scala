@@ -1,0 +1,227 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.core.Tables
+
+/** Relational operator surface (SURVEY §2b): joins, aggregation,
+  * windows, sort/limit, set ops, scalar functions — all Spark
+  * built-ins so Catalyst keeps pushdown/pruning/codegen.
+  *
+  * Determinism discipline (SURVEY §5.2): money aggregates go through
+  * DecimalType (exact, order-independent) and surface as
+  * round(...,2)::double; every limit has a total order with
+  * tie-breakers.
+  */
+object Relational {
+
+  private def money(c: String) = col(c).cast("decimal(18,2)")
+
+  /** TPC-H Q1-shaped pricing summary: hash aggregate with map-side
+    * partial agg; one shuffle on the (tiny) group key. */
+  def pricingSummary(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp_ntz"))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        round(sum(money("l_quantity")), 2).cast("double").as("sum_qty"),
+        round(sum(money("l_extendedprice")), 2).cast("double").as("sum_base_price"),
+        round(sum(money("l_extendedprice") * (lit(1).cast("decimal(18,2)") - money("l_discount"))), 2)
+          .cast("double").as("sum_disc_price"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  /** Filter + projection: both reach the parquet scan (PushedFilters +
+    * ReadSchema in the physical plan) — zero-shuffle. */
+  def filterProject(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= lit("2000-01-01").cast("timestamp_ntz") &&
+              col("l_discount") >= 0.08 && col("l_quantity") < 5)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+              col("l_extendedprice"), col("l_discount"))
+
+  /** Star join: fact->dims with explicit broadcast of the small sides.
+    * At 100 TB the fact never shuffles for these joins — every dim
+    * ships to the executors. */
+  def revenueByNation(spark: SparkSession, dir: String): DataFrame = {
+    val orders = Tables.orders(spark, dir)
+    val customer = Tables.customer(spark, dir)
+    val nation = Tables.nation(spark, dir)
+    val region = Tables.region(spark, dir)
+    orders
+      .join(broadcast(customer), orders("o_custkey") === customer("c_custkey"))
+      .join(broadcast(nation), customer("c_nationkey") === nation("n_nationkey"))
+      .join(broadcast(region), nation("n_regionkey") === region("r_regionkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(count(lit(1)).as("n_orders"),
+           round(sum(money("o_totalprice")), 2).cast("double").as("total_revenue"))
+      .orderBy("r_name", "n_name")
+  }
+
+  /** Fact-fact join: lineitem x orders on orderkey. Sort-merge at
+    * scale (both sides shuffle on the join key); AQE may elect
+    * broadcast at small SF. */
+  def factJoin(spark: SparkSession, dir: String): DataFrame = {
+    val l = Tables.lineitem(spark, dir)
+    val o = Tables.orders(spark, dir)
+    l.join(o, l("l_orderkey") === o("o_orderkey"))
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_items"),
+           round(sum(money("l_extendedprice")), 2).cast("double").as("sum_price"))
+      .orderBy("o_orderpriority")
+  }
+
+  /** Left-semi: customers that have orders — no payload from the right
+    * side crosses the shuffle. */
+  def semiJoin(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+    val o = Tables.orders(spark, dir)
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n_customers"))
+      .orderBy("c_mktsegment")
+  }
+
+  /** Left-anti: customers with no URGENT order (every customer has
+    * SOME order in the corpus, so the unfiltered variant is empty). */
+  def antiJoin(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+    val o = Tables.orders(spark, dir).filter(col("o_orderpriority") === "1-URGENT")
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+      .orderBy("c_custkey")
+  }
+
+  /** Range (theta) join against a tiny in-line band table — broadcast
+    * nested loop on a 6-row build side, so the probe side streams. */
+  def rangeJoin(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    // part.p_retailprice spans [900, 920) in the corpus — 5 bands of 5.
+    val bands = Seq(
+      ("p900_905", 900.0, 905.0), ("p905_910", 905.0, 910.0),
+      ("p910_915", 910.0, 915.0), ("p915_920", 915.0, 920.0),
+      ("p920_inf", 920.0, 1e18))
+      .toDF("band", "lo", "hi")
+    val p = Tables.part(spark, dir)
+    p.join(broadcast(bands),
+        p("p_retailprice") >= bands("lo") && p("p_retailprice") < bands("hi"))
+      .groupBy("band")
+      .agg(count(lit(1)).as("n_parts"),
+           round(sum(money("p_retailprice")), 2).cast("double").as("sum_price"))
+      .orderBy("band")
+  }
+
+  /** Ranking window: top-3 orders per priority (row_number with full
+    * tie-break). One shuffle on the partition key. */
+  def topKPerGroup(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_orderpriority")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    Tables.orders(spark, dir)
+      .withColumn("rn", row_number().over(w).cast("bigint"))
+      .filter(col("rn") <= 3)
+      .select(col("o_orderpriority"), col("rn"), col("o_orderkey"), col("o_totalprice"))
+      .orderBy("o_orderpriority", "rn")
+  }
+
+  /** Frame window: per-customer running order total (exact decimal
+    * accumulation, surfaced as rounded double). */
+  def runningTotal(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.orders(spark, dir)
+      .withColumn("running_total",
+        round(sum(money("o_totalprice")).over(w), 2).cast("double"))
+      .select(col("o_custkey"), col("o_orderkey"), col("running_total"))
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
+  /** Global sort + limit: planner collapses to TakeOrderedAndProject —
+    * no full sort materializes, each partition keeps only k rows. */
+  def topKGlobal(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .orderBy(col("l_extendedprice").desc, col("l_orderkey").asc, col("l_linenumber").asc)
+      .limit(10)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"))
+
+  /** Set ops over aligned schemas. */
+  def setOps(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    val hi = o.filter(col("o_totalprice") > 100000).select(col("o_custkey"))
+    val urgent = o.filter(col("o_orderpriority") === "1-URGENT").select(col("o_custkey"))
+    val both = hi.intersect(urgent).withColumn("tag", lit("both"))
+    val hiOnly = hi.except(urgent).withColumn("tag", lit("hi_only"))
+    both.union(hiOnly)
+      .groupBy("tag").agg(count(lit(1)).as("n"))
+      .orderBy("tag")
+  }
+
+  /** Grouping sets via rollup. */
+  def rollupAgg(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .rollup("l_returnflag", "l_linestatus")
+      .agg(count(lit(1)).as("n"),
+           round(sum(money("l_quantity")), 2).cast("double").as("sum_qty"))
+      .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+
+  /** Grouping sets via cube. */
+  def cubeAgg(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .cube("o_orderstatus", "o_orderpriority")
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("o_orderstatus").asc_nulls_first, col("o_orderpriority").asc_nulls_first)
+
+  /** Exact distinct aggregation (expand + two-phase agg under the hood). */
+  def distinctAgg(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy("l_returnflag")
+      .agg(countDistinct(col("l_suppkey")).as("n_supp"),
+           countDistinct(col("l_partkey")).as("n_part"),
+           count(lit(1)).as("n_rows"))
+      .orderBy("l_returnflag")
+
+  /** HLL sketch distinct — the scale path (one pass, fixed memory, no
+    * expand). Not oracle-checkable (approximate); rows-only check. */
+  def approxDistinct(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy("l_returnflag")
+      .agg(approx_count_distinct(col("l_partkey"), 0.01).as("approx_part"),
+           count(lit(1)).as("n_rows"))
+      .orderBy("l_returnflag")
+
+  /** Scalar string functions (codegen'd built-ins, no UDFs). */
+  def stringFns(spark: SparkSession, dir: String): DataFrame =
+    Tables.part(spark, dir)
+      .select(
+        col("p_partkey"),
+        upper(col("p_brand")).as("brand_upper"),
+        substring(col("p_type"), 1, 5).as("type_prefix"),
+        length(col("p_name")).cast("bigint").as("name_len"),
+        regexp_replace(col("p_name"), "[aeiou]", "").as("name_novowel"),
+        concat_ws("|", col("p_brand"), col("p_type")).as("brand_type"))
+      .orderBy("p_partkey")
+
+  /** Scalar date functions. */
+  def dateFns(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .groupBy(
+        year(col("o_orderdate")).cast("bigint").as("o_year"),
+        quarter(col("o_orderdate")).cast("bigint").as("o_quarter"))
+      .agg(count(lit(1)).as("n_orders"),
+           round(sum(money("o_totalprice")), 2).cast("double").as("revenue"))
+      .orderBy("o_year", "o_quarter")
+
+  /** Scalar math functions — per-row (no float reordering risk). */
+  def mathFns(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .filter(col("l_orderkey") < 100)
+      .select(
+        col("l_orderkey"), col("l_linenumber"),
+        round(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 4).as("net_price"),
+        round(sqrt(col("l_quantity")), 6).as("qty_sqrt"),
+        floor(col("l_extendedprice")).cast("bigint").as("price_floor"),
+        ceil(col("l_tax") * 100).cast("bigint").as("tax_pct_ceil"),
+        abs(col("l_discount") - 0.05).cast("double").as("disc_dev"))
+      .orderBy("l_orderkey", "l_linenumber")
+}

@@ -1,0 +1,292 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+
+/** Text-pipeline operators over `documents` (SURVEY §2b "LLM-pipeline"):
+  * exact + near-dup dedup (MinHash-LSH, SimHash, exact n-gram Jaccard),
+  * token statistics, language-ID heuristic, quality scoring, content
+  * fingerprinting.
+  *
+  * Performance discipline: `split(text)` is ALWAYS materialized once
+  * as a named column (`t`) before any higher-order function touches
+  * it — HOF lambdas are interpreted, and an unnamed split inside a
+  * lambda re-tokenizes the document per element (measured 10x slower).
+  * Shingles are 64-bit-hashed before any join/groupBy so shuffles move
+  * longs, not strings (measured 2x on the inverted-index join).
+  *
+  * Scale notes: every op here is one or two shuffles over exploded
+  * token/shingle rows; nothing collects to the driver. MinHash keeps
+  * the signature as 64 agg expressions in a single hash-aggregate pass
+  * (no 64x row blowup); LSH banding turns the quadratic all-pairs
+  * problem into a groupBy on (band, band_hash) — the 100 TB path.
+  */
+object Text {
+
+  /** documents + tokens materialized once as `t`. */
+  private def tokenized(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir).withColumn("t", split(col("text"), " "))
+
+  /** Distinct word-3-shingles as an array of 64-bit hashes, built by
+    * hash-chaining three aligned slices with `zip_with` — NO token
+    * array reference inside a per-element lambda. (CollapseProject
+    * inlines named columns into lambdas, so an `element_at(t, i)`
+    * formulation re-splits the document per element — observed via
+    * jstack as StringSplit.eval inside ArrayTransform, O(len^2) per
+    * row. Slices are top-level args: the split evaluates O(1) times
+    * per row no matter what the optimizer inlines.) Hash domain keeps
+    * every downstream shuffle on fixed-width longs; Jaccard counts are
+    * unchanged (collision odds ~2^-64 per pair). */
+  private def shingleHashes: Column = {
+    val n = greatest(size(col("t")) - 2, lit(0))
+    val s1 = slice(col("t"), lit(1), n)
+    val s2 = slice(col("t"), lit(2), n)
+    val s3 = slice(col("t"), lit(3), n)
+    array_distinct(
+      zip_with(zip_with(s1, s2, (x, y) => xxhash64(x, y)), s3,
+        (h, z) => xxhash64(h, z)))
+  }
+
+  /** doc_id -> exploded hashed shingles. The Generate (explode) is an
+    * optimizer barrier: everything upstream evaluates once per doc. */
+  private def shingles(spark: SparkSession, dir: String): DataFrame =
+    tokenized(spark, dir)
+      .filter(size(col("t")) >= 3)
+      .select(col("doc_id"), explode(shingleHashes).as("sh"))
+
+  /** doc_id -> shingle-set size (per-row, shuffle-free). */
+  private def shingleSizes(spark: SparkSession, dir: String): DataFrame =
+    tokenized(spark, dir)
+      .filter(size(col("t")) >= 3)
+      .select(col("doc_id"), size(shingleHashes).cast("bigint").as("n"))
+
+  // ---------------------------------------------------------------- exact
+
+  /** Exact dedup: group-by full content; representative = min doc_id.
+    * At scale: dedup on md5(text) first to shrink shuffle payload. */
+  def dedupExact(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .groupBy(md5(col("text")).as("fp"))
+      .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_copies"))
+      .select(col("doc_id"), col("fp"), col("n_copies"))
+      .orderBy("doc_id")
+
+  /** Content fingerprint report: md5 + length stats per doc. */
+  def fingerprint(spark: SparkSession, dir: String): DataFrame =
+    tokenized(spark, dir)
+      .select(col("doc_id"),
+              substring(md5(col("text")), 1, 16).as("fp16"),
+              octet_length(col("text")).cast("bigint").as("n_bytes"),
+              size(col("t")).cast("bigint").as("n_tokens"))
+      .orderBy("doc_id")
+
+  // -------------------------------------------------------------- minhash
+
+  val MinhashPerms = 64
+  val MinhashBands = 16 // r = 64/16 = 4 rows per band
+
+  /** MinHash signatures: min over shingles of xxhash64(seed_i, sh)
+    * for 64 seeds — 64 agg expressions in ONE hash-aggregate over the
+    * exploded shingles. Map-side partial agg collapses each partition
+    * to one 65-long row per doc before the shuffle, so the exchange
+    * moves ~docs x 520 bytes regardless of corpus size. */
+  def minhashSignatures(spark: SparkSession, dir: String): DataFrame = {
+    val aggs = (0 until MinhashPerms).map(i =>
+      min(xxhash64(lit(i), col("sh"))).as(s"h$i"))
+    shingles(spark, dir).groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** LSH candidate pairs: band the signature (16 bands x 4 rows), hash
+    * each band, group on (band, band_hash); docs sharing any band
+    * bucket become candidates. Quadratic only within buckets. */
+  def minhashCandidates(spark: SparkSession, dir: String): DataFrame = {
+    val sig = minhashSignatures(spark, dir)
+    val bandStructs = (0 until MinhashBands).map { b =>
+      val cols = (0 until MinhashPerms / MinhashBands).map(r => col(s"h${b * (MinhashPerms / MinhashBands) + r}"))
+      struct(lit(b).as("band"), xxhash64(cols: _*).as("bh"))
+    }
+    val buckets = sig
+      .select(col("doc_id"), explode(array(bandStructs: _*)).as("bb"))
+      .select(col("doc_id"), col("bb.band").as("band"), col("bb.bh").as("bh"))
+    val ids = buckets.groupBy("band", "bh")
+      .agg(sort_array(collect_set(col("doc_id"))).as("ids"))
+      .filter(size(col("ids")) > 1)
+    // pairs within a bucket: flatten of per-element suffix cross
+    ids.select(explode(
+        flatten(transform(col("ids"), (x, i) =>
+          transform(slice(col("ids"), i + 2, size(col("ids"))), y =>
+            struct(x.as("d1"), y.as("d2")))))).as("p"))
+      .select(col("p.d1").as("d1"), col("p.d2").as("d2"))
+      .distinct()
+      .orderBy("d1", "d2")
+  }
+
+  /** MinHash near-dup pairs with exact-Jaccard verification of the LSH
+    * candidates — the full production dedup path. Shingles are first
+    * semi-filtered to candidate docs (tiny at any scale), then
+    * equi-joined on hashed shingle, then pair-filtered to candidates. */
+  def minhashNearDups(spark: SparkSession, dir: String, threshold: Double = 0.5): DataFrame = {
+    // The candidate set is tiny (near-dup pairs) but its plan is huge
+    // (64-agg signature + banding + bucket explode); it is referenced
+    // four times below. Materialize once and truncate the lineage —
+    // otherwise Spark re-runs the whole MinHash pipeline per reference
+    // and re-codegens the giant plan (measured 263s -> ~10s at sf0.1).
+    val cand = minhashCandidates(spark, dir).localCheckpoint()
+    val sh = shingles(spark, dir)
+    val sizes = shingleSizes(spark, dir)
+    val cd1 = cand.select("d1").distinct()
+    val cd2 = cand.select("d2").distinct()
+    val s1 = sh.join(cd1, sh("doc_id") === cd1("d1"), "left_semi").toDF("d1", "sh")
+    val s2 = sh.join(cd2, sh("doc_id") === cd2("d2"), "left_semi").toDF("d2", "sh")
+    val inter = s1.join(s2, Seq("sh"))
+      .filter(col("d1") < col("d2"))
+      .join(cand, Seq("d1", "d2"), "left_semi")
+      .groupBy("d1", "d2").agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.toDF("d1", "na"), "d1")
+      .join(sizes.toDF("d2", "nb"), "d2")
+      .withColumn("jaccard", round(col("inter") / (col("na") + col("nb") - col("inter")), 4))
+      .filter(col("jaccard") >= threshold)
+      .select(col("d1"), col("d2"), col("jaccard"))
+      .orderBy("d1", "d2")
+  }
+
+  // ------------------------------------------------------ exact jaccard
+
+  /** Exact all-pairs n-gram Jaccard above a threshold — the oracle-able
+    * ground truth for near-dup dedup. Hashed-shingle inverted-index
+    * join (pairs meet only on shared shingles), so cost is bounded by
+    * shingle co-occurrence, not |docs|^2. */
+  def jaccardPairs(spark: SparkSession, dir: String, threshold: Double = 0.5): DataFrame = {
+    val sh = shingles(spark, dir)
+    val sizes = shingleSizes(spark, dir)
+    val a = sh.toDF("d1", "sh")
+    val b = sh.toDF("d2", "sh")
+    val inter = a.join(b, Seq("sh")).filter(col("d1") < col("d2"))
+      .groupBy("d1", "d2").agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.toDF("d1", "na"), "d1")
+      .join(sizes.toDF("d2", "nb"), "d2")
+      .withColumn("jaccard", round(col("inter") / (col("na") + col("nb") - col("inter")), 4))
+      .filter(col("jaccard") >= threshold)
+      .select(col("d1"), col("d2"), col("jaccard"))
+      .orderBy("d1", "d2")
+  }
+
+  // -------------------------------------------------------------- simhash
+
+  /** 64-bit SimHash per doc: per-bit +/-1 majority vote over token
+    * hashes, assembled into one BIGINT. 64 conditional-sum agg
+    * expressions in a single pass (same trick as MinHash). */
+  def simhash(spark: SparkSession, dir: String): DataFrame = {
+    val tok = tokenized(spark, dir)
+      .select(col("doc_id"), explode(col("t")).as("tok"))
+      .withColumn("h", xxhash64(col("tok")))
+    val bitSums = (0 until 64).map(j =>
+      sum(when(shiftright(col("h"), j).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b$j"))
+    val sums = tok.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
+    val assembled = (0 until 64).map(j =>
+      when(col(s"b$j") > 0, shiftleft(lit(1L), j)).otherwise(lit(0L)))
+      .reduce(_.bitwiseOR(_))
+    sums.select(col("doc_id"), assembled.as("simhash")).orderBy("doc_id")
+  }
+
+  /** SimHash near-dup candidates: docs whose signatures collide on any
+    * of four 16-bit chunks (Hamming-distance blocking). */
+  def simhashCandidates(spark: SparkSession, dir: String): DataFrame = {
+    val sig = simhash(spark, dir)
+    val chunks = (0 until 4).map(c =>
+      struct(lit(c).as("chunk"),
+        shiftright(col("simhash"), c * 16).bitwiseAND(0xFFFFL).as("ch")))
+    val buckets = sig.select(col("doc_id"), explode(array(chunks: _*)).as("cc"))
+      .select(col("doc_id"), col("cc.chunk").as("chunk"), col("cc.ch").as("ch"))
+    buckets.as("x").join(buckets.as("y"),
+        col("x.chunk") === col("y.chunk") && col("x.ch") === col("y.ch") &&
+        col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"))
+      .distinct()
+      .orderBy("d1", "d2")
+  }
+
+  // ------------------------------------------------------------ analysis
+
+  /** Per-language corpus statistics. */
+  def langStats(spark: SparkSession, dir: String): DataFrame =
+    tokenized(spark, dir)
+      .withColumn("n_tokens", size(col("t")))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+           sum(col("n_chars")).as("total_chars"),
+           min(col("n_chars")).as("min_chars"),
+           max(col("n_chars")).as("max_chars"),
+           sum(col("n_tokens")).as("total_tokens"))
+      .withColumn("avg_tokens", round(col("total_tokens").cast("double") / col("n_docs"), 4))
+      .orderBy("lang")
+
+  /** Token counting two ways: whitespace and a BPE-ish word/punct
+    * regex; plus distinct-token ratio (vocabulary richness). */
+  def tokenStats(spark: SparkSession, dir: String): DataFrame =
+    tokenized(spark, dir)
+      .select(col("doc_id"),
+              size(col("t")).cast("bigint").as("ws_tokens"),
+              regexp_count(col("text"), lit("\\w+|[^\\w\\s]")).cast("bigint").as("re_tokens"),
+              size(array_distinct(col("t"))).cast("bigint").as("distinct_tokens"))
+      .withColumn("ttr", round(col("distinct_tokens").cast("double") / col("ws_tokens"), 4))
+      .orderBy("doc_id")
+
+  /** Term frequencies: global top-20 tokens with doc frequency. */
+  def termStats(spark: SparkSession, dir: String): DataFrame =
+    tokenized(spark, dir)
+      .select(col("doc_id"), explode(col("t")).as("tok"))
+      .groupBy("tok")
+      .agg(count(lit(1)).as("tf"), countDistinct(col("doc_id")).as("df"))
+      .orderBy(col("tf").desc, col("tok").asc)
+      .limit(20)
+
+  /** Language-ID heuristic: stopword-hit scoring against tiny per-lang
+    * lexicons; argmax with a fixed tie-break order. (On this synthetic
+    * corpus every lang shares one vocabulary — the operator's value is
+    * its shape, which matches a real n-gram language IDer.) */
+  def langIdHeuristic(spark: SparkSession, dir: String): DataFrame = {
+    val lex = Map(
+      "en" -> Seq("the", "a", "of", "and"),
+      "de" -> Seq("der", "die", "das", "und"),
+      "es" -> Seq("el", "la", "de", "y"),
+      "fr" -> Seq("le", "la", "et", "de"),
+      "zh" -> Seq("de", "shi", "le", "bu"))
+    def score(words: Seq[String]): Column =
+      words.map(w => size(filter(col("t"), x => x === w))).reduce(_ + _)
+    val scored = tokenized(spark, dir)
+      .withColumn("s_en", score(lex("en"))).withColumn("s_de", score(lex("de")))
+      .withColumn("s_es", score(lex("es"))).withColumn("s_fr", score(lex("fr")))
+      .withColumn("s_zh", score(lex("zh")))
+    val best = greatest(col("s_en"), col("s_de"), col("s_es"), col("s_fr"), col("s_zh"))
+    scored
+      .withColumn("predicted",
+        when(col("s_en") === best, "en").when(col("s_de") === best, "de")
+          .when(col("s_es") === best, "es").when(col("s_fr") === best, "fr")
+          .otherwise("zh"))
+      .groupBy(col("lang"), col("predicted"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy("lang", "predicted")
+  }
+
+  /** Quality scoring: length / punctuation / stopword / repetition
+    * signals combined into one deterministic score. */
+  def qualityScore(spark: SparkSession, dir: String): DataFrame = {
+    val nTok = size(col("t")).cast("double")
+    val stopHits = size(filter(col("t"), x =>
+      x.isin("the", "a", "of", "and", "is", "to"))).cast("double")
+    val punct = regexp_count(col("text"), lit("[^\\w\\s]")).cast("double")
+    val ttr = size(array_distinct(col("t"))).cast("double") / nTok
+    tokenized(spark, dir)
+      .select(col("doc_id"),
+        round(
+          when(col("n_chars") >= 100 && col("n_chars") <= 1000, lit(1.0)).otherwise(lit(0.5)) *
+          (lit(1.0) - least(punct / greatest(nTok, lit(1.0)), lit(1.0)) * 0.5) *
+          (lit(0.5) + least(stopHits / greatest(nTok, lit(1.0)) * 2, lit(0.5))) *
+          (lit(0.5) + ttr * 0.5), 4).as("quality"))
+      .orderBy("doc_id")
+  }
+}

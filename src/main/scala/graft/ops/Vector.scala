@@ -1,0 +1,126 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.core.Tables
+
+/** Similarity-search operators over `embeddings` (FIXTURES.md: 64-dim
+  * `array<float>` + int label). SURVEY §2b "LLM-pipeline: similarity".
+  *
+  * Numeric discipline: every dot/norm is computed in DOUBLE with a
+  * sequential left fold (`zip_with` + `aggregate`), matching the
+  * DuckDB oracle's `list_dot_product` over double-cast lists, so the
+  * two engines accumulate in the same order; similarities surface
+  * rounded to 4dp and ranks are taken over the ROUNDED value with a
+  * vec_id tie-break — rank never depends on sub-rounding float noise.
+  *
+  * Scale story: the query side is a small fixed set -> broadcast; the
+  * corpus side streams (no shuffle of the big side). The ANN variant
+  * buckets by random-hyperplane signs (LSH) so the candidate join is
+  * an equi-join on bucket id, not a cross join — the 100 TB path.
+  */
+object Vector {
+
+  /** array<float> -> array<double> (single cast, element-wise). */
+  private def dbl(c: Column): Column = transform(c, x => x.cast("double"))
+
+  /** Sequential-fold dot product of two double arrays. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  /** cosine(a,b) rounded to 4dp. */
+  def cosine(a: Column, b: Column): Column =
+    round(dot(a, b) / (norm(a) * norm(b)), 4)
+
+  /** Per-label norm statistics — sanity-profile of the vector corpus. */
+  def normStats(spark: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(spark, dir)
+      .select(col("label"), norm(dbl(col("embedding"))).as("nrm"))
+      .groupBy("label")
+      .agg(count(lit(1)).as("n_vecs"),
+           round(min(col("nrm")), 4).as("min_norm"),
+           round(max(col("nrm")), 4).as("max_norm"),
+           round(avg(col("nrm")), 4).as("avg_norm"))
+      .orderBy("label")
+
+  /** Brute-force exact cosine top-k: a fixed small query set (vec_id <
+    * nQueries) against the whole corpus. The query side is broadcast;
+    * the corpus never shuffles; rank is TakeOrdered-per-query via a
+    * window over the (tiny) result of the broadcast nested-loop join. */
+  def knnBrute(spark: SparkSession, dir: String, nQueries: Int = 8, k: Int = 5): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    val q = e.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), dbl(col("embedding")).as("qe"))
+    val c = e.select(col("vec_id").as("neighbor_id"), dbl(col("embedding")).as("ce"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("sim").desc, col("neighbor_id").asc)
+    c.join(broadcast(q), col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+              cosine(col("qe"), col("ce")).as("sim"))
+      .withColumn("rnk", row_number().over(w).cast("bigint"))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("rnk"), col("neighbor_id"), col("sim"))
+      .orderBy("query_id", "rnk")
+  }
+
+  /** Random-hyperplane LSH buckets: sign-bit signature over `nBits`
+    * deterministic pseudo-random hyperplanes (hyperplane j component i
+    * derived from xxhash64 — reproducible with no RNG state). Vectors
+    * sharing a bucket are ANN candidates; the candidate join is an
+    * equi-join on (bucket), never a cross join. Not SQL-oracle-checked
+    * (the hyperplane derivation is engine-specific); rows-only check. */
+  def lshBuckets(spark: SparkSession, dir: String, nBits: Int = 12): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    // hyperplane component h(j,i) in [-1,1): xxhash64(j,i) scaled.
+    def hcomp(j: Int, i: Column): Column =
+      (xxhash64(lit(j), i).cast("double") / lit(Long.MaxValue.toDouble))
+    def bit(j: Int): Column = {
+      val proj = aggregate(
+        zip_with(dbl(col("embedding")), sequence(lit(0), lit(63)), (x, i) => x * hcomp(j, i)),
+        lit(0.0), (acc, x) => acc + x)
+      when(proj >= 0, shiftleft(lit(1L), j)).otherwise(lit(0L))
+    }
+    val sig = (0 until nBits).map(bit).reduce((a, b) => a.bitwiseOR(b))
+    e.select(col("vec_id"), col("label"), sig.as("bucket"))
+  }
+
+  /** ANN top-k via LSH: exact cosine, but only within LSH buckets —
+    * the quadratic work collapses to per-bucket. Recall < 1.0 by
+    * construction (rows-only check; `knnBrute` is the exact twin). */
+  def annCosine(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
+    val e = Tables.embeddings(spark, dir).select(col("vec_id"), dbl(col("embedding")).as("emb"))
+    val b = lshBuckets(spark, dir).select(col("vec_id"), col("bucket"))
+    val withB = e.join(b, "vec_id")
+    val l = withB.select(col("bucket"), col("vec_id").as("query_id"), col("emb").as("qe"))
+    val r = withB.select(col("bucket"), col("vec_id").as("neighbor_id"), col("emb").as("ce"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("sim").desc, col("neighbor_id").asc)
+    l.join(r, Seq("bucket"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+              cosine(col("qe"), col("ce")).as("sim"))
+      .distinct() // a pair can share several buckets
+      .withColumn("rnk", row_number().over(w).cast("bigint"))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("rnk"), col("neighbor_id"), col("sim"))
+      .orderBy("query_id", "rnk")
+  }
+
+  /** Per-label centroid norm: aggregates the 64 dims as 64 independent
+    * column sums + the row count in ONE hash-agg pass (no array
+    * shuffle games, no second scan). */
+  def centroidNorm(spark: SparkSession, dir: String, dim: Int = 64): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    val sums = (0 until dim).map(i =>
+      sum(element_at(dbl(col("embedding")), i + 1)).as(s"s$i")) :+
+      count(lit(1)).as("n_vecs")
+    val agg = e.groupBy("label").agg(sums.head, sums.tail: _*)
+    val sumsq = (0 until dim).map(i => pow(col(s"s$i") / col("n_vecs"), 2))
+      .reduce(_ + _)
+    agg.select(col("label"), col("n_vecs"), round(sqrt(sumsq), 4).as("centroid_norm"))
+      .orderBy("label")
+  }
+}
