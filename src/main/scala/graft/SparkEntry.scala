@@ -3,7 +3,9 @@ package graft
 import org.apache.spark.sql.{SparkSession, DataFrame}
 import org.apache.spark.sql.functions._
 import graft.core.{Catalog, CopyPipeline, ParquetDir, Tables}
-import graft.ops.{Events, Relational, Text, Vector}
+import graft.ops.{Events, Multimodal, Relational, Text, Vector}
+import graft.sources.Formats
+import graft.streaming.EventStreams
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -55,12 +57,28 @@ object SparkEntry {
       .orderBy("o_orderkey")
   }
 
+  /** Glob fan-out copy (reference copy_tables, with the dest-listing
+    * bug fixed): copies every `*ion` table concurrently, reports
+    * per-table row counts. */
+  private def copyGlob(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val out = java.nio.file.Files.createTempDirectory("graft_glob_").toString
+    val results = CopyPipeline.copyTables(
+      spark, new ParquetDir(dir), new ParquetDir(out), "*ion")
+    results.map(r => (r.table, r.rows)).toDF("table_name", "n_rows")
+      .orderBy("table_name")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- Layer A: copy pipeline + catalog (reference parity)
     "copy_roundtrip"   -> copyRoundtrip _,
     "copy_projected"   -> copyProjected _,
+    "copy_glob"        -> copyGlob _,
     "catalog_tables"   -> ((s, d) => Catalog.tablesDf(s, d).orderBy("table_name")),
     "schema_report"    -> ((s, d) => Catalog.schemaReport(s, d, "lineitem")),
+    // ---- sources: non-parquet formats
+    "csv_roundtrip"    -> (Formats.csvRoundtrip _),
+    "json_roundtrip"   -> (Formats.jsonRoundtrip _),
     // ---- relational: aggregation
     "pricing_summary"  -> (Relational.pricingSummary _),
     "filter_project"   -> (Relational.filterProject _),
@@ -90,6 +108,11 @@ object SparkEntry {
     "ev_asof"          -> (Events.asofPurchaseClick _),
     "ev_value_delta"   -> (Events.valueDelta _),
     "ev_json_extract"  -> (Events.jsonExtract _),
+    // ---- structured streaming (real streaming queries; oracle checks
+    //      the streaming RESULT against batch SQL)
+    "stream_tumbling"  -> (EventStreams.tumbling _),
+    "stream_sessions"  -> (EventStreams.sessionWindows _),
+    "stream_user_counts" -> (EventStreams.userCounts _),
     // ---- text / dedup
     "dedup_exact"      -> (Text.dedupExact _),
     "fingerprint"      -> (Text.fingerprint _),
@@ -106,7 +129,11 @@ object SparkEntry {
     "vector_norm_stats" -> (Vector.normStats _),
     "knn_brute"        -> ((s, d) => Vector.knnBrute(s, d)),
     "ann_cosine"       -> ((s, d) => Vector.annCosine(s, d)), // rows-only (LSH recall<1)
+    "emb_neardups"     -> ((s, d) => Vector.embNearDups(s, d)), // rows-only (LSH recall<1)
     "centroid_norm"    -> ((s, d) => Vector.centroidNorm(s, d)),
+    // ---- multimodal plumbing (binary payload + typed metadata)
+    "mm_features"      -> (Multimodal.features _),
+    "mm_frames"        -> (Multimodal.frameSample _),
   )
 
   // ------------------------------------------------------------------
@@ -136,6 +163,14 @@ object SparkEntry {
     "copy_projected" ->
       """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
         |WHERE o_orderstatus = 'O' ORDER BY o_orderkey""".stripMargin,
+    "copy_glob" ->
+      """SELECT 'nation' AS table_name, count(*) AS n_rows FROM nation
+        |UNION ALL SELECT 'region' AS table_name, count(*) AS n_rows FROM region
+        |ORDER BY table_name""".stripMargin,
+    "csv_roundtrip" ->
+      "SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey",
+    "json_roundtrip" ->
+      "SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey",
     "catalog_tables" ->
       """SELECT * FROM (VALUES ('customer'),('documents'),('embeddings'),('events'),
         |('lineitem'),('nation'),('orders'),('part'),('region'),('supplier'))
@@ -315,6 +350,44 @@ object SparkEntry {
         |    AS k_bucket,
         |  count(*) AS n, count(DISTINCT user_id) AS n_users
         |FROM events GROUP BY k_bucket ORDER BY k_bucket""".stripMargin,
+    "stream_tumbling" -> // streaming result must equal the batch window agg
+      """SELECT epoch_us(time_bucket(INTERVAL 1 HOUR, CAST(ts AS TIMESTAMP))) AS w_start_us,
+        |  event_type, count(*) AS n,
+        |  CAST(round(sum(CAST(value AS DECIMAL(18,2))),2) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY w_start_us, event_type""".stripMargin,
+    "stream_sessions" -> // session_window semantics: boundary at diff >= gap
+      """WITH e AS (SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),
+        |  l AS (SELECT user_id, event_id, us, lag(us) OVER
+        |    (PARTITION BY user_id ORDER BY us ASC, event_id ASC) AS prev_us FROM e),
+        |  b AS (SELECT *, CASE WHEN prev_us IS NULL OR us - prev_us >= 1800000000
+        |    THEN 1 ELSE 0 END AS boundary FROM l),
+        |  s AS (SELECT *, sum(boundary) OVER (PARTITION BY user_id
+        |    ORDER BY us ASC, event_id ASC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid FROM b)
+        |SELECT user_id, min(us) AS start_us, count(*) AS n_events
+        |FROM s GROUP BY user_id, sid ORDER BY user_id, start_us""".stripMargin,
+    "stream_user_counts" ->
+      """SELECT user_id, count(*) AS n_events, round(max(value), 6) AS max_value
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "mm_features" ->
+      """WITH b AS (
+        |  SELECT d.doc_id, sum(ascii(substring(d.text, g.i, 1))) AS bsum,
+        |         strlen(d.text) AS n
+        |  FROM documents d,
+        |       LATERAL (SELECT unnest(generate_series(1, strlen(d.text))) AS i) g
+        |  GROUP BY d.doc_id, strlen(d.text))
+        |SELECT doc_id,
+        |  CASE WHEN doc_id % 3 = 0 THEN 'image'
+        |       WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS kind,
+        |  CAST(n AS BIGINT) AS n_bytes, CAST(bsum AS BIGINT) AS byte_sum,
+        |  round(CAST(bsum AS DOUBLE) / n, 4) AS avg_byte
+        |FROM b ORDER BY doc_id""".stripMargin,
+    "mm_frames" ->
+      """SELECT doc_id, CAST(g.i AS BIGINT) AS frame_idx,
+        |  CAST(g.i * 1000 AS BIGINT) AS offset_ms
+        |FROM documents d,
+        |     LATERAL (SELECT unnest(generate_series(0, (d.n_chars*10)//1000)) AS i) g
+        |WHERE d.doc_id % 3 = 2 ORDER BY doc_id, frame_idx""".stripMargin,
     "dedup_exact" ->
       """SELECT min(doc_id) AS doc_id, md5(text) AS fp, count(*) AS n_copies
         |FROM documents GROUP BY md5(text) ORDER BY doc_id""".stripMargin,

@@ -71,13 +71,15 @@ object CopyPipeline {
       parallelism: Int = 4): Seq[CopyResult] = {
     val re = globToRegex(glob)
     val matches = source.listTables().filter(t => re.matches(t))
-    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(
-      java.util.concurrent.Executors.newFixedThreadPool(math.max(1, parallelism)))
-    val futures = matches.map { t =>
-      Future(copyTable(spark, source, sink, t, None, options))
-    }
-    // Real error propagation: any failed copy fails the fan-out.
-    Await.result(Future.sequence(futures), Duration.Inf)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(math.max(1, parallelism))
+    try {
+      implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+      val futures = matches.map { t =>
+        Future(copyTable(spark, source, sink, t, None, options))
+      }
+      // Real error propagation: any failed copy fails the fan-out.
+      Await.result(Future.sequence(futures), Duration.Inf)
+    } finally pool.shutdown() // non-daemon threads would pin the JVM at exit
   }
 
   /** fnmatch-style glob (the reference used File.fnmatch,

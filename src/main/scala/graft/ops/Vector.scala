@@ -109,6 +109,23 @@ object Vector {
       .orderBy("query_id", "rnk")
   }
 
+  /** Embedding-cosine near-duplicate pairs: LSH-bucketed candidate
+    * join + exact cosine filter at a high threshold — the vector twin
+    * of MinHash near-dup dedup. Rows-only check (LSH recall < 1). */
+  def embNearDups(spark: SparkSession, dir: String, threshold: Double = 0.99): DataFrame = {
+    val e = Tables.embeddings(spark, dir).select(col("vec_id"), dbl(col("embedding")).as("emb"))
+    val b = lshBuckets(spark, dir).select(col("vec_id"), col("bucket"))
+    val withB = e.join(b, "vec_id")
+    val l = withB.select(col("bucket"), col("vec_id").as("d1"), col("emb").as("e1"))
+    val r = withB.select(col("bucket"), col("vec_id").as("d2"), col("emb").as("e2"))
+    l.join(r, Seq("bucket"))
+      .filter(col("d1") < col("d2"))
+      .select(col("d1"), col("d2"), cosine(col("e1"), col("e2")).as("sim"))
+      .filter(col("sim") >= threshold)
+      .distinct()
+      .orderBy("d1", "d2")
+  }
+
   /** Per-label centroid norm: aggregates the 64 dims as 64 independent
     * column sums + the row count in ONE hash-agg pass (no array
     * shuffle games, no second scan). */

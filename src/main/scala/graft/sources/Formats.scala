@@ -1,0 +1,35 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+import java.nio.file.Files
+
+/** Non-parquet source/sink formats (SURVEY §2b "Scans/sources/sinks"):
+  * CSV and JSON read/write, exercised as round-trips so the DuckDB
+  * oracle can verify byte-level fidelity against the original table.
+  * The reference's only non-COPY format was CSV ingest
+  * (lib/pgcp/postgres.rb:122-135); JSON is the natural Spark addition.
+  *
+  * Reads always pass an explicit schema (inference is a second scan —
+  * wasteful at scale, and type-unstable). */
+object Formats {
+
+  /** parquet -> CSV (header) -> read back with explicit schema. */
+  def csvRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val src = Tables.nation(spark, dir)
+    val out = Files.createTempDirectory("graft_csv_").toString
+    src.write.mode("overwrite").option("header", "true").csv(out)
+    spark.read.schema(src.schema).option("header", "true").csv(out)
+      .orderBy("n_nationkey")
+  }
+
+  /** parquet -> JSON lines -> read back with explicit schema. */
+  def jsonRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val src = Tables.region(spark, dir)
+    val out = Files.createTempDirectory("graft_json_").toString
+    src.write.mode("overwrite").json(out)
+    spark.read.schema(src.schema).json(out)
+      .orderBy("r_regionkey")
+  }
+}

@@ -1,0 +1,131 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
+import java.nio.file.Files
+
+/** Per-user running state emitted by EventStreams.userCounts. */
+final case class UserCountUpdate(user_id: Long, n: Long, max_value: Double)
+
+/** Structured Streaming variants of the event-time operators
+  * (SURVEY §2b "Streaming-shaped"). Each runs a real streaming query —
+  * `readStream` file source -> watermark -> stateful op -> memory sink,
+  * `Trigger.AvailableNow` — then returns the result as a DataFrame, so
+  * the DuckDB oracle can verify STREAMING output against batch SQL.
+  * Semantics match graft.ops.Events exactly (same windows, same gap).
+  *
+  * Scale: the file source shards by files; watermark bounds state; the
+  * memory sink is only for oracle capture — production would write
+  * parquet/kafka. AvailableNow processes a backlog incrementally with
+  * bounded per-batch state, exactly how a 100 TB backfill would run.
+  */
+object EventStreams {
+
+  /** Unique in-memory sink name per run. */
+  private def sinkName(prefix: String): String =
+    s"${prefix}_${java.util.UUID.randomUUID().toString.replace("-", "").take(12)}"
+
+  /** readStream over the events table with ts normalized to
+    * TimestampType (same nanos handling as Tables.events). The file
+    * source needs a DIRECTORY; the corpus is one file per table, so
+    * stream the parent dir with a glob filter. */
+  private def eventStream(spark: SparkSession, dir: String): DataFrame = {
+    val path = s"$dir/events.parquet"
+    val schema = spark.read.parquet(path).schema
+    val reader = spark.readStream.schema(schema)
+    // file source wants a directory: stream the table dir when the
+    // table IS a dir (normal Spark layout), else glob the single file
+    // out of its parent (the corpus layout). pathGlobFilter matches
+    // leaf FILE names only.
+    val raw =
+      if (new java.io.File(path).isDirectory) reader.parquet(path)
+      else reader.option("pathGlobFilter", "events.parquet").parquet(dir)
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _ => raw.withColumn("ts", col("ts").cast("timestamp"))
+    }
+  }
+
+  /** Run a streaming DF to completion into a memory sink; return the
+    * final table. Complete mode: the sink holds the full result. */
+  private def runComplete(df: DataFrame, checkpointDir: String): DataFrame = {
+    val name = sinkName("graft")
+    val q = df.writeStream
+      .format("memory")
+      .queryName(name)
+      .outputMode(OutputMode.Complete())
+      .option("checkpointLocation", s"$checkpointDir/$name")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    df.sparkSession.table(name)
+  }
+
+  private def ckpt(): String =
+    Files.createTempDirectory("graft_ckpt_").toString
+
+  /** Streaming tumbling 1-hour windows per event_type with a 1-hour
+    * watermark — same output schema/values as Events.tumbling, so it
+    * shares that oracle. */
+  def tumbling(spark: SparkSession, dir: String): DataFrame = {
+    val agg = eventStream(spark, dir)
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+           round(sum(col("value").cast("decimal(18,2)")), 2).cast("double").as("sum_value"))
+    runComplete(agg, ckpt())
+      .select(unix_micros(col("w.start")).as("w_start_us"), col("event_type"),
+              col("n"), col("sum_value"))
+      .orderBy("w_start_us", "event_type")
+  }
+
+  /** Streaming gap-based sessionization via `session_window` (30-min
+    * gap): merges events separated by < gap into one growing window.
+    * Output (user_id, start_us, n_events) matches the batch lag+cumsum
+    * formulation's sessions. */
+  def sessionWindows(spark: SparkSession, dir: String): DataFrame = {
+    val agg = eventStream(spark, dir)
+      .withWatermark("ts", "1 hour")
+      .groupBy(session_window(col("ts"), "30 minutes").as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+    runComplete(agg, ckpt())
+      .select(col("user_id"), unix_micros(col("w.start")).as("start_us"), col("n_events"))
+      .orderBy("user_id", "start_us")
+  }
+
+  /** Custom streaming state via mapGroupsWithState: per-user running
+    * event count + max value. Update mode appends one row per state
+    * change to the sink; the final state per user is the max count —
+    * equal to the batch groupBy, which is the oracle. */
+  def userCounts(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val updates = eventStream(spark, dir)
+      .select(col("user_id"), col("value"))
+      .as[(Long, Double)]
+      .groupByKey(_._1)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
+        (uid: Long, rows: Iterator[(Long, Double)], state: GroupState[(Long, Double)]) =>
+          val (n0, m0) = state.getOption.getOrElse((0L, Double.MinValue))
+          var n = n0; var m = m0
+          rows.foreach { case (_, v) => n += 1; if (v > m) m = v }
+          state.update((n, m))
+          UserCountUpdate(uid, n, m)
+      }
+    val name = sinkName("graft")
+    val q = updates.toDF().writeStream
+      .format("memory").queryName(name)
+      .outputMode(OutputMode.Update())
+      .option("checkpointLocation", s"${ckpt()}/$name")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    // last state per user = max n (counts are monotone)
+    spark.table(name)
+      .groupBy("user_id")
+      .agg(max(col("n")).as("n_events"),
+           round(max(col("max_value")), 6).as("max_value"))
+      .orderBy("user_id")
+  }
+}

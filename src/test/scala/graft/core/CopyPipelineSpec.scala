@@ -1,0 +1,106 @@
+package graft.core
+
+import java.nio.file.Files
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkFixture
+
+class QualifiedNameSpec extends AnyFunSuite {
+  test("schema.table parses") {
+    assert(QualifiedName.parse("public.users") == QualifiedName("public", "users"))
+    assert(QualifiedName.parse("public.users").fullName == "public.users")
+  }
+  test("bare table defaults to public") {
+    assert(QualifiedName.parse("users") == QualifiedName("public", "users"))
+  }
+  test("too many dots rejected") {
+    intercept[IllegalArgumentException](QualifiedName.parse("a.b.c"))
+  }
+}
+
+class GlobSpec extends AnyFunSuite {
+  import CopyPipeline.globToRegex
+  test("star matches any name") {
+    assert(globToRegex("*").matches("lineitem"))
+  }
+  test("prefix glob") {
+    val re = globToRegex("line*")
+    assert(re.matches("lineitem"))
+    assert(!re.matches("orders"))
+  }
+  test("question mark matches one char") {
+    val re = globToRegex("na?ion")
+    assert(re.matches("nation"))
+    assert(!re.matches("naation"))
+  }
+  test("literal dots are escaped") {
+    val re = globToRegex("a.b")
+    assert(re.matches("a.b"))
+    assert(!re.matches("axb"))
+  }
+}
+
+class CopyPipelineSpec extends AnyFunSuite with SparkFixture {
+  private def tmp() = Files.createTempDirectory("graft_cp_test_").toString
+
+  private def writeTable(dir: String, name: String): Unit = {
+    import spark.implicits._
+    Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v")
+      .write.parquet(s"$dir/$name.parquet")
+  }
+
+  test("copyTable copies all rows and verifies the published copy") {
+    val (src, dst) = (tmp(), tmp())
+    writeTable(src, "t1")
+    val res = CopyPipeline.copyTable(spark, new ParquetDir(src), new ParquetDir(dst), "t1")
+    assert(res.rows == 3 && res.columns == 2)
+    assert(new ParquetDir(dst).read(spark, "t1").count() == 3)
+  }
+
+  test("copyTable projection + filter narrows the copy") {
+    import org.apache.spark.sql.functions.col
+    val (src, dst) = (tmp(), tmp())
+    writeTable(src, "t1")
+    val res = CopyPipeline.copyTable(spark, new ParquetDir(src), new ParquetDir(dst), "t1",
+      options = CopyPipeline.CopyOptions(
+        columns = Some(Seq("id")), filter = Some(col("id") > 1)))
+    assert(res.rows == 2 && res.columns == 1)
+  }
+
+  test("publish is hotswap: second copy replaces, readers see full table") {
+    val (src, dst) = (tmp(), tmp())
+    writeTable(src, "t1")
+    val sink = new ParquetDir(dst)
+    CopyPipeline.copyTable(spark, new ParquetDir(src), sink, "t1")
+    CopyPipeline.copyTable(spark, new ParquetDir(src), sink, "t1") // overwrite
+    assert(sink.read(spark, "t1").count() == 3)
+    // no staging leftovers
+    val leftovers = new java.io.File(dst).list().count(_.startsWith(".staging"))
+    assert(leftovers == 0)
+  }
+
+  test("copyTables glob fans out over matching SOURCE tables") {
+    val (src, dst) = (tmp(), tmp())
+    writeTable(src, "na_one"); writeTable(src, "na_two"); writeTable(src, "other")
+    val results = CopyPipeline.copyTables(spark, new ParquetDir(src), new ParquetDir(dst), "na_*")
+    assert(results.map(_.table).sorted == Seq("na_one", "na_two"))
+    assert(!new ParquetDir(dst).tableExists("other"))
+  }
+
+  test("failures propagate (missing source table)") {
+    val (src, dst) = (tmp(), tmp())
+    intercept[Exception] {
+      CopyPipeline.copyTable(spark, new ParquetDir(src), new ParquetDir(dst), "nope")
+    }
+  }
+
+  test("catalog: list/exists/schema") {
+    val src = tmp()
+    writeTable(src, "t1")
+    val pd = new ParquetDir(src)
+    assert(pd.listTables() == Seq("t1"))
+    assert(pd.tableExists("t1") && !pd.tableExists("t2"))
+    val cols = pd.schemaOf(spark, "t1")
+    assert(cols.map(_.name) == Seq("id", "v"))
+    assert(cols.map(_.pgType) == Seq("bigint", "text"))
+  }
+}

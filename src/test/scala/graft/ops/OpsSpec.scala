@@ -1,0 +1,134 @@
+package graft.ops
+
+import java.nio.file.Files
+import java.sql.Timestamp
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkFixture
+
+/** Operator semantics on small crafted corpora written to a temp dir in
+  * the driver's parquet layout, so the ops run exactly as in prod. */
+class OpsSpec extends AnyFunSuite with SparkFixture {
+
+  private lazy val dir: String = {
+    val d = Files.createTempDirectory("graft_ops_test_").toString
+    import spark.implicits._
+    // documents: 0 and 1 are near-dups (one word changed), 2 is unrelated,
+    // 3 is an exact copy of 0.
+    val base = "the quick brown fox jumps over the lazy dog again and again"
+    Seq(
+      (0L, base, "en", "s0", base.length.toLong),
+      (1L, base.replace("lazy", "sleepy"), "en", "s0", base.length.toLong),
+      (2L, "completely different words without any overlap at all here now", "de", "s1", 62L),
+      (3L, base, "en", "s1", base.length.toLong))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$d/documents.parquet")
+    // events: one user with a >30min gap (2 sessions), purchases after clicks
+    def ts(m: Int) = Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+    Seq(
+      (1L, ts(0), 7L, "click", 1.0, """{"k": 1}"""),
+      (2L, ts(5), 7L, "purchase", 2.0, """{"k": 12}"""),
+      (3L, ts(50), 7L, "click", 3.0, """{"k": 23}"""),
+      (4L, ts(55), 7L, "purchase", 4.0, """{"k": 34}"""))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(s"$d/events.parquet")
+    // embeddings: vec 0/1 parallel (cos=1), 2 orthogonal
+    val e0 = Array(1f, 0f, 0f, 0f)
+    val e1 = Array(2f, 0f, 0f, 0f)
+    val e2 = Array(0f, 1f, 0f, 0f)
+    Seq((0L, e0, 0), (1L, e1, 0), (2L, e2, 1))
+      .toDF("vec_id", "embedding", "label")
+      .write.parquet(s"$d/embeddings.parquet")
+    d
+  }
+
+  test("dedupExact groups identical texts under min doc_id") {
+    val rows = Text.dedupExact(spark, dir).collect()
+    assert(rows.length == 3) // 4 docs, one exact pair
+    val dup = rows.find(_.getAs[Long]("n_copies") == 2).get
+    assert(dup.getAs[Long]("doc_id") == 0L) // representative is min(0,3)
+  }
+
+  test("jaccardPairs finds the near-dup and exact pair, not the unrelated doc") {
+    val pairs = Text.jaccardPairs(spark, dir, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((0L, 3L))) // exact: jaccard 1.0
+    assert(pairs.contains((0L, 1L))) // near-dup
+    assert(!pairs.exists(p => p._1 == 2L || p._2 == 2L))
+  }
+
+  test("minhashNearDups recovers the exact-dup pair (jaccard 1.0 survives any banding)") {
+    val pairs = Text.minhashNearDups(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((0L, 3L)))
+    assert(!pairs.exists(p => p._1 == 2L || p._2 == 2L))
+  }
+
+  test("sessionize splits on the 30-minute gap") {
+    val rows = Events.sessionize(spark, dir).collect()
+    assert(rows.length == 2)
+    assert(rows.map(_.getAs[Long]("n_events")).toSeq == Seq(2L, 2L))
+  }
+
+  test("asof picks the most recent strictly-earlier click per purchase") {
+    val rows = Events.asofPurchaseClick(spark, dir).collect()
+    val byId = rows.map(r => r.getAs[Long]("event_id") -> r.getAs[Long]("last_click_us")).toMap
+    def us(m: Int) = Timestamp.valueOf(f"2024-01-01 10:$m%02d:00").getTime * 1000
+    assert(byId(2L) == us(0))  // purchase@10:05 -> click@10:00
+    assert(byId(4L) == us(50)) // purchase@10:55 -> click@10:50 (not 10:00)
+  }
+
+  test("knnBrute ranks the parallel vector first with sim 1.0") {
+    val rows = Vector.knnBrute(spark, dir, nQueries = 1, k = 2).collect()
+    assert(rows.length == 2)
+    assert(rows(0).getAs[Long]("neighbor_id") == 1L)
+    assert(rows(0).getAs[Double]("sim") == 1.0)
+    assert(rows(1).getAs[Double]("sim") == 0.0) // orthogonal
+  }
+
+  test("embNearDups finds the planted parallel pair (cos = 1.0)") {
+    val pairs = Vector.embNearDups(spark, dir, threshold = 0.99)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((0L, 1L)))
+  }
+
+  test("multimodal features: byte stats of the synthesized payload") {
+    val rows = Multimodal.features(spark, dir).collect()
+    assert(rows.length == 4)
+    val r0 = rows.find(_.getAs[Long]("doc_id") == 0L).get
+    assert(r0.getAs[String]("kind") == "image") // doc_id 0 % 3
+    assert(r0.getAs[Long]("n_bytes") == 59L)    // len(base text)
+  }
+
+  test("multimodal frame sampling: one frame per 1000ms inclusive") {
+    val rows = Multimodal.frameSample(spark, dir).collect()
+    // only doc_id 2 is video (2 % 3 == 2); duration = n_chars*10 = 620ms
+    assert(rows.map(_.getAs[Long]("doc_id")).distinct.toSeq == Seq(2L))
+    assert(rows.map(_.getAs[Long]("offset_ms")).toSeq == Seq(0L))
+  }
+
+  test("streaming tumbling equals batch tumbling") {
+    val batch = Events.tumbling(spark, dir).collect().map(_.toSeq)
+    val stream = graft.streaming.EventStreams.tumbling(spark, dir).collect().map(_.toSeq)
+    assert(stream.toSeq == batch.toSeq)
+  }
+
+  test("streaming user counts equal batch groupBy") {
+    val rows = graft.streaming.EventStreams.userCounts(spark, dir).collect()
+    assert(rows.length == 1)
+    assert(rows(0).getAs[Long]("n_events") == 4L)
+    assert(rows(0).getAs[Double]("max_value") == 4.0)
+  }
+
+  test("langStats aggregates per language") {
+    val rows = Text.langStats(spark, dir).collect()
+    assert(rows.map(r => (r.getAs[String]("lang"), r.getAs[Long]("n_docs"))).toSet ==
+      Set(("en", 3L), ("de", 1L)))
+  }
+
+  test("jsonExtract buckets parsed props.k") {
+    val rows = Events.jsonExtract(spark, dir).collect()
+    val buckets = rows.map(r => r.getAs[Int]("k_bucket") -> r.getAs[Long]("n")).toMap
+    assert(buckets == Map(0 -> 1L, 1 -> 1L, 2 -> 1L, 3 -> 1L))
+  }
+}
