@@ -97,6 +97,9 @@ object SparkEntry {
     "running_total"    -> (Relational.runningTotal _),
     "topk_global"      -> (Relational.topKGlobal _),
     "set_ops"          -> (Relational.setOps _),
+    "ctas"             -> (Relational.ctas _),
+    "pivot_agg"        -> (Relational.pivotAgg _),
+    "percentiles"      -> (Relational.percentiles _),
     "string_fns"       -> (Relational.stringFns _),
     "date_fns"         -> (Relational.dateFns _),
     "math_fns"         -> (Relational.mathFns _),
@@ -270,6 +273,24 @@ object SparkEntry {
         |  SELECT 'both' AS tag, o_custkey FROM b
         |  UNION ALL SELECT 'hi_only' AS tag, o_custkey FROM ho)
         |GROUP BY tag ORDER BY tag""".stripMargin,
+    "ctas" ->
+      """SELECT o_orderstatus, count(*) AS n,
+        |  CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2))),2) AS DOUBLE) AS revenue
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "pivot_agg" ->
+      """SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+        |  count(*) FILTER (o_orderpriority = '1-URGENT') AS urgent,
+        |  count(*) FILTER (o_orderpriority = '2-HIGH') AS high,
+        |  count(*) FILTER (o_orderpriority = '3-MEDIUM') AS medium,
+        |  count(*) FILTER (o_orderpriority = '4-NOT SPECIFIED') AS unspecified,
+        |  count(*) FILTER (o_orderpriority = '5-LOW') AS low
+        |FROM orders GROUP BY 1 ORDER BY o_year""".stripMargin,
+    "percentiles" ->
+      """SELECT o_orderstatus,
+        |  round(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+        |  round(quantile_cont(o_totalprice, 0.9), 4) AS p90,
+        |  round(quantile_cont(o_totalprice, 0.99), 4) AS p99
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
     "string_fns" ->
       """SELECT p_partkey, upper(p_brand) AS brand_upper,
         |  substring(p_type, 1, 5) AS type_prefix,

@@ -212,6 +212,48 @@ object Relational {
            round(sum(money("o_totalprice")), 2).cast("double").as("revenue"))
       .orderBy("o_year", "o_quarter")
 
+  /** CTAS + raw-SQL passthrough (reference create_table_from_query,
+    * postgres.rb:80-91, and exec, postgres.rb:13-18): register the
+    * scan as a view, run ANSI SQL through spark.sql, materialize via
+    * saveAsTable (overwrite = the reference's drop-and-recreate txn),
+    * read the TABLE back. */
+  def ctas(spark: SparkSession, dir: String): DataFrame = {
+    Tables.orders(spark, dir).createOrReplaceTempView("orders_v")
+    val q = spark.sql(
+      """SELECT o_orderstatus,
+        |       count(*) AS n,
+        |       CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2))),2) AS DOUBLE)
+        |         AS revenue
+        |FROM orders_v GROUP BY o_orderstatus""".stripMargin)
+    q.write.mode("overwrite").saveAsTable("graft_ctas_orders")
+    spark.table("graft_ctas_orders").orderBy("o_orderstatus")
+  }
+
+  /** Pivot: order counts per year x priority, priorities as columns.
+    * Explicit pivot values — no extra distinct-discovery job. */
+  def pivotAgg(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .groupBy(year(col("o_orderdate")).cast("bigint").as("o_year"))
+      .pivot("o_orderpriority",
+        Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"))
+      .agg(count(lit(1)))
+      .na.fill(0L)
+      .select(col("o_year"), col("1-URGENT").as("urgent"), col("2-HIGH").as("high"),
+        col("3-MEDIUM").as("medium"), col("4-NOT SPECIFIED").as("unspecified"),
+        col("5-LOW").as("low"))
+      .orderBy("o_year")
+
+  /** Exact percentiles (Spark `percentile`, interpolated — matches
+    * DuckDB quantile_cont) of order totals per status. */
+  def percentiles(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .groupBy("o_orderstatus")
+      .agg(
+        round(expr("percentile(o_totalprice, 0.5)"), 4).as("p50"),
+        round(expr("percentile(o_totalprice, 0.9)"), 4).as("p90"),
+        round(expr("percentile(o_totalprice, 0.99)"), 4).as("p99"))
+      .orderBy("o_orderstatus")
+
   /** Scalar math functions — per-row (no float reordering risk). */
   def mathFns(spark: SparkSession, dir: String): DataFrame =
     Tables.lineitem(spark, dir)

@@ -15,10 +15,16 @@ object Scratch {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val dir = args(0)
+    val explain = sys.env.get("SCRATCH_EXPLAIN").contains("1")
     args.drop(1).foreach { name =>
-      val t0 = System.nanoTime()
-      val n = graft.SparkEntry.queries(name)(spark, dir).count()
-      println(f"[scratch] $name rows=$n time=${(System.nanoTime() - t0) / 1e9}%.2f s")
+      if (explain) {
+        println(s"========== $name ==========")
+        graft.SparkEntry.queries(name)(spark, dir).explain("formatted")
+      } else {
+        val t0 = System.nanoTime()
+        val n = graft.SparkEntry.queries(name)(spark, dir).count()
+        println(f"[scratch] $name rows=$n time=${(System.nanoTime() - t0) / 1e9}%.2f s")
+      }
     }
     spark.stop()
   }
