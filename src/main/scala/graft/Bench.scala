@@ -15,6 +15,9 @@ object Bench {
       .config("spark.sql.adaptive.enabled", "true")
       // default 100-entry codegen cache thrashes across 44 query plans
       .config("spark.sql.codegen.cache.maxEntries", "2000")
+      // keep managed tables (ctas) out of the repo and stale-proof
+      .config("spark.sql.warehouse.dir",
+        java.nio.file.Files.createTempDirectory("graft_wh_").toString)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val results = SparkEntry.queries.map { case (name, fn) =>

@@ -15,6 +15,9 @@ object Verify {
       // events.parquet carries TIMESTAMP(NANOS) — unreadable without this;
       // Tables.events normalizes the resulting long-nanos to TimestampType.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // keep managed tables (ctas) out of the repo and stale-proof
+      .config("spark.sql.warehouse.dir",
+        java.nio.file.Files.createTempDirectory("graft_wh_").toString)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

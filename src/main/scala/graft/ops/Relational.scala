@@ -218,6 +218,17 @@ object Relational {
     * saveAsTable (overwrite = the reference's drop-and-recreate txn),
     * read the TABLE back. */
   def ctas(spark: SparkSession, dir: String): DataFrame = {
+    // a stale managed-table location (e.g. from a previous JVM with a
+    // fresh in-memory catalog) blocks saveAsTable — clear both layers
+    spark.sql("DROP TABLE IF EXISTS graft_ctas_orders")
+    val warehouse = new java.io.File(
+      spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"), "graft_ctas_orders")
+    if (warehouse.exists()) {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(warehouse)
+    }
     Tables.orders(spark, dir).createOrReplaceTempView("orders_v")
     val q = spark.sql(
       """SELECT o_orderstatus,

@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.core.Tables
+import graft.functions.GraftFunctions
 
 /** Similarity-search operators over `embeddings` (FIXTURES.md: 64-dim
   * `array<float>` + int label). SURVEY §2b "LLM-pipeline: similarity".
@@ -35,10 +36,19 @@ object Vector {
   def cosine(a: Column, b: Column): Column =
     round(dot(a, b) / (norm(a) * norm(b)), 4)
 
+  // Native (codegen) variants — same index-order accumulation, so
+  // results are bit-identical to the HOF forms and the DuckDB oracle.
+  private def nDot(spark: SparkSession)(a: Column, b: Column): Column =
+    GraftFunctions.dot(spark, a, b)
+  private def nNorm(spark: SparkSession)(a: Column): Column =
+    sqrt(nDot(spark)(a, a))
+  private def nCosine(spark: SparkSession)(a: Column, b: Column): Column =
+    round(nDot(spark)(a, b) / (nNorm(spark)(a) * nNorm(spark)(b)), 4)
+
   /** Per-label norm statistics — sanity-profile of the vector corpus. */
   def normStats(spark: SparkSession, dir: String): DataFrame =
     Tables.embeddings(spark, dir)
-      .select(col("label"), norm(dbl(col("embedding"))).as("nrm"))
+      .select(col("label"), nNorm(spark)(dbl(col("embedding"))).as("nrm"))
       .groupBy("label")
       .agg(count(lit(1)).as("n_vecs"),
            round(min(col("nrm")), 4).as("min_norm"),
@@ -59,7 +69,7 @@ object Vector {
       .orderBy(col("sim").desc, col("neighbor_id").asc)
     c.join(broadcast(q), col("neighbor_id") =!= col("query_id"))
       .select(col("query_id"), col("neighbor_id"),
-              cosine(col("qe"), col("ce")).as("sim"))
+              nCosine(spark)(col("qe"), col("ce")).as("sim"))
       .withColumn("rnk", row_number().over(w).cast("bigint"))
       .filter(col("rnk") <= k)
       .select(col("query_id"), col("rnk"), col("neighbor_id"), col("sim"))
@@ -101,7 +111,7 @@ object Vector {
     l.join(r, Seq("bucket"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
-              cosine(col("qe"), col("ce")).as("sim"))
+              nCosine(spark)(col("qe"), col("ce")).as("sim"))
       .distinct() // a pair can share several buckets
       .withColumn("rnk", row_number().over(w).cast("bigint"))
       .filter(col("rnk") <= k)
@@ -120,7 +130,7 @@ object Vector {
     val r = withB.select(col("bucket"), col("vec_id").as("d2"), col("emb").as("e2"))
     l.join(r, Seq("bucket"))
       .filter(col("d1") < col("d2"))
-      .select(col("d1"), col("d2"), cosine(col("e1"), col("e2")).as("sim"))
+      .select(col("d1"), col("d2"), nCosine(spark)(col("e1"), col("e2")).as("sim"))
       .filter(col("sim") >= threshold)
       .distinct()
       .orderBy("d1", "d2")

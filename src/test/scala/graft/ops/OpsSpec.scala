@@ -120,6 +120,26 @@ class OpsSpec extends AnyFunSuite with SparkFixture {
     assert(rows(0).getAs[Double]("max_value") == 4.0)
   }
 
+  test("native graft_dot equals the HOF formulation bit-for-bit") {
+    import org.apache.spark.sql.functions.{col, transform => arrTransform}
+    val e = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id"), arrTransform(col("embedding"), x => x.cast("double")).as("emb"))
+    graft.functions.GraftFunctions.ensureRegistered(spark)
+    val both = e.select(
+      graft.functions.GraftFunctions.dot(spark, col("emb"), col("emb")).as("native"),
+      Vector.dot(col("emb"), col("emb")).as("hof")).collect()
+    both.foreach(r => assert(r.getDouble(0) == r.getDouble(1)))
+  }
+
+  test("graft_dot rejects non-double-array inputs") {
+    import org.apache.spark.sql.functions.col
+    val e = spark.read.parquet(s"$dir/embeddings.parquet") // float arrays
+    graft.functions.GraftFunctions.ensureRegistered(spark)
+    intercept[Exception] {
+      e.select(graft.functions.GraftFunctions.dot(spark, col("embedding"), col("embedding"))).collect()
+    }
+  }
+
   test("langStats aggregates per language") {
     val rows = Text.langStats(spark, dir).collect()
     assert(rows.map(r => (r.getAs[String]("lang"), r.getAs[Long]("n_docs"))).toSet ==
