@@ -20,6 +20,15 @@ object Bench {
         java.nio.file.Files.createTempDirectory("graft_wh_").toString)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Warm the scan path once (file listing, parquet reader JIT, first
+    // codegen) so the first timed query doesn't absorb JVM boot cost.
+    // Query-specific work is NOT warmed — each query below still runs
+    // cold exactly once.
+    new java.io.File(sfDir).list().filter(_.endsWith(".parquet"))
+      .map(_.stripSuffix(".parquet")).foreach { t =>
+        try graft.core.Tables.table(spark, sfDir, t).count()
+        catch { case _: Throwable => () }
+      }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

@@ -92,6 +92,7 @@ object SparkEntry {
     "semi_join"        -> (Relational.semiJoin _),
     "anti_join"        -> (Relational.antiJoin _),
     "range_join"       -> (Relational.rangeJoin _),
+    "skew_join_salted" -> (Relational.skewJoinSalted _),
     // ---- relational: windows / sort / set ops / scalar fns
     "topk_per_group"   -> (Relational.topKPerGroup _),
     "running_total"    -> (Relational.runningTotal _),
@@ -247,6 +248,11 @@ object SparkEntry {
          |  ('p910_915',910.0,915.0),('p915_920',915.0,920.0),('p920_inf',920.0,1e18))
          |  b(band, lo, hi) ON p_retailprice >= lo AND p_retailprice < hi
          |GROUP BY band ORDER BY band""".stripMargin,
+    "skew_join_salted" -> // salt is internal: oracle is the plain join
+      s"""SELECT o_orderpriority, count(*) AS n_items,
+         |  ${moneySum("l_extendedprice")} AS sum_price
+         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     "topk_per_group" ->
       """SELECT o_orderpriority, rn, o_orderkey, o_totalprice FROM (
         |  SELECT o_orderpriority, o_orderkey, o_totalprice,

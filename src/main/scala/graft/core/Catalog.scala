@@ -113,27 +113,48 @@ final class JdbcSource(
 
   override def tableExists(name: String): Boolean = false
 
+  /** Spark's JDBC range partitioning needs explicit bounds; discover
+    * them with a 1-row min/max pushdown query (the JDBC source runs
+    * the subquery server-side), then issue numPartitions parallel
+    * range scans. One tiny query + N streaming scans — the Spark
+    * answer to the reference's single psql pipe (transport.rb:66-75). */
+  private def bounds(spark: SparkSession, name: String, col: String): (Long, Long) = {
+    val b = spark.read.format("jdbc")
+      .option("url", url)
+      .option("dbtable", s"(SELECT min($col) AS lo, max($col) AS hi FROM $name) t")
+      .options(propMap)
+      .load().collect()(0)
+    (b.getAs[Number]("lo").longValue(), b.getAs[Number]("hi").longValue())
+  }
+
+  private def propMap: Map[String, String] = {
+    val b = Map.newBuilder[String, String]
+    props.stringPropertyNames().forEach(k => b += k -> props.getProperty(k))
+    b.result()
+  }
+
   override def read(spark: SparkSession, name: String): DataFrame = {
     val r = spark.read.format("jdbc")
       .option("url", url).option("dbtable", name)
-    val withPart = partitionColumn match {
+      .options(propMap)
+    partitionColumn match {
       case Some(col) =>
-        // Bounds subquery pushes min/max to the DB; Spark then issues
-        // numPartitions parallel range scans.
+        val (lo, hi) = bounds(spark, name, col)
         r.option("partitionColumn", col)
+          .option("lowerBound", lo)
+          .option("upperBound", hi)
           .option("numPartitions", numPartitions)
-          .option("dbtable",
-            s"(SELECT * FROM $name) AS t")
-      case None => r
+          .load()
+      case None => r.load()
     }
-    props.stringPropertyNames().forEach(k => withPart.option(k, props.getProperty(k)))
-    withPart.load()
   }
 
   override def write(df: DataFrame, name: String): Unit =
     df.write.mode("append").format("jdbc")
       .option("url", url).option("dbtable", name)
-      .option("batchsize", 10000)
+      .option("batchsize", 10000)       // COPY-ish bulk batches
+      .option("isolationLevel", "NONE") // bulk load: no per-batch txn cost
+      .options(propMap)
       .save()
 }
 

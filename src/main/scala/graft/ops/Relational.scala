@@ -212,6 +212,38 @@ object Relational {
            round(sum(money("o_totalprice")), 2).cast("double").as("revenue"))
       .orderBy("o_year", "o_quarter")
 
+  /** Salted equi-join for skewed keys: the probe side gets a random-
+    * free deterministic salt (hash of a tie-breaker column mod
+    * `salts`), the build side is exploded `salts` ways, and the join
+    * key becomes (key, salt) — a hot key's rows spread over `salts`
+    * reducers instead of one. AQE's skew-join handles this adaptively
+    * at runtime; this operator is the explicit form for engines/plans
+    * where AQE can't see the skew (e.g. first run, no stats).
+    *
+    * Result is IDENTICAL to the plain join (the salt is internal), so
+    * the oracle is the unsalted SQL join. */
+  def saltedJoin(
+      left: DataFrame, right: DataFrame, key: String,
+      leftTieBreak: String, salts: Int = 8): DataFrame = {
+    val l = left.withColumn("_salt",
+      pmod(xxhash64(col(leftTieBreak)), lit(salts)).cast("int"))
+    val r = right.withColumn("_salt",
+      explode(sequence(lit(0), lit(salts - 1))))
+    l.join(r, Seq(key, "_salt")).drop("_salt")
+  }
+
+  /** Skew-safe fact join: lineitem x orders via saltedJoin — the same
+    * aggregate as `fact_join`, oracle-identical output. */
+  def skewJoinSalted(spark: SparkSession, dir: String): DataFrame = {
+    val l = Tables.lineitem(spark, dir)
+    val o = Tables.orders(spark, dir).withColumnRenamed("o_orderkey", "l_orderkey")
+    saltedJoin(l, o, "l_orderkey", "l_linenumber")
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_items"),
+           round(sum(money("l_extendedprice")), 2).cast("double").as("sum_price"))
+      .orderBy("o_orderpriority")
+  }
+
   /** CTAS + raw-SQL passthrough (reference create_table_from_query,
     * postgres.rb:80-91, and exec, postgres.rb:13-18): register the
     * scan as a view, run ANSI SQL through spark.sql, materialize via
