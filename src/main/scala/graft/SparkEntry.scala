@@ -112,6 +112,9 @@ object SparkEntry {
     "ev_asof"          -> (Events.asofPurchaseClick _),
     "ev_value_delta"   -> (Events.valueDelta _),
     "ev_json_extract"  -> (Events.jsonExtract _),
+    "map_fns"          -> (Events.mapFns _),
+    "array_fns"        -> (Text.arrayFns _),
+    "tfidf_top"        -> (Text.tfidfTop _),
     // ---- structured streaming (real streaming queries; oracle checks
     //      the streaming RESULT against batch SQL)
     "stream_tumbling"  -> (EventStreams.tumbling _),
@@ -415,6 +418,32 @@ object SparkEntry {
         |FROM documents d,
         |     LATERAL (SELECT unnest(generate_series(0, (d.n_chars*10)//1000)) AS i) g
         |WHERE d.doc_id % 3 = 2 ORDER BY doc_id, frame_idx""".stripMargin,
+    "map_fns" ->
+      """SELECT event_id,
+        |  CAST(json_array_length(json_keys(props)) + 1 AS BIGINT) AS n_keys,
+        |  CAST(json_extract_string(props, '$.k') AS INT) AS k_val,
+        |  event_type AS type_val
+        |FROM events ORDER BY event_id""".stripMargin,
+    "array_fns" ->
+      """SELECT doc_id,
+        |  array_to_string(string_split(text,' ')[1:3], ' ') AS first3,
+        |  list_sort(list_distinct(string_split(text,' ')))[1] AS alpha_first,
+        |  CAST(len(list_intersect(list_distinct(string_split(text,' ')),
+        |    ['the','a','of','and','is','to'])) AS BIGINT) AS n_stop_kinds,
+        |  string_split(text,' ')[-1] AS last_tok
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "tfidf_top" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text,' ')) AS tok FROM documents),
+        |  tf AS (SELECT doc_id, tok, count(*) AS tf FROM tok GROUP BY 1, 2),
+        |  df AS (SELECT tok, count(DISTINCT doc_id) AS df FROM tok GROUP BY 1),
+        |  n AS (SELECT count(*) AS n FROM documents),
+        |  j AS (SELECT tf.doc_id, tf.tok,
+        |          round(tf.tf * ln(n.n * 1.0 / df.df), 6) AS w
+        |        FROM tf JOIN df USING (tok), n),
+        |  r AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+        |          ORDER BY w DESC, tok ASC) AS rn FROM j)
+        |SELECT doc_id, tok AS top_term, w AS tfidf FROM r WHERE rn = 1
+        |ORDER BY doc_id""".stripMargin,
     "dedup_exact" ->
       """SELECT min(doc_id) AS doc_id, md5(text) AS fp, count(*) AS n_copies
         |FROM documents GROUP BY md5(text) ORDER BY doc_id""".stripMargin,

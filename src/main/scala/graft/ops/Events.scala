@@ -98,6 +98,20 @@ object Events {
       .orderBy("event_id")
   }
 
+  /** Map functions: parse `props` JSON into a MapType column, then
+    * map_keys/element access/map_concat — the map-column surface. */
+  def mapFns(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .withColumn("m", from_json(col("props"),
+        org.apache.spark.sql.types.DataType.fromDDL("map<string,string>")))
+      .withColumn("m2", map_concat(col("m"),
+        map(lit("type"), col("event_type"))))
+      .select(col("event_id"),
+        size(map_keys(col("m2"))).cast("bigint").as("n_keys"),
+        element_at(col("m"), "k").cast("int").as("k_val"),
+        element_at(col("m2"), "type").as("type_val"))
+      .orderBy("event_id")
+
   /** JSON extraction from `props` ({"k": <int>}) + aggregation. */
   def jsonExtract(spark: SparkSession, dir: String): DataFrame =
     Tables.events(spark, dir)

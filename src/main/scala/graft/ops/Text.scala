@@ -244,6 +244,39 @@ object Text {
       .orderBy(col("tf").desc, col("tok").asc)
       .limit(20)
 
+  /** Array functions over the token column: sort/dedup/slice/set ops —
+    * the array-column surface (first 3 tokens, alphabetical first
+    * token, overlap-with-stopwords count). */
+  def arrayFns(spark: SparkSession, dir: String): DataFrame = {
+    val stop = array(Seq("the", "a", "of", "and", "is", "to").map(lit): _*)
+    tokenized(spark, dir)
+      .select(col("doc_id"),
+        concat_ws(" ", slice(col("t"), lit(1), lit(3))).as("first3"),
+        element_at(array_sort(array_distinct(col("t"))), 1).as("alpha_first"),
+        size(array_intersect(array_distinct(col("t")), stop)).cast("bigint").as("n_stop_kinds"),
+        element_at(col("t"), -1).as("last_tok"))
+      .orderBy("doc_id")
+  }
+
+  /** TF-IDF: weight of each doc's top term — tf * ln(N/df), the
+    * classic smooth-free form, deterministic via (weight desc, term
+    * asc) tie-break. Two shuffles: df aggregation + per-doc ranking. */
+  def tfidfTop(spark: SparkSession, dir: String): DataFrame = {
+    val tok = tokenized(spark, dir).select(col("doc_id"), explode(col("t")).as("tok"))
+    val n = Tables.documents(spark, dir).count() // tiny catalog count, driver-side
+    val tf = tok.groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+    val df = tok.select(col("doc_id"), col("tok")).distinct()
+      .groupBy("tok").agg(count(lit(1)).as("df"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
+      .orderBy(col("w").desc, col("tok").asc)
+    tf.join(df, "tok")
+      .withColumn("w", round(col("tf") * log(lit(n.toDouble) / col("df")), 6))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"), col("tok").as("top_term"), col("w").as("tfidf"))
+      .orderBy("doc_id")
+  }
+
   /** Language-ID heuristic: stopword-hit scoring against tiny per-lang
     * lexicons; argmax with a fixed tie-break order. (On this synthetic
     * corpus every lang shares one vocabulary — the operator's value is

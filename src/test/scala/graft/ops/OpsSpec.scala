@@ -140,6 +140,16 @@ class OpsSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("SparkEntry.entry (t1 smoke contract) returns rows") {
+    assert(graft.SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("every oracleSql key has a queries entry") {
+    val qs = graft.SparkEntry.queries.keySet
+    val orphans = graft.SparkEntry.oracleSql.keySet.diff(qs)
+    assert(orphans.isEmpty, s"oracleSql without queries: $orphans")
+  }
+
   test("langStats aggregates per language") {
     val rows = Text.langStats(spark, dir).collect()
     assert(rows.map(r => (r.getAs[String]("lang"), r.getAs[Long]("n_docs"))).toSet ==
