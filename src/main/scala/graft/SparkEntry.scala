@@ -93,6 +93,7 @@ object SparkEntry {
     "anti_join"        -> (Relational.antiJoin _),
     "range_join"       -> (Relational.rangeJoin _),
     "skew_join_salted" -> (Relational.skewJoinSalted _),
+    "bucketed_join"    -> (Relational.bucketedJoin _),
     // ---- relational: windows / sort / set ops / scalar fns
     "topk_per_group"   -> (Relational.topKPerGroup _),
     "running_total"    -> (Relational.runningTotal _),
@@ -256,6 +257,12 @@ object SparkEntry {
          |  ${moneySum("l_extendedprice")} AS sum_price
          |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
          |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "bucketed_join" -> // bucket layout is internal: oracle is the plain join
+      s"""SELECT l_returnflag, o_orderpriority, count(*) AS n,
+         |  ${moneySum("l_extendedprice")} AS sum_price
+         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         |GROUP BY l_returnflag, o_orderpriority
+         |ORDER BY l_returnflag, o_orderpriority""".stripMargin,
     "topk_per_group" ->
       """SELECT o_orderpriority, rn, o_orderkey, o_totalprice FROM (
         |  SELECT o_orderpriority, o_orderkey, o_totalprice,

@@ -249,18 +249,48 @@ object Relational {
     * scan as a view, run ANSI SQL through spark.sql, materialize via
     * saveAsTable (overwrite = the reference's drop-and-recreate txn),
     * read the TABLE back. */
-  def ctas(spark: SparkSession, dir: String): DataFrame = {
-    // a stale managed-table location (e.g. from a previous JVM with a
-    // fresh in-memory catalog) blocks saveAsTable — clear both layers
-    spark.sql("DROP TABLE IF EXISTS graft_ctas_orders")
-    val warehouse = new java.io.File(
-      spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"), "graft_ctas_orders")
-    if (warehouse.exists()) {
+  /** Drop a managed table AND its warehouse location — a stale dir
+    * from a previous JVM (fresh in-memory catalog) blocks saveAsTable. */
+  private def dropManaged(spark: SparkSession, name: String): Unit = {
+    spark.sql(s"DROP TABLE IF EXISTS $name")
+    val loc = new java.io.File(
+      spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"), name)
+    if (loc.exists()) {
       def rm(f: java.io.File): Unit = {
         Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
       }
-      rm(warehouse)
+      rm(loc)
     }
+  }
+
+  /** Bucketed co-located join: both sides written bucketed+sorted on
+    * the join key (8 buckets), then joined — the plan has NO Exchange
+    * before the join (bucketing pre-shuffles at write time, the layout
+    * every repeated big-big join should buy at 100 TB). */
+  def bucketedJoin(spark: SparkSession, dir: String): DataFrame = {
+    dropManaged(spark, "graft_li_bucketed"); dropManaged(spark, "graft_ord_bucketed")
+    Tables.lineitem(spark, dir)
+      .select("l_orderkey", "l_returnflag", "l_extendedprice")
+      .write.mode("overwrite").bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+      .saveAsTable("graft_li_bucketed")
+    Tables.orders(spark, dir)
+      .select("o_orderkey", "o_orderpriority")
+      .write.mode("overwrite").bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+      .saveAsTable("graft_ord_bucketed")
+    val l = spark.table("graft_li_bucketed")
+    val o = spark.table("graft_ord_bucketed")
+    // merge hint: at corpus scale AQE would (rightly) broadcast; the
+    // hint forces the sort-merge path this operator demonstrates —
+    // bucketed scans feed the SMJ with NO Exchange on either side.
+    l.join(o.hint("merge"), l("l_orderkey") === o("o_orderkey"))
+      .groupBy("l_returnflag", "o_orderpriority")
+      .agg(count(lit(1)).as("n"),
+           round(sum(money("l_extendedprice")), 2).cast("double").as("sum_price"))
+      .orderBy("l_returnflag", "o_orderpriority")
+  }
+
+  def ctas(spark: SparkSession, dir: String): DataFrame = {
+    dropManaged(spark, "graft_ctas_orders")
     Tables.orders(spark, dir).createOrReplaceTempView("orders_v")
     val q = spark.sql(
       """SELECT o_orderstatus,
