@@ -29,5 +29,5 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
   // 44 distinct query plans in one JVM: default 240m code cache thrashes
   // JIT + Janino output (observed 5-8x slowdowns late in a Bench run).
-  "-XX:ReservedCodeCacheSize=512m",
+  "-XX:ReservedCodeCacheSize=1g",
 )

@@ -127,12 +127,11 @@ object Text {
     * semi-filtered to candidate docs (tiny at any scale), then
     * equi-joined on hashed shingle, then pair-filtered to candidates. */
   def minhashNearDups(spark: SparkSession, dir: String, threshold: Double = 0.5): DataFrame = {
-    // The candidate set is tiny (near-dup pairs) but its plan is huge
-    // (64-agg signature + banding + bucket explode); it is referenced
-    // four times below. Materialize once and truncate the lineage —
-    // otherwise Spark re-runs the whole MinHash pipeline per reference
-    // and re-codegens the giant plan (measured 263s -> ~10s at sf0.1).
-    val cand = minhashCandidates(spark, dir).localCheckpoint()
+    // The candidates subtree is referenced three times below and
+    // re-executes per reference; that is the cheap side of the trade —
+    // an eager localCheckpoint here measured wildly unstable under AQE
+    // (2s-60s), while plain re-execution is a stable ~1-2s each.
+    val cand = minhashCandidates(spark, dir)
     val sh = shingles(spark, dir)
     val sizes = shingleSizes(spark, dir)
     val cd1 = cand.select("d1").distinct()
