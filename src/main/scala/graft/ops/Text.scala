@@ -192,18 +192,22 @@ object Text {
   }
 
   /** SimHash near-dup candidates: docs whose signatures collide on any
-    * of four 16-bit chunks (Hamming-distance blocking). */
+    * of four 16-bit chunks (Hamming-distance blocking — a true near-dup
+    * at Hamming radius <= 3 must collide on at least one chunk by
+    * pigeonhole). Candidates carry the exact Hamming distance
+    * (`bit_count(xor)`, codegen built-in) for downstream thresholds. */
   def simhashCandidates(spark: SparkSession, dir: String): DataFrame = {
     val sig = simhash(spark, dir)
     val chunks = (0 until 4).map(c =>
       struct(lit(c).as("chunk"),
         shiftright(col("simhash"), c * 16).bitwiseAND(0xFFFFL).as("ch")))
-    val buckets = sig.select(col("doc_id"), explode(array(chunks: _*)).as("cc"))
-      .select(col("doc_id"), col("cc.chunk").as("chunk"), col("cc.ch").as("ch"))
+    val buckets = sig.select(col("doc_id"), col("simhash"), explode(array(chunks: _*)).as("cc"))
+      .select(col("doc_id"), col("simhash"), col("cc.chunk").as("chunk"), col("cc.ch").as("ch"))
     buckets.as("x").join(buckets.as("y"),
         col("x.chunk") === col("y.chunk") && col("x.ch") === col("y.ch") &&
         col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"))
+      .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"),
+        bit_count(col("x.simhash").bitwiseXOR(col("y.simhash"))).cast("int").as("hamming"))
       .distinct()
       .orderBy("d1", "d2")
   }

@@ -113,6 +113,19 @@ class OpsSpec extends AnyFunSuite with SparkFixture {
     assert(stream.toSeq == batch.toSeq)
   }
 
+  test("streaming session_window splits on the 30-minute gap") {
+    val rows = graft.streaming.EventStreams.sessionWindows(spark, dir).collect()
+    assert(rows.length == 2)
+    assert(rows.map(_.getAs[Long]("n_events")).toSeq == Seq(2L, 2L))
+  }
+
+  test("simhash candidates include exact hamming distance") {
+    val rows = Text.simhashCandidates(spark, dir).collect()
+    // exact dup pair (0,3) must collide with hamming 0
+    val exact = rows.find(r => r.getLong(0) == 0L && r.getLong(1) == 3L)
+    assert(exact.isDefined && exact.get.getAs[Int]("hamming") == 0)
+  }
+
   test("streaming user counts equal batch groupBy") {
     val rows = graft.streaming.EventStreams.userCounts(spark, dir).collect()
     assert(rows.length == 1)
