@@ -69,11 +69,28 @@ object SparkEntry {
       .orderBy("table_name")
   }
 
+  /** Partitioned-layout copy: write orders hive-partitioned by status,
+    * read one partition back — the scan must show PartitionFilters
+    * (directory pruning), the layout a 100 TB table needs so readers
+    * touch only relevant data. */
+  private def copyPartitioned(spark: SparkSession, dir: String): DataFrame = {
+    val out = java.nio.file.Files.createTempDirectory("graft_part_").toString
+    Tables.orders(spark, dir)
+      .write.mode("overwrite").partitionBy("o_orderstatus").parquet(out)
+    spark.read.parquet(out)
+      .filter(col("o_orderstatus") === "F") // pruned to one directory
+      .groupBy(year(col("o_orderdate")).cast("bigint").as("o_year"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("o_totalprice").cast("decimal(18,2)")), 2).cast("double").as("revenue"))
+      .orderBy("o_year")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- Layer A: copy pipeline + catalog (reference parity)
     "copy_roundtrip"   -> copyRoundtrip _,
     "copy_projected"   -> copyProjected _,
     "copy_glob"        -> copyGlob _,
+    "copy_partitioned" -> copyPartitioned _,
     "catalog_tables"   -> ((s, d) => Catalog.tablesDf(s, d).orderBy("table_name")),
     "schema_report"    -> ((s, d) => Catalog.schemaReport(s, d, "lineitem")),
     // ---- sources: non-parquet formats
@@ -175,6 +192,11 @@ object SparkEntry {
       """SELECT 'nation' AS table_name, count(*) AS n_rows FROM nation
         |UNION ALL SELECT 'region' AS table_name, count(*) AS n_rows FROM region
         |ORDER BY table_name""".stripMargin,
+    "copy_partitioned" ->
+      """SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year, count(*) AS n,
+        |  CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2))),2) AS DOUBLE) AS revenue
+        |FROM orders WHERE o_orderstatus = 'F'
+        |GROUP BY 1 ORDER BY o_year""".stripMargin,
     "csv_roundtrip" ->
       "SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey",
     "json_roundtrip" ->

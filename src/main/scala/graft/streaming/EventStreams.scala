@@ -19,6 +19,16 @@ final case class UserCountUpdate(user_id: Long, n: Long, max_value: Double)
   * memory sink is only for oracle capture — production would write
   * parquet/kafka. AvailableNow processes a backlog incrementally with
   * bounded per-batch state, exactly how a 100 TB backfill would run.
+  *
+  * Late-data policy: the 1-hour watermark means an event arriving more
+  * than 1 hour (event-time) behind the stream maximum is DROPPED from
+  * windowed aggregates — state for windows older than (max ts - 1h) is
+  * evicted, which is what bounds memory on an unbounded stream. In
+  * Complete-mode capture here nothing is ever late (single ordered
+  * backlog), so the streaming results equal the batch oracle; in
+  * production Update/Append mode the same pipelines emit per-window
+  * results once the watermark passes and late stragglers go to a
+  * dead-letter side output if they must be kept.
   */
 object EventStreams {
 
