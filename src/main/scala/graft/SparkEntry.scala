@@ -114,6 +114,8 @@ object SparkEntry {
     // ---- relational: windows / sort / set ops / scalar fns
     "topk_per_group"   -> (Relational.topKPerGroup _),
     "running_total"    -> (Relational.runningTotal _),
+    "trailing_30d"     -> (Relational.trailing30d _),
+    "window_firstlast" -> (Relational.windowFirstLast _),
     "topk_global"      -> (Relational.topKGlobal _),
     "set_ops"          -> (Relational.setOps _),
     "ctas"             -> (Relational.ctas _),
@@ -298,6 +300,24 @@ object SparkEntry {
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),2) AS DOUBLE)
         |    AS running_total
         |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin,
+    "trailing_30d" ->
+      """SELECT o_custkey, o_orderkey,
+        |  CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+        |    PARTITION BY o_custkey
+        |    ORDER BY datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+        |    RANGE BETWEEN 30 PRECEDING AND CURRENT ROW),2) AS DOUBLE)
+        |    AS trailing_30d
+        |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin,
+    "window_firstlast" ->
+      """SELECT o_custkey, o_orderkey,
+        |  first_value(o_totalprice) OVER w AS first_total,
+        |  last_value(o_totalprice) OVER w AS last_total,
+        |  nth_value(o_totalprice, 2) OVER w AS second_total
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey
+        |  ORDER BY o_orderdate ASC, o_orderkey ASC
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
     "topk_global" ->
       """SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem
         |ORDER BY l_extendedprice DESC, l_orderkey ASC, l_linenumber ASC

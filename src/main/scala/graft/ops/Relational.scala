@@ -137,6 +137,37 @@ object Relational {
       .orderBy("o_custkey", "o_orderkey")
   }
 
+  /** RANGE frame window: per-customer trailing-30-day revenue — the
+    * frame is value-based (epoch days), not row-based, so same-day
+    * orders are all included regardless of intra-day order
+    * (deterministic without an intra-day tie-break). */
+  def trailing30d(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey").orderBy(col("d"))
+      .rangeBetween(-30, Window.currentRow)
+    Tables.orders(spark, dir)
+      .withColumn("d", datediff(col("o_orderdate").cast("date"),
+        lit("1970-01-01").cast("date")))
+      .withColumn("trailing_30d",
+        round(sum(money("o_totalprice")).over(w), 2).cast("double"))
+      .select(col("o_custkey"), col("o_orderkey"), col("trailing_30d"))
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
+  /** first_value / last_value / nth_value over an unbounded frame:
+    * each order annotated with its customer's first, latest, and
+    * second order total. */
+  def windowFirstLast(spark: SparkSession, dir: String): DataFrame = {
+    val wFull = Window.partitionBy("o_custkey")
+      .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    Tables.orders(spark, dir)
+      .select(col("o_custkey"), col("o_orderkey"),
+        first(col("o_totalprice")).over(wFull).as("first_total"),
+        last(col("o_totalprice")).over(wFull).as("last_total"),
+        nth_value(col("o_totalprice"), 2).over(wFull).as("second_total"))
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
   /** Global sort + limit: planner collapses to TakeOrderedAndProject —
     * no full sort materializes, each partition keeps only k rows. */
   def topKGlobal(spark: SparkSession, dir: String): DataFrame =
