@@ -124,6 +124,8 @@ object SparkEntry {
     "string_fns"       -> (Relational.stringFns _),
     "date_fns"         -> (Relational.dateFns _),
     "math_fns"         -> (Relational.mathFns _),
+    "null_fns"         -> (Relational.nullFns _),
+    "union_by_name"    -> (Relational.unionByName _),
     // ---- events (stream-shaped)
     "ev_tumbling"      -> (Events.tumbling _),
     "ev_sliding"       -> (Events.sliding _),
@@ -370,6 +372,24 @@ object SparkEntry {
         |  CAST(abs(l_discount - 0.05) AS DOUBLE) AS disc_dev
         |FROM lineitem WHERE l_orderkey < 100
         |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "null_fns" ->
+      """SELECT coalesce(nullif(l_returnflag, 'N'), 'none') AS flag_or_none,
+        |  count(*) AS n_rows,
+        |  count(nullif(l_returnflag, 'N')) AS n_nonnull,
+        |  CAST(round(sum(CASE WHEN nullif(l_returnflag, 'N') IS NULL
+        |    THEN CAST(l_extendedprice AS DECIMAL(18,2)) END),2) AS DOUBLE)
+        |    AS null_flag_price
+        |FROM lineitem GROUP BY 1 ORDER BY flag_or_none""".stripMargin,
+    "union_by_name" ->
+      """WITH u AS (
+        |  SELECT o_orderkey, o_totalprice, NULL AS o_orderstatus
+        |  FROM orders WHERE o_orderpriority = '1-URGENT'
+        |  UNION ALL BY NAME
+        |  SELECT o_orderstatus, o_totalprice, o_orderkey
+        |  FROM orders WHERE o_orderpriority = '5-LOW')
+        |SELECT coalesce(o_orderstatus, '?') AS status, count(*) AS n,
+        |  CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2))),2) AS DOUBLE) AS total
+        |FROM u GROUP BY 1 ORDER BY status""".stripMargin,
     "ev_tumbling" ->
       """SELECT epoch_us(time_bucket(INTERVAL 1 HOUR, CAST(ts AS TIMESTAMP))) AS w_start_us,
         |  event_type, count(*) AS n,

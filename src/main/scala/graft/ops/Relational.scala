@@ -358,6 +358,33 @@ object Relational {
         round(expr("percentile(o_totalprice, 0.99)"), 4).as("p99"))
       .orderBy("o_orderstatus")
 
+  /** Null-handling scalar functions: nullif / coalesce / nvl-style
+    * defaults, plus null-sensitive counting. */
+  def nullFns(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .withColumn("flag_n", nullif(col("l_returnflag"), lit("N")))
+      .groupBy(coalesce(col("flag_n"), lit("none")).as("flag_or_none"))
+      .agg(count(lit(1)).as("n_rows"),
+           count(col("flag_n")).as("n_nonnull"),
+           round(sum(when(col("flag_n").isNull, money("l_extendedprice"))), 2)
+             .cast("double").as("null_flag_price"))
+      .orderBy("flag_or_none")
+
+  /** Union by name with missing columns: schema-mergeful append — the
+    * shape of incremental ingest where late batches add columns. */
+  def unionByName(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    val a = o.filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_orderkey"), col("o_totalprice"))
+    val b = o.filter(col("o_orderpriority") === "5-LOW")
+      .select(col("o_orderstatus"), col("o_totalprice"), col("o_orderkey"))
+    a.unionByName(b, allowMissingColumns = true)
+      .groupBy(coalesce(col("o_orderstatus"), lit("?")).as("status"))
+      .agg(count(lit(1)).as("n"),
+           round(sum(money("o_totalprice")), 2).cast("double").as("total"))
+      .orderBy("status")
+  }
+
   /** Scalar math functions — per-row (no float reordering risk). */
   def mathFns(spark: SparkSession, dir: String): DataFrame =
     Tables.lineitem(spark, dir)
