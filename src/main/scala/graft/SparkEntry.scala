@@ -126,6 +126,10 @@ object SparkEntry {
     "math_fns"         -> (Relational.mathFns _),
     "null_fns"         -> (Relational.nullFns _),
     "union_by_name"    -> (Relational.unionByName _),
+    "stats_agg"        -> (Relational.statsAgg _),
+    "histogram"        -> (Relational.histogram _),
+    "cross_join"       -> (Relational.crossJoin _),
+    "hof_fns"          -> (Text.hofFns _),
     // ---- events (stream-shaped)
     "ev_tumbling"      -> (Events.tumbling _),
     "ev_sliding"       -> (Events.sliding _),
@@ -390,6 +394,30 @@ object SparkEntry {
         |SELECT coalesce(o_orderstatus, '?') AS status, count(*) AS n,
         |  CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2))),2) AS DOUBLE) AS total
         |FROM u GROUP BY 1 ORDER BY status""".stripMargin,
+    "stats_agg" ->
+      """SELECT l_returnflag,
+        |  round(stddev_samp(l_extendedprice), 2) AS price_sd,
+        |  round(var_samp(l_quantity), 4) AS qty_var,
+        |  round(corr(l_quantity, l_extendedprice), 4) AS qty_price_corr,
+        |  round(covar_samp(l_discount, l_tax), 6) AS disc_tax_cov
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "histogram" ->
+      """SELECT CAST(floor((l_extendedprice - 900.0) / 200.0) AS BIGINT) AS bin,
+        |  count(*) AS n, round(min(l_extendedprice), 2) AS lo,
+        |  round(max(l_extendedprice), 2) AS hi
+        |FROM lineitem GROUP BY 1 ORDER BY bin""".stripMargin,
+    "cross_join" ->
+      """SELECT r_name, n_name FROM region CROSS JOIN nation
+        |ORDER BY r_name, n_name""".stripMargin,
+    "hof_fns" ->
+      """SELECT doc_id,
+        |  len(list_filter(string_split(text,' '), x -> strlen(x) > 10)) > 0
+        |    AS has_long_tok,
+        |  len(list_filter(string_split(text,' '), x -> strlen(x) < 2)) = 0
+        |    AS all_ge2,
+        |  CAST(list_sum(list_transform(string_split(text,' '), x -> strlen(x)))
+        |    AS BIGINT) AS sum_tok_len
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "ev_tumbling" ->
       """SELECT epoch_us(time_bucket(INTERVAL 1 HOUR, CAST(ts AS TIMESTAMP))) AS w_start_us,
         |  event_type, count(*) AS n,

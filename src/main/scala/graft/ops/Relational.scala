@@ -358,6 +358,38 @@ object Relational {
         round(expr("percentile(o_totalprice, 0.99)"), 4).as("p99"))
       .orderBy("o_orderstatus")
 
+  /** Statistical aggregates: stddev / variance / correlation /
+    * covariance per group, rounded to absorb partial-agg float-order
+    * noise (both engines compute in double; ~1e-12 relative error). */
+  def statsAgg(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy("l_returnflag")
+      .agg(
+        round(stddev_samp(col("l_extendedprice")), 2).as("price_sd"),
+        round(var_samp(col("l_quantity")), 4).as("qty_var"),
+        round(corr(col("l_quantity"), col("l_extendedprice")), 4).as("qty_price_corr"),
+        round(covar_samp(col("l_discount"), col("l_tax")), 6).as("disc_tax_cov"))
+      .orderBy("l_returnflag")
+
+  /** Histogram: fixed-width binning with integer floor arithmetic
+    * (deterministic in any engine, unlike engine-specific histogram
+    * aggregates). 20 bins over the price range. */
+  def histogram(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .withColumn("bin", floor((col("l_extendedprice") - 900.0) / 200.0).cast("bigint"))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n"),
+           round(min(col("l_extendedprice")), 2).as("lo"),
+           round(max(col("l_extendedprice")), 2).as("hi"))
+      .orderBy("bin")
+
+  /** Cross join (cartesian) of the two tiny dims — the one join shape
+    * that must never see a big input at scale. */
+  def crossJoin(spark: SparkSession, dir: String): DataFrame =
+    Tables.region(spark, dir).crossJoin(Tables.nation(spark, dir))
+      .select(col("r_name"), col("n_name"))
+      .orderBy("r_name", "n_name")
+
   /** Null-handling scalar functions: nullif / coalesce / nvl-style
     * defaults, plus null-sensitive counting. */
   def nullFns(spark: SparkSession, dir: String): DataFrame =

@@ -261,6 +261,17 @@ object Text {
       .orderBy("doc_id")
   }
 
+  /** Higher-order-function predicates over the token array: exists /
+    * forall / fold — per-row, shuffle-free. */
+  def hofFns(spark: SparkSession, dir: String): DataFrame =
+    tokenized(spark, dir)
+      .select(col("doc_id"),
+        exists(col("t"), x => length(x) > 10).as("has_long_tok"),
+        forall(col("t"), x => length(x) >= 2).as("all_ge2"),
+        aggregate(col("t"), lit(0L), (acc, x) => acc + length(x).cast("bigint"))
+          .as("sum_tok_len"))
+      .orderBy("doc_id")
+
   /** TF-IDF: weight of each doc's top term — tf * ln(N/df), the
     * classic smooth-free form, deterministic via (weight desc, term
     * asc) tie-break. Two shuffles: df aggregation + per-doc ranking. */
