@@ -69,12 +69,50 @@ case class DotProduct(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Optimizer rule: rewrite the declarative higher-order-function dot
+  * product — `aggregate(zip_with(a, b, (x,y) -> x*y), 0.0,
+  * (acc,v) -> acc+v)` — into the codegen `DotProduct` expression.
+  * Users write the composable HOF form; the optimizer swaps in the
+  * tight loop. Accumulation order is identical (index-order left
+  * fold), so the rewrite is result-preserving bit-for-bit. */
+object DotProductRewrite extends org.apache.spark.sql.catalyst.rules.Rule[
+    org.apache.spark.sql.catalyst.plans.logical.LogicalPlan] {
+  import org.apache.spark.sql.catalyst.expressions._
+  import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+
+  private def isVar(e: Expression, v: NamedExpression): Boolean = (e, v) match {
+    case (a: NamedLambdaVariable, b: NamedLambdaVariable) => a.exprId == b.exprId
+    case _ => false
+  }
+
+  private def isDoubleArray(e: Expression): Boolean = e.dataType match {
+    case org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.DoubleType, _) => true
+    case _ => false
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformAllExpressions {
+    case ArrayAggregate(
+          ZipWith(a, b, LambdaFunction(mul: Multiply, Seq(x: NamedLambdaVariable, y: NamedLambdaVariable), _)),
+          Literal(zero, org.apache.spark.sql.types.DoubleType),
+          LambdaFunction(add: Add, Seq(acc: NamedLambdaVariable, v: NamedLambdaVariable), _),
+          LambdaFunction(fin, Seq(fv: NamedLambdaVariable), _))
+        if zero == 0.0 && isDoubleArray(a) && isDoubleArray(b) &&
+          ((isVar(mul.left, x) && isVar(mul.right, y)) || (isVar(mul.left, y) && isVar(mul.right, x))) &&
+          ((isVar(add.left, acc) && isVar(add.right, v)) || (isVar(add.left, v) && isVar(add.right, acc))) &&
+          isVar(fin, fv) =>
+      DotProduct(a, b)
+  }
+}
+
 /** Session-extensions hook (`spark.sql.extensions=graft.functions.GraftExtensions`
   * or `.withExtensions(new GraftExtensions)`): injects the function
-  * into the registry at session build. */
+  * registry entry and the HOF->native optimizer rewrite at session
+  * build. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftFunctions.dotProductDescriptor)
+    ext.injectOptimizerRule(_ => DotProductRewrite)
+  }
 }
 
 object GraftFunctions {
