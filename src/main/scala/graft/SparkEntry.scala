@@ -130,6 +130,7 @@ object SparkEntry {
     "histogram"        -> (Relational.histogram _),
     "cross_join"       -> (Relational.crossJoin _),
     "hof_fns"          -> (Text.hofFns _),
+    "chunk_docs"       -> ((s, d) => Text.chunkDocs(s, d)),
     // ---- events (stream-shaped)
     "ev_tumbling"      -> (Events.tumbling _),
     "ev_sliding"       -> (Events.sliding _),
@@ -541,6 +542,15 @@ object SparkEntry {
         |          ORDER BY w DESC, tok ASC) AS rn FROM j)
         |SELECT doc_id, tok AS top_term, w AS tfidf FROM r WHERE rn = 1
         |ORDER BY doc_id""".stripMargin,
+    "chunk_docs" ->
+      """SELECT d.doc_id, CAST(g.i AS BIGINT) AS chunk_idx,
+        |  CAST(least(50, d.n - g.i*40) AS BIGINT) AS n_chunk_tokens,
+        |  d.t[g.i*40 + 1] AS first_tok
+        |FROM (SELECT doc_id, string_split(text,' ') AS t,
+        |        len(string_split(text,' ')) AS n FROM documents) d,
+        |  LATERAL (SELECT unnest(generate_series(0,
+        |    CAST(floor((d.n - 1) / 40.0) AS INT))) AS i) g
+        |ORDER BY doc_id, chunk_idx""".stripMargin,
     "dedup_exact" ->
       """SELECT min(doc_id) AS doc_id, md5(text) AS fp, count(*) AS n_copies
         |FROM documents GROUP BY md5(text) ORDER BY doc_id""".stripMargin,

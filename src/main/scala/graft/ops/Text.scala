@@ -261,6 +261,21 @@ object Text {
       .orderBy("doc_id")
   }
 
+  /** Document chunking: overlapping token windows (size 50, stride 40
+    * = 10-token overlap) — the standard training-data prep shape. Pure
+    * per-row expression work (sequence of starts -> posexplode), no
+    * payload shuffle; at 100 TB this is a map-only stage. */
+  def chunkDocs(spark: SparkSession, dir: String, size0: Int = 50, stride: Int = 40): DataFrame =
+    tokenized(spark, dir)
+      .withColumn("n", size(col("t")))
+      .select(col("doc_id"), col("t"), col("n"),
+        posexplode(sequence(lit(0), greatest(col("n") - 1, lit(0)), lit(stride))))
+      .select(col("doc_id"),
+        col("pos").cast("bigint").as("chunk_idx"),
+        least(lit(size0), col("n") - col("col")).cast("bigint").as("n_chunk_tokens"),
+        element_at(col("t"), col("col") + 1).as("first_tok"))
+      .orderBy("doc_id", "chunk_idx")
+
   /** Higher-order-function predicates over the token array: exists /
     * forall / fold — per-row, shuffle-free. */
   def hofFns(spark: SparkSession, dir: String): DataFrame =
