@@ -11,6 +11,9 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// forked main's stdout passes through RAW (no "[info] " logger prefix):
+// the driver greps Bench's one-line JSON out of a bounded output tail.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // suites share one SparkContext; session-swapping specs (extensions)
 // must not interleave with fixture-session specs
 Test / parallelExecution := false
@@ -29,7 +32,9 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // local[32] runs 32 concurrent tasks in this one JVM; 8g starves
+  // them into GC stalls on the write-heavy queries (host has 128 GiB).
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
   // 44 distinct query plans in one JVM: default 240m code cache thrashes
   // JIT + Janino output (observed 5-8x slowdowns late in a Bench run).
   "-XX:ReservedCodeCacheSize=1g",

@@ -395,13 +395,25 @@ object SparkEntry {
         |SELECT coalesce(o_orderstatus, '?') AS status, count(*) AS n,
         |  CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2))),2) AS DOUBLE) AS total
         |FROM u GROUP BY 1 ORDER BY status""".stripMargin,
-    "stats_agg" ->
-      """SELECT l_returnflag,
-        |  round(stddev_samp(l_extendedprice), 2) AS price_sd,
-        |  round(var_samp(l_quantity), 4) AS qty_var,
-        |  round(corr(l_quantity, l_extendedprice), 4) AS qty_price_corr,
-        |  round(covar_samp(l_discount, l_tax), 6) AS disc_tax_cov
-        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "stats_agg" -> // moments from exact decimal sums, derived in double
+      """WITH s AS (SELECT l_returnflag, count(*) AS n,
+        |    sum(CAST(l_quantity AS DECIMAL(18,2))) AS sq,
+        |    sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sp,
+        |    sum(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS sqq,
+        |    sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS spp,
+        |    sum(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS sqp,
+        |    sum(CAST(l_discount AS DECIMAL(18,4))) AS sd,
+        |    sum(CAST(l_tax AS DECIMAL(18,4))) AS st,
+        |    sum(CAST(l_discount AS DECIMAL(18,4)) * CAST(l_tax AS DECIMAL(18,4))) AS sdt
+        |  FROM lineitem GROUP BY l_returnflag)
+        |SELECT l_returnflag,
+        |  round(sqrt((CAST(spp AS DOUBLE) - CAST(sp AS DOUBLE)*CAST(sp AS DOUBLE)/n)/(n-1)), 2) AS price_sd,
+        |  round((CAST(sqq AS DOUBLE) - CAST(sq AS DOUBLE)*CAST(sq AS DOUBLE)/n)/(n-1), 4) AS qty_var,
+        |  round((CAST(sqp AS DOUBLE) - CAST(sq AS DOUBLE)*CAST(sp AS DOUBLE)/n) /
+        |    (sqrt(CAST(sqq AS DOUBLE) - CAST(sq AS DOUBLE)*CAST(sq AS DOUBLE)/n) *
+        |     sqrt(CAST(spp AS DOUBLE) - CAST(sp AS DOUBLE)*CAST(sp AS DOUBLE)/n)), 4) AS qty_price_corr,
+        |  round((CAST(sdt AS DOUBLE) - CAST(sd AS DOUBLE)*CAST(st AS DOUBLE)/n)/(n-1), 6) AS disc_tax_cov
+        |FROM s ORDER BY l_returnflag""".stripMargin,
     "histogram" ->
       """SELECT CAST(floor((l_extendedprice - 900.0) / 200.0) AS BIGINT) AS bin,
         |  count(*) AS n, round(min(l_extendedprice), 2) AS lo,

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.core.Tables
@@ -361,15 +361,37 @@ object Relational {
   /** Statistical aggregates: stddev / variance / correlation /
     * covariance per group, rounded to absorb partial-agg float-order
     * noise (both engines compute in double; ~1e-12 relative error). */
-  def statsAgg(spark: SparkSession, dir: String): DataFrame =
+  def statsAgg(spark: SparkSession, dir: String): DataFrame = {
+    // Moments from EXACT decimal sums (data is <=4dp), then the
+    // stddev/var/corr/covar formulas in double — partition-order
+    // independent, so the result is bit-stable and oracle-checkable
+    // (built-in stddev_samp/corr merge partial double moments in
+    // partition order and drift in the last rounded digit).
+    val q = col("l_quantity").cast("decimal(18,2)")
+    val p = col("l_extendedprice").cast("decimal(18,2)")
+    val d = col("l_discount").cast("decimal(18,4)")
+    val t = col("l_tax").cast("decimal(18,4)")
+    val n = col("n").cast("double")
+    def dbl(c: Column) = c.cast("double")
     Tables.lineitem(spark, dir)
       .groupBy("l_returnflag")
-      .agg(
-        round(stddev_samp(col("l_extendedprice")), 2).as("price_sd"),
-        round(var_samp(col("l_quantity")), 4).as("qty_var"),
-        round(corr(col("l_quantity"), col("l_extendedprice")), 4).as("qty_price_corr"),
-        round(covar_samp(col("l_discount"), col("l_tax")), 6).as("disc_tax_cov"))
+      .agg(count(lit(1)).as("n"),
+        sum(q).as("sq"), sum(p).as("sp"), sum(q * q).as("sqq"),
+        sum(p * p).as("spp"), sum(q * p).as("sqp"),
+        sum(d).as("sd"), sum(t).as("st"), sum(d * t).as("sdt"))
+      .select(col("l_returnflag"),
+        round(sqrt((dbl(col("spp")) - dbl(col("sp")) * dbl(col("sp")) / n) / (n - 1)), 2)
+          .as("price_sd"),
+        round((dbl(col("sqq")) - dbl(col("sq")) * dbl(col("sq")) / n) / (n - 1), 4)
+          .as("qty_var"),
+        round((dbl(col("sqp")) - dbl(col("sq")) * dbl(col("sp")) / n) /
+          (sqrt(dbl(col("sqq")) - dbl(col("sq")) * dbl(col("sq")) / n) *
+           sqrt(dbl(col("spp")) - dbl(col("sp")) * dbl(col("sp")) / n)), 4)
+          .as("qty_price_corr"),
+        round((dbl(col("sdt")) - dbl(col("sd")) * dbl(col("st")) / n) / (n - 1), 6)
+          .as("disc_tax_cov"))
       .orderBy("l_returnflag")
+  }
 
   /** Histogram: fixed-width binning with integer floor arithmetic
     * (deterministic in any engine, unlike engine-specific histogram
