@@ -151,9 +151,9 @@ object SparkEntry {
     "dedup_exact"      -> (Text.dedupExact _),
     "fingerprint"      -> (Text.fingerprint _),
     "jaccard_pairs"    -> ((s, d) => Text.jaccardPairs(s, d)),
-    "minhash_candidates" -> (Text.minhashCandidates _), // rows-only (engine-hash LSH)
-    "minhash_neardups" -> ((s, d) => Text.minhashNearDups(s, d)), // rows-only
-    "simhash_candidates" -> (Text.simhashCandidates _), // rows-only
+    "minhash_candidates" -> (Text.minhashCandidates _),
+    "minhash_neardups" -> ((s, d) => Text.minhashNearDups(s, d)),
+    "simhash_candidates" -> (Text.simhashCandidates _),
     "lang_stats"       -> (Text.langStats _),
     "token_stats"      -> (Text.tokenStats _),
     "term_stats"       -> (Text.termStats _),
@@ -162,8 +162,8 @@ object SparkEntry {
     // ---- vectors / similarity
     "vector_norm_stats" -> (Vector.normStats _),
     "knn_brute"        -> ((s, d) => Vector.knnBrute(s, d)),
-    "ann_cosine"       -> ((s, d) => Vector.annCosine(s, d)), // rows-only (LSH recall<1)
-    "emb_neardups"     -> ((s, d) => Vector.embNearDups(s, d)), // rows-only (LSH recall<1)
+    "ann_cosine"       -> ((s, d) => Vector.annCosine(s, d)),
+    "emb_neardups"     -> ((s, d) => Vector.embNearDups(s, d)),
     "centroid_norm"    -> ((s, d) => Vector.centroidNorm(s, d)),
     // ---- multimodal plumbing (binary payload + typed metadata)
     "mm_features"      -> (Multimodal.features _),
@@ -178,6 +178,33 @@ object SparkEntry {
 
   private val moneySum =
     (c: String) => s"CAST(round(sum(CAST($c AS DECIMAL(18,2))),2) AS DOUBLE)"
+
+  /** DuckDB twin of DetHash.hex60: integer value of md5's first 15 hex
+    * chars. The fold variable names x/y are reserved — callers must not
+    * shadow them in an enclosing lambda. */
+  private def hex60(e: String): String =
+    s"""list_reduce(list_transform(generate_series(1,15),
+       |    i -> strpos('0123456789abcdef', substring(md5($e), i, 1))::BIGINT - 1),
+       |    (x,y) -> x*16+y)""".stripMargin
+
+  /** Shared MinHash CTE chain (shingles -> portable hash -> 64 affine
+    * perms -> 16x4 bands -> candidate pairs); DetHash documents the
+    * constants. */
+  private def minhashCtes: String =
+    s"""$shinglesCte,
+       |  hs AS (SELECT doc_id, ${hex60("shingle")} % 2147483647 AS h FROM sh),
+       |  pj AS (SELECT g.j AS j,
+       |    (${hex60("'a:' || g.j")} % 2147483646) + 1 AS a,
+       |    ${hex60("'b:' || g.j")} % 2147483647 AS b
+       |    FROM generate_series(0,63) g(j)),
+       |  sig AS (SELECT doc_id, j, min((h * a + b) % 2147483647) AS mh
+       |    FROM hs CROSS JOIN pj GROUP BY doc_id, j),
+       |  bands AS (SELECT doc_id, j // 4 AS band,
+       |    string_agg(mh::VARCHAR, ',' ORDER BY j ASC) AS bh
+       |    FROM sig GROUP BY doc_id, j // 4),
+       |  cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+       |    FROM bands a JOIN bands b
+       |    ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id)""".stripMargin
 
   /** documents tokenized + 3-shingled (shared CTE text). */
   private val shinglesCte =
@@ -653,6 +680,60 @@ object SparkEntry {
         |    ORDER BY sim DESC, neighbor_id ASC) AS rnk FROM p)
         |SELECT query_id, rnk, neighbor_id, sim FROM r WHERE rnk <= 5
         |ORDER BY query_id, rnk""".stripMargin,
+    "minhash_candidates" ->
+      s"""WITH $minhashCtes
+         |SELECT d1, d2 FROM cand ORDER BY d1, d2""".stripMargin,
+    "minhash_neardups" ->
+      s"""WITH $minhashCtes,
+         |  sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+         |  inter AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS i
+         |    FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |    JOIN cand c ON c.d1 = a.doc_id AND c.d2 = b.doc_id
+         |    GROUP BY 1, 2)
+         |SELECT d1, d2, round(i / (sa.n + sb.n - i), 4) AS jaccard
+         |FROM inter JOIN sizes sa ON sa.doc_id = d1 JOIN sizes sb ON sb.doc_id = d2
+         |WHERE i / (sa.n + sb.n - i) >= 0.5 ORDER BY d1, d2""".stripMargin,
+    "simhash_candidates" ->
+      s"""WITH tok AS (SELECT doc_id, unnest(string_split(text,' ')) AS tok FROM documents),
+         |  th AS (SELECT doc_id, ${hex60("tok")} AS h FROM tok),
+         |  bits AS (SELECT doc_id, b.j AS j,
+         |    sum(CASE WHEN (h >> b.j) & 1 = 1 THEN 1 ELSE -1 END) AS v
+         |    FROM th, generate_series(0,59) b(j) GROUP BY doc_id, b.j),
+         |  sig AS (SELECT doc_id,
+         |    CAST(sum(CASE WHEN v > 0 THEN (1::BIGINT << j) ELSE 0 END) AS BIGINT) AS simhash
+         |    FROM bits GROUP BY doc_id),
+         |  ch AS (SELECT doc_id, simhash, c.c AS chunk, (simhash >> (c.c*15)) & 32767 AS chv
+         |    FROM sig, generate_series(0,3) c(c))
+         |SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2,
+         |  CAST(bit_count(xor(x.simhash, y.simhash)) AS INT) AS hamming
+         |FROM ch x JOIN ch y ON x.chunk = y.chunk AND x.chv = y.chv AND x.doc_id < y.doc_id
+         |ORDER BY d1, d2""".stripMargin,
+    "ann_cosine" -> // md5-derived hyperplanes; d (not i) dodges the hex60 fold var
+      s"""WITH planes AS (SELECT pj.j AS j, list_transform(generate_series(0,63),
+         |    d -> ((${hex60("'p:' || pj.j || ':' || d")} % 2001) - 1000) / 1000.0) AS p
+         |  FROM generate_series(0,11) pj(j)),
+         |  e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+         |    FROM embeddings),
+         |  bk AS (SELECT vec_id, CAST(sum(CASE WHEN list_dot_product(e.emb, pl.p) >= 0
+         |      THEN (1::BIGINT << pl.j) ELSE 0 END) AS BIGINT) AS bucket
+         |    FROM e, planes pl GROUP BY vec_id),
+         |  wb AS (SELECT e.vec_id, e.emb, bk.bucket FROM e JOIN bk USING (vec_id)),
+         |  pairs AS (SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+         |    round(list_dot_product(a.emb, b.emb) / (sqrt(list_dot_product(a.emb, a.emb))
+         |      * sqrt(list_dot_product(b.emb, b.emb))), 4) AS sim
+         |    FROM wb a JOIN wb b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id),
+         |  r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+         |    ORDER BY sim DESC, neighbor_id ASC) AS rnk FROM pairs)
+         |SELECT query_id, CAST(rnk AS BIGINT) AS rnk, neighbor_id, sim FROM r
+         |WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin,
+    "emb_neardups" ->
+      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+        |    FROM embeddings),
+        |  p AS (SELECT a.vec_id AS d1, b.vec_id AS d2,
+        |    round(list_dot_product(a.emb, b.emb) / (sqrt(list_dot_product(a.emb, a.emb))
+        |      * sqrt(list_dot_product(b.emb, b.emb))), 4) AS sim
+        |    FROM e a JOIN e b ON a.vec_id < b.vec_id)
+        |SELECT d1, d2, sim FROM p WHERE sim >= 0.4 ORDER BY d1, d2""".stripMargin,
     "centroid_norm" ->
       """WITH u AS (SELECT label, g.i AS i, CAST(embedding[g.i] AS DOUBLE) AS x
         |    FROM embeddings, LATERAL (SELECT unnest(generate_series(1, 64)) AS i) g),

@@ -86,25 +86,48 @@ object Text {
   val MinhashPerms = 64
   val MinhashBands = 16 // r = 64/16 = 4 rows per band
 
-  /** MinHash signatures: min over shingles of xxhash64(seed_i, sh)
-    * for 64 seeds — 64 agg expressions in ONE hash-aggregate over the
-    * exploded shingles. Map-side partial agg collapses each partition
-    * to one 65-long row per doc before the shuffle, so the exchange
-    * moves ~docs x 520 bytes regardless of corpus size. */
-  def minhashSignatures(spark: SparkSession, dir: String): DataFrame = {
-    val aggs = (0 until MinhashPerms).map(i =>
-      min(xxhash64(lit(i), col("sh"))).as(s"h$i"))
-    shingles(spark, dir).groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
+  /** doc_id -> exploded distinct shingle base hash, where the hash is
+    * the ENGINE-PORTABLE hex60(md5(shingle)) % (2^31-1) — the DuckDB
+    * oracle replays the identical sketch (see DetHash). Shingle strings
+    * are assembled from aligned slices with zip_with (same
+    * CollapseProject discipline as shingleHashes above). */
+  private def shingleH(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.DetHash
+    val n = greatest(size(col("t")) - 2, lit(0))
+    val s1 = slice(col("t"), lit(1), n)
+    val s2 = slice(col("t"), lit(2), n)
+    val s3 = slice(col("t"), lit(3), n)
+    val shingleStrs = array_distinct(
+      zip_with(zip_with(s1, s2, (x, y) => concat_ws(" ", x, y)), s3,
+        (p, z) => concat_ws(" ", p, z)))
+    tokenized(spark, dir)
+      .filter(size(col("t")) >= 3)
+      .select(col("doc_id"), explode(shingleStrs).as("s"))
+      .select(col("doc_id"), (DetHash.hex60(col("s")) % DetHash.Mersenne31).as("h"))
   }
 
-  /** LSH candidate pairs: band the signature (16 bands x 4 rows), hash
-    * each band, group on (band, band_hash); docs sharing any band
-    * bucket become candidates. Quadratic only within buckets. */
+  /** MinHash signatures: min over shingles of the affine permutation
+    * (a_j*h + b_j) mod 2^31-1 for 64 md5-derived (a_j, b_j) — 64 agg
+    * expressions in ONE hash-aggregate over the exploded shingles.
+    * Map-side partial agg collapses each partition to one 65-long row
+    * per doc before the shuffle, so the exchange moves ~docs x 520
+    * bytes regardless of corpus size. */
+  def minhashSignatures(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.DetHash
+    val aggs = (0 until MinhashPerms).map(j =>
+      min((col("h") * DetHash.permA(j) + DetHash.permB(j)) % DetHash.Mersenne31).as(s"h$j"))
+    shingleH(spark, dir).groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** LSH candidate pairs: band the signature (16 bands x 4 rows), key
+    * each band by its joined values, group on (band, key); docs sharing
+    * any band bucket become candidates. Quadratic only within buckets. */
   def minhashCandidates(spark: SparkSession, dir: String): DataFrame = {
     val sig = minhashSignatures(spark, dir)
+    val r = MinhashPerms / MinhashBands
     val bandStructs = (0 until MinhashBands).map { b =>
-      val cols = (0 until MinhashPerms / MinhashBands).map(r => col(s"h${b * (MinhashPerms / MinhashBands) + r}"))
-      struct(lit(b).as("band"), xxhash64(cols: _*).as("bh"))
+      val cols = (0 until r).map(i => col(s"h${b * r + i}"))
+      struct(lit(b).as("band"), concat_ws(",", cols: _*).as("bh"))
     }
     val buckets = sig
       .select(col("doc_id"), explode(array(bandStructs: _*)).as("bb"))
@@ -175,24 +198,27 @@ object Text {
 
   // -------------------------------------------------------------- simhash
 
-  /** 64-bit SimHash per doc: per-bit +/-1 majority vote over token
-    * hashes, assembled into one BIGINT. 64 conditional-sum agg
-    * expressions in a single pass (same trick as MinHash). */
+  /** 60-bit SimHash per doc: per-bit +/-1 majority vote over token
+    * hashes (tf-weighted — every occurrence votes), assembled into one
+    * BIGINT. 60 conditional-sum agg expressions in a single pass (same
+    * trick as MinHash). Token hash is the engine-portable
+    * hex60(md5(tok)) so the DuckDB oracle replays the signature. */
   def simhash(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.DetHash
     val tok = tokenized(spark, dir)
       .select(col("doc_id"), explode(col("t")).as("tok"))
-      .withColumn("h", xxhash64(col("tok")))
-    val bitSums = (0 until 64).map(j =>
+      .withColumn("h", DetHash.hex60(col("tok")))
+    val bitSums = (0 until 60).map(j =>
       sum(when(shiftright(col("h"), j).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b$j"))
     val sums = tok.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
-    val assembled = (0 until 64).map(j =>
+    val assembled = (0 until 60).map(j =>
       when(col(s"b$j") > 0, shiftleft(lit(1L), j)).otherwise(lit(0L)))
       .reduce(_.bitwiseOR(_))
     sums.select(col("doc_id"), assembled.as("simhash")).orderBy("doc_id")
   }
 
   /** SimHash near-dup candidates: docs whose signatures collide on any
-    * of four 16-bit chunks (Hamming-distance blocking — a true near-dup
+    * of four 15-bit chunks (Hamming-distance blocking — a true near-dup
     * at Hamming radius <= 3 must collide on at least one chunk by
     * pigeonhole). Candidates carry the exact Hamming distance
     * (`bit_count(xor)`, codegen built-in) for downstream thresholds. */
@@ -200,7 +226,7 @@ object Text {
     val sig = simhash(spark, dir)
     val chunks = (0 until 4).map(c =>
       struct(lit(c).as("chunk"),
-        shiftright(col("simhash"), c * 16).bitwiseAND(0xFFFFL).as("ch")))
+        shiftright(col("simhash"), c * 15).bitwiseAND(0x7FFFL).as("ch")))
     val buckets = sig.select(col("doc_id"), col("simhash"), explode(array(chunks: _*)).as("cc"))
       .select(col("doc_id"), col("simhash"), col("cc.chunk").as("chunk"), col("cc.ch").as("ch"))
     buckets.as("x").join(buckets.as("y"),

@@ -77,20 +77,19 @@ object Vector {
   }
 
   /** Random-hyperplane LSH buckets: sign-bit signature over `nBits`
-    * deterministic pseudo-random hyperplanes (hyperplane j component i
-    * derived from xxhash64 — reproducible with no RNG state). Vectors
-    * sharing a bucket are ANN candidates; the candidate join is an
-    * equi-join on (bucket), never a cross join. Not SQL-oracle-checked
-    * (the hyperplane derivation is engine-specific); rows-only check. */
-  def lshBuckets(spark: SparkSession, dir: String, nBits: Int = 12): DataFrame = {
+    * deterministic hyperplanes. Components are md5-derived constants
+    * (DetHash.planeComp), baked into the plan as literal arrays — zero
+    * per-row hashing — and recomputable in SQL, so the DuckDB oracle
+    * replays the exact same buckets. Vectors sharing a bucket are ANN
+    * candidates; the candidate join is an equi-join on (bucket), never
+    * a cross join. Projections use the same sequential fold as every
+    * other dot product (sign never depends on accumulation order). */
+  def lshBuckets(spark: SparkSession, dir: String, nBits: Int = 12, dim: Int = 64): DataFrame = {
+    import graft.functions.DetHash
     val e = Tables.embeddings(spark, dir)
-    // hyperplane component h(j,i) in [-1,1): xxhash64(j,i) scaled.
-    def hcomp(j: Int, i: Column): Column =
-      (xxhash64(lit(j), i).cast("double") / lit(Long.MaxValue.toDouble))
     def bit(j: Int): Column = {
-      val proj = aggregate(
-        zip_with(dbl(col("embedding")), sequence(lit(0), lit(63)), (x, i) => x * hcomp(j, i)),
-        lit(0.0), (acc, x) => acc + x)
+      val plane = typedLit((0 until dim).map(i => DetHash.planeComp(j, i)))
+      val proj = nDot(spark)(dbl(col("embedding")), plane)
       when(proj >= 0, shiftleft(lit(1L), j)).otherwise(lit(0L))
     }
     val sig = (0 until nBits).map(bit).reduce((a, b) => a.bitwiseOR(b))
@@ -98,8 +97,11 @@ object Vector {
   }
 
   /** ANN top-k via LSH: exact cosine, but only within LSH buckets —
-    * the quadratic work collapses to per-bucket. Recall < 1.0 by
-    * construction (rows-only check; `knnBrute` is the exact twin). */
+    * the quadratic work collapses to per-bucket. Recall < 1.0 vs
+    * `knnBrute` by construction, but the RESULT is fully deterministic
+    * and SQL-replayable (md5-derived planes + rounded-sim ranking), so
+    * the oracle checks it exactly. A vec lands in exactly one bucket
+    * (single-band signature), so no pair dedup is needed. */
   def annCosine(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
     val e = Tables.embeddings(spark, dir).select(col("vec_id"), dbl(col("embedding")).as("emb"))
     val b = lshBuckets(spark, dir).select(col("vec_id"), col("bucket"))
@@ -112,27 +114,24 @@ object Vector {
       .filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
               nCosine(spark)(col("qe"), col("ce")).as("sim"))
-      .distinct() // a pair can share several buckets
       .withColumn("rnk", row_number().over(w).cast("bigint"))
       .filter(col("rnk") <= k)
       .select(col("query_id"), col("rnk"), col("neighbor_id"), col("sim"))
       .orderBy("query_id", "rnk")
   }
 
-  /** Embedding-cosine near-duplicate pairs: LSH-bucketed candidate
-    * join + exact cosine filter at a high threshold — the vector twin
-    * of MinHash near-dup dedup. Rows-only check (LSH recall < 1). */
-  def embNearDups(spark: SparkSession, dir: String, threshold: Double = 0.99): DataFrame = {
+  /** Embedding-cosine near-duplicate pairs: EXACT all-pairs at a
+    * moderate threshold — the vector twin of `jaccardPairs`. The small
+    * side broadcasts, so the corpus side never shuffles; at 100 TB the
+    * candidate set comes from `lshBuckets` banding first (see
+    * `annCosine`), with this exact filter as the verify stage. */
+  def embNearDups(spark: SparkSession, dir: String, threshold: Double = 0.4): DataFrame = {
     val e = Tables.embeddings(spark, dir).select(col("vec_id"), dbl(col("embedding")).as("emb"))
-    val b = lshBuckets(spark, dir).select(col("vec_id"), col("bucket"))
-    val withB = e.join(b, "vec_id")
-    val l = withB.select(col("bucket"), col("vec_id").as("d1"), col("emb").as("e1"))
-    val r = withB.select(col("bucket"), col("vec_id").as("d2"), col("emb").as("e2"))
-    l.join(r, Seq("bucket"))
-      .filter(col("d1") < col("d2"))
+    val l = e.select(col("vec_id").as("d1"), col("emb").as("e1"))
+    val r = e.select(col("vec_id").as("d2"), col("emb").as("e2"))
+    l.join(broadcast(r), col("d1") < col("d2"))
       .select(col("d1"), col("d2"), nCosine(spark)(col("e1"), col("e2")).as("sim"))
       .filter(col("sim") >= threshold)
-      .distinct()
       .orderBy("d1", "d2")
   }
 
