@@ -131,6 +131,18 @@ object SparkEntry {
     "cross_join"       -> (Relational.crossJoin _),
     "hof_fns"          -> (Text.hofFns _),
     "chunk_docs"       -> ((s, d) => Text.chunkDocs(s, d)),
+    // ---- relational: reshaping / sampling / richer agg+window surface
+    "unpivot_melt"     -> (Relational.unpivotMelt _),
+    "sample_hash"      -> (Relational.sampleHash _),
+    "ntile_dist"       -> (Relational.ntileDist _),
+    "string_agg_group" -> (Relational.stringAggGroup _),
+    "date_spine"       -> (Relational.dateSpine _),
+    "bitmap_agg"       -> (Relational.bitmapAgg _),
+    "cond_agg"         -> (Relational.condAgg _),
+    "grouping_sets_id" -> (Relational.groupingSetsId _),
+    "window_dedup"     -> (Relational.windowDedup _),
+    "regexp_fns"       -> (Relational.regexpFns _),
+    "interval_arith"   -> (Relational.intervalArith _),
     // ---- events (stream-shaped)
     "ev_tumbling"      -> (Events.tumbling _),
     "ev_sliding"       -> (Events.sliding _),
@@ -145,6 +157,7 @@ object SparkEntry {
     // ---- structured streaming (real streaming queries; oracle checks
     //      the streaming RESULT against batch SQL)
     "stream_tumbling"  -> (EventStreams.tumbling _),
+    "stream_sliding"   -> (EventStreams.sliding _),
     "stream_sessions"  -> (EventStreams.sessionWindows _),
     "stream_user_counts" -> (EventStreams.userCounts _),
     // ---- text / dedup
@@ -680,6 +693,86 @@ object SparkEntry {
         |    ORDER BY sim DESC, neighbor_id ASC) AS rnk FROM p)
         |SELECT query_id, rnk, neighbor_id, sim FROM r WHERE rnk <= 5
         |ORDER BY query_id, rnk""".stripMargin,
+    "unpivot_melt" ->
+      """SELECT p_partkey, 'p_size' AS metric, CAST(p_size AS DOUBLE) AS val FROM part
+        |UNION ALL
+        |SELECT p_partkey, 'p_retailprice' AS metric, p_retailprice AS val FROM part
+        |ORDER BY p_partkey, metric""".stripMargin,
+    "sample_hash" ->
+      s"""SELECT o_orderpriority, count(*) AS n,
+         |  ${moneySum("o_totalprice")} AS revenue
+         |FROM orders WHERE ${hex60("'s:' || o_orderkey")} % 100 < 10
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "ntile_dist" ->
+      """SELECT o_orderkey, CAST(ntile(10) OVER w AS INT) AS decile,
+        |  round(percent_rank() OVER w, 6) AS pct_rank,
+        |  round(cume_dist() OVER w, 6) AS cume
+        |FROM orders WINDOW w AS (ORDER BY o_totalprice ASC, o_orderkey ASC)
+        |ORDER BY o_orderkey""".stripMargin,
+    "string_agg_group" ->
+      """SELECT n_regionkey, count(*) AS n,
+        |  string_agg(n_name, ',' ORDER BY n_name ASC) AS names
+        |FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin,
+    "date_spine" ->
+      s"""WITH spine AS (SELECT strftime(m, '%Y-%m') AS month FROM
+         |    (SELECT unnest(generate_series(DATE '1996-01-01', DATE '1996-12-01',
+         |       INTERVAL 1 MONTH)) AS m)),
+         |  a AS (SELECT strftime(o_orderdate, '%Y-%m') AS month,
+         |    count(*) AS n_orders, ${moneySum("o_totalprice")} AS revenue
+         |    FROM orders WHERE year(o_orderdate) = 1996 GROUP BY 1)
+         |SELECT s.month AS month, CAST(coalesce(n_orders, 0) AS BIGINT) AS n_orders,
+         |  coalesce(revenue, 0.0) AS revenue
+         |FROM spine s LEFT JOIN a USING (month) ORDER BY month""".stripMargin,
+    "bitmap_agg" ->
+      """SELECT l_returnflag, CAST(bit_or(l_linenumber) AS BIGINT) AS ln_or,
+        |  CAST(bit_and(l_linenumber) AS BIGINT) AS ln_and,
+        |  CAST(bit_xor(l_linenumber) AS BIGINT) AS ln_xor, count(*) AS n
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "cond_agg" ->
+      """SELECT o_orderpriority,
+        |  count(*) FILTER (o_totalprice > 150000) AS n_big,
+        |  bool_or(o_orderstatus = 'F') AS any_f,
+        |  bool_and(o_totalprice > 0) AS all_pos,
+        |  arg_max(o_custkey, o_orderkey) AS last_cust,
+        |  arg_min(o_custkey, o_orderkey) AS first_cust
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "grouping_sets_id" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+        |  count(*) AS n,
+        |  CAST(round(sum(CAST(l_quantity AS DECIMAL(18,2))),2) AS DOUBLE) AS sum_qty
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        |ORDER BY gid, l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
+    "window_dedup" ->
+      """SELECT o_custkey, o_orderkey AS latest_order,
+        |  epoch_us(CAST(o_orderdate AS TIMESTAMP)) AS order_us
+        |FROM (SELECT *, row_number() OVER (PARTITION BY o_custkey
+        |    ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn FROM orders)
+        |WHERE rn = 1 ORDER BY o_custkey""".stripMargin,
+    "regexp_fns" ->
+      """SELECT p_partkey,
+        |  CAST(len(regexp_extract_all(p_name, '[a-z]+')) AS BIGINT) AS n_words,
+        |  regexp_extract(p_name, '^[a-z]+') AS first_word,
+        |  regexp_matches(p_name, 'an') AS has_an
+        |FROM part ORDER BY p_partkey""".stripMargin,
+    "interval_arith" ->
+      """SELECT o_orderkey,
+        |  epoch_us(CAST(o_orderdate AS TIMESTAMP) + INTERVAL 30 DAY) AS deadline_us,
+        |  CAST(datediff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE)) AS BIGINT)
+        |    AS days_since_92,
+        |  CAST(month(o_orderdate) AS INT) AS o_month,
+        |  CAST(day(o_orderdate) AS INT) AS o_day
+        |FROM orders WHERE o_orderkey < 2000 ORDER BY o_orderkey""".stripMargin,
+    "stream_sliding" -> // same double-bucket equivalence as ev_sliding
+      """WITH w AS (
+        |  SELECT epoch_us(time_bucket(INTERVAL 30 MINUTE, CAST(ts AS TIMESTAMP))) AS w_start_us
+        |  FROM events
+        |  UNION ALL
+        |  SELECT epoch_us(time_bucket(INTERVAL 30 MINUTE, CAST(ts AS TIMESTAMP))
+        |                  - INTERVAL 30 MINUTE) FROM events)
+        |SELECT w_start_us, count(*) AS n FROM w GROUP BY w_start_us
+        |ORDER BY w_start_us""".stripMargin,
     "minhash_candidates" ->
       s"""WITH $minhashCtes
          |SELECT d1, d2 FROM cand ORDER BY d1, d2""".stripMargin,

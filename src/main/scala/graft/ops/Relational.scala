@@ -451,4 +451,147 @@ object Relational {
         ceil(col("l_tax") * 100).cast("bigint").as("tax_pct_ceil"),
         abs(col("l_discount") - 0.05).cast("double").as("disc_dev"))
       .orderBy("l_orderkey", "l_linenumber")
+
+  // ------------------------------------------------ round-2 breadth ops
+
+  /** Unpivot / melt: wide numeric columns -> long (metric, val) rows —
+    * Spark's Dataset.unpivot (map-only, no shuffle). */
+  def unpivotMelt(spark: SparkSession, dir: String): DataFrame =
+    Tables.part(spark, dir)
+      .select(col("p_partkey"), col("p_size").cast("double").as("p_size"),
+        col("p_retailprice").cast("double").as("p_retailprice"))
+      .unpivot(Array(col("p_partkey")),
+        Array(col("p_size"), col("p_retailprice")), "metric", "val")
+      .orderBy("p_partkey", "metric")
+
+  /** Deterministic hash sampling: keep rows whose md5-derived bucket is
+    * < rate% — reproducible in any engine (unlike TABLESAMPLE), stable
+    * under re-runs/retries at any scale, and pushes down as a plain
+    * filter over the scan. */
+  def sampleHash(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.DetHash
+    Tables.orders(spark, dir)
+      .filter(DetHash.hex60(concat(lit("s:"), col("o_orderkey"))) % 100 < 10)
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("o_totalprice").cast("decimal(18,2)")), 2).cast("double").as("revenue"))
+      .orderBy("o_orderpriority")
+  }
+
+  /** Distribution windows: ntile / percent_rank / cume_dist over a
+    * global total order. Scale note: a single global Window is the
+    * semantic; at 100 TB the same result comes from a range-partitioned
+    * sort (Spark's global orderBy) + per-partition offsets — the query
+    * shape stays declarative either way. */
+  def ntileDist(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.orderBy(col("o_totalprice").asc, col("o_orderkey").asc)
+    Tables.orders(spark, dir)
+      .select(col("o_orderkey"),
+        ntile(10).over(w).cast("int").as("decile"),
+        round(percent_rank().over(w), 6).as("pct_rank"),
+        round(cume_dist().over(w), 6).as("cume"))
+      .orderBy("o_orderkey")
+  }
+
+  /** Ordered string aggregation (listagg): names per region, sorted
+    * inside the group so the result is deterministic. */
+  def stringAggGroup(spark: SparkSession, dir: String): DataFrame =
+    Tables.nation(spark, dir)
+      .groupBy("n_regionkey")
+      .agg(count(lit(1)).as("n"),
+        array_join(array_sort(collect_list(col("n_name"))), ",").as("names"))
+      .orderBy("n_regionkey")
+
+  /** Date spine + zero-fill: generate a month calendar, left-join
+    * actuals, fill gaps — the standard reporting/gap-fill shape.
+    * The spine is sequence()+explode (no driver loop). */
+  def dateSpine(spark: SparkSession, dir: String): DataFrame = {
+    val spine = spark.range(1)
+      .select(explode(sequence(
+        to_date(lit("1996-01-01")), to_date(lit("1996-12-01")),
+        expr("interval 1 month"))).as("m"))
+      .select(date_format(col("m"), "yyyy-MM").as("month"))
+    val actual = Tables.orders(spark, dir)
+      .filter(year(col("o_orderdate")) === 1996)
+      .groupBy(date_format(col("o_orderdate"), "yyyy-MM").as("month"))
+      .agg(count(lit(1)).as("n_orders"),
+        round(sum(col("o_totalprice").cast("decimal(18,2)")), 2).cast("double").as("revenue"))
+    spine.join(actual, Seq("month"), "left")
+      .select(col("month"), coalesce(col("n_orders"), lit(0L)).as("n_orders"),
+        coalesce(col("revenue"), lit(0.0)).as("revenue"))
+      .orderBy("month")
+  }
+
+  /** Bitmap aggregates: bit_or / bit_and / bit_xor over int columns. */
+  def bitmapAgg(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy("l_returnflag")
+      .agg(expr("bit_or(l_linenumber)").cast("bigint").as("ln_or"),
+        expr("bit_and(l_linenumber)").cast("bigint").as("ln_and"),
+        expr("bit_xor(l_linenumber)").cast("bigint").as("ln_xor"),
+        count(lit(1)).as("n"))
+      .orderBy("l_returnflag")
+
+  /** Conditional aggregates: count_if / bool_or / bool_and / max_by /
+    * min_by (arg-max keyed by the UNIQUE o_orderkey — deterministic). */
+  def condAgg(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .groupBy("o_orderpriority")
+      .agg(expr("count_if(o_totalprice > 150000)").as("n_big"),
+        expr("bool_or(o_orderstatus = 'F')").as("any_f"),
+        expr("bool_and(o_totalprice > 0)").as("all_pos"),
+        expr("max_by(o_custkey, o_orderkey)").as("last_cust"),
+        expr("min_by(o_custkey, o_orderkey)").as("first_cust"))
+      .orderBy("o_orderpriority")
+
+  /** Explicit GROUPING SETS with grouping_id — beyond rollup/cube:
+    * an arbitrary set list, with the grouping bitmask surfaced. */
+  def groupingSetsId(spark: SparkSession, dir: String): DataFrame = {
+    Tables.lineitem(spark, dir).createOrReplaceTempView("lineitem_v")
+    spark.sql(
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(grouping_id(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+        |  count(*) AS n,
+        |  CAST(round(sum(CAST(l_quantity AS DECIMAL(18,2))),2) AS DOUBLE) AS sum_qty
+        |FROM lineitem_v
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        |ORDER BY gid, l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin)
+  }
+
+  /** CDC latest-per-key dedup: keep each customer's most recent order
+    * (row_number = 1 over a per-key DESC order with unique tie-break) —
+    * one shuffle on the dedup key, the canonical mutable-table compact. */
+  def windowDedup(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_orderdate").desc, col("o_orderkey").desc)
+    Tables.orders(spark, dir)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("o_custkey"), col("o_orderkey").as("latest_order"),
+        unix_micros(col("o_orderdate").cast("timestamp")).as("order_us"))
+      .orderBy("o_custkey")
+  }
+
+  /** Regexp surface: extract_all + extract + rlike over part names. */
+  def regexpFns(spark: SparkSession, dir: String): DataFrame =
+    Tables.part(spark, dir)
+      .select(col("p_partkey"),
+        size(regexp_extract_all(col("p_name"), lit("[a-z]+"), lit(0)))
+          .cast("bigint").as("n_words"),
+        regexp_extract(col("p_name"), "^[a-z]+", 0).as("first_word"),
+        col("p_name").rlike("an").as("has_an"))
+      .orderBy("p_partkey")
+
+  /** Interval arithmetic on timestamps/dates. */
+  def intervalArith(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .filter(col("o_orderkey") < 2000)
+      .select(col("o_orderkey"),
+        unix_micros(col("o_orderdate").cast("timestamp") + expr("interval 30 day"))
+          .as("deadline_us"),
+        datediff(col("o_orderdate").cast("date"), lit("1992-01-01").cast("date"))
+          .cast("bigint").as("days_since_92"),
+        month(col("o_orderdate")).cast("int").as("o_month"),
+        dayofmonth(col("o_orderdate")).cast("int").as("o_day"))
+      .orderBy("o_orderkey")
 }

@@ -62,14 +62,18 @@ object Vector {
     * window over the (tiny) result of the broadcast nested-loop join. */
   def knnBrute(spark: SparkSession, dir: String, nQueries: Int = 8, k: Int = 5): DataFrame = {
     val e = Tables.embeddings(spark, dir)
+    // Norms precomputed per VECTOR (not per pair): the pair stage does
+    // 1 dot product instead of 3. Same doubles, same rounded sims.
     val q = e.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), dbl(col("embedding")).as("qe"))
+      .withColumn("qn", nNorm(spark)(col("qe")))
     val c = e.select(col("vec_id").as("neighbor_id"), dbl(col("embedding")).as("ce"))
+      .withColumn("cn", nNorm(spark)(col("ce")))
     val w = Window.partitionBy("query_id")
       .orderBy(col("sim").desc, col("neighbor_id").asc)
     c.join(broadcast(q), col("neighbor_id") =!= col("query_id"))
       .select(col("query_id"), col("neighbor_id"),
-              nCosine(spark)(col("qe"), col("ce")).as("sim"))
+              round(nDot(spark)(col("qe"), col("ce")) / (col("qn") * col("cn")), 4).as("sim"))
       .withColumn("rnk", row_number().over(w).cast("bigint"))
       .filter(col("rnk") <= k)
       .select(col("query_id"), col("rnk"), col("neighbor_id"), col("sim"))
@@ -106,14 +110,17 @@ object Vector {
     val e = Tables.embeddings(spark, dir).select(col("vec_id"), dbl(col("embedding")).as("emb"))
     val b = lshBuckets(spark, dir).select(col("vec_id"), col("bucket"))
     val withB = e.join(b, "vec_id")
-    val l = withB.select(col("bucket"), col("vec_id").as("query_id"), col("emb").as("qe"))
-    val r = withB.select(col("bucket"), col("vec_id").as("neighbor_id"), col("emb").as("ce"))
+      .withColumn("nrm", nNorm(spark)(col("emb"))) // per-vector, pre-join
+    val l = withB.select(col("bucket"), col("vec_id").as("query_id"),
+      col("emb").as("qe"), col("nrm").as("qn"))
+    val r = withB.select(col("bucket"), col("vec_id").as("neighbor_id"),
+      col("emb").as("ce"), col("nrm").as("cn"))
     val w = Window.partitionBy("query_id")
       .orderBy(col("sim").desc, col("neighbor_id").asc)
     l.join(r, Seq("bucket"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
-              nCosine(spark)(col("qe"), col("ce")).as("sim"))
+              round(nDot(spark)(col("qe"), col("ce")) / (col("qn") * col("cn")), 4).as("sim"))
       .withColumn("rnk", row_number().over(w).cast("bigint"))
       .filter(col("rnk") <= k)
       .select(col("query_id"), col("rnk"), col("neighbor_id"), col("sim"))
@@ -127,10 +134,12 @@ object Vector {
     * `annCosine`), with this exact filter as the verify stage. */
   def embNearDups(spark: SparkSession, dir: String, threshold: Double = 0.4): DataFrame = {
     val e = Tables.embeddings(spark, dir).select(col("vec_id"), dbl(col("embedding")).as("emb"))
-    val l = e.select(col("vec_id").as("d1"), col("emb").as("e1"))
-    val r = e.select(col("vec_id").as("d2"), col("emb").as("e2"))
+      .withColumn("nrm", nNorm(spark)(col("emb"))) // per-vector, pre-join
+    val l = e.select(col("vec_id").as("d1"), col("emb").as("e1"), col("nrm").as("n1"))
+    val r = e.select(col("vec_id").as("d2"), col("emb").as("e2"), col("nrm").as("n2"))
     l.join(broadcast(r), col("d1") < col("d2"))
-      .select(col("d1"), col("d2"), nCosine(spark)(col("e1"), col("e2")).as("sim"))
+      .select(col("d1"), col("d2"),
+        round(nDot(spark)(col("e1"), col("e2")) / (col("n1") * col("n2")), 4).as("sim"))
       .filter(col("sim") >= threshold)
       .orderBy("d1", "d2")
   }

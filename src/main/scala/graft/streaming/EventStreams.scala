@@ -91,6 +91,20 @@ object EventStreams {
       .orderBy("w_start_us", "event_type")
   }
 
+  /** Streaming SLIDING windows (1-hour length, 30-min slide): each
+    * event lands in two overlapping windows. Same output as the batch
+    * `Events.sliding` double-bucket formulation, so it shares that
+    * oracle shape. */
+  def sliding(spark: SparkSession, dir: String): DataFrame = {
+    val agg = eventStream(spark, dir)
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour", "30 minutes").as("w"))
+      .agg(count(lit(1)).as("n"))
+    runComplete(agg, ckpt())
+      .select(unix_micros(col("w.start")).as("w_start_us"), col("n"))
+      .orderBy("w_start_us")
+  }
+
   /** Streaming gap-based sessionization via `session_window` (30-min
     * gap): merges events separated by < gap into one growing window.
     * Output (user_id, start_us, n_events) matches the batch lag+cumsum
