@@ -38,19 +38,30 @@ object Bench {
     // cluster sees.
     val names = SparkEntry.queries.keys.toSeq
     val best = scala.collection.mutable.Map[String, Double]()
-    for (sweep <- 1 to 3; name <- names) {
-      val t0 = System.nanoTime()
-      try { SparkEntry.queries(name)(spark, sfDir).count() }
-      catch { case _: Throwable => () }
-      val dt = (System.nanoTime() - t0) / 1e9
-      System.err.println(f"[bench] $name sweep=$sweep $dt%.2f")
-      best(name) = math.min(best.getOrElse(name, Double.MaxValue), dt)
+    val benchStart = System.nanoTime()
+    def elapsedMin: Double = (System.nanoTime() - benchStart) / 6e10
+    for (sweep <- 1 to 3) {
+      // Re-sweeps only re-measure queries still >= 0.5s: a sub-half-
+      // second best is already a steady-state number, and skipping it
+      // keeps later sweeps short — less wall-clock exposed to the
+      // host's minutes-long contention windows. A 15-min cap bounds the
+      // worst case (bests so far are still valid minima).
+      val todo = if (sweep == 1) names
+                 else names.filter(n => best(n) >= 0.5)
+      for (name <- todo if elapsedMin < 15) {
+        val t0 = System.nanoTime()
+        try { SparkEntry.queries(name)(spark, sfDir).count() }
+        catch { case _: Throwable => () }
+        val dt = (System.nanoTime() - t0) / 1e9
+        System.err.println(f"[bench] $name sweep=$sweep $dt%.2f")
+        best(name) = math.min(best.getOrElse(name, Double.MaxValue), dt)
+      }
     }
     // One SHORT json line: the driver parses a bounded tail of this
     // output — 3-decimal timings keep the whole line well under 2KB.
-    val qs = names.sorted.map(k => "\"" + k + "\":" + f"${best(k)}%.3f")
+    val qs = names.sorted.map(k => "\"" + k + "\":" + f"${best(k)}%.2f")
       .mkString("{", ",", "}")
-    val total = f"${best.values.sum}%.3f"
+    val total = f"${best.values.sum}%.2f"
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
     System.exit(0) // never hang on leaked non-daemon threads
