@@ -160,6 +160,7 @@ object SparkEntry {
     "stream_sliding"   -> (EventStreams.sliding _),
     "stream_sessions"  -> (EventStreams.sessionWindows _),
     "stream_user_counts" -> (EventStreams.userCounts _),
+    "stream_flat_sessions" -> ((s, d) => EventStreams.flatSessions(s, d)),
     // ---- text / dedup
     "dedup_exact"      -> (Text.dedupExact _),
     "fingerprint"      -> (Text.fingerprint _),
@@ -177,6 +178,7 @@ object SparkEntry {
     "knn_brute"        -> ((s, d) => Vector.knnBrute(s, d)),
     "ann_cosine"       -> ((s, d) => Vector.annCosine(s, d)),
     "emb_neardups"     -> ((s, d) => Vector.embNearDups(s, d)),
+    "ivf_cosine"       -> ((s, d) => Vector.ivfCosine(s, d)),
     "centroid_norm"    -> ((s, d) => Vector.centroidNorm(s, d)),
     // ---- multimodal plumbing (binary payload + typed metadata)
     "mm_features"      -> (Multimodal.features _),
@@ -819,6 +821,39 @@ object SparkEntry {
          |    ORDER BY sim DESC, neighbor_id ASC) AS rnk FROM pairs)
          |SELECT query_id, CAST(rnk AS BIGINT) AS rnk, neighbor_id, sim FROM r
          |WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin,
+    "stream_flat_sessions" -> // closed sessions + flushed open tails = all sessions
+      """WITH e AS (SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),
+        |  l AS (SELECT user_id, event_id, us, lag(us) OVER
+        |    (PARTITION BY user_id ORDER BY us ASC, event_id ASC) AS prev_us FROM e),
+        |  b AS (SELECT *, CASE WHEN prev_us IS NULL OR us - prev_us > 1800000000
+        |    THEN 1 ELSE 0 END AS boundary FROM l),
+        |  s AS (SELECT *, sum(boundary) OVER (PARTITION BY user_id
+        |    ORDER BY us ASC, event_id ASC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid FROM b)
+        |SELECT user_id, min(us) AS start_us, count(*) AS n_events
+        |FROM s GROUP BY user_id, sid ORDER BY user_id, start_us""".stripMargin,
+    "ivf_cosine" -> // md5-derived coarse centroids; 8 lists, probe 2, top-3
+      s"""WITH cents AS (SELECT ck.k AS k, list_transform(generate_series(0,63),
+         |    d -> ((${hex60("'c:' || ck.k || ':' || d")} % 2001) - 1000) / 1000.0) AS c
+         |  FROM generate_series(0,7) ck(k)),
+         |  e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+         |    FROM embeddings),
+         |  cd AS (SELECT vec_id, k, round(list_dot_product(emb, c), 6) AS cdot
+         |    FROM e, cents),
+         |  r AS (SELECT vec_id, k, row_number() OVER (PARTITION BY vec_id
+         |    ORDER BY cdot DESC, k ASC) AS crn FROM cd),
+         |  corpus AS (SELECT r.k, e.vec_id AS neighbor_id, e.emb AS ce
+         |    FROM r JOIN e USING (vec_id) WHERE crn = 1),
+         |  probes AS (SELECT r.k, e.vec_id AS query_id, e.emb AS qe
+         |    FROM r JOIN e USING (vec_id) WHERE crn <= 2 AND e.vec_id < 8),
+         |  pairs AS (SELECT query_id, neighbor_id,
+         |    round(list_dot_product(qe, ce) / (sqrt(list_dot_product(qe, qe))
+         |      * sqrt(list_dot_product(ce, ce))), 4) AS sim
+         |    FROM probes JOIN corpus USING (k) WHERE query_id <> neighbor_id),
+         |  rr AS (SELECT *, row_number() OVER (PARTITION BY query_id
+         |    ORDER BY sim DESC, neighbor_id ASC) AS rnk FROM pairs)
+         |SELECT query_id, CAST(rnk AS BIGINT) AS rnk, neighbor_id, sim FROM rr
+         |WHERE rnk <= 3 ORDER BY query_id, rnk""".stripMargin,
     "emb_neardups" ->
       """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
         |    FROM embeddings),

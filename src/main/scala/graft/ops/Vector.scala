@@ -144,6 +144,57 @@ object Vector {
       .orderBy("d1", "d2")
   }
 
+  /** IVF-style ANN: assign every vector to its nearest of K md5-derived
+    * coarse centroids (argmax dot, tie-break lowest k — the inverted
+    * "lists"); queries probe their top-`nProbe` lists and re-rank
+    * candidates by exact cosine. This is the other standard ANN shape
+    * beside LSH (`annCosine`): at 100 TB the corpus is PARTITIONED BY
+    * list id, so a query touches nProbe/K of the data. Deterministic
+    * (DetHash centroids + rounded dots + k/vec_id tie-breaks) and
+    * SQL-replayable, so oracle-checked like the rest.
+    *
+    * Honest caveat: production IVF trains centroids with k-means; the
+    * pseudo-random centroids here keep the operator shape while staying
+    * engine-portable. Swap `DetHash`-derived planes for trained ones
+    * and nothing else changes. */
+  def ivfCosine(spark: SparkSession, dir: String, lists: Int = 8,
+                nProbe: Int = 2, nQueries: Int = 8, k: Int = 3,
+                dim: Int = 64): DataFrame = {
+    import graft.functions.DetHash
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), dbl(col("embedding")).as("emb"))
+      .withColumn("nrm", nNorm(spark)(col("emb")))
+    // 8 centroid dots as one exploded (vec_id, k, cdot) relation: the
+    // same rank-over-(dot desc, k) runs identically in the oracle.
+    val cdots = (0 until lists).map { kk =>
+      val c = typedLit((0 until dim).map(i => (DetHash.hex60(s"c:$kk:$i") % 2001 - 1000) / 1000.0))
+      struct(lit(kk).as("k"), round(nDot(spark)(col("emb"), c), 6).as("cdot"))
+    }
+    val assigned = e.select(col("vec_id"), col("emb"), col("nrm"),
+        explode(array(cdots: _*)).as("c"))
+      .select(col("vec_id"), col("emb"), col("nrm"),
+        col("c.k").as("k"), col("c.cdot").as("cdot"))
+    val byVec = Window.partitionBy("vec_id").orderBy(col("cdot").desc, col("k").asc)
+    val ranked = assigned.withColumn("crn", row_number().over(byVec))
+    val corpusList = ranked.filter(col("crn") === 1) // top-1: the vector's list
+      .select(col("k"), col("vec_id").as("neighbor_id"),
+        col("emb").as("ce"), col("nrm").as("cn"))
+    val probes = ranked.filter(col("crn") <= nProbe && col("vec_id") < nQueries)
+      .select(col("k"), col("vec_id").as("query_id"),
+        col("emb").as("qe"), col("nrm").as("qn"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("sim").desc, col("neighbor_id").asc)
+    corpusList.join(broadcast(probes), Seq("k"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        round(nDot(spark)(col("qe"), col("ce")) / (col("qn") * col("cn")), 4).as("sim"))
+      // no dedup needed: each corpus vec lives in exactly one list
+      .withColumn("rnk", row_number().over(w).cast("bigint"))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("rnk"), col("neighbor_id"), col("sim"))
+      .orderBy("query_id", "rnk")
+  }
+
   /** Per-label centroid norm: aggregates the 64 dims as 64 independent
     * column sums + the row count in ONE hash-agg pass (no array
     * shuffle games, no second scan). */

