@@ -80,25 +80,29 @@ object Vector {
       .orderBy("query_id", "rnk")
   }
 
-  /** Random-hyperplane LSH buckets: sign-bit signature over `nBits`
-    * deterministic hyperplanes. Components are md5-derived constants
-    * (DetHash.planeComp), baked into the plan as literal arrays — zero
+  /** Random-hyperplane LSH bucket id as a pure COLUMN over an embedding
+    * column — map-only, so queries compose it inline (no self-join back
+    * to the table). Sign-bit signature over `nBits` deterministic
+    * hyperplanes whose components are md5-derived constants
+    * (DetHash.planeComp) baked into the plan as literal arrays — zero
     * per-row hashing — and recomputable in SQL, so the DuckDB oracle
     * replays the exact same buckets. Vectors sharing a bucket are ANN
     * candidates; the candidate join is an equi-join on (bucket), never
     * a cross join. Projections use the same sequential fold as every
     * other dot product (sign never depends on accumulation order). */
-  def lshBuckets(spark: SparkSession, dir: String, nBits: Int = 12, dim: Int = 64): DataFrame = {
+  def lshBucketCol(spark: SparkSession, emb: Column, nBits: Int = 12, dim: Int = 64): Column = {
     import graft.functions.DetHash
-    val e = Tables.embeddings(spark, dir)
     def bit(j: Int): Column = {
       val plane = typedLit((0 until dim).map(i => DetHash.planeComp(j, i)))
-      val proj = nDot(spark)(dbl(col("embedding")), plane)
-      when(proj >= 0, shiftleft(lit(1L), j)).otherwise(lit(0L))
+      when(nDot(spark)(emb, plane) >= 0, shiftleft(lit(1L), j)).otherwise(lit(0L))
     }
-    val sig = (0 until nBits).map(bit).reduce((a, b) => a.bitwiseOR(b))
-    e.select(col("vec_id"), col("label"), sig.as("bucket"))
+    (0 until nBits).map(bit).reduce((a, b) => a.bitwiseOR(b))
   }
+
+  def lshBuckets(spark: SparkSession, dir: String, nBits: Int = 12, dim: Int = 64): DataFrame =
+    Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("label"),
+        lshBucketCol(spark, dbl(col("embedding")), nBits, dim).as("bucket"))
 
   /** ANN top-k via LSH: exact cosine, but only within LSH buckets —
     * the quadratic work collapses to per-bucket. Recall < 1.0 vs
@@ -107,10 +111,13 @@ object Vector {
     * the oracle checks it exactly. A vec lands in exactly one bucket
     * (single-band signature), so no pair dedup is needed. */
   def annCosine(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
-    val e = Tables.embeddings(spark, dir).select(col("vec_id"), dbl(col("embedding")).as("emb"))
-    val b = lshBuckets(spark, dir).select(col("vec_id"), col("bucket"))
-    val withB = e.join(b, "vec_id")
-      .withColumn("nrm", nNorm(spark)(col("emb"))) // per-vector, pre-join
+    // bucket + norm are inline columns: ONE map-only scan per join side,
+    // no self-join back to the table (round-1 shape joined on vec_id —
+    // a pointless corpus shuffle at scale).
+    val withB = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), dbl(col("embedding")).as("emb"))
+      .withColumn("bucket", lshBucketCol(spark, col("emb")))
+      .withColumn("nrm", nNorm(spark)(col("emb")))
     val l = withB.select(col("bucket"), col("vec_id").as("query_id"),
       col("emb").as("qe"), col("nrm").as("qn"))
     val r = withB.select(col("bucket"), col("vec_id").as("neighbor_id"),
@@ -164,23 +171,27 @@ object Vector {
     val e = Tables.embeddings(spark, dir)
       .select(col("vec_id"), dbl(col("embedding")).as("emb"))
       .withColumn("nrm", nNorm(spark)(col("emb")))
-    // 8 centroid dots as one exploded (vec_id, k, cdot) relation: the
-    // same rank-over-(dot desc, k) runs identically in the oracle.
-    val cdots = (0 until lists).map { kk =>
+    def cdot(kk: Int): Column = {
       val c = typedLit((0 until dim).map(i => (DetHash.hex60(s"c:$kk:$i") % 2001 - 1000) / 1000.0))
-      struct(lit(kk).as("k"), round(nDot(spark)(col("emb"), c), 6).as("cdot"))
+      round(nDot(spark)(col("emb"), c), 6)
     }
-    val assigned = e.select(col("vec_id"), col("emb"), col("nrm"),
-        explode(array(cdots: _*)).as("c"))
-      .select(col("vec_id"), col("emb"), col("nrm"),
-        col("c.k").as("k"), col("c.cdot").as("cdot"))
-    val byVec = Window.partitionBy("vec_id").orderBy(col("cdot").desc, col("k").asc)
-    val ranked = assigned.withColumn("crn", row_number().over(byVec))
-    val corpusList = ranked.filter(col("crn") === 1) // top-1: the vector's list
+    val dots = array((0 until lists).map(cdot): _*)
+    // Corpus assignment is a MAP-ONLY argmax (array_position finds the
+    // FIRST max = lowest-k tie-break, matching the oracle's rank over
+    // (cdot DESC, k ASC)): no corpus-wide window shuffle just to pick a
+    // list id.
+    val corpusList = e
+      .withColumn("k", (array_position(dots, array_max(dots)) - 1).cast("int"))
       .select(col("k"), col("vec_id").as("neighbor_id"),
         col("emb").as("ce"), col("nrm").as("cn"))
-    val probes = ranked.filter(col("crn") <= nProbe && col("vec_id") < nQueries)
-      .select(col("k"), col("vec_id").as("query_id"),
+    // Probes (the tiny query set) DO rank all K dots - top-nProbe lists.
+    val byVec = Window.partitionBy("vec_id").orderBy(col("cdot").desc, col("k").asc)
+    val probes = e.filter(col("vec_id") < nQueries)
+      .select(col("vec_id"), col("emb"), col("nrm"),
+        posexplode(dots).as(Seq("k", "cdot")))
+      .withColumn("crn", row_number().over(byVec))
+      .filter(col("crn") <= nProbe)
+      .select(col("k").cast("int").as("k"), col("vec_id").as("query_id"),
         col("emb").as("qe"), col("nrm").as("qn"))
     val w = Window.partitionBy("query_id")
       .orderBy(col("sim").desc, col("neighbor_id").asc)
