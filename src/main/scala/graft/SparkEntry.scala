@@ -96,6 +96,8 @@ object SparkEntry {
     // ---- sources: non-parquet formats
     "csv_roundtrip"    -> (Formats.csvRoundtrip _),
     "json_roundtrip"   -> (Formats.jsonRoundtrip _),
+    "orc_roundtrip"    -> (Formats.orcRoundtrip _),
+    "text_roundtrip"   -> (Formats.textRoundtrip _),
     // ---- relational: aggregation
     "pricing_summary"  -> (Relational.pricingSummary _),
     "filter_project"   -> (Relational.filterProject _),
@@ -109,6 +111,7 @@ object SparkEntry {
     "semi_join"        -> (Relational.semiJoin _),
     "anti_join"        -> (Relational.antiJoin _),
     "range_join"       -> (Relational.rangeJoin _),
+    "outer_join"       -> (Relational.outerJoin _),
     "skew_join_salted" -> (Relational.skewJoinSalted _),
     "bucketed_join"    -> (Relational.bucketedJoin _),
     // ---- relational: windows / sort / set ops / scalar fns
@@ -252,6 +255,23 @@ object SparkEntry {
       "SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey",
     "json_roundtrip" ->
       "SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey",
+    "orc_roundtrip" ->
+      """SELECT s_suppkey, s_name, s_nationkey, s_acctbal FROM supplier
+        |ORDER BY s_suppkey""".stripMargin,
+    "text_roundtrip" ->
+      """SELECT text AS value, CAST(strlen(text) AS BIGINT) AS n_chars
+        |FROM documents ORDER BY value""".stripMargin,
+    "outer_join" ->
+      """WITH c AS (SELECT CAST(c_nationkey AS BIGINT) AS nationkey,
+        |    count(*) AS n_customers FROM customer
+        |    WHERE c_mktsegment = 'BUILDING' GROUP BY 1),
+        |  s AS (SELECT CAST(s_nationkey AS BIGINT) AS nationkey,
+        |    count(*) AS n_suppliers FROM supplier GROUP BY 1)
+        |SELECT coalesce(c.nationkey, s.nationkey) AS nationkey,
+        |  CAST(coalesce(n_customers, 0) AS BIGINT) AS n_customers,
+        |  CAST(coalesce(n_suppliers, 0) AS BIGINT) AS n_suppliers
+        |FROM c FULL OUTER JOIN s ON c.nationkey = s.nationkey
+        |ORDER BY nationkey""".stripMargin,
     "catalog_tables" ->
       """SELECT * FROM (VALUES ('customer'),('documents'),('embeddings'),('events'),
         |('lineitem'),('nation'),('orders'),('part'),('region'),('supplier'))

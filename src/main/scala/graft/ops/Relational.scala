@@ -582,6 +582,24 @@ object Relational {
         col("p_name").rlike("an").as("has_an"))
       .orderBy("p_partkey")
 
+  /** Full outer join: customers-per-nation (one segment) against
+    * suppliers-per-nation — either side may be absent, coalesce fills.
+    * Both inputs are pre-aggregated (tiny), so the join broadcasts. */
+  def outerJoin(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+      .filter(col("c_mktsegment") === "BUILDING")
+      .groupBy(col("c_nationkey").cast("bigint").as("nationkey"))
+      .agg(count(lit(1)).as("n_customers"))
+    val s = Tables.supplier(spark, dir)
+      .groupBy(col("s_nationkey").cast("bigint").as("nationkey"))
+      .agg(count(lit(1)).as("n_suppliers"))
+    c.join(s, Seq("nationkey"), "full_outer")
+      .select(col("nationkey"),
+        coalesce(col("n_customers"), lit(0L)).as("n_customers"),
+        coalesce(col("n_suppliers"), lit(0L)).as("n_suppliers"))
+      .orderBy("nationkey")
+  }
+
   /** Interval arithmetic on timestamps/dates. */
   def intervalArith(spark: SparkSession, dir: String): DataFrame =
     Tables.orders(spark, dir)

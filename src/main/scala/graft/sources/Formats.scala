@@ -32,4 +32,25 @@ object Formats {
     spark.read.schema(src.schema).json(out)
       .orderBy("r_regionkey")
   }
+
+  /** parquet -> ORC -> read back (columnar alternative; ORC ships with
+    * Spark). Schema carries in the ORC footer — no explicit pass. */
+  def orcRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val src = Tables.supplier(spark, dir)
+    val out = Files.createTempDirectory("graft_orc_").toString
+    src.write.mode("overwrite").orc(out)
+    spark.read.orc(out).orderBy("s_suppkey")
+  }
+
+  /** document corpus -> line-oriented text files -> read back. The text
+    * source yields one `value` column per line (the corpus is
+    * newline-free ASCII, so lines == documents). */
+  def textRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val src = Tables.documents(spark, dir).select(col("text"))
+    val out = Files.createTempDirectory("graft_text_").toString
+    src.write.mode("overwrite").text(out)
+    spark.read.text(out)
+      .select(col("value"), length(col("value")).cast("bigint").as("n_chars"))
+      .orderBy("value")
+  }
 }
