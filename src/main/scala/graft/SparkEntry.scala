@@ -186,6 +186,9 @@ object SparkEntry {
     // ---- multimodal plumbing (binary payload + typed metadata)
     "mm_features"      -> (Multimodal.features _),
     "mm_frames"        -> (Multimodal.frameSample _),
+    "mm_resize"        -> ((s, d) => Multimodal.resizePlan(s, d)),
+    "normalize_text"   -> (Text.normalizeText _),
+    "pii_scrub"        -> (Text.piiScrub _),
   )
 
   // ------------------------------------------------------------------
@@ -590,6 +593,33 @@ object SparkEntry {
         |FROM documents d,
         |     LATERAL (SELECT unnest(generate_series(0, (d.n_chars*10)//1000)) AS i) g
         |WHERE d.doc_id % 3 = 2 ORDER BY doc_id, frame_idx""".stripMargin,
+    "mm_resize" ->
+      """SELECT doc_id, width, height,
+        |  CAST(floor(3200 / greatest(width, height)) AS BIGINT) AS scale_pct,
+        |  CAST(ceil(width * floor(3200 / greatest(width, height)) / 100.0) AS INT) AS out_w,
+        |  CAST(ceil(height * floor(3200 / greatest(width, height)) / 100.0) AS INT) AS out_h
+        |FROM (SELECT doc_id, CAST((n_chars % 64) + 1 AS INT) AS width,
+        |        CAST((n_chars % 48) + 1 AS INT) AS height
+        |      FROM documents WHERE doc_id % 3 = 0)
+        |ORDER BY doc_id""".stripMargin,
+    "normalize_text" ->
+      """WITH c AS (SELECT doc_id, list_filter(
+        |    string_split_regex(trim(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g')), ' +'),
+        |    x -> x NOT IN ('the','a','of','and','is','to')) AS ct
+        |  FROM documents)
+        |SELECT doc_id, CAST(len(ct) AS BIGINT) AS n_clean_tokens,
+        |  array_to_string(ct[1:5], ' ') AS head5
+        |FROM c ORDER BY doc_id""".stripMargin,
+    "pii_scrub" ->
+      """SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text,
+        |    '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}')) AS BIGINT) AS n_emails,
+        |  CAST(len(regexp_extract_all(text,
+        |    '\b\d{3}[-.]\d{3,4}[-.]\d{4}\b')) AS BIGINT) AS n_phones,
+        |  md5(regexp_replace(regexp_replace(text,
+        |    '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}', '<EMAIL>', 'g'),
+        |    '\b\d{3}[-.]\d{3,4}[-.]\d{4}\b', '<PHONE>', 'g')) AS scrubbed_fp
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "map_fns" ->
       """SELECT event_id,
         |  CAST(json_array_length(json_keys(props)) + 1 AS BIGINT) AS n_keys,

@@ -81,6 +81,24 @@ object Multimodal {
               round(col("byte_sum").cast("double") / col("n_bytes"), 4).as("avg_byte"))
       .orderBy("doc_id")
 
+  /** Resize planning for "image" media: target box fit (max 32x32,
+    * aspect preserved, ceil-rounded) computed over metadata only — the
+    * payload transform itself is the stubbed codec's job; the SCHEDULE
+    * (which rows, what targets, estimated output bytes) is the Spark
+    * side and is exact. */
+  def resizePlan(spark: SparkSession, dir: String, box: Int = 32): DataFrame =
+    mediaTable(spark, dir)
+      .filter(col("meta.kind") === "image")
+      .select(col("doc_id"),
+        col("meta.width").as("width"), col("meta.height").as("height"))
+      .withColumn("scale_pct", // floor EXPLICITLY: Spark's double->int cast
+        // truncates but DuckDB's rounds — floor() agrees everywhere
+        floor(lit(box * 100) / greatest(col("width"), col("height"))).cast("bigint"))
+      .select(col("doc_id"), col("width"), col("height"), col("scale_pct"),
+        ceil(col("width") * col("scale_pct") / 100.0).cast("int").as("out_w"),
+        ceil(col("height") * col("scale_pct") / 100.0).cast("int").as("out_h"))
+      .orderBy("doc_id")
+
   /** Frame sampling for "video" media: one row per sampled frame at a
     * 1000ms stride — pure SQL over the metadata (no payload shuffle). */
   def frameSample(spark: SparkSession, dir: String): DataFrame =

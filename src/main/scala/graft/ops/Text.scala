@@ -313,6 +313,37 @@ object Text {
           .as("sum_tok_len"))
       .orderBy("doc_id")
 
+  /** Text normalization: lowercase, strip punctuation, drop stopwords —
+    * the standard pre-tokenization cleanup, map-only. Emits cleaned
+    * token count + reconstructed head so the oracle can hash it. */
+  def normalizeText(spark: SparkSession, dir: String): DataFrame = {
+    val cleaned = split(
+      trim(regexp_replace(lower(col("text")), "[^a-z0-9 ]", "")), " +")
+    Tables.documents(spark, dir)
+      .withColumn("ct", filter(cleaned,
+        x => !x.isin("the", "a", "of", "and", "is", "to")))
+      .select(col("doc_id"),
+        size(col("ct")).cast("bigint").as("n_clean_tokens"),
+        concat_ws(" ", slice(col("ct"), 1, 5)).as("head5"))
+      .orderBy("doc_id")
+  }
+
+  /** PII scrubbing: mask email / phone-shaped spans, report match
+    * counts — the compliance pass every training corpus needs. The
+    * corpus is synthetic ASCII prose (expected zero hits) but the
+    * operator is exercised end-to-end and oracle-checked. */
+  def piiScrub(spark: SparkSession, dir: String): DataFrame = {
+    val email = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
+    val phone = "\\b\\d{3}[-.]\\d{3,4}[-.]\\d{4}\\b"
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        regexp_count(col("text"), lit(email)).cast("bigint").as("n_emails"),
+        regexp_count(col("text"), lit(phone)).cast("bigint").as("n_phones"),
+        md5(regexp_replace(regexp_replace(col("text"), email, "<EMAIL>"),
+          phone, "<PHONE>")).as("scrubbed_fp"))
+      .orderBy("doc_id")
+  }
+
   /** TF-IDF: weight of each doc's top term — tf * ln(N/df), the
     * classic smooth-free form, deterministic via (weight desc, term
     * asc) tie-break. Two shuffles: df aggregation + per-doc ranking. */
