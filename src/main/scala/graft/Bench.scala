@@ -62,7 +62,8 @@ object Bench {
     val qs = names.sorted.map(k => "\"" + k + "\":" + f"${best(k)}%.2f")
       .mkString("{", ",", "}")
     val total = f"${best.values.sum}%.2f"
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val sfShort = sfDir.split("/").last // keep the one json line short
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfShort"}""")
     spark.stop()
     System.exit(0) // never hang on leaked non-daemon threads
   }

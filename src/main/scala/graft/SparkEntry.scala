@@ -92,6 +92,8 @@ object SparkEntry {
     "copy_glob"        -> copyGlob _,
     "copy_partitioned" -> copyPartitioned _,
     "catalog_tables"   -> ((s, d) => Catalog.tablesDf(s, d).orderBy("table_name")),
+    "table_stats"      -> (Catalog.tableStats _),
+    "merge_upsert"     -> (Relational.mergeUpsert _),
     "schema_report"    -> ((s, d) => Catalog.schemaReport(s, d, "lineitem")),
     // ---- sources: non-parquet formats
     "csv_roundtrip"    -> (Formats.csvRoundtrip _),
@@ -279,6 +281,34 @@ object SparkEntry {
       """SELECT * FROM (VALUES ('customer'),('documents'),('embeddings'),('events'),
         |('lineitem'),('nation'),('orders'),('part'),('region'),('supplier'))
         |t(table_name) ORDER BY table_name""".stripMargin,
+    "table_stats" ->
+      """SELECT * FROM (
+        |  SELECT 'customer' AS table_name, count(*) AS n_rows, 5 AS n_cols FROM customer
+        |  UNION ALL SELECT 'documents', count(*), 5 FROM documents
+        |  UNION ALL SELECT 'embeddings', count(*), 3 FROM embeddings
+        |  UNION ALL SELECT 'events', count(*), 6 FROM events
+        |  UNION ALL SELECT 'lineitem', count(*), 11 FROM lineitem
+        |  UNION ALL SELECT 'nation', count(*), 3 FROM nation
+        |  UNION ALL SELECT 'orders', count(*), 6 FROM orders
+        |  UNION ALL SELECT 'part', count(*), 6 FROM part
+        |  UNION ALL SELECT 'region', count(*), 2 FROM region
+        |  UNION ALL SELECT 'supplier', count(*), 4 FROM supplier)
+        |ORDER BY table_name""".stripMargin,
+    "merge_upsert" ->
+      """WITH base AS (SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders),
+        |  delta AS (
+        |    SELECT o_orderkey, 'X' AS u_status, o_totalprice + 100.0 AS u_totalprice
+        |    FROM base WHERE o_orderkey % 10 = 0
+        |    UNION ALL
+        |    SELECT o_orderkey + 10000000, 'I', o_totalprice
+        |    FROM base WHERE o_orderkey % 1000 = 0),
+        |  merged AS (SELECT
+        |    coalesce(u_status, o_orderstatus) AS status,
+        |    coalesce(u_totalprice, o_totalprice) AS totalprice
+        |    FROM base FULL OUTER JOIN delta USING (o_orderkey))
+        |SELECT status, count(*) AS n,
+        |  CAST(round(sum(CAST(totalprice AS DECIMAL(18,2))),2) AS DOUBLE) AS revenue
+        |FROM merged GROUP BY status ORDER BY status""".stripMargin,
     "schema_report" ->
       """SELECT * FROM (VALUES
         |('l_orderkey','bigint',true),('l_partkey','bigint',true),

@@ -166,6 +166,21 @@ object Catalog {
     new ParquetDir(dir).listTables().toDF("table_name")
   }
 
+  /** ANALYZE-style stats report: (table_name, n_rows, n_cols) per
+    * corpus table. Column counts come from parquet footers (no scan);
+    * row counts are one lazy union of count aggregates — a single job,
+    * and parquet count(*) is metadata-served per row group. */
+  def tableStats(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val src = new ParquetDir(dir)
+    src.listTables().map { t =>
+      val df = src.read(spark, t)
+      df.agg(count(lit(1)).as("n_rows"))
+        .select(lit(t).as("table_name"), col("n_rows"),
+          lit(df.schema.size).cast("int").as("n_cols"))
+    }.reduce(_.unionByName(_)).orderBy("table_name")
+  }
+
   /** Schema report: (col_name, pg_type, nullable) per column — the
     * reference's column_definitions (postgres.rb:137-167) re-expressed
     * through TypeMap over the parquet footer schema. */

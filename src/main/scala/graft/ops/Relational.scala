@@ -600,6 +600,34 @@ object Relational {
       .orderBy("nationkey")
   }
 
+  /** CDC merge/upsert (MERGE INTO semantics on plain parquet): a
+    * derived update batch (status -> 'X', +100 price for every 10th
+    * order) plus an insert batch (re-keyed clones of every 1000th
+    * order) merged onto the base via full outer join + coalesce —
+    * matched rows take the update, unmatched keep base, inserts
+    * append. One shuffle on the merge key; at 100 TB the same shape
+    * rides a bucketed/partitioned layout so only touched partitions
+    * rewrite. Output is the per-status summary of the merged table. */
+  def mergeUpsert(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+    val updates = base.filter(col("o_orderkey") % 10 === 0)
+      .select(col("o_orderkey"), lit("X").as("u_status"),
+        (col("o_totalprice") + 100.0).as("u_totalprice"))
+    val inserts = base.filter(col("o_orderkey") % 1000 === 0)
+      .select((col("o_orderkey") + 10000000L).as("o_orderkey"),
+        lit("I").as("u_status"), col("o_totalprice").as("u_totalprice"))
+    val delta = updates.unionByName(inserts)
+    base.join(delta, Seq("o_orderkey"), "full_outer")
+      .select(col("o_orderkey"),
+        coalesce(col("u_status"), col("o_orderstatus")).as("status"),
+        coalesce(col("u_totalprice"), col("o_totalprice")).as("totalprice"))
+      .groupBy("status")
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("totalprice").cast("decimal(18,2)")), 2).cast("double").as("revenue"))
+      .orderBy("status")
+  }
+
   /** Interval arithmetic on timestamps/dates. */
   def intervalArith(spark: SparkSession, dir: String): DataFrame =
     Tables.orders(spark, dir)
