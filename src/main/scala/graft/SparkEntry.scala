@@ -99,6 +99,7 @@ object SparkEntry {
     "csv_roundtrip"    -> (Formats.csvRoundtrip _),
     "json_roundtrip"   -> (Formats.jsonRoundtrip _),
     "orc_roundtrip"    -> (Formats.orcRoundtrip _),
+    "jdbc_roundtrip"   -> (Formats.jdbcRoundtrip _),
     "text_roundtrip"   -> (Formats.textRoundtrip _),
     // ---- relational: aggregation
     "pricing_summary"  -> (Relational.pricingSummary _),
@@ -260,6 +261,8 @@ object SparkEntry {
       "SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey",
     "json_roundtrip" ->
       "SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey",
+    "jdbc_roundtrip" ->
+      "SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey",
     "orc_roundtrip" ->
       """SELECT s_suppkey, s_name, s_nationkey, s_acctbal FROM supplier
         |ORDER BY s_suppkey""".stripMargin,

@@ -119,9 +119,13 @@ final class JdbcSource(
     * range scans. One tiny query + N streaming scans — the Spark
     * answer to the reference's single psql pipe (transport.rb:66-75). */
   private def bounds(spark: SparkSession, name: String, col: String): (Long, Long) = {
+    // quote the identifier: Spark's JDBC writer creates quoted (exact-
+    // case) columns, and unquoted names case-fold in most engines
+    // (Derby/PG uppercase/lowercase them away from the exact name)
+    val q = "\"" + col + "\""
     val b = spark.read.format("jdbc")
       .option("url", url)
-      .option("dbtable", s"(SELECT min($col) AS lo, max($col) AS hi FROM $name) t")
+      .option("dbtable", s"""(SELECT min($q) AS "lo", max($q) AS "hi" FROM $name) t""")
       .options(propMap)
       .load().collect()(0)
     (b.getAs[Number]("lo").longValue(), b.getAs[Number]("hi").longValue())

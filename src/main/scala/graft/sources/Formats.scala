@@ -42,6 +42,26 @@ object Formats {
     spark.read.orc(out).orderBy("s_suppkey")
   }
 
+  /** REAL JDBC source/sink roundtrip — the project north star's
+    * codepath — against embedded Derby (a genuine JDBC database running
+    * in-JVM; ships with Spark). Exercises exactly what a live-Postgres
+    * copy runs: dialect-mapped CREATE TABLE + batched INSERTs on write,
+    * then a PARTITIONED read (min/max bounds discovery + 4 parallel
+    * range scans) through `graft.core.JdbcSource`. Swapping the url for
+    * jdbc:postgresql://... is the only change a production copy needs. */
+  def jdbcRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    System.setProperty("derby.stream.error.file",
+      s"${System.getProperty("java.io.tmpdir")}/graft_derby.log")
+    val db = s"memory:graft_${java.util.UUID.randomUUID().toString.take(8)}"
+    val props = new java.util.Properties()
+    props.setProperty("driver", "org.apache.derby.jdbc.EmbeddedDriver")
+    val jdbc = new graft.core.JdbcSource(s"jdbc:derby:$db;create=true", props,
+      partitionColumn = Some("n_nationkey"), numPartitions = 4)
+    jdbc.write(Tables.nation(spark, dir), "nation")
+    jdbc.read(spark, "nation").orderBy("n_nationkey")
+    // the in-memory db dies with the JVM; each call uses a fresh name
+  }
+
   /** document corpus -> line-oriented text files -> read back. The text
     * source yields one `value` column per line (the corpus is
     * newline-free ASCII, so lines == documents). */
