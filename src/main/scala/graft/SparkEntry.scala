@@ -704,7 +704,7 @@ object SparkEntry {
          |    GROUP BY 1, 2)
          |SELECT d1, d2, round(i / (sa.n + sb.n - i), 4) AS jaccard
          |FROM inter JOIN sizes sa ON sa.doc_id = d1 JOIN sizes sb ON sb.doc_id = d2
-         |WHERE i / (sa.n + sb.n - i) >= 0.5 ORDER BY d1, d2""".stripMargin,
+         |WHERE round(i / (sa.n + sb.n - i), 4) >= 0.5 ORDER BY d1, d2""".stripMargin,
     "lang_stats" ->
       """SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars,
         |  min(n_chars) AS min_chars, max(n_chars) AS max_chars,
@@ -870,7 +870,7 @@ object SparkEntry {
          |    GROUP BY 1, 2)
          |SELECT d1, d2, round(i / (sa.n + sb.n - i), 4) AS jaccard
          |FROM inter JOIN sizes sa ON sa.doc_id = d1 JOIN sizes sb ON sb.doc_id = d2
-         |WHERE i / (sa.n + sb.n - i) >= 0.5 ORDER BY d1, d2""".stripMargin,
+         |WHERE round(i / (sa.n + sb.n - i), 4) >= 0.5 ORDER BY d1, d2""".stripMargin,
     "simhash_candidates" ->
       s"""WITH tok AS (SELECT doc_id, unnest(string_split(text,' ')) AS tok FROM documents),
          |  th AS (SELECT doc_id, ${hex60("tok")} AS h FROM tok),
