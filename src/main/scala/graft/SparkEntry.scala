@@ -94,6 +94,8 @@ object SparkEntry {
     "catalog_tables"   -> ((s, d) => Catalog.tablesDf(s, d).orderBy("table_name")),
     "table_stats"      -> (Catalog.tableStats _),
     "merge_upsert"     -> (Relational.mergeUpsert _),
+    "compact_files"    -> ((s, d) => graft.core.Maintenance.compactFiles(s, d)),
+    "zorder_key"       -> ((s, d) => graft.core.Maintenance.zorderKey(s, d)),
     "schema_report"    -> ((s, d) => Catalog.schemaReport(s, d, "lineitem")),
     // ---- sources: non-parquet formats
     "csv_roundtrip"    -> (Formats.csvRoundtrip _),
@@ -297,6 +299,21 @@ object SparkEntry {
         |  UNION ALL SELECT 'region', count(*), 2 FROM region
         |  UNION ALL SELECT 'supplier', count(*), 4 FROM supplier)
         |ORDER BY table_name""".stripMargin,
+    "compact_files" ->
+      """SELECT 'after' AS phase, CAST(2 AS BIGINT) AS n_files, count(*) AS n_rows FROM orders
+        |UNION ALL
+        |SELECT 'before', CAST(16 AS BIGINT), count(*) FROM orders
+        |ORDER BY phase""".stripMargin,
+    "zorder_key" -> // 10-bit x 10-bit interleave, same arithmetic both engines
+      """WITH z AS (SELECT o_orderkey,
+        |  (SELECT CAST(sum(
+        |     (((x >> b.b) & 1) << (2*b.b)) | (((y >> b.b) & 1) << (2*b.b+1))
+        |   ) AS BIGINT) FROM generate_series(0,9) b(b)) AS zval
+        |  FROM (SELECT o_orderkey, o_custkey % 1024 AS x,
+        |          datediff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE)) % 1024 AS y
+        |        FROM orders))
+        |SELECT o_orderkey, zval FROM z
+        |ORDER BY zval ASC, o_orderkey ASC LIMIT 200""".stripMargin,
     "merge_upsert" ->
       """WITH base AS (SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders),
         |  delta AS (
