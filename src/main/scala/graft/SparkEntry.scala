@@ -175,7 +175,7 @@ object SparkEntry {
     "jaccard_pairs"    -> ((s, d) => Text.jaccardPairs(s, d)),
     "minhash_candidates" -> (Text.minhashCandidates _),
     "minhash_neardups" -> ((s, d) => Text.minhashNearDups(s, d)),
-    "simhash_candidates" -> (Text.simhashCandidates _),
+    "simhash_candidates" -> ((s, d) => Text.simhashCandidates(s, d)),
     "lang_stats"       -> (Text.langStats _),
     "token_stats"      -> (Text.tokenStats _),
     "term_stats"       -> (Text.termStats _),
@@ -902,6 +902,7 @@ object SparkEntry {
          |SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2,
          |  CAST(bit_count(xor(x.simhash, y.simhash)) AS INT) AS hamming
          |FROM ch x JOIN ch y ON x.chunk = y.chunk AND x.chv = y.chv AND x.doc_id < y.doc_id
+         |WHERE bit_count(xor(x.simhash, y.simhash)) <= 3
          |ORDER BY d1, d2""".stripMargin,
     "ann_cosine" -> // md5-derived hyperplanes; d (not i) dodges the hex60 fold var
       s"""WITH planes AS (SELECT pj.j AS j, list_transform(generate_series(0,63),

@@ -220,9 +220,13 @@ object Text {
   /** SimHash near-dup candidates: docs whose signatures collide on any
     * of four 15-bit chunks (Hamming-distance blocking — a true near-dup
     * at Hamming radius <= 3 must collide on at least one chunk by
-    * pigeonhole). Candidates carry the exact Hamming distance
-    * (`bit_count(xor)`, codegen built-in) for downstream thresholds. */
-  def simhashCandidates(spark: SparkSession, dir: String): DataFrame = {
+    * pigeonhole), FILTERED to that radius. The filter is the blocking
+    * scheme's contract, and it is what keeps output bounded as the
+    * corpus grows: an 8x scale probe showed unfiltered chunk collisions
+    * exploding to 17.5M pairs (15-bit buckets birthday-collide at
+    * corpus scale) while radius-3 survivors stay ~the true near-dup
+    * count. Distance is exact (`bit_count(xor)`, codegen built-in). */
+  def simhashCandidates(spark: SparkSession, dir: String, maxHamming: Int = 3): DataFrame = {
     val sig = simhash(spark, dir)
     val chunks = (0 until 4).map(c =>
       struct(lit(c).as("chunk"),
@@ -234,6 +238,7 @@ object Text {
         col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"),
         bit_count(col("x.simhash").bitwiseXOR(col("y.simhash"))).cast("int").as("hamming"))
+      .filter(col("hamming") <= maxHamming) // radius the blocking guarantees
       .distinct()
       .orderBy("d1", "d2")
   }
