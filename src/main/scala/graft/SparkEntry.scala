@@ -157,6 +157,7 @@ object SparkEntry {
     "ev_sessionize"    -> (Events.sessionize _),
     "ev_session_stats" -> (Events.sessionStats _),
     "ev_asof"          -> (Events.asofPurchaseClick _),
+    "ev_funnel"        -> (Events.funnel _),
     "ev_value_delta"   -> (Events.valueDelta _),
     "ev_json_extract"  -> (Events.jsonExtract _),
     "map_fns"          -> (Events.mapFns _),
@@ -595,6 +596,25 @@ object SparkEntry {
         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_click_us FROM e)
         |SELECT event_id, user_id, us AS ts_us, last_click_us FROM w
         |WHERE event_type = 'purchase' ORDER BY event_id""".stripMargin,
+    "ev_funnel" ->
+      """WITH e AS (SELECT user_id, event_id, event_type,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),
+        |  l AS (SELECT *, lag(us) OVER
+        |    (PARTITION BY user_id ORDER BY us ASC, event_id ASC) AS prev_us FROM e),
+        |  b AS (SELECT *, CASE WHEN prev_us IS NULL OR us - prev_us > 1800000000
+        |    THEN 1 ELSE 0 END AS boundary FROM l),
+        |  s AS (SELECT *, sum(boundary) OVER (PARTITION BY user_id
+        |    ORDER BY us ASC, event_id ASC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id FROM b),
+        |  g AS (SELECT user_id, session_id,
+        |    min(CASE WHEN event_type = 'click' THEN us END) AS first_click_us,
+        |    max(CASE WHEN event_type = 'purchase' THEN us END) AS last_purchase_us
+        |    FROM s GROUP BY 1, 2)
+        |SELECT count(*) AS n_sessions,
+        |  count(first_click_us) AS n_with_click,
+        |  count(last_purchase_us) AS n_with_purchase,
+        |  count(CASE WHEN first_click_us < last_purchase_us THEN 1 END) AS n_converted
+        |FROM g""".stripMargin,
     "ev_value_delta" ->
       """SELECT event_id, user_id, round(value - prev_value, 6) AS value_delta
         |FROM (SELECT event_id, user_id, value, lag(value) OVER

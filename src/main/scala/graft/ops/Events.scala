@@ -59,6 +59,31 @@ object Events {
       .orderBy("user_id", "session_id")
   }
 
+  /** Session funnel: per 30-min-gap session, did a click PRECEDE a
+    * purchase (strictly earlier event time)? One corpus-level report
+    * row — the classic conversion-funnel aggregate, still one shuffle
+    * on user_id (sessions) + one tiny final aggregate. */
+  def funnel(spark: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy(col("ts").asc, col("event_id").asc)
+    val gapUs = 30L * 60 * 1000000
+    val sessions = Tables.events(spark, dir)
+      .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(byUser))
+      .withColumn("boundary",
+        when(col("prev_us").isNull ||
+             unix_micros(col("ts")) - col("prev_us") > gapUs, 1L).otherwise(0L))
+      .withColumn("session_id", sum(col("boundary")).over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("user_id", "session_id")
+      .agg(
+        min(when(col("event_type") === "click", unix_micros(col("ts")))).as("first_click_us"),
+        max(when(col("event_type") === "purchase", unix_micros(col("ts")))).as("last_purchase_us"))
+    sessions.agg(
+      count(lit(1)).as("n_sessions"),
+      count(col("first_click_us")).as("n_with_click"),
+      count(col("last_purchase_us")).as("n_with_purchase"),
+      count(when(col("first_click_us") < col("last_purchase_us"), lit(1))).as("n_converted"))
+  }
+
   /** Session summary per user (built on sessionize). */
   def sessionStats(spark: SparkSession, dir: String): DataFrame =
     sessionize(spark, dir)
