@@ -28,11 +28,20 @@ object Maintenance {
       Option(new java.io.File(p).list()).getOrElse(Array.empty[String])
         .count(f => f.endsWith(".parquet")).toLong
     val nAfter = spark.read.parquet(s"$out/compact").count()
-    Seq(
+    val report = Seq(
       ("after", files(s"$out/compact"), nAfter),
       ("before", files(s"$out/frag"), orders.count()))
       .toDF("phase", "n_files", "n_rows")
       .orderBy("phase")
+    // all numbers above are already materialized driver-side values —
+    // the scratch copies can go (repeated runs must not fill the disk)
+    deleteRecursively(new java.io.File(out))
+    report
+  }
+
+  private def deleteRecursively(f: java.io.File): Unit = {
+    Option(f.listFiles()).foreach(_.foreach(deleteRecursively))
+    f.delete(): Unit
   }
 
   /** Z-value: bit-interleave of two low-cardinality-bucketed columns

@@ -39,10 +39,12 @@ object Events {
       .select(unix_micros(col("w.start")).as("w_start_us"), col("n"))
       .orderBy("w_start_us")
 
-  /** Gap-based sessionization (30-min inactivity): the classic
-    * lag + cumulative-sum-of-boundaries formulation — two window
-    * functions over one shuffle on user_id. */
-  def sessionize(spark: SparkSession, dir: String): DataFrame = {
+  /** Events with a per-user `session_id` assigned by the classic
+    * lag + cumulative-sum-of-boundaries formulation (30-min inactivity
+    * gap) — two window functions over ONE shuffle on user_id. The
+    * single source of the session definition: sessionize, sessionStats
+    * and funnel all build on this. */
+  private def sessionAssigned(spark: SparkSession, dir: String): DataFrame = {
     val byUser = Window.partitionBy("user_id").orderBy(col("ts").asc, col("event_id").asc)
     val gapUs = 30L * 60 * 1000000 // 30 min in µs
     Tables.events(spark, dir)
@@ -52,27 +54,23 @@ object Events {
              unix_micros(col("ts")) - col("prev_us") > gapUs, 1L).otherwise(0L))
       .withColumn("session_id", sum(col("boundary")).over(
         byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+  }
+
+  /** Gap-based sessionization: one row per (user, session). */
+  def sessionize(spark: SparkSession, dir: String): DataFrame =
+    sessionAssigned(spark, dir)
       .groupBy("user_id", "session_id")
       .agg(count(lit(1)).as("n_events"),
            min(unix_micros(col("ts"))).as("start_us"),
            max(unix_micros(col("ts"))).as("end_us"))
       .orderBy("user_id", "session_id")
-  }
 
   /** Session funnel: per 30-min-gap session, did a click PRECEDE a
     * purchase (strictly earlier event time)? One corpus-level report
     * row — the classic conversion-funnel aggregate, still one shuffle
     * on user_id (sessions) + one tiny final aggregate. */
   def funnel(spark: SparkSession, dir: String): DataFrame = {
-    val byUser = Window.partitionBy("user_id").orderBy(col("ts").asc, col("event_id").asc)
-    val gapUs = 30L * 60 * 1000000
-    val sessions = Tables.events(spark, dir)
-      .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(byUser))
-      .withColumn("boundary",
-        when(col("prev_us").isNull ||
-             unix_micros(col("ts")) - col("prev_us") > gapUs, 1L).otherwise(0L))
-      .withColumn("session_id", sum(col("boundary")).over(
-        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val sessions = sessionAssigned(spark, dir)
       .groupBy("user_id", "session_id")
       .agg(
         min(when(col("event_type") === "click", unix_micros(col("ts")))).as("first_click_us"),

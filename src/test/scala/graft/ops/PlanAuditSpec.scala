@@ -6,8 +6,7 @@ import graft.SparkFixture
 /** Physical-plan audits: the scale-engineering claims in SURVEY.md
   * (broadcast star joins, zero-exchange bucketed joins, pushdown and
   * pruning at the scan, partial top-k) are asserted here so a future
-  * refactor can't silently regress them. Plans are inspected via the
-  * explain string of the final (AQE-resolved where applicable) plan.
+  * refactor can't silently regress them.
   *
   * Assertions are deliberately structural ("contains BroadcastHashJoin")
   * rather than exact-plan snapshots — Spark upgrades reshape plan text,
@@ -15,10 +14,17 @@ import graft.SparkFixture
 class PlanAuditSpec extends AnyFunSuite with SparkFixture {
   private val sf = "/root/testdata/sf0.001"
 
+  /** Execute df's OWN QueryExecution (collect, not count — count builds
+    * a separate QE and leaves this one un-finalized), then return the
+    * FINAL adaptive plan text. AQE's toString prints the final plan
+    * first and the initial plan after a marker — keep only the final
+    * section so node counts aren't doubled. */
   private def planOf(df: org.apache.spark.sql.DataFrame): String = {
-    // materialize so AQE finalizes its decisions, then read the plan
-    df.count()
-    df.queryExecution.executedPlan.toString
+    df.collect()
+    val s = df.queryExecution.executedPlan.toString
+    assert(!s.contains("isFinalPlan=false"), s"plan did not finalize:\n$s")
+    val cut = s.indexOf("== Initial Plan ==")
+    if (cut >= 0) s.substring(0, cut) else s
   }
 
   test("revenue_by_nation: dims broadcast — the fact side never shuffles for the join") {
@@ -28,8 +34,6 @@ class PlanAuditSpec extends AnyFunSuite with SparkFixture {
   }
 
   test("copy pipeline: projection + predicate reach the parquet scan") {
-    val out = java.nio.file.Files.createTempDirectory("graft_audit_").toString
-    val sink = new graft.core.ParquetDir(out)
     import org.apache.spark.sql.functions.col
     val src = new graft.core.ParquetDir(sf)
     val df = src.read(spark, "orders")
@@ -48,28 +52,26 @@ class PlanAuditSpec extends AnyFunSuite with SparkFixture {
   }
 
   test("sessionize: window + per-session aggregate reuse ONE exchange on user_id") {
-    val df = Events.sessionStats(spark, sf)
-    df.count()
-    val p = df.queryExecution.executedPlan.toString
     // the lag window, cumulative sum, per-session agg and per-user agg
     // all partition by user_id: a single hashpartitioning exchange on
     // the events scan side (plus the final tiny sort for orderBy)
+    val p = planOf(Events.sessionStats(spark, sf))
     val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
     assert(exchanges == 1, s"expected 1 hash exchange, got $exchanges in:\n$p")
   }
 
-  test("knn_brute: corpus side streams — no exchange below the broadcast join") {
-    val df = graft.ops.Vector.knnBrute(spark, sf, nQueries = 2, k = 2)
-    df.count()
-    val p = df.queryExecution.executedPlan.toString
+  test("knn_brute: query set broadcasts and the corpus side never shuffles") {
+    val p = planOf(graft.ops.Vector.knnBrute(spark, sf, nQueries = 2, k = 2))
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
       s"query set not broadcast:\n$p")
+    // the only hash exchange allowed is the (tiny) post-join window rank
+    val belowJoin = p.substring(p.indexOf("Broadcast"))
+    assert(!belowJoin.contains("Exchange hashpartitioning"),
+      s"corpus side shuffled below the broadcast join:\n$p")
   }
 
   test("chunk_docs: map-only — no exchange except the final presentation sort") {
-    val df = Text.chunkDocs(spark, sf)
-    df.count()
-    val p = df.queryExecution.executedPlan.toString
+    val p = planOf(Text.chunkDocs(spark, sf))
     assert(!p.contains("Exchange hashpartitioning"),
       s"chunking must not shuffle payloads:\n$p")
   }
