@@ -176,6 +176,7 @@ object SparkEntry {
     "jaccard_pairs"    -> ((s, d) => Text.jaccardPairs(s, d)),
     "minhash_candidates" -> (Text.minhashCandidates _),
     "minhash_neardups" -> ((s, d) => Text.minhashNearDups(s, d)),
+    "dup_classes"      -> ((s, d) => Text.dupClasses(s, d)),
     "simhash_candidates" -> ((s, d) => Text.simhashCandidates(s, d)),
     "lang_stats"       -> (Text.langStats _),
     "token_stats"      -> (Text.tokenStats _),
@@ -908,6 +909,22 @@ object SparkEntry {
          |SELECT d1, d2, round(i / (sa.n + sb.n - i), 4) AS jaccard
          |FROM inter JOIN sizes sa ON sa.doc_id = d1 JOIN sizes sb ON sb.doc_id = d2
          |WHERE round(i / (sa.n + sb.n - i), 4) >= 0.5 ORDER BY d1, d2""".stripMargin,
+    "dup_classes" -> // connected components via recursive closure
+      s"""WITH RECURSIVE $minhashCtes,
+         |  sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+         |  inter AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS i
+         |    FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |    JOIN cand c ON c.d1 = a.doc_id AND c.d2 = b.doc_id
+         |    GROUP BY 1, 2),
+         |  nd AS (SELECT d1, d2 FROM inter
+         |    JOIN sizes sa ON sa.doc_id = d1 JOIN sizes sb ON sb.doc_id = d2
+         |    WHERE round(i / (sa.n + sb.n - i), 4) >= 0.5),
+         |  edges AS (SELECT d1 AS src, d2 AS dst FROM nd
+         |    UNION ALL SELECT d2, d1 FROM nd),
+         |  reach(src, dst) AS (SELECT src, dst FROM edges
+         |    UNION SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src)
+         |SELECT src AS doc_id, least(src, min(dst)) AS class_id
+         |FROM reach GROUP BY src ORDER BY doc_id""".stripMargin,
     "simhash_candidates" ->
       s"""WITH tok AS (SELECT doc_id, unnest(string_split(text,' ')) AS tok FROM documents),
          |  th AS (SELECT doc_id, ${hex60("tok")} AS h FROM tok),

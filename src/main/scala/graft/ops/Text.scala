@@ -174,6 +174,52 @@ object Text {
       .orderBy("d1", "d2")
   }
 
+  /** Duplicate-CLASS assignment: connected components over the verified
+    * near-dup pairs via iterative min-label propagation — the step that
+    * turns pairwise dedup output into actionable "keep one per class"
+    * groups. Each iteration is one distributed join + aggregate (labels
+    * propagate one hop); the driver loop only reads a convergence
+    * COUNT per round (the label table itself never leaves the
+    * executors), iterations are bounded by the component diameter —
+    * near-dup classes are clique-like, so 2-3 rounds in practice. */
+  def dupClasses(spark: SparkSession, dir: String, maxIter: Int = 20): DataFrame = {
+    // Materialize the (expensive) near-dup pairs ONCE, and each label
+    // round too: iterative algorithms on lazy lineage otherwise
+    // re-execute the whole upstream pipeline per iteration and grow the
+    // plan without bound (measured 34s -> ~3s at sf0.1). Parquet as the
+    // iteration barrier is the deterministic choice (localCheckpoint
+    // measured unstable under AQE in round 1).
+    val tmp = java.nio.file.Files.createTempDirectory("graft_cc_").toString
+    minhashNearDups(spark, dir).select(col("d1"), col("d2"))
+      .write.mode("overwrite").parquet(s"$tmp/pairs")
+    val pairs = spark.read.parquet(s"$tmp/pairs")
+    val edges = pairs.select(col("d1").as("src"), col("d2").as("dst"))
+      .union(pairs.select(col("d2").as("src"), col("d1").as("dst")))
+    edges.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id"))
+      .write.mode("overwrite").parquet(s"$tmp/labels")
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < maxIter) {
+      val labels = spark.read.parquet(s"$tmp/labels")
+      val neighborMin = edges
+        .join(labels.select(col("id").as("dst"), col("label").as("nl")), "dst")
+        .groupBy(col("src").as("id")).agg(min(col("nl")).as("nmin"))
+      val next = labels.join(neighborMin, Seq("id"), "left")
+        .select(col("id"), col("label"),
+          least(col("label"), coalesce(col("nmin"), col("label"))).as("nlabel"))
+      next.write.mode("overwrite").parquet(s"$tmp/next")
+      val mat = spark.read.parquet(s"$tmp/next")
+      changed = mat.filter(col("nlabel") < col("label")).count()
+      mat.select(col("id"), col("nlabel").as("label"))
+        .write.mode("overwrite").parquet(s"$tmp/labels")
+      iter += 1
+    }
+    spark.read.parquet(s"$tmp/labels")
+      .select(col("id").as("doc_id"), col("label").as("class_id"))
+      .orderBy("doc_id")
+  }
+
   // ------------------------------------------------------ exact jaccard
 
   /** Exact all-pairs n-gram Jaccard above a threshold — the oracle-able
