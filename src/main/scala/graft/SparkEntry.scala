@@ -183,6 +183,8 @@ object SparkEntry {
     "term_stats"       -> (Text.termStats _),
     "lang_id"          -> (Text.langIdHeuristic _),
     "quality_score"    -> (Text.qualityScore _),
+    "quality_histogram" -> (Text.qualityHistogram _),
+    "busiest_hours"    -> ((s, d) => Events.busiestHours(s, d)),
     // ---- vectors / similarity
     "vector_norm_stats" -> (Vector.normStats _),
     "knn_brute"        -> ((s, d) => Vector.knnBrute(s, d)),
@@ -782,6 +784,24 @@ object SparkEntry {
         |    ELSE 'zh' END AS predicted FROM sc)
         |SELECT lang, predicted, count(*) AS n FROM p
         |GROUP BY lang, predicted ORDER BY lang, predicted""".stripMargin,
+    "busiest_hours" ->
+      """SELECT epoch_us(time_bucket(INTERVAL 1 HOUR, CAST(ts AS TIMESTAMP))) AS hour_us,
+        |  count(*) AS n
+        |FROM events GROUP BY 1 ORDER BY n DESC, hour_us ASC LIMIT 5""".stripMargin,
+    "quality_histogram" ->
+      """WITH q AS (SELECT doc_id, round(
+        |  (CASE WHEN n_chars >= 100 AND n_chars <= 1000 THEN 1.0 ELSE 0.5 END)
+        |  * (1.0 - least(CAST(len(regexp_extract_all(text, '[^\w\s]')) AS DOUBLE)
+        |       / greatest(CAST(len(string_split(text,' ')) AS DOUBLE), 1.0), 1.0) * 0.5)
+        |  * (0.5 + least(CAST(len(list_filter(string_split(text,' '),
+        |       x -> x IN ('the','a','of','and','is','to'))) AS DOUBLE)
+        |       / greatest(CAST(len(string_split(text,' ')) AS DOUBLE), 1.0) * 2, 0.5))
+        |  * (0.5 + CAST(len(list_distinct(string_split(text,' '))) AS DOUBLE)
+        |       / CAST(len(string_split(text,' ')) AS DOUBLE) * 0.5), 4) AS quality
+        |  FROM documents)
+        |SELECT CAST(floor(quality * 10) AS BIGINT) AS bin, count(*) AS n_docs,
+        |  round(min(quality), 4) AS lo, round(max(quality), 4) AS hi
+        |FROM q GROUP BY 1 ORDER BY bin""".stripMargin,
     "quality_score" ->
       """SELECT doc_id, round(
         |  (CASE WHEN n_chars >= 100 AND n_chars <= 1000 THEN 1.0 ELSE 0.5 END)

@@ -82,6 +82,16 @@ object Events {
       count(when(col("first_click_us") < col("last_purchase_us"), lit(1))).as("n_converted"))
   }
 
+  /** Busiest hours: tumbling-hour counts -> global top-5 (planner turns
+    * sort+limit into TakeOrderedAndProject over the tiny agg result). */
+  def busiestHours(spark: SparkSession, dir: String, k: Int = 5): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(window(col("ts"), "1 hour").as("w"))
+      .agg(count(lit(1)).as("n"))
+      .select(unix_micros(col("w.start")).as("hour_us"), col("n"))
+      .orderBy(col("n").desc, col("hour_us").asc)
+      .limit(k)
+
   /** Session summary per user (built on sessionize). */
   def sessionStats(spark: SparkSession, dir: String): DataFrame =
     sessionize(spark, dir)

@@ -459,4 +459,16 @@ object Text {
           (lit(0.5) + ttr * 0.5), 4).as("quality"))
       .orderBy("doc_id")
   }
+
+  /** Quality-score distribution: 0.1-wide bins over the (rounded)
+    * per-doc quality — the corpus health report a filtering pipeline
+    * thresholds against. Bins on the ROUNDED score, so edges are
+    * engine-stable. */
+  def qualityHistogram(spark: SparkSession, dir: String): DataFrame =
+    qualityScore(spark, dir)
+      .groupBy(floor(col("quality") * 10).cast("bigint").as("bin"))
+      .agg(count(lit(1)).as("n_docs"),
+        round(min(col("quality")), 4).as("lo"),
+        round(max(col("quality")), 4).as("hi"))
+      .orderBy("bin")
 }
