@@ -41,23 +41,35 @@ object Bench {
     val best = scala.collection.mutable.Map[String, Double]()
     val benchStart = System.nanoTime()
     def elapsedMin: Double = (System.nanoTime() - benchStart) / 6e10
-    // One SHORT json line over whatever is measured so far: the driver
-    // parses a bounded tail of this output — compact 2-decimal timings
-    // keep the whole line well under 2KB. Locale.ROOT: a comma-decimal
-    // default locale would corrupt the JSON.
+    // One SHORT json line over whatever is measured so far. The driver
+    // parses a bounded ~2.2KB tail of stdout that must also hold sbt's
+    // [success] line — at 100 queries a full per-query map (~2.3KB)
+    // overflowed it and r1 AND r2 both landed as parsed:null. So the
+    // stdout line carries only total / median / count / the 10 slowest
+    // queries (bounded ~500B regardless of query count); the FULL
+    // per-query map goes to stderr for humans. Locale.ROOT: a
+    // comma-decimal default locale would corrupt the JSON.
     def fmt(v: Double): String = String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
     def jsonLine(): String = {
       val measured = names.filter(best.contains).sorted
-      val qs = measured.map(k => "\"" + k + "\":" + fmt(best(k))).mkString("{", ",", "}")
-      val total = fmt(measured.map(best).sum)
+      val vals = measured.map(best).sorted
+      val total = fmt(vals.sum)
+      val median = if (vals.isEmpty) "0" else fmt(vals(vals.size / 2))
+      val slow = measured.sortBy(n => -best(n)).take(10)
+        .map(k => "\"" + k + "\":" + fmt(best(k))).mkString("{", ",", "}")
       val sfShort = sfDir.split("/").last
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfShort"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfShort","nq":${measured.size},"median":$median,"queries":$slow}"""
+    }
+    def dumpFull(): Unit = {
+      val measured = names.filter(best.contains).sorted
+      val qs = measured.map(k => "\"" + k + "\":" + fmt(best(k))).mkString("{", ",", "}")
+      System.err.println(s"""[bench] full per-query minima: $qs""")
     }
     // If the driver's timeout kills us mid-run (SIGTERM), still emit a
     // parseable line with the minima collected so far.
     val printed = new java.util.concurrent.atomic.AtomicBoolean(false)
     Runtime.getRuntime.addShutdownHook(new Thread(() => {
-      if (printed.compareAndSet(false, true)) { println(jsonLine()); System.out.flush() }
+      if (printed.compareAndSet(false, true)) { dumpFull(); println(jsonLine()); System.out.flush() }
     }))
     for (sweep <- 1 to 3) {
       // Sweep 1 always measures everything (a missing entry would hole
@@ -77,7 +89,7 @@ object Bench {
         best(name) = math.min(best.getOrElse(name, Double.MaxValue), dt)
       }
     }
-    if (printed.compareAndSet(false, true)) println(jsonLine())
+    if (printed.compareAndSet(false, true)) { dumpFull(); println(jsonLine()) }
     spark.stop()
     System.exit(0) // never hang on leaked non-daemon threads
   }

@@ -526,12 +526,12 @@ object SparkEntry {
         |    sum(CAST(l_discount AS DECIMAL(18,4)) * CAST(l_tax AS DECIMAL(18,4))) AS sdt
         |  FROM lineitem GROUP BY l_returnflag)
         |SELECT l_returnflag,
-        |  round(sqrt((CAST(spp AS DOUBLE) - CAST(sp AS DOUBLE)*CAST(sp AS DOUBLE)/n)/(n-1)), 2) AS price_sd,
-        |  round((CAST(sqq AS DOUBLE) - CAST(sq AS DOUBLE)*CAST(sq AS DOUBLE)/n)/(n-1), 4) AS qty_var,
+        |  round(sqrt((CAST(spp AS DOUBLE) - CAST(sp AS DOUBLE)*CAST(sp AS DOUBLE)/n)/(n-1)), 2) + 0.0 AS price_sd,
+        |  round((CAST(sqq AS DOUBLE) - CAST(sq AS DOUBLE)*CAST(sq AS DOUBLE)/n)/(n-1), 4) + 0.0 AS qty_var,
         |  round((CAST(sqp AS DOUBLE) - CAST(sq AS DOUBLE)*CAST(sp AS DOUBLE)/n) /
         |    (sqrt(CAST(sqq AS DOUBLE) - CAST(sq AS DOUBLE)*CAST(sq AS DOUBLE)/n) *
-        |     sqrt(CAST(spp AS DOUBLE) - CAST(sp AS DOUBLE)*CAST(sp AS DOUBLE)/n)), 4) AS qty_price_corr,
-        |  round((CAST(sdt AS DOUBLE) - CAST(sd AS DOUBLE)*CAST(st AS DOUBLE)/n)/(n-1), 6) AS disc_tax_cov
+        |     sqrt(CAST(spp AS DOUBLE) - CAST(sp AS DOUBLE)*CAST(sp AS DOUBLE)/n)), 4) + 0.0 AS qty_price_corr,
+        |  round((CAST(sdt AS DOUBLE) - CAST(sd AS DOUBLE)*CAST(st AS DOUBLE)/n)/(n-1), 6) + 0.0 AS disc_tax_cov
         |FROM s ORDER BY l_returnflag""".stripMargin,
     "histogram" ->
       """SELECT CAST(floor((l_extendedprice - 900.0) / 200.0) AS BIGINT) AS bin,

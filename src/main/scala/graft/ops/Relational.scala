@@ -380,15 +380,19 @@ object Relational {
         sum(p * p).as("spp"), sum(q * p).as("sqp"),
         sum(d).as("sd"), sum(t).as("st"), sum(d * t).as("sdt"))
       .select(col("l_returnflag"),
-        round(sqrt((dbl(col("spp")) - dbl(col("sp")) * dbl(col("sp")) / n) / (n - 1)), 2)
+        // `+ 0.0` after every round: IEEE addition maps -0.0 to +0.0
+        // (exact no-op for all other values), so a covariance that
+        // rounds to negative zero hashes identically in both engines
+        // (the r1/r2 hash mismatch was Spark +0.0 vs DuckDB -0.0).
+        (round(sqrt((dbl(col("spp")) - dbl(col("sp")) * dbl(col("sp")) / n) / (n - 1)), 2) + 0.0)
           .as("price_sd"),
-        round((dbl(col("sqq")) - dbl(col("sq")) * dbl(col("sq")) / n) / (n - 1), 4)
+        (round((dbl(col("sqq")) - dbl(col("sq")) * dbl(col("sq")) / n) / (n - 1), 4) + 0.0)
           .as("qty_var"),
-        round((dbl(col("sqp")) - dbl(col("sq")) * dbl(col("sp")) / n) /
+        (round((dbl(col("sqp")) - dbl(col("sq")) * dbl(col("sp")) / n) /
           (sqrt(dbl(col("sqq")) - dbl(col("sq")) * dbl(col("sq")) / n) *
-           sqrt(dbl(col("spp")) - dbl(col("sp")) * dbl(col("sp")) / n)), 4)
+           sqrt(dbl(col("spp")) - dbl(col("sp")) * dbl(col("sp")) / n)), 4) + 0.0)
           .as("qty_price_corr"),
-        round((dbl(col("sdt")) - dbl(col("sd")) * dbl(col("st")) / n) / (n - 1), 6)
+        (round((dbl(col("sdt")) - dbl(col("sd")) * dbl(col("st")) / n) / (n - 1), 6) + 0.0)
           .as("disc_tax_cov"))
       .orderBy("l_returnflag")
   }
