@@ -97,6 +97,8 @@ object SparkEntry {
     "compact_files"    -> ((s, d) => graft.core.Maintenance.compactFiles(s, d)),
     "zorder_key"       -> ((s, d) => graft.core.Maintenance.zorderKey(s, d)),
     "schema_report"    -> ((s, d) => Catalog.schemaReport(s, d, "lineitem")),
+    "index_report"     -> ((s, _) => graft.core.Indexes.report(s, graft.core.Indexes.tpchIndexes)),
+    "namespace_report" -> ((s, d) => Catalog.namespacesDf(s, d)),
     // ---- sources: non-parquet formats
     "csv_roundtrip"    -> (Formats.csvRoundtrip _),
     "json_roundtrip"   -> (Formats.jsonRoundtrip _),
@@ -342,6 +344,22 @@ object SparkEntry {
         |('l_returnflag','text',true),('l_linestatus','text',true),
         |('l_shipdate','timestamp without time zone',true))
         |t(col_name, pg_type, is_nullable)""".stripMargin,
+    "index_report" -> // fixture specs -> replay DDL; checks the composite-PK fix
+      """SELECT * FROM (VALUES
+        |('idx_orders_custkey','public.orders','o_custkey',false,false,'',
+        | 'CREATE INDEX idx_orders_custkey ON public.orders (o_custkey)'),
+        |('idx_orders_open','public.orders','o_orderdate',false,false,'o_orderstatus = ''O''',
+        | 'CREATE INDEX idx_orders_open ON public.orders (o_orderdate) WHERE o_orderstatus = ''O'''),
+        |('pk_lineitem','public.lineitem','l_orderkey, l_linenumber',true,true,'',
+        | 'ALTER TABLE public.lineitem ADD CONSTRAINT pk_lineitem PRIMARY KEY (l_orderkey, l_linenumber)'),
+        |('pk_nation','public.nation','n_nationkey',true,true,'',
+        | 'ALTER TABLE public.nation ADD CONSTRAINT pk_nation PRIMARY KEY (n_nationkey)'),
+        |('uq_part_partkey','public.part','p_partkey',true,false,'',
+        | 'CREATE UNIQUE INDEX uq_part_partkey ON public.part (p_partkey)'))
+        |t(index_name, table_name, index_columns, is_unique, is_primary, where_pred, ddl)
+        |ORDER BY index_name""".stripMargin,
+    "namespace_report" ->
+      """SELECT * FROM (VALUES ('public')) t(namespace) ORDER BY namespace""".stripMargin,
     "pricing_summary" ->
       s"""SELECT l_returnflag, l_linestatus,
          |  ${moneySum("l_quantity")} AS sum_qty,

@@ -44,9 +44,30 @@ trait TableSink {
   def write(df: DataFrame, name: String): Unit
 }
 
-/** Parquet-directory backend: `$dir/<table>.parquet`. */
+/** Parquet-directory backend: `$dir/<table>.parquet`. Namespaces
+  * (reference schema_names, postgres.rb:108-120) map to SUBDIRECTORIES:
+  * the flat root is the implicit "public" namespace and
+  * `$dir/<ns>/<table>.parquet` holds namespace-qualified tables.
+  * `createNamespace` is idempotent — the analogue of the reference's
+  * `CREATE SCHEMA IF NOT EXISTS` (transport.rb:46). */
 final class ParquetDir(dir: String) extends TableSource with TableSink {
   private def pathOf(name: String) = s"$dir/$name.parquet"
+
+  /** "public" plus every subdirectory that holds at least one table.
+    * Hidden/staging dirs (dot-prefixed) are never namespaces. */
+  def listNamespaces(): Seq[String] = {
+    val subs = Option(new java.io.File(dir).listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && !f.getName.startsWith(".") && !f.getName.endsWith(".parquet"))
+      .filter(f => Option(f.list()).exists(_.exists(_.endsWith(".parquet"))))
+      .map(_.getName).toSeq
+    ("public" +: subs).distinct.sorted
+  }
+
+  def createNamespace(name: String): Unit =
+    if (name != "public") { new java.io.File(dir, name).mkdirs(); () }
+
+  def namespaceExists(name: String): Boolean =
+    name == "public" || new java.io.File(dir, name).isDirectory
 
   private def fs(spark: SparkSession): FileSystem =
     new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -168,6 +189,15 @@ object Catalog {
   def tablesDf(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     new ParquetDir(dir).listTables().toDF("table_name")
+  }
+
+  /** Namespace listing as a one-column DataFrame (reference
+    * schema_names, postgres.rb:108-120). The sandbox corpus is flat,
+    * so this reports the implicit "public" namespace plus any
+    * subdirectory namespaces a copy created. */
+  def namespacesDf(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    new ParquetDir(dir).listNamespaces().toDF("namespace").orderBy("namespace")
   }
 
   /** ANALYZE-style stats report: (table_name, n_rows, n_cols) per

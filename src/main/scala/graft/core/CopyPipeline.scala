@@ -27,9 +27,14 @@ object CopyPipeline {
   final case class CopyOptions(
       columns: Option[Seq[String]] = None,   // projection copy
       filter: Option[Column] = None,         // predicate copy (pushed down)
-      sortWithinPartitions: Option[Seq[String]] = None) // layout for downstream scans
+      sortWithinPartitions: Option[Seq[String]] = None, // layout for downstream scans
+      // Conditional create (reference create_table_if_not_exists,
+      // postgres.rb:52-78): when true, a copy whose destination already
+      // exists is SKIPPED instead of hotswapped.
+      ifNotExists: Boolean = false)
 
-  final case class CopyResult(table: String, rows: Long, columns: Int)
+  final case class CopyResult(table: String, rows: Long, columns: Int,
+      skipped: Boolean = false)
 
   /** Single-table copy: the flagship operator (reference direct_copy,
     * transport.rb:66-75). Identity projection unless options narrow it. */
@@ -40,13 +45,21 @@ object CopyPipeline {
       table: String,
       destTable: Option[String] = None,
       options: CopyOptions = CopyOptions()): CopyResult = {
+    val destName = destTable.getOrElse(table)
+    if (options.ifNotExists) sink match {
+      case s: TableSource if s.tableExists(destName) =>
+        // skip-if-exists: report the EXISTING table's shape, untouched
+        val existing = s.read(spark, destName)
+        return CopyResult(destName, existing.count(), existing.schema.size, skipped = true)
+      case _ => ()
+    }
     var df = source.read(spark, table)
     options.columns.foreach(cs => df = df.select(cs.map(df.col): _*))
     options.filter.foreach(p => df = df.filter(p))
     options.sortWithinPartitions.foreach { keys =>
       df = df.sortWithinPartitions(keys.map(df.col): _*)
     }
-    val dest = destTable.getOrElse(table)
+    val dest = destName
     sink.write(df, dest)
     // Count AFTER publish, from the sink side when it is also a source
     // (verifies the copy really landed — the reference never verified,

@@ -103,4 +103,49 @@ class CopyPipelineSpec extends AnyFunSuite with SparkFixture {
     assert(cols.map(_.name) == Seq("id", "v"))
     assert(cols.map(_.pgType) == Seq("bigint", "text"))
   }
+
+  test("namespaces: public always listed; create is idempotent; staging dirs excluded") {
+    val src = tmp()
+    writeTable(src, "t1")
+    val pd = new ParquetDir(src)
+    assert(pd.listNamespaces() == Seq("public"))
+    pd.createNamespace("analytics")
+    pd.createNamespace("analytics") // idempotent (CREATE SCHEMA IF NOT EXISTS)
+    assert(pd.namespaceExists("analytics"))
+    // empty dir is not yet a namespace with tables; write one in
+    writeTable(s"$src/analytics", "t2")
+    assert(pd.listNamespaces() == Seq("analytics", "public"))
+    // dot-dirs (staging) never surface
+    new java.io.File(src, ".staging_x").mkdirs()
+    assert(pd.listNamespaces() == Seq("analytics", "public"))
+  }
+
+  test("ifNotExists skips an existing destination instead of hotswapping") {
+    val (src, dst) = (tmp(), tmp())
+    writeTable(src, "t1")
+    val sink = new ParquetDir(dst)
+    val first = CopyPipeline.copyTable(spark, new ParquetDir(src), sink, "t1",
+      options = CopyPipeline.CopyOptions(ifNotExists = true))
+    assert(!first.skipped && first.rows == 3)
+    // shrink the source; a skip-mode copy must NOT propagate the change
+    import org.apache.spark.sql.functions.col
+    val second = CopyPipeline.copyTable(spark, new ParquetDir(src), sink, "t1",
+      options = CopyPipeline.CopyOptions(filter = Some(col("id") > 2), ifNotExists = true))
+    assert(second.skipped && second.rows == 3)
+    assert(sink.read(spark, "t1").count() == 3)
+  }
+
+  test("cli: glob copy + skip-if-exists flags") {
+    val (src, dst) = (tmp(), tmp())
+    writeTable(src, "cli_a"); writeTable(src, "cli_b"); writeTable(src, "other")
+    val results = graft.tools.Cli.run(spark, Array("cp", src, dst, "cli_*"))
+    assert(results.map(_.table).sorted == Seq("cli_a", "cli_b"))
+    val again = graft.tools.Cli.run(spark,
+      Array("cp", src, dst, "cli_a", "--if-not-exists"))
+    assert(again.head.skipped)
+    val projected = graft.tools.Cli.run(spark,
+      Array("cp", src, dst, "other", "--columns", "id"))
+    assert(projected.head.columns == 1)
+    intercept[IllegalArgumentException](graft.tools.Cli.run(spark, Array("nope")))
+  }
 }
