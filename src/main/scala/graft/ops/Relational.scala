@@ -483,17 +483,36 @@ object Relational {
   }
 
   /** Distribution windows: ntile / percent_rank / cume_dist over a
-    * global total order. Scale note: a single global Window is the
-    * semantic; at 100 TB the same result comes from a range-partitioned
-    * sort (Spark's global orderBy) + per-partition offsets — the query
-    * shape stays declarative either way. */
+    * global total order — WITHOUT the single-partition Exchange that
+    * `Window.orderBy(...)` (no partitionBy) plans. Instead:
+    * range-partitioned global sort (Spark's orderBy) + per-partition
+    * offsets via zipWithIndex (which runs one count job over the
+    * sorted partitions, then a narrow map — every partition ranks in
+    * parallel). The ordering key is UNIQUE (tie-break on o_orderkey),
+    * so rank == row_number and the window functions reduce to closed
+    * forms over (rank, n):
+    *   percent_rank = (r-1)/(n-1),  cume_dist = r/n,
+    *   ntile(k): first n%k buckets get n/k+1 rows, the rest n/k.
+    * Both engines evaluate the same integer-exact double divisions, so
+    * the result is bit-stable vs the oracle's true window form —
+    * equivalence is also locked by a unit spec against Spark's own
+    * window implementation. */
   def ntileDist(spark: SparkSession, dir: String): DataFrame = {
-    val w = Window.orderBy(col("o_totalprice").asc, col("o_orderkey").asc)
-    Tables.orders(spark, dir)
-      .select(col("o_orderkey"),
-        ntile(10).over(w).cast("int").as("decile"),
-        round(percent_rank().over(w), 6).as("pct_rank"),
-        round(cume_dist().over(w), 6).as("cume"))
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.LongType
+    val src = Tables.orders(spark, dir).select("o_orderkey", "o_totalprice")
+    val n = src.count()
+    val sorted = src.orderBy(col("o_totalprice").asc, col("o_orderkey").asc)
+    val ranked = spark.createDataFrame(
+      sorted.rdd.zipWithIndex.map { case (row, i) => Row.fromSeq(row.toSeq :+ (i + 1L)) },
+      sorted.schema.add("rk", LongType, nullable = false))
+    val base = n / 10; val rem = n % 10; val cut = rem * (base + 1)
+    ranked.select(col("o_orderkey"),
+        expr(s"CAST(CASE WHEN rk <= $cut THEN (rk - 1) DIV ${base + 1} + 1" +
+             s" ELSE $rem + (rk - $cut - 1) DIV ${math.max(base, 1)} + 1 END AS INT)")
+          .as("decile"),
+        round((col("rk") - 1).cast("double") / lit(n - 1).cast("double"), 6).as("pct_rank"),
+        round(col("rk").cast("double") / lit(n).cast("double"), 6).as("cume"))
       .orderBy("o_orderkey")
   }
 

@@ -75,4 +75,23 @@ class PlanAuditSpec extends AnyFunSuite with SparkFixture {
     assert(!p.contains("Exchange hashpartitioning"),
       s"chunking must not shuffle payloads:\n$p")
   }
+
+  test("ntile_dist: no single-partition exchange, and closed forms match Spark's window impl") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val df = Relational.ntileDist(spark, sf)
+    val p = planOf(df)
+    assert(!p.contains("Exchange SinglePartition"),
+      s"global-window single-partition exchange crept back:\n$p")
+    assert(!p.contains("Window"), s"expected the rank-closed-form path, not a Window:\n$p")
+    // semantic lock: closed forms == Spark's own unpartitioned window
+    val w = Window.orderBy(col("o_totalprice").asc, col("o_orderkey").asc)
+    val windowed = graft.core.Tables.orders(spark, sf)
+      .select(col("o_orderkey"),
+        ntile(10).over(w).cast("int").as("decile"),
+        round(percent_rank().over(w), 6).as("pct_rank"),
+        round(cume_dist().over(w), 6).as("cume"))
+      .orderBy("o_orderkey")
+    assert(df.collect().toSeq == windowed.collect().toSeq)
+  }
 }
