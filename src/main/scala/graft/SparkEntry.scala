@@ -1030,14 +1030,26 @@ object SparkEntry {
          |    ORDER BY sim DESC, neighbor_id ASC) AS rnk FROM pairs)
          |SELECT query_id, CAST(rnk AS BIGINT) AS rnk, neighbor_id, sim FROM rr
          |WHERE rnk <= 3 ORDER BY query_id, rnk""".stripMargin,
-    "emb_neardups" ->
-      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
-        |    FROM embeddings),
-        |  p AS (SELECT a.vec_id AS d1, b.vec_id AS d2,
-        |    round(list_dot_product(a.emb, b.emb) / (sqrt(list_dot_product(a.emb, a.emb))
-        |      * sqrt(list_dot_product(b.emb, b.emb))), 4) AS sim
-        |    FROM e a JOIN e b ON a.vec_id < b.vec_id)
-        |SELECT d1, d2, sim FROM p WHERE sim >= 0.4 ORDER BY d1, d2""".stripMargin,
+    "emb_neardups" -> // 8 bands x 4 sign bits of md5-derived planes, then exact verify
+      s"""WITH planes AS (SELECT pj.j AS j, list_transform(generate_series(0,63),
+         |    d -> ((${hex60("'p:' || pj.j || ':' || d")} % 2001) - 1000) / 1000.0) AS p
+         |  FROM generate_series(0,31) pj(j)),
+         |  e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+         |    FROM embeddings),
+         |  bits AS (SELECT vec_id, pl.j // 4 AS band,
+         |    CASE WHEN list_dot_product(e.emb, pl.p) >= 0
+         |      THEN (1::BIGINT << (pl.j % 4)) ELSE 0 END AS bv
+         |    FROM e, planes pl),
+         |  bk AS (SELECT vec_id, band, CAST(sum(bv) AS BIGINT) AS bucket
+         |    FROM bits GROUP BY vec_id, band),
+         |  cand AS (SELECT DISTINCT x.vec_id AS d1, y.vec_id AS d2
+         |    FROM bk x JOIN bk y ON x.band = y.band AND x.bucket = y.bucket
+         |      AND x.vec_id < y.vec_id),
+         |  p AS (SELECT d1, d2,
+         |    round(list_dot_product(a.emb, b.emb) / (sqrt(list_dot_product(a.emb, a.emb))
+         |      * sqrt(list_dot_product(b.emb, b.emb))), 4) AS sim
+         |    FROM cand JOIN e a ON a.vec_id = cand.d1 JOIN e b ON b.vec_id = cand.d2)
+         |SELECT d1, d2, sim FROM p WHERE sim >= 0.4 ORDER BY d1, d2""".stripMargin,
     "centroid_norm" ->
       """WITH u AS (SELECT label, g.i AS i, CAST(embedding[g.i] AS DOUBLE) AS x
         |    FROM embeddings, LATERAL (SELECT unnest(generate_series(1, 64)) AS i) g),

@@ -134,17 +134,44 @@ object Vector {
       .orderBy("query_id", "rnk")
   }
 
-  /** Embedding-cosine near-duplicate pairs: EXACT all-pairs at a
-    * moderate threshold — the vector twin of `jaccardPairs`. The small
-    * side broadcasts, so the corpus side never shuffles; at 100 TB the
-    * candidate set comes from `lshBuckets` banding first (see
-    * `annCosine`), with this exact filter as the verify stage. */
-  def embNearDups(spark: SparkSession, dir: String, threshold: Double = 0.4): DataFrame = {
+  /** Embedding-cosine near-duplicate pairs, the vector twin of
+    * `minhashNearDups`: banded hyperplane-LSH candidates -> exact
+    * cosine verify. `bands` independent signatures of `bitsPerBand`
+    * sign bits each (md5-derived planes, SQL-replayable); vectors
+    * sharing ANY band bucket become a candidate pair; candidates carry
+    * IDS ONLY through the shuffle, then two hash equi-joins pull the
+    * vectors back for the exact rounded-cosine filter. Every join here
+    * is an equi-join — no broadcast of the corpus, no nested loop —
+    * so the shape survives 100 TB (cost tracks bucket occupancy, not
+    * n^2). Recall < 1 by construction, like every banded sketch: with
+    * 8x4 bits, a pair at cos 0.4 (bit-agree p = 1 - acos(.4)/pi ~ .63)
+    * survives with 1-(1-p^4)^8 ~ 75%; identical vectors always share
+    * all bands. The DuckDB oracle replays the same planes/bands, so
+    * the result is hash-checked exactly; the all-pairs exact form
+    * lives on as the labeled recall baseline in VectorBandSpec. */
+  def embNearDups(spark: SparkSession, dir: String, threshold: Double = 0.4,
+                  bands: Int = 8, bitsPerBand: Int = 4, dim: Int = 64): DataFrame = {
+    import graft.functions.DetHash
     val e = Tables.embeddings(spark, dir).select(col("vec_id"), dbl(col("embedding")).as("emb"))
       .withColumn("nrm", nNorm(spark)(col("emb"))) // per-vector, pre-join
+    // Band g packs sign bits of planes j = g*bitsPerBand+t; the plane
+    // constants fold into the plan as literals (zero per-row hashing).
+    def bandBucket(g: Int): Column =
+      (0 until bitsPerBand).map { t =>
+        val j = g * bitsPerBand + t
+        val plane = typedLit((0 until dim).map(i => DetHash.planeComp(j, i)))
+        when(nDot(spark)(col("emb"), plane) >= 0, lit(1L << t)).otherwise(lit(0L))
+      }.reduce((a, b) => a.bitwiseOR(b))
+    val banded = e.select(col("vec_id"),
+      posexplode(array((0 until bands).map(bandBucket): _*)).as(Seq("band", "bucket")))
+    val cand = banded.as("x").join(banded.as("y"),
+        col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
+          col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id").as("d1"), col("y.vec_id").as("d2"))
+      .distinct() // a pair may collide in several bands
     val l = e.select(col("vec_id").as("d1"), col("emb").as("e1"), col("nrm").as("n1"))
     val r = e.select(col("vec_id").as("d2"), col("emb").as("e2"), col("nrm").as("n2"))
-    l.join(broadcast(r), col("d1") < col("d2"))
+    cand.join(l, Seq("d1")).join(r, Seq("d2"))
       .select(col("d1"), col("d2"),
         round(nDot(spark)(col("e1"), col("e2")) / (col("n1") * col("n2")), 4).as("sim"))
       .filter(col("sim") >= threshold)

@@ -76,6 +76,34 @@ class PlanAuditSpec extends AnyFunSuite with SparkFixture {
       s"chunking must not shuffle payloads:\n$p")
   }
 
+  test("emb_neardups: banded LSH shape — every join an equi-join, corpus never nested-loops") {
+    val p = planOf(Vector.embNearDups(spark, sf))
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      s"corpus-wide nested-loop broadcast crept back:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian in the candidate path:\n$p")
+  }
+
+  test("emb_neardups: banded candidates are a subset of exact all-pairs, with planted-dup recall") {
+    import org.apache.spark.sql.functions._
+    val banded = Vector.embNearDups(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // labeled exact baseline (the pre-round-3 all-pairs form), test-only
+    val e = graft.core.Tables.embeddings(spark, sf)
+      .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("emb"))
+      .withColumn("nrm", sqrt(Vector.dot(col("emb"), col("emb"))))
+    val l = e.select(col("vec_id").as("d1"), col("emb").as("e1"), col("nrm").as("n1"))
+    val r = e.select(col("vec_id").as("d2"), col("emb").as("e2"), col("nrm").as("n2"))
+    val exact = l.join(r, col("d1") < col("d2"))
+      .select(col("d1"), col("d2"),
+        round(Vector.dot(col("e1"), col("e2")) / (col("n1") * col("n2")), 4).as("sim"))
+      .filter(col("sim") >= 0.4)
+      .collect().map(row => (row.getLong(0), row.getLong(1))).toSet
+    assert(banded.subsetOf(exact), "banded verify produced a pair exact all-pairs lacks")
+    // deterministic given fixed data + md5 planes; ~75% expected at cos 0.4
+    assert(exact.nonEmpty && banded.size >= exact.size / 2,
+      s"banded recall collapsed: ${banded.size} of ${exact.size} exact pairs")
+  }
+
   test("ntile_dist: no single-partition exchange, and closed forms match Spark's window impl") {
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.functions._
