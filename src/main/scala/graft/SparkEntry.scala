@@ -972,11 +972,27 @@ object SparkEntry {
          |  sig AS (SELECT doc_id,
          |    CAST(sum(CASE WHEN v > 0 THEN (1::BIGINT << j) ELSE 0 END) AS BIGINT) AS simhash
          |    FROM bits GROUP BY doc_id),
-         |  ch AS (SELECT doc_id, simhash, c.c AS chunk, (simhash >> (c.c*15)) & 32767 AS chv
-         |    FROM sig, generate_series(0,3) c(c))
+         |  prm AS (SELECT CASE WHEN count(*) < 8192 THEN 4
+         |      WHEN count(*) < 67108864 THEN 6 ELSE 10 END AS k,
+         |    60 // CASE WHEN count(*) < 8192 THEN 4
+         |      WHEN count(*) < 67108864 THEN 6 ELSE 10 END AS w
+         |    FROM documents),
+         |  -- generate_series can't take lateral column bounds: enumerate to
+         |  -- the max (k=10: m<1024, c<=9); m < 2^k zeroes the high c bits
+         |  combos AS (SELECT g.m AS m, k, w FROM prm, generate_series(0, 1023) g(m)
+         |    WHERE g.m < (1::BIGINT << k) AND bit_count(g.m) = k - 3),
+         |  ch AS (SELECT doc_id, simhash, m,
+         |    list_reduce(list_prepend(0::BIGINT,
+         |      list_transform(generate_series(0, 9), c ->
+         |        CASE WHEN ((m >> c) & 1) = 1
+         |          THEN (simhash >> (c * w)) & ((1::BIGINT << w) - 1)
+         |          ELSE -1::BIGINT END)),
+         |      (a, b) -> CASE WHEN b = -1 THEN a
+         |        ELSE a * (1::BIGINT << w) + b END) AS key
+         |    FROM sig, combos)
          |SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2,
          |  CAST(bit_count(xor(x.simhash, y.simhash)) AS INT) AS hamming
-         |FROM ch x JOIN ch y ON x.chunk = y.chunk AND x.chv = y.chv AND x.doc_id < y.doc_id
+         |FROM ch x JOIN ch y ON x.m = y.m AND x.key = y.key AND x.doc_id < y.doc_id
          |WHERE bit_count(xor(x.simhash, y.simhash)) <= 3
          |ORDER BY d1, d2""".stripMargin,
     "ann_cosine" -> // md5-derived hyperplanes; d (not i) dodges the hex60 fold var

@@ -263,24 +263,43 @@ object Text {
     sums.select(col("doc_id"), assembled.as("simhash")).orderBy("doc_id")
   }
 
-  /** SimHash near-dup candidates: docs whose signatures collide on any
-    * of four 15-bit chunks (Hamming-distance blocking — a true near-dup
-    * at Hamming radius <= 3 must collide on at least one chunk by
-    * pigeonhole), FILTERED to that radius. The filter is the blocking
-    * scheme's contract, and it is what keeps output bounded as the
-    * corpus grows: an 8x scale probe showed unfiltered chunk collisions
-    * exploding to 17.5M pairs (15-bit buckets birthday-collide at
-    * corpus scale) while radius-3 survivors stay ~the true near-dup
-    * count. Distance is exact (`bit_count(xor)`, codegen built-in). */
-  def simhashCandidates(spark: SparkSession, dir: String, maxHamming: Int = 3): DataFrame = {
+  /** SimHash near-dup candidates at Hamming radius <= 3, blocked the
+    * Manku/Jain/Sarma (WWW'07) way: split the 60-bit signature into
+    * `k` chunks and bucket on every (k-3)-chunk combination — a pair
+    * within radius 3 touches <= 3 chunks, so by pigeonhole it agrees
+    * on ALL chunks of at least one combination. k=4 is the single
+    * 15-bit-chunk scheme; larger k trades replication (C(k,3) tables)
+    * for longer bucket keys ((k-3)*60/k bits), which is what keeps the
+    * bucket self-join's INPUT near-linear as the corpus grows — the 8x
+    * probe showed 15-bit buckets birthday-colliding into 17.5M raw
+    * pairs, and a fixed k re-creates that blowup at any fixed width.
+    * k is picked from the corpus size (key bits ~ 2*log2(n) keeps
+    * expected random collisions O(1) per table); the DuckDB oracle
+    * derives k from count(*) with the same thresholds, so the blocking
+    * replays exactly. Distance is exact (`bit_count(xor)`, codegen). */
+  def simhashCandidates(spark: SparkSession, dir: String, maxHamming: Int = 3,
+                        chunksOverride: Option[Int] = None): DataFrame = {
     val sig = simhash(spark, dir)
-    val chunks = (0 until 4).map(c =>
-      struct(lit(c).as("chunk"),
-        shiftright(col("simhash"), c * 15).bitwiseAND(0x7FFFL).as("ch")))
-    val buckets = sig.select(col("doc_id"), col("simhash"), explode(array(chunks: _*)).as("cc"))
-      .select(col("doc_id"), col("simhash"), col("cc.chunk").as("chunk"), col("cc.ch").as("ch"))
+    // small -> 4 chunks (15-bit keys, 4 tables); mid -> 6 (30-bit keys,
+    // 20 tables); huge -> 10 (42-bit keys, 120 tables). All divide 60.
+    val n = Tables.documents(spark, dir).count()
+    val k = chunksOverride.getOrElse(if (n < 8192L) 4 else if (n < (1L << 26)) 6 else 10)
+    require(k > maxHamming, s"need more chunks ($k) than the radius ($maxHamming)")
+    val w = 60 / k
+    val mask = (1L << w) - 1
+    def chunkCol(c: Int): Column = shiftright(col("simhash"), c * w).bitwiseAND(lit(mask))
+    // every combination of k-3 chunks, as (combo id, packed key) structs;
+    // the pack is an ascending-c left fold acc*2^w + chunk (<= 60 bits)
+    val keyed = (0 until (1 << k)).filter(m => Integer.bitCount(m) == k - maxHamming).map { m =>
+      val key = (0 until k).filter(c => ((m >> c) & 1) == 1)
+        .map(chunkCol)
+        .foldLeft(lit(0L): Column)((acc, ch) => acc * lit(1L << w) + ch)
+      struct(lit(m).as("m"), key.as("key"))
+    }
+    val buckets = sig.select(col("doc_id"), col("simhash"), explode(array(keyed: _*)).as("mk"))
+      .select(col("doc_id"), col("simhash"), col("mk.m").as("m"), col("mk.key").as("key"))
     buckets.as("x").join(buckets.as("y"),
-        col("x.chunk") === col("y.chunk") && col("x.ch") === col("y.ch") &&
+        col("x.m") === col("y.m") && col("x.key") === col("y.key") &&
         col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"),
         bit_count(col("x.simhash").bitwiseXOR(col("y.simhash"))).cast("int").as("hamming"))
