@@ -150,11 +150,14 @@ object Text {
     * semi-filtered to candidate docs (tiny at any scale), then
     * equi-joined on hashed shingle, then pair-filtered to candidates. */
   def minhashNearDups(spark: SparkSession, dir: String, threshold: Double = 0.5): DataFrame = {
-    // The candidates subtree is referenced three times below and
-    // re-executes per reference; that is the cheap side of the trade —
-    // an eager localCheckpoint here measured wildly unstable under AQE
-    // (2s-60s), while plain re-execution is a stable ~1-2s each.
-    val cand = minhashCandidates(spark, dir)
+    // The candidates subtree is referenced three times below, so run the
+    // full LSH pass ONCE and re-read it through a parquet barrier (the
+    // same iteration-barrier discipline as dupClasses — an eager
+    // localCheckpoint here measured wildly unstable under AQE, 2s-60s).
+    // TempDirs.stable: repeated runs overwrite, JVM exit cleans up.
+    val candPath = s"${graft.core.TempDirs.stable(s"minhash:$dir")}/cand"
+    minhashCandidates(spark, dir).write.mode("overwrite").parquet(candPath)
+    val cand = spark.read.parquet(candPath)
     val sh = shingles(spark, dir)
     val sizes = shingleSizes(spark, dir)
     val cd1 = cand.select("d1").distinct()
@@ -188,8 +191,10 @@ object Text {
     // re-execute the whole upstream pipeline per iteration and grow the
     // plan without bound (measured 34s -> ~3s at sf0.1). Parquet as the
     // iteration barrier is the deterministic choice (localCheckpoint
-    // measured unstable under AQE in round 1).
-    val tmp = java.nio.file.Files.createTempDirectory("graft_cc_").toString
+    // measured unstable under AQE in round 1). TempDirs.stable: the
+    // result stays readable after return, repeated runs overwrite the
+    // same files instead of filling the disk, JVM exit cleans up.
+    val tmp = graft.core.TempDirs.stable(s"cc:$dir")
     minhashNearDups(spark, dir).select(col("d1"), col("d2"))
       .write.mode("overwrite").parquet(s"$tmp/pairs")
     val pairs = spark.read.parquet(s"$tmp/pairs")
