@@ -169,6 +169,18 @@ object EventStreams {
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
+    // The per-batch sort makes closed-session output batch-order
+    // sensitive: if AvailableNow ever split the backlog so a user's
+    // event-time order weren't monotone ACROSS batches, results could
+    // diverge from the batch oracle (and double-count with the flushed
+    // tails below). The corpus is one parquet dir consumed in one
+    // batch; assert that rather than assume it. Production carries the
+    // cross-batch case already — state seeds each batch's fold — but
+    // needs an event-time-ordered source (e.g. Kafka per-key order) or
+    // a watermark-delayed sort, so the single-batch contract is checked.
+    val dataBatches = q.recentProgress.count(_.numInputRows > 0)
+    require(dataBatches <= 1,
+      s"flatSessions expects the AvailableNow backlog in ONE batch, saw $dataBatches")
     // Flush the per-user open tail (state at stream end) by recomputing
     // it batch-side: the tail is exactly the last gap-free run.
     import org.apache.spark.sql.expressions.Window
