@@ -168,6 +168,7 @@ object SparkEntry {
     // ---- structured streaming (real streaming queries; oracle checks
     //      the streaming RESULT against batch SQL)
     "stream_tumbling"  -> (EventStreams.tumbling _),
+    "stream_tumbling_parquet" -> (EventStreams.tumblingToParquet _),
     "stream_sliding"   -> (EventStreams.sliding _),
     "stream_sessions"  -> (EventStreams.sessionWindows _),
     "stream_user_counts" -> (EventStreams.userCounts _),
@@ -651,6 +652,17 @@ object SparkEntry {
         |  event_type, count(*) AS n,
         |  CAST(round(sum(CAST(value AS DECIMAL(18,2))),2) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY w_start_us, event_type""".stripMargin,
+    "stream_tumbling_parquet" -> // append-mode parquet sink: only watermark-
+      // finalized windows are emitted (w.end <= max(ts) - 1h cutoff)
+      """WITH e AS (SELECT CAST(ts AS TIMESTAMP) AS t, event_type, value FROM events),
+        |  mx AS (SELECT max(epoch_us(t)) AS max_us FROM e),
+        |  w AS (SELECT epoch_us(time_bucket(INTERVAL 1 HOUR, t)) AS w_start_us,
+        |    event_type, count(*) AS n,
+        |    CAST(round(sum(CAST(value AS DECIMAL(18,2))),2) AS DOUBLE) AS sum_value
+        |  FROM e GROUP BY 1, 2)
+        |SELECT w_start_us, event_type, n, sum_value FROM w, mx
+        |WHERE w_start_us + 3600000000 <= max_us - 3600000000
+        |ORDER BY w_start_us, event_type""".stripMargin,
     "stream_sessions" -> // session_window semantics: boundary at diff >= gap
       """WITH e AS (SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),
         |  l AS (SELECT user_id, event_id, us, lag(us) OVER

@@ -205,6 +205,42 @@ object EventStreams {
       .orderBy("user_id", "start_us")
   }
 
+  /** PRODUCTION sink path: the tumbling aggregate in APPEND mode writing
+    * a parquet directory — the scale answer to the Complete-mode memory
+    * sink the oracle-capture queries use (a memory sink accumulates the
+    * whole result on the driver; a parquet sink streams finalized rows
+    * to the filesystem and the driver holds nothing). Append + watermark
+    * emits a window exactly once, when the watermark passes its end —
+    * so output contains only FINALIZED windows: w.end <= max(ts) - 1h,
+    * the same bounded-state contract that lets an unbounded stream run
+    * forever. The trailing (still-open) windows stay in state; the
+    * DuckDB oracle applies the identical cutoff. Exactly-once: the sink
+    * dir and checkpoint are recreated together per run (TempDirs
+    * overwrite semantics), so replays can't double-write. */
+  def tumblingToParquet(spark: SparkSession, dir: String): DataFrame = {
+    val base = graft.core.TempDirs.stable(s"stream_pq:$dir")
+    val out = s"$base/tumbling"
+    val ck = s"$base/ckpt"
+    graft.core.TempDirs.deleteRecursively(new java.io.File(out))
+    graft.core.TempDirs.deleteRecursively(new java.io.File(ck))
+    val agg = eventStream(spark, dir)
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+           round(sum(col("value").cast("decimal(18,2)")), 2).cast("double").as("sum_value"))
+      .select(unix_micros(col("w.start")).as("w_start_us"), col("event_type"),
+              col("n"), col("sum_value"))
+    val q = agg.writeStream
+      .format("parquet")
+      .option("path", out)
+      .option("checkpointLocation", ck)
+      .outputMode(OutputMode.Append())
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.read.parquet(out).orderBy("w_start_us", "event_type")
+  }
+
   /** Custom streaming state via mapGroupsWithState: per-user running
     * event count + max value. Update mode appends one row per state
     * change to the sink; the final state per user is the max count —

@@ -113,6 +113,19 @@ class OpsSpec extends AnyFunSuite with SparkFixture {
     assert(stream.toSeq == batch.toSeq)
   }
 
+  test("streaming parquet sink emits exactly the watermark-finalized windows") {
+    // real corpus (the crafted one spans < 2h -> zero finalized windows)
+    val sf = "/root/testdata/sf0.001"
+    val full = graft.streaming.EventStreams.tumbling(spark, sf).collect().map(_.toSeq)
+    val pq = graft.streaming.EventStreams.tumblingToParquet(spark, sf).collect().map(_.toSeq)
+    val maxUs = graft.core.Tables.events(spark, sf)
+      .agg(max(unix_micros(col("ts")))).collect()(0).getLong(0)
+    val finalized = full.filter(r =>
+      r.head.asInstanceOf[Long] + 3600000000L <= maxUs - 3600000000L)
+    assert(pq.toSeq == finalized.toSeq)
+    assert(pq.length < full.length, "expected trailing windows to be withheld")
+  }
+
   test("streaming session_window splits on the 30-minute gap") {
     val rows = graft.streaming.EventStreams.sessionWindows(spark, dir).collect()
     assert(rows.length == 2)
