@@ -177,7 +177,7 @@ object SparkEntry {
     "dedup_exact"      -> (Text.dedupExact _),
     "fingerprint"      -> (Text.fingerprint _),
     "jaccard_pairs"    -> ((s, d) => Text.jaccardPairs(s, d)),
-    "minhash_candidates" -> (Text.minhashCandidates _),
+    "minhash_candidates" -> ((s, d) => Text.minhashCandidates(s, d)),
     "minhash_neardups" -> ((s, d) => Text.minhashNearDups(s, d)),
     "dup_classes"      -> ((s, d) => Text.dupClasses(s, d)),
     "simhash_candidates" -> ((s, d) => Text.simhashCandidates(s, d)),

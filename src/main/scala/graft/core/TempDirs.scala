@@ -17,7 +17,16 @@ object TempDirs {
     d
   }
 
-  /** Stable scratch dir for `tag` (hashed — tags may contain paths). */
+  /** Stable scratch dir for `tag` (hashed — tags may contain paths).
+    *
+    * CONCURRENCY CONTRACT: the path is stable per (tag), so two
+    * concurrent runs of the same operator over the same input in one
+    * JVM would overwrite each other's barrier files mid-read. Callers
+    * are single-threaded per tag today (Verify/Bench run queries
+    * sequentially; each operator owns a distinct tag, e.g. minhash vs
+    * cc vs simhash). A future parallel-query executor must scope the
+    * tag by run id (and clean up explicitly) instead of relying on
+    * this overwrite-in-place scheme. */
   def stable(tag: String): String = {
     val safe = java.security.MessageDigest.getInstance("MD5")
       .digest(tag.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(16)
