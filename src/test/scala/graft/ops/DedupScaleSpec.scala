@@ -84,6 +84,22 @@ class DedupScaleSpec extends AnyFunSuite with SparkFixture {
     assert(within.forall(_.getAs[Int]("hamming") == 0))
   }
 
+  test("oracle corpora cannot engage the bucket cap (capped == uncapped)") {
+    // The DuckDB oracle runs UNCAPPED; parity holds because a bucket's
+    // width is bounded by the rep (distinct-content) count, so when the
+    // corpus has <= DefaultMaxBucket distinct contents NO bucket in the
+    // minhash OR simhash candidate stage can exceed the cap (ADVICE r4:
+    // "model the identical cap in the oracle" — this asserts the cap is
+    // unreachable on every corpus the oracle checks).
+    for (sf <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
+      val reps = graft.core.Tables.documents(spark, sf)
+        .select(md5(col("text"))).distinct().count()
+      assert(reps <= Text.DefaultMaxBucket,
+        s"$sf has $reps distinct contents > cap ${Text.DefaultMaxBucket}: " +
+          "capped output could diverge from the uncapped oracle")
+    }
+  }
+
   test("dupClasses labels every duplicate-class member with the min doc_id") {
     val labels = Text.dupClasses(spark, corpus(8))
       .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
