@@ -128,11 +128,113 @@ final class JdbcSource(
     url: String,
     props: java.util.Properties,
     partitionColumn: Option[String] = None,
-    numPartitions: Int = 32) extends TableSource with TableSink {
+    numPartitions: Int = 32,
+    schema: Option[String] = None) extends TableSource with TableSink {
 
-  override def listTables(): Seq[String] = Seq.empty // requires a live connection
+  /** Fresh connection per CATALOG op — the reference's connection model
+    * (postgres.rb:288-298) is fine at catalog frequency; the data path
+    * never goes through here (Spark's JDBC partitions own it). */
+  private def withConnection[T](f: java.sql.Connection => T): T = {
+    Option(props.getProperty("driver")).foreach(Class.forName)
+    val conn = java.sql.DriverManager.getConnection(url, props)
+    try f(conn) finally conn.close()
+  }
 
-  override def tableExists(name: String): Boolean = false
+  /** Namespace for unqualified names: the configured schema, else the
+    * connection's current schema (Derby: APP; PG: search_path head). */
+  private def resolveSchema(conn: java.sql.Connection): String =
+    schema.orElse(Option(conn.getSchema)).getOrElse("%")
+
+  private def qualify(conn: java.sql.Connection, name: String): QualifiedName =
+    if (name.contains(".")) QualifiedName.parse(name)
+    else QualifiedName(resolveSchema(conn), name)
+
+  /** list_tables (postgres.rb:20-36): BASE TABLEs of one schema,
+    * ordered. `DatabaseMetaData.getTables` with type TABLE is the
+    * engine-portable form of the reference's information_schema query
+    * (its system-schema exclusions fall out of the TABLE type filter). */
+  override def listTables(): Seq[String] = withConnection { conn =>
+    val rs = conn.getMetaData.getTables(null, resolveSchema(conn), "%", Array("TABLE"))
+    val out = scala.collection.mutable.ArrayBuffer[String]()
+    try { while (rs.next()) out += rs.getString("TABLE_NAME") } finally rs.close()
+    out.toSeq.sorted
+  }
+
+  /** table_exist? (postgres.rb:280-284,327-346). Unquoted identifiers
+    * case-fold in most engines (Derby/PG store them upper/lower), so
+    * the probe tries the name as given, then both folds. */
+  override def tableExists(name: String): Boolean = withConnection { conn =>
+    val qn = qualify(conn, name)
+    def hit(s: String, t: String): Boolean = {
+      val rs = conn.getMetaData.getTables(null, s, t, Array("TABLE"))
+      try rs.next() finally rs.close()
+    }
+    hit(qn.schema, qn.table) ||
+      hit(qn.schema.toUpperCase, qn.table.toUpperCase) ||
+      hit(qn.schema.toLowerCase, qn.table.toLowerCase)
+  }
+
+  /** Reference column_definitions (postgres.rb:137-167): ordered
+    * {name, rendered type, nullable} triples from JDBC metadata. Types
+    * come back as the ENGINE'S OWN names (the reference's
+    * format_type passthrough): same-engine copies replay them verbatim. */
+  def columnDefinitions(table: String): Seq[(String, String, Boolean)] =
+    withConnection { conn =>
+      val qn = qualify(conn, table)
+      def cols(s: String, t: String): Seq[(String, String, Boolean)] = {
+        val rs = conn.getMetaData.getColumns(null, s, t, "%")
+        val out = scala.collection.mutable.ArrayBuffer[(Int, String, String, Boolean)]()
+        try {
+          while (rs.next()) {
+            val tn = rs.getString("TYPE_NAME")
+            val rendered = tn.toUpperCase match {
+              case "VARCHAR" | "CHAR" | "CHARACTER" | "CHARACTER VARYING" =>
+                s"$tn(${rs.getInt("COLUMN_SIZE")})"
+              case "DECIMAL" | "NUMERIC" =>
+                s"$tn(${rs.getInt("COLUMN_SIZE")},${rs.getInt("DECIMAL_DIGITS")})"
+              case _ => tn
+            }
+            out += ((rs.getInt("ORDINAL_POSITION"), rs.getString("COLUMN_NAME"),
+              rendered,
+              rs.getInt("NULLABLE") != java.sql.DatabaseMetaData.columnNoNulls))
+          }
+        } finally rs.close()
+        out.sortBy(_._1).map(r => (r._2, r._3, r._4)).toSeq
+      }
+      val exact = cols(qn.schema, qn.table)
+      if (exact.nonEmpty) exact
+      else cols(qn.schema.toUpperCase, qn.table.toUpperCase)
+    }
+
+  /** DDL-synthesized create (reference get_create_table_statement,
+    * postgres.rb:263-278 / create_dest_table, transport.rb:112-126).
+    * Needed on the copy path because Spark's JDBC auto-create marks
+    * EVERY column nullable — which would make downstream PK replay
+    * impossible. */
+  def createTable(table: String, columns: Seq[(String, String, Boolean)]): Unit =
+    withConnection { conn =>
+      val qn = qualify(conn, table)
+      val colLines = columns.map { case (n, t, nullable) =>
+        s"$n $t${if (nullable) "" else " NOT NULL"}"
+      }
+      val st = conn.createStatement()
+      try { st.executeUpdate(s"CREATE TABLE ${qn.fullName} (${colLines.mkString(", ")})"); () }
+      finally st.close()
+    }
+
+  /** Source-side index introspection for replay-after-load
+    * (transport.rb:51-56), with the same case-fold fallback. */
+  def indexesOf(table: String): Seq[IndexSpec] = withConnection { conn =>
+    val qn = qualify(conn, table)
+    val exact = Indexes.fromJdbc(conn, qn.schema, qn.table)
+    if (exact.nonEmpty) exact
+    else Indexes.fromJdbc(conn, qn.schema.toUpperCase, qn.table.toUpperCase)
+  }
+
+  /** Replay introspected indexes onto a destination table here —
+    * create_indexes (postgres.rb:243-261) with the composite-PK fix. */
+  def replayIndexes(specs: Seq[IndexSpec], destTable: String): Unit =
+    withConnection { conn => Indexes.replay(conn, specs, qualify(conn, destTable)) }
 
   /** Spark's JDBC range partitioning needs explicit bounds; discover
     * them with a 1-row min/max pushdown query (the JDBC source runs

@@ -31,7 +31,19 @@ object CopyPipeline {
       // Conditional create (reference create_table_if_not_exists,
       // postgres.rb:52-78): when true, a copy whose destination already
       // exists is SKIPPED instead of hotswapped.
-      ifNotExists: Boolean = false)
+      ifNotExists: Boolean = false,
+      // Reference copy_table replays source indexes onto the dest AFTER
+      // data load unless skip_indexes (transport.rb:49,51-56 — whose
+      // `skipe_indexes` typo made the option work only by accident).
+      // Applies when source and sink are both JDBC; parquet has no
+      // indexes (SURVEY §2a #11).
+      skipIndexes: Boolean = false,
+      // Reference force_schema (transport.rb:41): override the
+      // destination namespace for every copy. ParquetDir namespaces are
+      // subdirectories, so the dest table becomes `<ns>/<table>`;
+      // callers create the namespace first (CREATE SCHEMA IF NOT
+      // EXISTS, transport.rb:46).
+      destNamespace: Option[String] = None)
 
   final case class CopyResult(table: String, rows: Long, columns: Int,
       skipped: Boolean = false)
@@ -45,7 +57,8 @@ object CopyPipeline {
       table: String,
       destTable: Option[String] = None,
       options: CopyOptions = CopyOptions()): CopyResult = {
-    val destName = destTable.getOrElse(table)
+    val destBase = destTable.getOrElse(table)
+    val destName = options.destNamespace.map(ns => s"$ns/$destBase").getOrElse(destBase)
     if (options.ifNotExists) sink match {
       case s: TableSource if s.tableExists(destName) =>
         // skip-if-exists: report the EXISTING table's shape, untouched
@@ -60,7 +73,26 @@ object CopyPipeline {
       df = df.sortWithinPartitions(keys.map(df.col): _*)
     }
     val dest = destName
+    // JDBC->JDBC: pre-create the destination from the SOURCE's column
+    // definitions (reference create_dest_table, transport.rb:112-126) —
+    // Spark's JDBC auto-create would mark every column nullable, which
+    // breaks the PK replay below. Same-engine type names replay
+    // verbatim, exactly the reference's format_type passthrough.
+    (source, sink) match {
+      case (s: JdbcSource, d: JdbcSource) if !d.tableExists(dest) =>
+        d.createTable(dest, s.columnDefinitions(table))
+      case _ => ()
+    }
     sink.write(df, dest)
+    // Index replay AFTER data load — the classic bulk-load ordering the
+    // reference preserves (transport.rb:49 then :51-56): no per-row
+    // index maintenance during the copy.
+    (source, sink) match {
+      case (s: JdbcSource, d: JdbcSource) if !options.skipIndexes =>
+        val specs = s.indexesOf(table)
+        if (specs.nonEmpty) d.replayIndexes(specs, dest)
+      case _ => ()
+    }
     // Count AFTER publish, from the sink side when it is also a source
     // (verifies the copy really landed — the reference never verified,
     // its exit check was broken, transport.rb:71-74).

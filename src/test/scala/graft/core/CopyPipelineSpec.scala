@@ -148,4 +148,31 @@ class CopyPipelineSpec extends AnyFunSuite with SparkFixture {
     assert(projected.head.columns == 1)
     intercept[IllegalArgumentException](graft.tools.Cli.run(spark, Array("nope")))
   }
+
+  test("cli: --force-schema targets a destination namespace (reference -f)") {
+    val (src, dst) = (tmp(), tmp())
+    writeTable(src, "fs_a"); writeTable(src, "fs_b")
+    val results = graft.tools.Cli.run(spark,
+      Array("cp", src, dst, "fs_*", "--force-schema", "analytics"))
+    assert(results.map(_.table).sorted == Seq("analytics/fs_a", "analytics/fs_b"))
+    val pd = new ParquetDir(dst)
+    assert(pd.listNamespaces().contains("analytics"))
+    assert(pd.tableExists("analytics/fs_a") && !pd.tableExists("fs_a"))
+    assert(pd.read(spark, "analytics/fs_a").count() == 3)
+  }
+
+  test("cli: --config resolves named locations; --log appends result lines") {
+    val (src, dst) = (tmp(), tmp())
+    writeTable(src, "cfg_t")
+    val cfg = Files.createTempFile("graft_cfg_", ".properties")
+    Files.writeString(cfg, s"prod=$src\nscratch=$dst\n")
+    val log = Files.createTempFile("graft_log_", ".txt")
+    val results = graft.tools.Cli.run(spark,
+      Array("cp", "prod", "scratch", "cfg_t",
+        "--config", cfg.toString, "--log", log.toString))
+    assert(results.head.rows == 3)
+    assert(new ParquetDir(dst).tableExists("cfg_t"))
+    val logged = Files.readString(log)
+    assert(logged.contains("copied cfg_t: 3 rows"), s"log file missing line: $logged")
+  }
 }
