@@ -46,10 +46,13 @@ object EventStreams {
     * TimestampType (same nanos handling as Tables.events). The file
     * source needs a DIRECTORY; the corpus is one file per table, so
     * stream the parent dir with a glob filter. */
-  private def eventStream(spark: SparkSession, dir: String): DataFrame = {
+  private def eventStream(spark: SparkSession, dir: String,
+      maxFilesPerTrigger: Option[Int] = None): DataFrame = {
     val path = s"$dir/events.parquet"
     val schema = spark.read.parquet(path).schema
-    val reader = spark.readStream.schema(schema)
+    val reader0 = spark.readStream.schema(schema)
+    val reader = maxFilesPerTrigger.fold(reader0)(n =>
+      reader0.option("maxFilesPerTrigger", n))
     // file source wants a directory: stream the table dir when the
     // table IS a dir (normal Spark layout), else glob the single file
     // out of its parent (the corpus layout). pathGlobFilter matches
@@ -137,10 +140,11 @@ object EventStreams {
     *
     * Scale note: state is ONE OpenSession per user (bounded); the
     * per-batch sort is per-user-per-batch, not global. */
-  def flatSessions(spark: SparkSession, dir: String, gapMin: Int = 30): DataFrame = {
+  def flatSessions(spark: SparkSession, dir: String, gapMin: Int = 30,
+      maxFilesPerTrigger: Option[Int] = None): DataFrame = {
     import spark.implicits._
     val gapUs = gapMin * 60L * 1000000L
-    val updates = eventStream(spark, dir)
+    val updates = eventStream(spark, dir, maxFilesPerTrigger)
       .select(col("user_id"), unix_micros(col("ts")).as("us"), col("event_id"))
       .as[(Long, Long, Long)]
       .groupByKey(_._1)
@@ -152,6 +156,13 @@ object EventStreams {
           sorted.foreach { case (_, us, _) =>
             open match {
               case null => open = OpenSession(us, us, 1)
+              case o if us < o.lastUs =>
+                // Cross-batch disorder (intra-batch is sorted away):
+                // fail loudly rather than corrupt session counts.
+                throw new IllegalStateException(
+                  s"flatSessions: event-time disorder across batches for user $uid " +
+                    s"($us < ${o.lastUs}); the source must deliver per-key " +
+                    "event-time-monotone micro-batches")
               case o if us - o.lastUs > gapUs =>
                 closed += SessionOut(uid, o.startUs, o.n)
                 open = OpenSession(us, us, 1)
@@ -169,18 +180,14 @@ object EventStreams {
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    // The per-batch sort makes closed-session output batch-order
-    // sensitive: if AvailableNow ever split the backlog so a user's
-    // event-time order weren't monotone ACROSS batches, results could
-    // diverge from the batch oracle (and double-count with the flushed
-    // tails below). The corpus is one parquet dir consumed in one
-    // batch; assert that rather than assume it. Production carries the
-    // cross-batch case already — state seeds each batch's fold — but
-    // needs an event-time-ordered source (e.g. Kafka per-key order) or
-    // a watermark-delayed sort, so the single-batch contract is checked.
-    val dataBatches = q.recentProgress.count(_.numInputRows > 0)
-    require(dataBatches <= 1,
-      s"flatSessions expects the AvailableNow backlog in ONE batch, saw $dataBatches")
+    // Cross-batch sessions are first-class: state seeds each batch's
+    // fold, so a backlog split over many micro-batches produces the
+    // same closed sessions as one batch — PROVIDED each key's events
+    // arrive in event-time order across batches (time-partitioned files
+    // consumed oldest-first, or per-key-ordered Kafka; the fold above
+    // detects violations and fails loudly instead of corrupting
+    // counts). StreamMultiBatchSpec drives a 3-file / 3-batch split
+    // against the batch oracle.
     // Flush the per-user open tail (state at stream end) by recomputing
     // it batch-side: the tail is exactly the last gap-free run.
     import org.apache.spark.sql.expressions.Window

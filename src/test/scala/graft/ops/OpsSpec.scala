@@ -187,4 +187,23 @@ class OpsSpec extends AnyFunSuite with SparkFixture {
     val buckets = rows.map(r => r.getAs[Int]("k_bucket") -> r.getAs[Long]("n")).toMap
     assert(buckets == Map(0 -> 1L, 1 -> 1L, 2 -> 1L, 3 -> 1L))
   }
+
+  test("approx_distinct: HLL stays within 2% of exact distinct at sf0.01") {
+    // The one declared query with no DuckDB oracle (HLL sketches are
+    // engine-specific) — this bounds its error instead (VERDICT r3 #7).
+    // rsd=0.01 targets ~1% standard error; 2% is two sigmas.
+    val sf01 = "/root/testdata/sf0.01"
+    val approx = Relational.approxDistinct(spark, sf01).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact = graft.core.Tables.lineitem(spark, sf01)
+      .groupBy("l_returnflag")
+      .agg(countDistinct(col("l_partkey")).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(approx.keySet == exact.keySet)
+    exact.foreach { case (flag, e) =>
+      val a = approx(flag)
+      assert(math.abs(a - e).toDouble / e <= 0.02,
+        s"l_returnflag=$flag: approx $a vs exact $e exceeds 2%")
+    }
+  }
 }

@@ -1,0 +1,79 @@
+package graft.streaming
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQueryListener
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkFixture
+
+/** flatSessions across MULTIPLE micro-batches (VERDICT r3 #5): the
+  * events backlog split into 3 time-range part files consumed
+  * oldest-first one file per trigger, so sessions straddling batch
+  * boundaries must merge through the carried OpenSession state. Output
+  * must equal the single-batch run bit-for-bit. */
+class StreamMultiBatchSpec extends AnyFunSuite with SparkFixture {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  /** Corpus dir whose events.parquet is a DIRECTORY of 3 part files
+    * covering ascending disjoint time ranges, mod-times ascending so
+    * the file source (sorted by mod time, oldest first) delivers each
+    * key's events in event-time order across batches — the documented
+    * cross-batch contract. */
+  private def splitCorpus(): String = {
+    val raw = spark.read.parquet(s"$sf/events.parquet") // ts stays raw long nanos
+    val mm = raw.agg(min("ts"), max("ts")).collect()(0)
+    val (lo, hi) = (mm.getLong(0), mm.getLong(1))
+    val step = (hi - lo) / 3 + 1
+    val corpus = Files.createTempDirectory("graft_mb_").toString
+    val evDir = new java.io.File(corpus, "events.parquet")
+    evDir.mkdirs()
+    (0 until 3).foreach { i =>
+      val b0 = lo + i * step
+      val b1 = lo + (i + 1) * step
+      val tmp = Files.createTempDirectory(s"graft_mb_part$i").toString
+      raw.filter(col("ts") >= b0 && col("ts") < b1)
+        .coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(f => f.getName.endsWith(".parquet") && !f.getName.startsWith("_")).get
+      val dest = new java.io.File(evDir, f"part-$i%05d.parquet")
+      Files.copy(part.toPath, dest.toPath)
+      assert(dest.setLastModified(3600000L * (i + 1)), "mod time must be settable")
+    }
+    corpus
+  }
+
+  test("flatSessions over a 3-batch time-split backlog equals the single-batch run") {
+    val corpus = splitCorpus()
+    // row-count sanity: the split lost nothing
+    assert(spark.read.parquet(s"$corpus/events.parquet").count() ==
+      spark.read.parquet(s"$sf/events.parquet").count())
+
+    @volatile var dataBatches = 0
+    val listener = new StreamingQueryListener {
+      override def onQueryStarted(e: StreamingQueryListener.QueryStartedEvent): Unit = ()
+      override def onQueryProgress(e: StreamingQueryListener.QueryProgressEvent): Unit =
+        if (e.progress.numInputRows > 0) dataBatches += 1
+      override def onQueryTerminated(e: StreamingQueryListener.QueryTerminatedEvent): Unit = ()
+    }
+    spark.streams.addListener(listener)
+    val multi =
+      try EventStreams.flatSessions(spark, corpus, maxFilesPerTrigger = Some(1))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq.sorted
+      finally {
+        // listener bus is async; give in-flight progress events a beat
+        val deadline = System.currentTimeMillis() + 10000
+        while (dataBatches < 3 && System.currentTimeMillis() < deadline)
+          Thread.sleep(100)
+        spark.streams.removeListener(listener)
+      }
+    assert(dataBatches >= 3,
+      s"expected the 3-file backlog to span >= 3 data micro-batches, saw $dataBatches")
+
+    val single = EventStreams.flatSessions(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq.sorted
+    assert(multi == single,
+      "multi-batch sessions must equal the single-batch result")
+    assert(multi.nonEmpty)
+  }
+}
