@@ -99,6 +99,7 @@ object SparkEntry {
     "schema_report"    -> ((s, d) => Catalog.schemaReport(s, d, "lineitem")),
     "index_report"     -> ((s, _) => graft.core.Indexes.report(s, graft.core.Indexes.tpchIndexes)),
     "namespace_report" -> ((s, d) => Catalog.namespacesDf(s, d)),
+    "jdbc_catalog"     -> (Catalog.jdbcCatalogReport _),
     // ---- sources: non-parquet formats
     "csv_roundtrip"    -> (Formats.csvRoundtrip _),
     "json_roundtrip"   -> (Formats.jsonRoundtrip _),
@@ -201,6 +202,7 @@ object SparkEntry {
     "mm_resize"        -> ((s, d) => Multimodal.resizePlan(s, d)),
     "normalize_text"   -> (Text.normalizeText _),
     "pii_scrub"        -> (Text.piiScrub _),
+    "decontaminate"    -> ((s, d) => Text.decontaminate(s, d)),
   )
 
   // ------------------------------------------------------------------
@@ -361,6 +363,15 @@ object SparkEntry {
         |ORDER BY index_name""".stripMargin,
     "namespace_report" ->
       """SELECT * FROM (VALUES ('public')) t(namespace) ORDER BY namespace""".stripMargin,
+    "jdbc_catalog" -> // live-Derby catalog readback: Spark Derby dialect types
+      """SELECT * FROM (VALUES
+        |('nation','n_name','CLOB',true),
+        |('nation','n_nationkey','INTEGER',true),
+        |('nation','n_regionkey','INTEGER',true),
+        |('region','r_name','CLOB',true),
+        |('region','r_regionkey','INTEGER',true))
+        |t(table_name, col_name, jdbc_type, is_nullable)
+        |ORDER BY table_name, col_name""".stripMargin,
     "pricing_summary" ->
       s"""SELECT l_returnflag, l_linestatus,
          |  ${moneySum("l_quantity")} AS sum_qty,
@@ -766,6 +777,20 @@ object SparkEntry {
         |  CAST(strlen(text) AS BIGINT) AS n_bytes,
         |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "decontaminate" -> // n-gram overlap vs the doc_id<100 pseudo-holdout shard
+      s"""WITH $shinglesCte,
+         |  bench AS (SELECT DISTINCT shingle FROM sh WHERE doc_id < 100),
+         |  sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+         |  shared AS (
+         |    SELECT s.doc_id, count(*) AS n_shared
+         |    FROM sh s JOIN bench b ON s.shingle = b.shingle
+         |    WHERE s.doc_id >= 100
+         |    GROUP BY 1)
+         |SELECT s.doc_id, CAST(n_shared AS BIGINT) AS n_shared,
+         |  round(n_shared / z.n, 4) AS contamination
+         |FROM shared s JOIN sizes z USING (doc_id)
+         |WHERE n_shared >= 5
+         |ORDER BY doc_id""".stripMargin,
     "jaccard_pairs" ->
       s"""WITH $shinglesCte,
          |  sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),

@@ -326,4 +326,30 @@ object Catalog {
       .map(c => (c.name, c.pgType, c.nullable))
       .toDF("col_name", "pg_type", "is_nullable")
   }
+
+  /** End-to-end JDBC catalog report: copy two small tables into a fresh
+    * embedded Derby through the copy pipeline, then read the LIVE
+    * catalog back through `JdbcSource`'s DatabaseMetaData introspection
+    * (list_tables + column_definitions, postgres.rb:20-36,137-167) —
+    * the same calls a live-Postgres deployment makes, exercised against
+    * a genuine JDBC engine and shaped for the oracle gate. Types are
+    * Derby's own names (BIGINT/CLOB via Spark's Derby dialect);
+    * everything is nullable because Spark's JDBC writer creates it so. */
+  def jdbcCatalogReport(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    System.setProperty("derby.stream.error.file",
+      s"${System.getProperty("java.io.tmpdir")}/graft_derby.log")
+    val db = s"memory:graft_cat_${java.util.UUID.randomUUID().toString.take(8)}"
+    val props = new java.util.Properties()
+    props.setProperty("driver", "org.apache.derby.jdbc.EmbeddedDriver")
+    val jdbc = new JdbcSource(s"jdbc:derby:$db;create=true", props)
+    val pd = new ParquetDir(dir)
+    CopyPipeline.copyTable(spark, pd, jdbc, "nation")
+    CopyPipeline.copyTable(spark, pd, jdbc, "region")
+    val rows = jdbc.listTables().flatMap { t =>
+      jdbc.columnDefinitions(t).map { case (c, ty, n) => (t.toLowerCase, c, ty, n) }
+    }
+    rows.toDF("table_name", "col_name", "jdbc_type", "is_nullable")
+      .orderBy("table_name", "col_name")
+  }
 }

@@ -509,6 +509,35 @@ object Text {
       .orderBy("d1", "d2")
   }
 
+  // ----------------------------------------------------- decontamination
+
+  /** Benchmark decontamination: flag corpus documents whose 3-shingle
+    * overlap with a held-out benchmark set reaches `minShared` — the
+    * standard n-gram eval-set contamination check every training corpus
+    * runs before release. The benchmark here is the deterministic
+    * pseudo-holdout doc_id < benchBound — "the first shard is the eval
+    * set" (a real pipeline substitutes its
+    * eval suites). Scale shape: the benchmark shingle set is tiny next
+    * to the corpus, so the semi-join broadcasts it and the corpus
+    * NEVER shuffles — at 100 TB decontamination is one map-side
+    * hash-probe pass per corpus split. Reports the shared-shingle count
+    * and the contaminated fraction of the doc's own shingle set. */
+  def decontaminate(spark: SparkSession, dir: String, minShared: Int = 5,
+      benchBound: Int = 100): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val sh = shingles(docs) // hashed shingles: counts match string shingles
+    val bench = sh.filter(col("doc_id") < benchBound).select("sh").distinct()
+    val sizes = shingleSizes(docs).toDF("doc_id", "n")
+    sh.filter(col("doc_id") >= benchBound)
+      .join(bench, Seq("sh"), "left_semi")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_shared"))
+      .join(sizes, "doc_id")
+      .select(col("doc_id"), col("n_shared"),
+        round(col("n_shared") / col("n"), 4).as("contamination"))
+      .filter(col("n_shared") >= minShared)
+      .orderBy("doc_id")
+  }
+
   // ------------------------------------------------------------ analysis
 
   /** Per-language corpus statistics. */

@@ -188,6 +188,17 @@ class OpsSpec extends AnyFunSuite with SparkFixture {
     assert(buckets == Map(0 -> 1L, 1 -> 1L, 2 -> 1L, 3 -> 1L))
   }
 
+  test("decontaminate flags docs overlapping the benchmark shard") {
+    // benchBound=1: doc 0 is the benchmark. Doc 3 (exact copy) shares
+    // every shingle; doc 1 (one word changed) shares 7 of 10; doc 2
+    // (unrelated) shares none and must NOT be flagged.
+    val rows = Text.decontaminate(spark, dir, minShared = 5, benchBound = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(rows.keySet == Set(1L, 3L), s"flagged: ${rows.keySet}")
+    assert(rows(3L) > rows(1L),
+      "the exact copy must share strictly more shingles than the near-dup")
+  }
+
   test("approx_distinct: HLL stays within 2% of exact distinct at sf0.01") {
     // The one declared query with no DuckDB oracle (HLL sketches are
     // engine-specific) — this bounds its error instead (VERDICT r3 #7).
