@@ -179,6 +179,7 @@ object SparkEntry {
     "fingerprint"      -> (Text.fingerprint _),
     "jaccard_pairs"    -> ((s, d) => Text.jaccardPairs(s, d)),
     "minhash_candidates" -> ((s, d) => Text.minhashCandidates(s, d)),
+    "minhash_bucket_stats" -> ((s, d) => Text.minhashBucketStats(s, d)),
     "minhash_neardups" -> ((s, d) => Text.minhashNearDups(s, d)),
     "dup_classes"      -> ((s, d) => Text.dupClasses(s, d)),
     "simhash_candidates" -> ((s, d) => Text.simhashCandidates(s, d)),
@@ -203,6 +204,7 @@ object SparkEntry {
     "normalize_text"   -> (Text.normalizeText _),
     "pii_scrub"        -> (Text.piiScrub _),
     "decontaminate"    -> ((s, d) => Text.decontaminate(s, d)),
+    "pack_chunks"      -> ((s, d) => Text.packChunks(s, d)),
   )
 
   // ------------------------------------------------------------------
@@ -791,6 +793,15 @@ object SparkEntry {
          |FROM shared s JOIN sizes z USING (doc_id)
          |WHERE n_shared >= 5
          |ORDER BY doc_id""".stripMargin,
+    "pack_chunks" -> // per-shard token-budget bin packing (budget 512)
+      """WITH t AS (SELECT doc_id, source,
+        |    len(string_split(text, ' ')) AS n_tok FROM documents),
+        |  c AS (SELECT doc_id, source, n_tok,
+        |    sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM t)
+        |SELECT source, CAST((cum - n_tok) // 512 AS BIGINT) AS bin,
+        |  count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS total_tokens
+        |FROM c GROUP BY 1, 2 ORDER BY source, bin""".stripMargin,
     "jaccard_pairs" ->
       s"""WITH $shinglesCte,
          |  sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
@@ -974,6 +985,13 @@ object SparkEntry {
     "minhash_candidates" ->
       s"""WITH $minhashCtes
          |SELECT d1, d2 FROM cand ORDER BY d1, d2""".stripMargin,
+    "minhash_bucket_stats" -> // bucket-width audit over the same banding
+      s"""WITH $minhashCtes,
+         |  widths AS (SELECT band, bh, count(*) AS w FROM bands GROUP BY 1, 2)
+         |SELECT band, count(*) AS n_buckets, max(w) AS max_width,
+         |  CAST(sum(w * (w - 1)) // 2 AS BIGINT) AS n_pairs,
+         |  CAST(sum(CASE WHEN w > 1024 THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped
+         |FROM widths WHERE w >= 2 GROUP BY band ORDER BY band""".stripMargin,
     "minhash_neardups" ->
       s"""WITH $minhashCtes,
          |  sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),

@@ -248,6 +248,38 @@ object Text {
       .distinct()
   }
 
+  /** LSH bucket-health audit — the dedup operator's operational report,
+    * and the answer to "expose the dropped-bucket count as data, not a
+    * log line" (ADVICE r4). Per band over the FULL-corpus signature
+    * (duplicate classes included, so the mega-bucket hazard the
+    * rep-composition removes is VISIBLE here): collision buckets, the
+    * widest bucket, the candidate-pair cost those buckets imply
+    * (sum C(w,2) — the quantity that explodes on a dirty corpus), and
+    * how many buckets a `maxBucket` cap would drop. On the oracle
+    * corpora n_dropped is provably 0 (DedupScaleSpec); a 100 TB crawl
+    * reads this report before trusting its dedup run. */
+  def minhashBucketStats(spark: SparkSession, dir: String,
+      maxBucket: Int = DefaultMaxBucket): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .filter(size(split(col("text"), " ")) >= 3)
+    val sig = minhashSignaturesOf(docs)
+    val r = MinhashPerms / MinhashBands
+    val bandStructs = (0 until MinhashBands).map { b =>
+      val cols = (0 until r).map(i => col(s"h${b * r + i}"))
+      struct(lit(b).cast("bigint").as("band"), concat_ws(",", cols: _*).as("bh"))
+    }
+    sig.select(explode(array(bandStructs: _*)).as("bb"))
+      .select(col("bb.band").as("band"), col("bb.bh").as("bh"))
+      .groupBy("band", "bh").agg(count(lit(1)).as("w"))
+      .filter(col("w") >= 2)
+      .groupBy("band")
+      .agg(count(lit(1)).as("n_buckets"),
+        max(col("w")).as("max_width"),
+        (sum(col("w") * (col("w") - 1)) / 2).cast("bigint").as("n_pairs"),
+        sum(when(col("w") > maxBucket, 1L).otherwise(0L)).as("n_dropped"))
+      .orderBy("band")
+  }
+
   /** LSH candidate pairs over the whole corpus — exact-dedup composed:
     * signatures/banding run over class REPRESENTATIVES only, then pairs
     * expand back through the class map. Output is identical to running
@@ -536,6 +568,31 @@ object Text {
         round(col("n_shared") / col("n"), 4).as("contamination"))
       .filter(col("n_shared") >= minShared)
       .orderBy("doc_id")
+  }
+
+  // --------------------------------------------------------- packing
+
+  /** Training-batch sequence packing: assign documents to fixed
+    * token-budget bins (greedy streaming fill, bins may overflow by one
+    * doc's tail — the standard approximate packer) and report per-bin
+    * occupancy. Packing is per `source` shard in doc_id order — the
+    * window prefix-sum parallelizes ACROSS shards, and the within-shard
+    * sequential order is intrinsic to packing (real packers stream one
+    * shard per worker too, so at 100 TB this is one window pass over
+    * source-partitioned data, no global sort). */
+  def packChunks(spark: SparkSession, dir: String, budget: Int = 512): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("source").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    tokenized(spark, dir)
+      .select(col("doc_id"), col("source"), size(col("t")).cast("bigint").as("n_tok"))
+      .withColumn("cum", sum(col("n_tok")).over(w))
+      // exclusive prefix decides the bin: a doc starts in the bin its
+      // predecessors filled up to
+      .withColumn("bin", floor((col("cum") - col("n_tok")) / budget).cast("bigint"))
+      .groupBy("source", "bin")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("total_tokens"))
+      .orderBy("source", "bin")
   }
 
   // ------------------------------------------------------------ analysis
