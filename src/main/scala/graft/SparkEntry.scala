@@ -205,6 +205,7 @@ object SparkEntry {
     "pii_scrub"        -> (Text.piiScrub _),
     "decontaminate"    -> ((s, d) => Text.decontaminate(s, d)),
     "pack_chunks"      -> ((s, d) => Text.packChunks(s, d)),
+    "repetition_stats" -> (Text.repetitionStats _),
   )
 
   // ------------------------------------------------------------------
@@ -792,6 +793,21 @@ object SparkEntry {
          |  round(n_shared / z.n, 4) AS contamination
          |FROM shared s JOIN sizes z USING (doc_id)
          |WHERE n_shared >= 5
+         |ORDER BY doc_id""".stripMargin,
+    "repetition_stats" -> // Gopher-style repetition signals per doc
+      s"""WITH $shinglesCte,
+         |  t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents
+         |        WHERE len(string_split(text, ' ')) >= 3),
+         |  per AS (SELECT doc_id, len(tk) - 2 AS n_shingles, len(tk) AS n_tok FROM t),
+         |  d AS (SELECT doc_id, count(*) AS nd FROM sh GROUP BY 1),
+         |  tok AS (SELECT doc_id, unnest(tk) AS tok FROM t),
+         |  tc AS (SELECT doc_id, tok, count(*) AS c FROM tok GROUP BY 1, 2),
+         |  top AS (SELECT doc_id, max(c) AS top_c FROM tc GROUP BY 1)
+         |SELECT p.doc_id, CAST(n_shingles AS BIGINT) AS n_shingles,
+         |  CAST(nd AS BIGINT) AS n_distinct,
+         |  round(1.0 - nd / n_shingles, 4) AS dup_shingle_frac,
+         |  round(top_c / n_tok, 4) AS top_token_share
+         |FROM per p JOIN d USING (doc_id) JOIN top USING (doc_id)
          |ORDER BY doc_id""".stripMargin,
     "pack_chunks" -> // per-shard token-budget bin packing (budget 512)
       """WITH t AS (SELECT doc_id, source,

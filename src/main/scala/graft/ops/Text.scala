@@ -748,6 +748,28 @@ object Text {
       .orderBy("lang", "predicted")
   }
 
+  /** Intra-document repetition profile — the Gopher-style repetition
+    * quality rules (duplicate n-gram fraction, most-common-token
+    * share) a corpus filter thresholds on: boilerplate and
+    * low-quality generated text repeat shingles; keyword-stuffed spam
+    * concentrates one token. Shingle stats are map-only per row; the
+    * top-token share is one (doc_id, tok) aggregation. */
+  def repetitionStats(spark: SparkSession, dir: String): DataFrame = {
+    val t = tokenized(spark, dir).filter(size(col("t")) >= 3)
+    val perDoc = t.select(col("doc_id"),
+      (size(col("t")) - 2).cast("bigint").as("n_shingles"),
+      size(shingleHashes).cast("bigint").as("n_distinct"),
+      size(col("t")).cast("bigint").as("n_tok"))
+    val topTok = t.select(col("doc_id"), explode(col("t")).as("tok"))
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id").agg(max(col("c")).as("top_c"))
+    perDoc.join(topTok, "doc_id")
+      .select(col("doc_id"), col("n_shingles"), col("n_distinct"),
+        round(lit(1.0) - col("n_distinct") / col("n_shingles"), 4).as("dup_shingle_frac"),
+        round(col("top_c") / col("n_tok"), 4).as("top_token_share"))
+      .orderBy("doc_id")
+  }
+
   /** Quality scoring: length / punctuation / stopword / repetition
     * signals combined into one deterministic score. */
   def qualityScore(spark: SparkSession, dir: String): DataFrame = {

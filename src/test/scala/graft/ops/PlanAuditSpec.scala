@@ -104,6 +104,20 @@ class PlanAuditSpec extends AnyFunSuite with SparkFixture {
       s"banded recall collapsed: ${banded.size} of ${exact.size} exact pairs")
   }
 
+  test("decontaminate: benchmark shingles broadcast — the corpus side semi-probes, no cartesian") {
+    val p = planOf(Text.decontaminate(spark, sf, minShared = 1, benchBound = 10))
+    assert(p.contains("BroadcastHashJoin"),
+      s"benchmark shingle set must broadcast for the semi-join:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"contamination check must stay an equi-semi-join:\n$p")
+  }
+
+  test("pack_chunks: per-shard window — no single-partition exchange") {
+    val p = planOf(Text.packChunks(spark, sf))
+    assert(!p.contains("Exchange SinglePartition"),
+      s"packing must parallelize across shards, not serialize globally:\n$p")
+  }
+
   test("ntile_dist: no single-partition exchange, and closed forms match Spark's window impl") {
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.functions._
