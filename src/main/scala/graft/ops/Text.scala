@@ -108,7 +108,7 @@ object Text {
     * intrinsic to the declared pair semantics; the point is that it is
     * produced by streaming equi-joins, never by a single task's
     * aggregation buffer. */
-  private def expandRepPairs(repPairs: DataFrame, classMap: DataFrame,
+  private[ops] def expandRepPairs(repPairs: DataFrame, classMap: DataFrame,
       payload: Seq[String], withinVals: Seq[Column]): DataFrame = {
     val outCols = "d1" +: "d2" +: payload
     val m1 = classMap.select(col("rep").as("d1"), col("doc_id").as("m1"))

@@ -150,9 +150,26 @@ object Vector {
     * the result is hash-checked exactly; the all-pairs exact form
     * lives on as the labeled recall baseline in VectorBandSpec. */
   def embNearDups(spark: SparkSession, dir: String, threshold: Double = 0.4,
-                  bands: Int = 8, bitsPerBand: Int = 4, dim: Int = 64): DataFrame = {
+                  bands: Int = 8, bitsPerBand: Int = 4, dim: Int = 64,
+                  maxBucket: Int = 1024): DataFrame = {
     import graft.functions.DetHash
-    val e = Tables.embeddings(spark, dir).select(col("vec_id"), dbl(col("embedding")).as("emb"))
+    val raw = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), dbl(col("embedding")).as("emb"))
+    // Exact-dedup composed like Text.minhashCandidates (round-5): a
+    // corpus with m IDENTICAL embeddings used to land all m in every
+    // band bucket — one join key streaming C(m,2) pairs per band. Band
+    // class REPRESENTATIVES only (min vec_id per distinct embedding;
+    // bit-equal doubles group exactly) and expand pairs back through
+    // the class map afterward — identical vectors pair unconditionally
+    // at sim 1.0, and rep-level sims equal member-level sims because
+    // members are bit-identical to their rep. Output is unchanged; the
+    // bucket stage cost now tracks DISTINCT vectors.
+    val reps0 = raw.groupBy("emb").agg(min(col("vec_id")).as("rep"))
+    val classMap = raw.join(reps0, "emb")
+      .select(col("vec_id").as("doc_id"), col("rep")) // Text.expandRepPairs' shape
+    val e = raw.join(
+        classMap.filter(col("doc_id") === col("rep")).select(col("doc_id").as("vec_id")),
+        Seq("vec_id"), "left_semi")
       .withColumn("nrm", nNorm(spark)(col("emb"))) // per-vector, pre-join
     // Band g packs sign bits of planes j = g*bitsPerBand+t; the plane
     // constants fold into the plan as literals (zero per-row hashing).
@@ -164,17 +181,29 @@ object Vector {
       }.reduce((a, b) => a.bitwiseOR(b))
     val banded = e.select(col("vec_id"),
       posexplode(array((0 until bands).map(bandBucket): _*)).as(Seq("band", "bucket")))
-    val cand = banded.as("x").join(banded.as("y"),
+    // Defensive cap on NEAR-dup (not identical) mega-buckets, with the
+    // drop surfaced — same contract as the minhash candidate stage.
+    val sizes = banded.groupBy("band", "bucket").agg(count(lit(1)).as("cnt"))
+    val dropped = sizes.filter(col("cnt") > maxBucket).count()
+    if (dropped > 0)
+      System.err.println(s"[graft] embNearDups($dir): dropped $dropped LSH " +
+        s"buckets wider than $maxBucket reps")
+    val ok = sizes.filter(col("cnt") > 1 && col("cnt") <= maxBucket)
+      .select("band", "bucket")
+    val capped = banded.join(ok, Seq("band", "bucket"), "left_semi")
+    val cand = capped.as("x").join(capped.as("y"),
         col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
           col("x.vec_id") < col("y.vec_id"))
       .select(col("x.vec_id").as("d1"), col("y.vec_id").as("d2"))
       .distinct() // a pair may collide in several bands
     val l = e.select(col("vec_id").as("d1"), col("emb").as("e1"), col("nrm").as("n1"))
     val r = e.select(col("vec_id").as("d2"), col("emb").as("e2"), col("nrm").as("n2"))
-    cand.join(l, Seq("d1")).join(r, Seq("d2"))
+    val repPairs = cand.join(l, Seq("d1")).join(r, Seq("d2"))
       .select(col("d1"), col("d2"),
         round(nDot(spark)(col("e1"), col("e2")) / (col("n1") * col("n2")), 4).as("sim"))
       .filter(col("sim") >= threshold)
+    Text.expandRepPairs(repPairs, classMap, Seq("sim"), Seq(lit(1.0)))
+      .filter(col("sim") >= threshold) // within pairs obey the threshold too
       .orderBy("d1", "d2")
   }
 

@@ -118,6 +118,25 @@ class PlanAuditSpec extends AnyFunSuite with SparkFixture {
       s"packing must parallelize across shards, not serialize globally:\n$p")
   }
 
+  test("emb_neardups: a duplicate-vector class expands to all within pairs at sim 1.0") {
+    // round-5 rep composition: 16 identical vectors must yield all
+    // C(16,2)=120 pairs (from the class expansion, NOT from a 16-wide
+    // band bucket) and the orthogonal vector must pair with none.
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val d = java.nio.file.Files.createTempDirectory("graft_vec_dup_").toString
+    val a = Array.tabulate(64)(i => if (i % 3 == 0) 1f else 0.25f)
+    val o = Array.tabulate(64)(i => if (i % 3 == 0) 0f else (if (i % 3 == 1) 1f else -1f))
+    val rows = (0 until 16).map(i => (i.toLong, a, 0)) :+ ((99L, o, 1))
+    rows.toDF("vec_id", "embedding", "label")
+      .repartition(4).write.parquet(s"$d/embeddings.parquet")
+    val out = Vector.embNearDups(spark, d)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2)))
+    val within = (for (i <- 0 until 16; j <- i + 1 until 16) yield (i.toLong, j.toLong)).toSet
+    assert(out.map(_._1).toSet == within, s"expected exactly the 120 within pairs")
+    assert(out.forall(_._2 == 1.0), "identical vectors must score sim 1.0")
+  }
+
   test("ntile_dist: no single-partition exchange, and closed forms match Spark's window impl") {
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.functions._
