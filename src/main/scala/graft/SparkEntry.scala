@@ -173,6 +173,7 @@ object SparkEntry {
     "stream_sliding"   -> (EventStreams.sliding _),
     "stream_sessions"  -> (EventStreams.sessionWindows _),
     "stream_user_counts" -> (EventStreams.userCounts _),
+    "stream_enrich"    -> (EventStreams.enriched _),
     "stream_flat_sessions" -> ((s, d) => EventStreams.flatSessions(s, d)),
     // ---- text / dedup
     "dedup_exact"      -> (Text.dedupExact _),
@@ -666,6 +667,12 @@ object SparkEntry {
         |  event_type, count(*) AS n,
         |  CAST(round(sum(CAST(value AS DECIMAL(18,2))),2) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY w_start_us, event_type""".stripMargin,
+    "stream_enrich" -> // stream-static join result == batch join + window agg
+      """SELECT epoch_us(time_bucket(INTERVAL 1 HOUR, CAST(ts AS TIMESTAMP))) AS w_start_us,
+        |  c_mktsegment, count(*) AS n,
+        |  CAST(round(sum(CAST(value AS DECIMAL(18,2))),2) AS DOUBLE) AS sum_value
+        |FROM events JOIN customer ON user_id = c_custkey
+        |GROUP BY 1, 2 ORDER BY w_start_us, c_mktsegment""".stripMargin,
     "stream_tumbling_parquet" -> // append-mode parquet sink: only watermark-
       // finalized windows are emitted (w.end <= max(ts) - 1h cutoff)
       """WITH e AS (SELECT CAST(ts AS TIMESTAMP) AS t, event_type, value FROM events),
