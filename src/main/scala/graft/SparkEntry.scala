@@ -42,6 +42,25 @@ object SparkEntry {
       .orderBy("l_orderkey", "l_linenumber")
   }
 
+  /** Incremental copy: full-load the lower half of orders by key, then
+    * incremental-append everything past the destination watermark —
+    * reports (phase, n_rows) for initial/incremental/final. */
+  private def copyIncrementalQ(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val src = new ParquetDir(dir)
+    val out = java.nio.file.Files.createTempDirectory("graft_incr_").toString
+    val dst = new ParquetDir(out)
+    val k = src.read(spark, "orders")
+      .agg(org.apache.spark.sql.functions.max(col("o_orderkey"))).head().getLong(0) / 2
+    CopyPipeline.copyTable(spark, src, dst, "orders",
+      options = CopyPipeline.CopyOptions(filter = Some(col("o_orderkey") <= k)))
+    val initial = dst.read(spark, "orders").count()
+    val appended = CopyPipeline.copyIncremental(spark, src, dst, "orders", "o_orderkey")
+    val fin = dst.read(spark, "orders").count()
+    Seq(("final", fin), ("incremental", appended), ("initial", initial))
+      .toDF("phase", "n_rows").orderBy("phase")
+  }
+
   /** Projection+predicate copy: the same pipeline with column pruning
     * and a pushed-down filter (reads only 3 columns off the scan). */
   private def copyProjected(spark: SparkSession, dir: String): DataFrame = {
@@ -91,6 +110,7 @@ object SparkEntry {
     "copy_projected"   -> copyProjected _,
     "copy_glob"        -> copyGlob _,
     "copy_partitioned" -> copyPartitioned _,
+    "copy_incremental" -> copyIncrementalQ _,
     "catalog_tables"   -> ((s, d) => Catalog.tablesDf(s, d).orderBy("table_name")),
     "table_stats"      -> (Catalog.tableStats _),
     "merge_upsert"     -> (Relational.mergeUpsert _),
@@ -174,6 +194,7 @@ object SparkEntry {
     "stream_sessions"  -> (EventStreams.sessionWindows _),
     "stream_user_counts" -> (EventStreams.userCounts _),
     "stream_enrich"    -> (EventStreams.enriched _),
+    "stream_dedup"     -> (EventStreams.dedupedCounts _),
     "stream_flat_sessions" -> ((s, d) => EventStreams.flatSessions(s, d)),
     // ---- text / dedup
     "dedup_exact"      -> (Text.dedupExact _),
@@ -667,6 +688,16 @@ object SparkEntry {
         |  event_type, count(*) AS n,
         |  CAST(round(sum(CAST(value AS DECIMAL(18,2))),2) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY w_start_us, event_type""".stripMargin,
+    "copy_incremental" -> // watermark-keyed append: initial half + delta = whole
+      """WITH k AS (SELECT max(o_orderkey) // 2 AS k FROM orders)
+        |SELECT 'final' AS phase, count(*) AS n_rows FROM orders
+        |UNION ALL SELECT 'incremental', count(*) FROM orders, k WHERE o_orderkey > k.k
+        |UNION ALL SELECT 'initial', count(*) FROM orders, k WHERE o_orderkey <= k.k
+        |ORDER BY phase""".stripMargin,
+    "stream_dedup" -> // doubled stream deduped within watermark == batch counts
+      """SELECT epoch_us(time_bucket(INTERVAL 1 HOUR, CAST(ts AS TIMESTAMP))) AS w_start_us,
+        |  count(*) AS n
+        |FROM events GROUP BY 1 ORDER BY w_start_us""".stripMargin,
     "stream_enrich" -> // stream-static join result == batch join + window agg
       """SELECT epoch_us(time_bucket(INTERVAL 1 HOUR, CAST(ts AS TIMESTAMP))) AS w_start_us,
         |  c_mktsegment, count(*) AS n,

@@ -98,6 +98,12 @@ final class ParquetDir(dir: String) extends TableSource with TableSink {
   override def read(spark: SparkSession, name: String): DataFrame =
     spark.read.parquet(pathOf(name))
 
+  /** Append rows to an existing table WITHOUT rewriting it — the
+    * incremental-load primitive (new part files land beside the old;
+    * readers see the union). Hotswap (`write`) replaces; this extends. */
+  def append(df: DataFrame, name: String): Unit =
+    df.write.mode("append").parquet(pathOf(name))
+
   /** Write to `.staging/<uuid>` then atomically rename into place —
     * the Spark analogue of temp-table + hotswap (transport.rb:128-143).
     * Unlike the reference, failures PROPAGATE (the reference's pipe

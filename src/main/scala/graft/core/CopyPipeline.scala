@@ -127,6 +127,30 @@ object CopyPipeline {
     } finally pool.shutdown() // non-daemon threads would pin the JVM at exit
   }
 
+  /** Incremental copy — the production follow-up to a full copy that
+    * the reference lacks entirely (it re-copies whole tables every run,
+    * transport.rb:66-75): append only the source rows whose
+    * monotonically increasing key exceeds the destination's current
+    * maximum. The watermark probe is one max() aggregate (parquet
+    * serves it from footer statistics — no full scan); the filtered
+    * source scan pushes `key > wm` down to the reader; the append adds
+    * part files WITHOUT touching existing data. At 100 TB this is the
+    * difference between moving a day's delta and re-moving the table.
+    * Returns the appended row count. */
+  def copyIncremental(
+      spark: SparkSession,
+      source: TableSource,
+      sink: ParquetDir,
+      table: String,
+      keyCol: String): Long = {
+    import org.apache.spark.sql.functions.{col, lit, max}
+    val wm = sink.read(spark, table).agg(max(col(keyCol))).head().get(0)
+    val fresh = source.read(spark, table).filter(col(keyCol) > lit(wm))
+    val n = fresh.count()
+    if (n > 0) sink.append(fresh, table)
+    n
+  }
+
   /** fnmatch-style glob (the reference used File.fnmatch,
     * transport.rb:27) -> anchored regex. */
   private[core] def globToRegex(glob: String): scala.util.matching.Regex = {

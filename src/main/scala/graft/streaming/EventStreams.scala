@@ -248,6 +248,27 @@ object EventStreams {
     spark.read.parquet(out).orderBy("w_start_us", "event_type")
   }
 
+  /** STREAMING DEDUPLICATION: the event stream unioned with itself (so
+    * every event arrives exactly twice — the at-least-once delivery a
+    * real ingest pipeline must expect) deduplicated by event_id via
+    * `dropDuplicatesWithinWatermark`, then window-counted. State holds
+    * only keys younger than the watermark — bounded on an unbounded
+    * stream, which plain dropDuplicates (keys kept forever) is not.
+    * Output must equal the batch hourly counts of the ORIGINAL events:
+    * the duplicates all vanish because each duplicate pair arrives
+    * inside one watermark span. */
+  def dedupedCounts(spark: SparkSession, dir: String): DataFrame = {
+    val twice = eventStream(spark, dir).union(eventStream(spark, dir))
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("event_id")
+    val agg = twice
+      .groupBy(window(col("ts"), "1 hour").as("w"))
+      .agg(count(lit(1)).as("n"))
+    runComplete(agg, ckpt())
+      .select(unix_micros(col("w.start")).as("w_start_us"), col("n"))
+      .orderBy("w_start_us")
+  }
+
   /** STREAM-STATIC broadcast join: enrich the event stream with the
     * customer dimension (user_id -> c_custkey), then window-aggregate
     * revenue per market segment — the canonical streaming-enrichment

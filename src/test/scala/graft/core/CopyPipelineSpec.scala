@@ -149,6 +149,21 @@ class CopyPipelineSpec extends AnyFunSuite with SparkFixture {
     intercept[IllegalArgumentException](graft.tools.Cli.run(spark, Array("nope")))
   }
 
+  test("copyIncremental appends only rows past the destination watermark, then 0") {
+    import org.apache.spark.sql.functions.col
+    val (src, dst) = (tmp(), tmp())
+    writeTable(src, "t1") // ids 1, 2, 3
+    val sink = new ParquetDir(dst)
+    CopyPipeline.copyTable(spark, new ParquetDir(src), sink, "t1",
+      options = CopyPipeline.CopyOptions(filter = Some(col("id") <= 2)))
+    assert(sink.read(spark, "t1").count() == 2)
+    val appended = CopyPipeline.copyIncremental(spark, new ParquetDir(src), sink, "t1", "id")
+    assert(appended == 1 && sink.read(spark, "t1").count() == 3)
+    // idempotent: nothing past the watermark now
+    val again = CopyPipeline.copyIncremental(spark, new ParquetDir(src), sink, "t1", "id")
+    assert(again == 0 && sink.read(spark, "t1").count() == 3)
+  }
+
   test("cli: --force-schema targets a destination namespace (reference -f)") {
     val (src, dst) = (tmp(), tmp())
     writeTable(src, "fs_a"); writeTable(src, "fs_b")
