@@ -228,6 +228,7 @@ object SparkEntry {
     "decontaminate"    -> ((s, d) => Text.decontaminate(s, d)),
     "pack_chunks"      -> ((s, d) => Text.packChunks(s, d)),
     "repetition_stats" -> (Text.repetitionStats _),
+    "stratified_sample" -> ((s, d) => Text.stratifiedSample(s, d)),
   )
 
   // ------------------------------------------------------------------
@@ -832,6 +833,12 @@ object SparkEntry {
          |FROM shared s JOIN sizes z USING (doc_id)
          |WHERE n_shared >= 5
          |ORDER BY doc_id""".stripMargin,
+    "stratified_sample" -> // per-language top-50 by md5: reproducible mix cut
+      """WITH r AS (SELECT lang, doc_id,
+        |    row_number() OVER (PARTITION BY lang ORDER BY md5(text) ASC, doc_id ASC) AS rn
+        |  FROM documents)
+        |SELECT lang, CAST(rn AS BIGINT) AS rn, doc_id FROM r
+        |WHERE rn <= 50 ORDER BY lang, rn""".stripMargin,
     "repetition_stats" -> // Gopher-style repetition signals per doc
       s"""WITH $shinglesCte,
          |  t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents

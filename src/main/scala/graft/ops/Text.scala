@@ -597,6 +597,23 @@ object Text {
 
   // ------------------------------------------------------------ analysis
 
+  /** Stratified per-language deterministic sample — the balanced
+    * training-mix primitive: rank docs inside each language by the
+    * engine-portable md5 fingerprint (a uniform, reproducible shuffle)
+    * and keep the top k per stratum. ONE window shuffle partitioned by
+    * the stratum key — every language ranks in parallel, no global
+    * sort, no driver-side sampling state; at 100 TB this is how a
+    * pinned-mix corpus is cut reproducibly. */
+  def stratifiedSample(spark: SparkSession, dir: String, k: Int = 50): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("lang").orderBy(md5(col("text")).asc, col("doc_id").asc)
+    Tables.documents(spark, dir)
+      .withColumn("rn", row_number().over(w).cast("bigint"))
+      .filter(col("rn") <= k)
+      .select(col("lang"), col("rn"), col("doc_id"))
+      .orderBy("lang", "rn")
+  }
+
   /** Per-language corpus statistics. */
   def langStats(spark: SparkSession, dir: String): DataFrame =
     tokenized(spark, dir)
