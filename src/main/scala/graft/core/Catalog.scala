@@ -155,29 +155,51 @@ final class JdbcSource(
     if (name.contains(".")) QualifiedName.parse(name)
     else QualifiedName(resolveSchema(conn), name)
 
+  /** Identifier -> metadata PATTERN: the JDBC spec treats '_' and '%'
+    * in getTables/getColumns name arguments as LIKE wildcards, so a
+    * table called ORDERS_V1 would also match ORDERSXV1. Escape with the
+    * driver's escape string before any metadata lookup. */
+  private def escapePattern(conn: java.sql.Connection, s: String): String = {
+    val esc = conn.getMetaData.getSearchStringEscape
+    if (esc == null || esc.isEmpty) s
+    else s.replace(esc, esc + esc).replace("_", esc + "_").replace("%", esc + "%")
+  }
+
+  /** Unquoted identifiers case-fold differently per engine (Derby/HSQL
+    * store UPPER, Postgres lower): try the name as given, then both
+    * folds, returning the first non-empty probe. */
+  private def firstFold[T](schema: String, table: String)(probe: (String, String) => T)(
+      nonEmpty: T => Boolean): T = {
+    val exact = probe(schema, table)
+    if (nonEmpty(exact)) exact
+    else {
+      val upper = probe(schema.toUpperCase, table.toUpperCase)
+      if (nonEmpty(upper)) upper
+      else probe(schema.toLowerCase, table.toLowerCase)
+    }
+  }
+
   /** list_tables (postgres.rb:20-36): BASE TABLEs of one schema,
     * ordered. `DatabaseMetaData.getTables` with type TABLE is the
     * engine-portable form of the reference's information_schema query
     * (its system-schema exclusions fall out of the TABLE type filter). */
   override def listTables(): Seq[String] = withConnection { conn =>
-    val rs = conn.getMetaData.getTables(null, resolveSchema(conn), "%", Array("TABLE"))
+    val rs = conn.getMetaData.getTables(
+      null, escapePattern(conn, resolveSchema(conn)), "%", Array("TABLE"))
     val out = scala.collection.mutable.ArrayBuffer[String]()
     try { while (rs.next()) out += rs.getString("TABLE_NAME") } finally rs.close()
     out.toSeq.sorted
   }
 
-  /** table_exist? (postgres.rb:280-284,327-346). Unquoted identifiers
-    * case-fold in most engines (Derby/PG store them upper/lower), so
-    * the probe tries the name as given, then both folds. */
+  /** table_exist? (postgres.rb:280-284,327-346). */
   override def tableExists(name: String): Boolean = withConnection { conn =>
     val qn = qualify(conn, name)
     def hit(s: String, t: String): Boolean = {
-      val rs = conn.getMetaData.getTables(null, s, t, Array("TABLE"))
+      val rs = conn.getMetaData.getTables(
+        null, escapePattern(conn, s), escapePattern(conn, t), Array("TABLE"))
       try rs.next() finally rs.close()
     }
-    hit(qn.schema, qn.table) ||
-      hit(qn.schema.toUpperCase, qn.table.toUpperCase) ||
-      hit(qn.schema.toLowerCase, qn.table.toLowerCase)
+    firstFold(qn.schema, qn.table)(hit)(identity)
   }
 
   /** Reference column_definitions (postgres.rb:137-167): ordered
@@ -188,7 +210,8 @@ final class JdbcSource(
     withConnection { conn =>
       val qn = qualify(conn, table)
       def cols(s: String, t: String): Seq[(String, String, Boolean)] = {
-        val rs = conn.getMetaData.getColumns(null, s, t, "%")
+        val rs = conn.getMetaData.getColumns(
+          null, escapePattern(conn, s), escapePattern(conn, t), "%")
         val out = scala.collection.mutable.ArrayBuffer[(Int, String, String, Boolean)]()
         try {
           while (rs.next()) {
@@ -207,9 +230,7 @@ final class JdbcSource(
         } finally rs.close()
         out.sortBy(_._1).map(r => (r._2, r._3, r._4)).toSeq
       }
-      val exact = cols(qn.schema, qn.table)
-      if (exact.nonEmpty) exact
-      else cols(qn.schema.toUpperCase, qn.table.toUpperCase)
+      firstFold(qn.schema, qn.table)(cols)(_.nonEmpty)
     }
 
   /** DDL-synthesized create (reference get_create_table_statement,
@@ -220,8 +241,12 @@ final class JdbcSource(
   def createTable(table: String, columns: Seq[(String, String, Boolean)]): Unit =
     withConnection { conn =>
       val qn = qualify(conn, table)
+      // Column names come from metadata in their STORED exact case and
+      // Spark's JDBC writer quotes its INSERT column list — quote here
+      // too, or a lowercase-named (Spark-written) table's clone would
+      // case-fold away from the insert's names.
       val colLines = columns.map { case (n, t, nullable) =>
-        s"$n $t${if (nullable) "" else " NOT NULL"}"
+        s""""$n" $t${if (nullable) "" else " NOT NULL"}"""
       }
       val st = conn.createStatement()
       try { st.executeUpdate(s"CREATE TABLE ${qn.fullName} (${colLines.mkString(", ")})"); () }
@@ -231,10 +256,10 @@ final class JdbcSource(
   /** Source-side index introspection for replay-after-load
     * (transport.rb:51-56), with the same case-fold fallback. */
   def indexesOf(table: String): Seq[IndexSpec] = withConnection { conn =>
+    // getPrimaryKeys/getIndexInfo take EXACT names (not patterns), so
+    // no wildcard escaping here — only the case-fold probes.
     val qn = qualify(conn, table)
-    val exact = Indexes.fromJdbc(conn, qn.schema, qn.table)
-    if (exact.nonEmpty) exact
-    else Indexes.fromJdbc(conn, qn.schema.toUpperCase, qn.table.toUpperCase)
+    firstFold(qn.schema, qn.table)(Indexes.fromJdbc(conn, _, _))(_.nonEmpty)
   }
 
   /** Replay introspected indexes onto a destination table here —
@@ -282,13 +307,48 @@ final class JdbcSource(
     }
   }
 
-  override def write(df: DataFrame, name: String): Unit =
+  private def appendInto(df: DataFrame, dbtable: String): Unit =
     df.write.mode("append").format("jdbc")
-      .option("url", url).option("dbtable", name)
+      .option("url", url).option("dbtable", dbtable)
       .option("batchsize", 10000)       // COPY-ish bulk batches
       .option("isolationLevel", "NONE") // bulk load: no per-batch txn cost
       .options(propMap)
       .save()
+
+  /** Staged write with hotswap publish — the JDBC twin of
+    * ParquetDir.write and the reference's copy_table_data
+    * (transport.rb:128-143): when the destination EXISTS, data lands in
+    * a `temp_<hex>` table first, then one transaction drops the dest
+    * and renames temp into place. Readers never observe a half-copied
+    * table, and re-copies REPLACE instead of PK-violating on append.
+    * The temp table clones the dest's own column definitions (replace
+    * semantics imply matching shape); its indexes die with the DROP, so
+    * the copy pipeline's replay-after-load recreates them. RENAME TABLE
+    * is Derby's spelling; a live-PG deployment maps it to ALTER TABLE
+    * RENAME (postgres.rb:93-106 does the same swap). */
+  override def write(df: DataFrame, name: String): Unit = {
+    if (!tableExists(name)) appendInto(df, name)
+    else {
+      val tmp = s"temp_${java.util.UUID.randomUUID().toString.replace("-", "").take(10)}"
+      createTable(tmp, columnDefinitions(name))
+      appendInto(df, tmp)
+      withConnection { conn =>
+        val destQn = qualify(conn, name)
+        val tmpQn = qualify(conn, tmp)
+        conn.setAutoCommit(false)
+        val st = conn.createStatement()
+        try {
+          st.executeUpdate(s"DROP TABLE ${destQn.fullName}")
+          // RENAME TABLE keeps the schema; target name is unqualified
+          st.executeUpdate(
+            s"RENAME TABLE ${tmpQn.fullName.toUpperCase} TO ${destQn.table.toUpperCase}")
+          conn.commit()
+        } catch {
+          case t: Throwable => conn.rollback(); throw t
+        } finally st.close()
+      }
+    }
+  }
 }
 
 /** Catalog report queries (DataFrame-shaped so they are oracle-checkable). */
@@ -350,11 +410,20 @@ object Catalog {
     props.setProperty("driver", "org.apache.derby.jdbc.EmbeddedDriver")
     val jdbc = new JdbcSource(s"jdbc:derby:$db;create=true", props)
     val pd = new ParquetDir(dir)
-    CopyPipeline.copyTable(spark, pd, jdbc, "nation")
-    CopyPipeline.copyTable(spark, pd, jdbc, "region")
-    val rows = jdbc.listTables().flatMap { t =>
-      jdbc.columnDefinitions(t).map { case (c, ty, n) => (t.toLowerCase, c, ty, n) }
-    }
+    val rows =
+      try {
+        CopyPipeline.copyTable(spark, pd, jdbc, "nation")
+        CopyPipeline.copyTable(spark, pd, jdbc, "region")
+        jdbc.listTables().flatMap { t =>
+          jdbc.columnDefinitions(t).map { case (c, ty, n) => (t.toLowerCase, c, ty, n) }
+        }
+      } finally {
+        // in-memory Derby DBs outlive their connections until dropped —
+        // without this, repeated runs (bench sweeps) leak one loaded DB
+        // per call. The drop "succeeds" by throwing 08006.
+        try { java.sql.DriverManager.getConnection(s"jdbc:derby:$db;drop=true"); () }
+        catch { case _: java.sql.SQLException => () }
+      }
     rows.toDF("table_name", "col_name", "jdbc_type", "is_nullable")
       .orderBy("table_name", "col_name")
   }

@@ -58,7 +58,15 @@ object CopyPipeline {
       destTable: Option[String] = None,
       options: CopyOptions = CopyOptions()): CopyResult = {
     val destBase = destTable.getOrElse(table)
-    val destName = options.destNamespace.map(ns => s"$ns/$destBase").getOrElse(destBase)
+    // namespace qualification is SINK syntax: parquet dirs nest by '/',
+    // JDBC schemas qualify by '.'.
+    val destName = options.destNamespace match {
+      case Some(ns) => sink match {
+        case _: JdbcSource => s"$ns.$destBase"
+        case _             => s"$ns/$destBase"
+      }
+      case None => destBase
+    }
     if (options.ifNotExists) sink match {
       case s: TableSource if s.tableExists(destName) =>
         // skip-if-exists: report the EXISTING table's shape, untouched
@@ -80,17 +88,33 @@ object CopyPipeline {
     // verbatim, exactly the reference's format_type passthrough.
     (source, sink) match {
       case (s: JdbcSource, d: JdbcSource) if !d.tableExists(dest) =>
-        d.createTable(dest, s.columnDefinitions(table))
+        // A projected copy creates only the projected columns — a full
+        // source DDL here would leave unfilled (possibly NOT NULL)
+        // columns the insert below can't satisfy.
+        val defs = s.columnDefinitions(table)
+        val wanted = options.columns match {
+          case Some(cs) =>
+            val keep = cs.map(_.toLowerCase).toSet
+            defs.filter(c => keep.contains(c._1.toLowerCase))
+          case None => defs
+        }
+        d.createTable(dest, wanted)
       case _ => ()
     }
     sink.write(df, dest)
     // Index replay AFTER data load — the classic bulk-load ordering the
     // reference preserves (transport.rb:49 then :51-56): no per-row
-    // index maintenance during the copy.
+    // index maintenance during the copy. Only indexes the destination
+    // lacks are replayed, so re-copying into an existing table doesn't
+    // die on duplicate-constraint DDL.
     (source, sink) match {
       case (s: JdbcSource, d: JdbcSource) if !options.skipIndexes =>
         val specs = s.indexesOf(table)
-        if (specs.nonEmpty) d.replayIndexes(specs, dest)
+        if (specs.nonEmpty) {
+          val have = d.indexesOf(dest).map(x => (x.columns, x.unique, x.primary)).toSet
+          val missing = specs.filter(x => !have((x.columns, x.unique, x.primary)))
+          if (missing.nonEmpty) d.replayIndexes(missing, dest)
+        }
       case _ => ()
     }
     // Count AFTER publish, from the sink side when it is also a source
@@ -145,7 +169,10 @@ object CopyPipeline {
       keyCol: String): Long = {
     import org.apache.spark.sql.functions.{col, lit, max}
     val wm = sink.read(spark, table).agg(max(col(keyCol))).head().get(0)
-    val fresh = source.read(spark, table).filter(col(keyCol) > lit(wm))
+    val src = source.read(spark, table)
+    // empty destination -> NULL watermark; `key > NULL` would filter
+    // out EVERYTHING and silently skip the backlog — copy it all.
+    val fresh = if (wm == null) src else src.filter(col(keyCol) > lit(wm))
     val n = fresh.count()
     if (n > 0) sink.append(fresh, table)
     n

@@ -152,7 +152,6 @@ object Vector {
   def embNearDups(spark: SparkSession, dir: String, threshold: Double = 0.4,
                   bands: Int = 8, bitsPerBand: Int = 4, dim: Int = 64,
                   maxBucket: Int = 1024): DataFrame = {
-    import graft.functions.DetHash
     val raw = Tables.embeddings(spark, dir)
       .select(col("vec_id"), dbl(col("embedding")).as("emb"))
     // Exact-dedup composed like Text.minhashCandidates (round-5): a
@@ -164,23 +163,27 @@ object Vector {
     // at sim 1.0, and rep-level sims equal member-level sims because
     // members are bit-identical to their rep. Output is unchanged; the
     // bucket stage cost now tracks DISTINCT vectors.
+    // Barriers (same discipline as minhashRepVerified): the class map
+    // feeds the expansion five ways, the rep vectors feed banding plus
+    // both verify joins, and the bucket table feeds the size audit plus
+    // both self-join sides — lazy lineage would recompute the dedup
+    // groupBy / normalize / banding ~4-5x per call.
+    val tmp = graft.core.TempDirs.stable(s"embnd:$dir")
     val reps0 = raw.groupBy("emb").agg(min(col("vec_id")).as("rep"))
-    val classMap = raw.join(reps0, "emb")
+    raw.join(reps0, "emb")
       .select(col("vec_id").as("doc_id"), col("rep")) // Text.expandRepPairs' shape
-    val e = raw.join(
+      .write.mode("overwrite").parquet(s"$tmp/classes")
+    val classMap = spark.read.parquet(s"$tmp/classes")
+    raw.join(
         classMap.filter(col("doc_id") === col("rep")).select(col("doc_id").as("vec_id")),
         Seq("vec_id"), "left_semi")
       .withColumn("nrm", nNorm(spark)(col("emb"))) // per-vector, pre-join
-    // Band g packs sign bits of planes j = g*bitsPerBand+t; the plane
-    // constants fold into the plan as literals (zero per-row hashing).
-    def bandBucket(g: Int): Column =
-      (0 until bitsPerBand).map { t =>
-        val j = g * bitsPerBand + t
-        val plane = typedLit((0 until dim).map(i => DetHash.planeComp(j, i)))
-        when(nDot(spark)(col("emb"), plane) >= 0, lit(1L << t)).otherwise(lit(0L))
-      }.reduce((a, b) => a.bitwiseOR(b))
-    val banded = e.select(col("vec_id"),
-      posexplode(array((0 until bands).map(bandBucket): _*)).as(Seq("band", "bucket")))
+      .write.mode("overwrite").parquet(s"$tmp/reps")
+    val e = spark.read.parquet(s"$tmp/reps")
+    e.select(col("vec_id"),
+        posexplode(bandCols(spark, bands, bitsPerBand, dim)).as(Seq("band", "bucket")))
+      .write.mode("overwrite").parquet(s"$tmp/buckets")
+    val banded = spark.read.parquet(s"$tmp/buckets")
     // Defensive cap on NEAR-dup (not identical) mega-buckets, with the
     // drop surfaced — same contract as the minhash candidate stage.
     val sizes = banded.groupBy("band", "bucket").agg(count(lit(1)).as("cnt"))
@@ -205,6 +208,35 @@ object Vector {
     Text.expandRepPairs(repPairs, classMap, Seq("sim"), Seq(lit(1.0)))
       .filter(col("sim") >= threshold) // within pairs obey the threshold too
       .orderBy("d1", "d2")
+  }
+
+  /** Band bucket array (for posexplode over an `emb` column): band g
+    * packs sign bits of planes j = g*bitsPerBand+t; the plane constants
+    * fold into the plan as literals (zero per-row hashing). */
+  private def bandCols(spark: SparkSession, bands: Int, bitsPerBand: Int, dim: Int): Column = {
+    import graft.functions.DetHash
+    def bandBucket(g: Int): Column =
+      (0 until bitsPerBand).map { t =>
+        val j = g * bitsPerBand + t
+        val plane = typedLit((0 until dim).map(i => DetHash.planeComp(j, i)))
+        when(nDot(spark)(col("emb"), plane) >= 0, lit(1L << t)).otherwise(lit(0L))
+      }.reduce((a, b) => a.bitwiseOR(b))
+    array((0 until bands).map(bandBucket): _*)
+  }
+
+  /** Widest rep-level band bucket — embNearDups' oracle-parity audit
+    * surface (the vector mirror of DedupScaleSpec's text guard): capped
+    * output provably equals the uncapped oracle iff this <= maxBucket
+    * on every corpus the oracle checks. */
+  private[ops] def embMaxBandBucket(spark: SparkSession, dir: String,
+      bands: Int = 8, bitsPerBand: Int = 4, dim: Int = 64): Long = {
+    val raw = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), dbl(col("embedding")).as("emb"))
+    val reps0 = raw.groupBy("emb").agg(min(col("vec_id")).as("rep"))
+    val reps = raw.join(reps0.select(col("rep").as("vec_id")), Seq("vec_id"), "left_semi")
+    reps.select(posexplode(bandCols(spark, bands, bitsPerBand, dim)).as(Seq("band", "bucket")))
+      .groupBy("band", "bucket").agg(count(lit(1)).as("cnt"))
+      .agg(max(col("cnt"))).head().getLong(0)
   }
 
   /** IVF-style ANN: assign every vector to its nearest of K md5-derived
@@ -265,13 +297,17 @@ object Vector {
       if (n == 0.0) v
       else v.map(x => math.rint(x / n * 1e6) / 1e6)
     }
-    // spherical k-means runs on unit vectors (cosine == dot)
+    // spherical k-means runs on unit vectors (cosine == dot); persisted
+    // across Lloyd iterations — every iteration re-reads `u`, and
+    // without the cache each one re-scans + re-normalizes the corpus
+    // (MLlib k-means caches its input for the same reason).
     val u = Tables.embeddings(spark, dir)
       .select(dbl(col("embedding")).as("emb"))
       .withColumn("nrm", nNorm(spark)(col("emb")))
       .select(transform(col("emb"), x => x / col("nrm")).as("u"))
+      .persist()
     var cents = pseudoRandomCentroids(lists, dim).map(unit)
-    for (_ <- 0 until iters) {
+    try for (_ <- 0 until iters) {
       val dots = array(cents.indices.map(kk =>
         round(nDot(spark)(col("u"), typedLit(cents(kk))), 6)): _*)
       val sums = (0 until dim).map(i =>
@@ -290,7 +326,7 @@ object Vector {
           case None => cents(kk)
         }
       }
-    }
+    } finally u.unpersist()
     cents
   }
 

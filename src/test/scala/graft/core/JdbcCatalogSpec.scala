@@ -94,6 +94,18 @@ class JdbcCatalogSpec extends AnyFunSuite with SparkFixture {
       assert(!byName("IDX_ITEMS_QTY").unique && byName("IDX_ITEMS_QTY").columns == Seq("QTY", "SUPP"))
     } finally conn.close()
 
+    // Re-copy REPLACES via temp-table hotswap (transport.rb:128-143):
+    // same 3 rows, not 6, no PK violation, indexes intact.
+    val res2 = CopyPipeline.copyTable(spark, src, dst, "ITEMS")
+    assert(res2.rows == 3, s"re-copy must hotswap-replace, saw ${res2.rows} rows")
+    val conn3 = DriverManager.getConnection(dstUrl)
+    try {
+      val again = Indexes.fromJdbc(conn3, "APP", "ITEMS")
+      assert(again.exists(_.primary), "hotswapped table must get its PK replayed")
+      assert(again.map(_.columns).toSet ==
+        Set(Seq("OK", "LN"), Seq("SUPP"), Seq("QTY", "SUPP")))
+    } finally conn3.close()
+
     // skipIndexes copies data only (reference skip_indexes, minus typo).
     exec(srcUrl, "CREATE TABLE BARE (ID BIGINT NOT NULL, CONSTRAINT PK_BARE PRIMARY KEY (ID))",
       "INSERT INTO BARE VALUES (1)")

@@ -97,6 +97,12 @@ class DedupScaleSpec extends AnyFunSuite with SparkFixture {
       assert(reps <= Text.DefaultMaxBucket,
         s"$sf has $reps distinct contents > cap ${Text.DefaultMaxBucket}: " +
           "capped output could diverge from the uncapped oracle")
+      // the vector cap needs the ACTUAL band-bucket widths (16 possible
+      // buckets per band makes the rep-count bound useless there)
+      val w = Vector.embMaxBandBucket(spark, sf)
+      assert(w <= 1024,
+        s"$sf widest embedding band bucket $w > 1024: emb_neardups' cap " +
+          "could engage and diverge from the uncapped oracle")
     }
   }
 
