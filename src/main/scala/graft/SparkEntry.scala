@@ -48,7 +48,9 @@ object SparkEntry {
   private def copyIncrementalQ(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val src = new ParquetDir(dir)
-    val out = java.nio.file.Files.createTempDirectory("graft_incr_").toString
+    // TempDirs: repeated runs overwrite (the initial copy hotswaps the
+    // dest table), instead of leaking one full orders copy per run.
+    val out = graft.core.TempDirs.stable(s"copy_incr:$dir")
     val dst = new ParquetDir(out)
     val k = src.read(spark, "orders")
       .agg(org.apache.spark.sql.functions.max(col("o_orderkey"))).head().getLong(0) / 2

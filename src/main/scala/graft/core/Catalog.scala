@@ -161,7 +161,9 @@ final class JdbcSource(
     * driver's escape string before any metadata lookup. */
   private def escapePattern(conn: java.sql.Connection, s: String): String = {
     val esc = conn.getMetaData.getSearchStringEscape
-    if (esc == null || esc.isEmpty) s
+    // "%" is resolveSchema's any-schema FALLBACK (no current schema,
+    // none configured — catalog-based engines): it must stay a wildcard.
+    if (esc == null || esc.isEmpty || s == "%") s
     else s.replace(esc, esc + esc).replace("_", esc + "_").replace("%", esc + "%")
   }
 
@@ -318,34 +320,54 @@ final class JdbcSource(
   /** Staged write with hotswap publish — the JDBC twin of
     * ParquetDir.write and the reference's copy_table_data
     * (transport.rb:128-143): when the destination EXISTS, data lands in
-    * a `temp_<hex>` table first, then one transaction drops the dest
-    * and renames temp into place. Readers never observe a half-copied
-    * table, and re-copies REPLACE instead of PK-violating on append.
-    * The temp table clones the dest's own column definitions (replace
-    * semantics imply matching shape); its indexes die with the DROP, so
-    * the copy pipeline's replay-after-load recreates them. RENAME TABLE
-    * is Derby's spelling; a live-PG deployment maps it to ALTER TABLE
-    * RENAME (postgres.rb:93-106 does the same swap). */
+    * a `temp_<hex>` table IN THE DESTINATION'S SCHEMA (rename cannot
+    * move schemas), then one transaction drops the dest and renames
+    * temp into place. Readers never observe a half-copied table, and
+    * re-copies REPLACE instead of PK-violating on append. The temp
+    * clones the dest's column definitions RESTRICTED to the incoming
+    * frame's columns (a projected re-copy must not inherit unfillable
+    * NOT NULL columns); dest indexes die with the DROP, so the copy
+    * pipeline replays them after the publish. A failed stage or swap
+    * ensure-drops the temp (the parquet path's finally-delete,
+    * transport.rb:141-142). RENAME TABLE is Derby's spelling; a live-PG
+    * deployment maps it to ALTER TABLE RENAME (postgres.rb:93-106 does
+    * the same swap). */
   override def write(df: DataFrame, name: String): Unit = {
     if (!tableExists(name)) appendInto(df, name)
     else {
-      val tmp = s"temp_${java.util.UUID.randomUUID().toString.replace("-", "").take(10)}"
-      createTable(tmp, columnDefinitions(name))
-      appendInto(df, tmp)
-      withConnection { conn =>
-        val destQn = qualify(conn, name)
-        val tmpQn = qualify(conn, tmp)
-        conn.setAutoCommit(false)
-        val st = conn.createStatement()
-        try {
-          st.executeUpdate(s"DROP TABLE ${destQn.fullName}")
-          // RENAME TABLE keeps the schema; target name is unqualified
-          st.executeUpdate(
-            s"RENAME TABLE ${tmpQn.fullName.toUpperCase} TO ${destQn.table.toUpperCase}")
-          conn.commit()
-        } catch {
-          case t: Throwable => conn.rollback(); throw t
-        } finally st.close()
+      val destSchema = withConnection(conn => qualify(conn, name).schema)
+      val tmp =
+        s"$destSchema.temp_${java.util.UUID.randomUUID().toString.replace("-", "").take(10)}"
+      try {
+        val incoming = df.columns.map(_.toLowerCase).toSet
+        val defs = columnDefinitions(name)
+          .filter(c => incoming.contains(c._1.toLowerCase))
+        if (defs.nonEmpty) createTable(tmp, defs) // else: writer auto-creates
+        appendInto(df, tmp)
+        withConnection { conn =>
+          val destQn = qualify(conn, name)
+          val tmpQn = qualify(conn, tmp)
+          conn.setAutoCommit(false)
+          val st = conn.createStatement()
+          try {
+            st.executeUpdate(s"DROP TABLE ${destQn.fullName}")
+            // RENAME TABLE keeps the schema; target name is unqualified
+            st.executeUpdate(
+              s"RENAME TABLE ${tmpQn.fullName.toUpperCase} TO ${destQn.table.toUpperCase}")
+            conn.commit()
+          } catch {
+            case t: Throwable => conn.rollback(); throw t
+          } finally st.close()
+        }
+      } catch {
+        case t: Throwable =>
+          // ensure-drop the staged temp; the original failure wins
+          try withConnection { conn =>
+            val st = conn.createStatement()
+            try { st.executeUpdate(s"DROP TABLE ${qualify(conn, tmp).fullName}"); () }
+            finally st.close()
+          } catch { case _: Throwable => () }
+          throw t
       }
     }
   }

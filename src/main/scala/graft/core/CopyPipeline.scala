@@ -101,15 +101,26 @@ object CopyPipeline {
         d.createTable(dest, wanted)
       case _ => ()
     }
+    // A JDBC hotswap (existing dest) drops the dest's indexes with the
+    // table — capture them first so a non-JDBC source (which has no
+    // indexes of its own to replay) doesn't silently strip the dest.
+    val preIndexes: Seq[IndexSpec] = sink match {
+      case d: JdbcSource if !options.skipIndexes && d.tableExists(dest) =>
+        d.indexesOf(dest)
+      case _ => Seq.empty
+    }
     sink.write(df, dest)
     // Index replay AFTER data load — the classic bulk-load ordering the
     // reference preserves (transport.rb:49 then :51-56): no per-row
     // index maintenance during the copy. Only indexes the destination
     // lacks are replayed, so re-copying into an existing table doesn't
     // die on duplicate-constraint DDL.
-    (source, sink) match {
-      case (s: JdbcSource, d: JdbcSource) if !options.skipIndexes =>
-        val specs = s.indexesOf(table)
+    sink match {
+      case d: JdbcSource if !options.skipIndexes =>
+        val specs = source match {
+          case s: JdbcSource => s.indexesOf(table) // source wins (reference flow)
+          case _             => preIndexes         // preserve dest's own
+        }
         if (specs.nonEmpty) {
           val have = d.indexesOf(dest).map(x => (x.columns, x.unique, x.primary)).toSet
           val missing = specs.filter(x => !have((x.columns, x.unique, x.primary)))
@@ -172,10 +183,15 @@ object CopyPipeline {
     val src = source.read(spark, table)
     // empty destination -> NULL watermark; `key > NULL` would filter
     // out EVERYTHING and silently skip the backlog — copy it all.
-    val fresh = if (wm == null) src else src.filter(col(keyCol) > lit(wm))
-    val n = fresh.count()
-    if (n > 0) sink.append(fresh, table)
-    n
+    // Persisted: count + append otherwise scan the delta twice, and on
+    // a LIVE source the two scans could even disagree (reported n vs
+    // appended rows).
+    val fresh = (if (wm == null) src else src.filter(col(keyCol) > lit(wm))).persist()
+    try {
+      val n = fresh.count()
+      if (n > 0) sink.append(fresh, table)
+      n
+    } finally { fresh.unpersist(); () }
   }
 
   /** fnmatch-style glob (the reference used File.fnmatch,

@@ -216,17 +216,23 @@ object Text {
     * count (visible, not silent). Exposed private[ops] so specs can
     * assert the rep-level candidate volume stays linear in duplicate-
     * class size. */
-  private[ops] def minhashRepCandidates(spark: SparkSession, repDocs: DataFrame,
-      tag: String, maxBucket: Int = DefaultMaxBucket): DataFrame = {
-    val sig = minhashSignaturesOf(repDocs)
+  /** (doc_id, band, bh) band table of a 64-column signature frame —
+    * THE banding definition; the candidate stage and the bucket-stats
+    * audit must bucket identically or the audit lies. */
+  private def bandedSignature(sig: DataFrame): DataFrame = {
     val r = MinhashPerms / MinhashBands
     val bandStructs = (0 until MinhashBands).map { b =>
       val cols = (0 until r).map(i => col(s"h${b * r + i}"))
       struct(lit(b).as("band"), concat_ws(",", cols: _*).as("bh"))
     }
-    val bPath = s"${graft.core.TempDirs.stable(s"mh_buckets:$tag")}/buckets"
     sig.select(col("doc_id"), explode(array(bandStructs: _*)).as("bb"))
       .select(col("doc_id"), col("bb.band").as("band"), col("bb.bh").as("bh"))
+  }
+
+  private[ops] def minhashRepCandidates(spark: SparkSession, repDocs: DataFrame,
+      tag: String, maxBucket: Int = DefaultMaxBucket): DataFrame = {
+    val bPath = s"${graft.core.TempDirs.stable(s"mh_buckets:$tag")}/buckets"
+    bandedSignature(minhashSignaturesOf(repDocs))
       .write.mode("overwrite").parquet(bPath)
     val buckets = spark.read.parquet(bPath)
     val sizes = buckets.groupBy("band", "bh").agg(count(lit(1)).as("cnt"))
@@ -262,14 +268,8 @@ object Text {
       maxBucket: Int = DefaultMaxBucket): DataFrame = {
     val docs = Tables.documents(spark, dir)
       .filter(size(split(col("text"), " ")) >= 3)
-    val sig = minhashSignaturesOf(docs)
-    val r = MinhashPerms / MinhashBands
-    val bandStructs = (0 until MinhashBands).map { b =>
-      val cols = (0 until r).map(i => col(s"h${b * r + i}"))
-      struct(lit(b).cast("bigint").as("band"), concat_ws(",", cols: _*).as("bh"))
-    }
-    sig.select(explode(array(bandStructs: _*)).as("bb"))
-      .select(col("bb.band").as("band"), col("bb.bh").as("bh"))
+    bandedSignature(minhashSignaturesOf(docs))
+      .select(col("band").cast("bigint").as("band"), col("bh"))
       .groupBy("band", "bh").agg(count(lit(1)).as("w"))
       .filter(col("w") >= 2)
       .groupBy("band")

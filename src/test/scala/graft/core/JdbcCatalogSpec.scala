@@ -64,6 +64,26 @@ class JdbcCatalogSpec extends AnyFunSuite with SparkFixture {
     assert(!dst.tableExists("OTHER"))
   }
 
+  test("derby: hotswap re-copy into a schema-qualified destination stays in that schema") {
+    val srcUrl = freshUrl()
+    val dstUrl = freshUrl()
+    exec(srcUrl,
+      "CREATE TABLE T2 (ID BIGINT NOT NULL, CONSTRAINT PK_T2 PRIMARY KEY (ID))",
+      "INSERT INTO T2 VALUES (1), (2)")
+    exec(dstUrl, "CREATE SCHEMA ANALYTICS")
+    val src = new JdbcSource(srcUrl, props())
+    val dst = new JdbcSource(dstUrl, props())
+    val opts = CopyPipeline.CopyOptions(destNamespace = Some("ANALYTICS"))
+    val first = CopyPipeline.copyTable(spark, src, dst, "T2", options = opts)
+    assert(first.table == "ANALYTICS.T2" && first.rows == 2)
+    // re-copy goes through the temp+rename hotswap: the table must stay
+    // in ANALYTICS (the temp stages in the DEST's schema, not APP)
+    val second = CopyPipeline.copyTable(spark, src, dst, "T2", options = opts)
+    assert(second.rows == 2, "hotswap must replace, not append")
+    assert(dst.tableExists("ANALYTICS.T2"))
+    assert(!dst.tableExists("APP.T2"), "hotswap must not strand the table in APP")
+  }
+
   test("derby e2e: copyTable replays composite PK + 2 indexes after the data") {
     val srcUrl = freshUrl()
     val dstUrl = freshUrl()
