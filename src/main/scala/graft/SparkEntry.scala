@@ -106,6 +106,28 @@ object SparkEntry {
       .orderBy("o_year")
   }
 
+  /** Schema-drift copy: the source grows a column mid-stream. Batch 1
+    * appends region as-is; batch 2 appends region + a derived column;
+    * `mergeSchema` reconciles the footer schemas on read (old rows
+    * surface NULL for the new column). The shape every long-lived
+    * ingest dir hits; per-file schemas stay valid, no rewrite of
+    * already-landed data. */
+  private def schemaEvolution(spark: SparkSession, dir: String): DataFrame = {
+    val out = graft.core.TempDirs.stable(s"schema_evo:$dir")
+    val t = s"$out/region_evo"
+    graft.core.TempDirs.deleteRecursively(new java.io.File(t))
+    val base = Tables.region(spark, dir)
+    base.write.mode("append").parquet(t)
+    base.withColumn("name_len", length(col("r_name")).cast("bigint"))
+      .write.mode("append").parquet(t)
+    spark.read.option("mergeSchema", "true").parquet(t)
+      .groupBy("r_regionkey")
+      .agg(count(lit(1)).as("n_rows"),
+        count(col("name_len")).as("n_with_col"),
+        max(col("name_len")).as("name_len"))
+      .orderBy("r_regionkey")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- Layer A: copy pipeline + catalog (reference parity)
     "copy_roundtrip"   -> copyRoundtrip _,
@@ -113,6 +135,7 @@ object SparkEntry {
     "copy_glob"        -> copyGlob _,
     "copy_partitioned" -> copyPartitioned _,
     "copy_incremental" -> copyIncrementalQ _,
+    "schema_evolution" -> schemaEvolution _,
     "catalog_tables"   -> ((s, d) => Catalog.tablesDf(s, d).orderBy("table_name")),
     "table_stats"      -> (Catalog.tableStats _),
     "merge_upsert"     -> (Relational.mergeUpsert _),
@@ -691,6 +714,11 @@ object SparkEntry {
         |  event_type, count(*) AS n,
         |  CAST(round(sum(CAST(value AS DECIMAL(18,2))),2) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY w_start_us, event_type""".stripMargin,
+    "schema_evolution" -> // two batches, one with the extra column, merged read
+      """SELECT r_regionkey, CAST(2 AS BIGINT) AS n_rows,
+        |  CAST(1 AS BIGINT) AS n_with_col,
+        |  CAST(len(r_name) AS BIGINT) AS name_len
+        |FROM region ORDER BY r_regionkey""".stripMargin,
     "copy_incremental" -> // watermark-keyed append: initial half + delta = whole
       """WITH k AS (SELECT max(o_orderkey) // 2 AS k FROM orders)
         |SELECT 'final' AS phase, count(*) AS n_rows FROM orders
