@@ -220,6 +220,7 @@ object SparkEntry {
     "stream_user_counts" -> (EventStreams.userCounts _),
     "stream_enrich"    -> (EventStreams.enriched _),
     "stream_dedup"     -> (EventStreams.dedupedCounts _),
+    "stream_interval_join" -> (EventStreams.intervalJoin _),
     "stream_flat_sessions" -> ((s, d) => EventStreams.flatSessions(s, d)),
     // ---- text / dedup
     "dedup_exact"      -> (Text.dedupExact _),
@@ -725,6 +726,16 @@ object SparkEntry {
         |UNION ALL SELECT 'incremental', count(*) FROM orders, k WHERE o_orderkey > k.k
         |UNION ALL SELECT 'initial', count(*) FROM orders, k WHERE o_orderkey <= k.k
         |ORDER BY phase""".stripMargin,
+    "stream_interval_join" -> // stream-stream attribution == batch interval join
+      """WITH c AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS c_ts FROM events
+        |           WHERE event_type = 'click'),
+        |  p AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS p_ts FROM events
+        |        WHERE event_type = 'purchase')
+        |SELECT epoch_us(time_bucket(INTERVAL 1 HOUR, p_ts)) AS w_start_us,
+        |  count(*) AS n
+        |FROM c JOIN p ON c.user_id = p.user_id
+        |  AND p_ts >= c_ts AND p_ts <= c_ts + INTERVAL 30 MINUTE
+        |GROUP BY 1 ORDER BY w_start_us""".stripMargin,
     "stream_dedup" -> // doubled stream deduped within watermark == batch counts
       """SELECT epoch_us(time_bucket(INTERVAL 1 HOUR, CAST(ts AS TIMESTAMP))) AS w_start_us,
         |  count(*) AS n

@@ -269,6 +269,42 @@ object EventStreams {
       .orderBy("w_start_us")
   }
 
+  /** STREAM-STREAM INTERVAL JOIN — the attribution shape: every click
+    * joined to the same user's purchases within the following 30
+    * minutes, both sides watermarked so the join state evicts pairs the
+    * time bound can no longer match (clicks older than the purchase
+    * watermark minus the interval are dropped from state — THE property
+    * that lets two unbounded streams join forever). Append mode emits
+    * each match exactly once; hourly match counts equal the batch
+    * interval join, which is the oracle. */
+  def intervalJoin(spark: SparkSession, dir: String): DataFrame = {
+    val clicks = eventStream(spark, dir)
+      .filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts").as("c_ts"))
+      .withWatermark("c_ts", "1 hour")
+    val purchases = eventStream(spark, dir)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"))
+      .withWatermark("p_ts", "1 hour")
+    val joined = clicks.join(purchases,
+      col("user_id") === col("p_user") &&
+        col("p_ts") >= col("c_ts") &&
+        col("p_ts") <= col("c_ts") + expr("INTERVAL 30 MINUTES"))
+    val name = sinkName("graft")
+    val q = joined.writeStream
+      .format("memory").queryName(name)
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", s"${ckpt()}/$name")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(name)
+      .groupBy(window(col("p_ts"), "1 hour").as("w"))
+      .agg(count(lit(1)).as("n"))
+      .select(unix_micros(col("w.start")).as("w_start_us"), col("n"))
+      .orderBy("w_start_us")
+  }
+
   /** STREAM-STATIC broadcast join: enrich the event stream with the
     * customer dimension (user_id -> c_custkey), then window-aggregate
     * revenue per market segment — the canonical streaming-enrichment
