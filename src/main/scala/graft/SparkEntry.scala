@@ -381,7 +381,7 @@ object SparkEntry {
         |    SELECT o_orderkey, 'X' AS u_status, o_totalprice + 100.0 AS u_totalprice
         |    FROM base WHERE o_orderkey % 10 = 0
         |    UNION ALL
-        |    SELECT o_orderkey + 10000000, 'I', o_totalprice
+        |    SELECT o_orderkey + (SELECT max(o_orderkey) + 1 FROM base), 'I', o_totalprice
         |    FROM base WHERE o_orderkey % 1000 = 0),
         |  merged AS (SELECT
         |    coalesce(u_status, o_orderstatus) AS status,
@@ -480,8 +480,8 @@ object SparkEntry {
         |ORDER BY c_custkey""".stripMargin,
     "range_join" ->
       s"""SELECT band, count(*) AS n_parts, ${moneySum("p_retailprice")} AS sum_price
-         |FROM part JOIN (VALUES ('p900_905',900.0,905.0),('p905_910',905.0,910.0),
-         |  ('p910_915',910.0,915.0),('p915_920',915.0,920.0),('p920_inf',920.0,1e18))
+         |FROM part JOIN (VALUES ('p900_925',900.0,925.0),('p925_950',925.0,950.0),
+         |  ('p950_975',950.0,975.0),('p975_1000',975.0,1000.0),('p1000_inf',1000.0,1e18))
          |  b(band, lo, hi) ON p_retailprice >= lo AND p_retailprice < hi
          |GROUP BY band ORDER BY band""".stripMargin,
     "skew_join_salted" -> // salt is internal: oracle is the plain join
@@ -819,7 +819,7 @@ object SparkEntry {
         |FROM documents ORDER BY doc_id""".stripMargin,
     "map_fns" ->
       """SELECT event_id,
-        |  CAST(json_array_length(json_keys(props)) + 1 AS BIGINT) AS n_keys,
+        |  CAST(len(list_filter(json_keys(props), kk -> kk != 'type')) + 1 AS BIGINT) AS n_keys,
         |  CAST(json_extract_string(props, '$.k') AS INT) AS k_val,
         |  event_type AS type_val
         |FROM events ORDER BY event_id""".stripMargin,

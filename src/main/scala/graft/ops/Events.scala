@@ -101,8 +101,10 @@ object Events {
            max(col("end_us") - col("start_us")).as("max_session_us"))
       .orderBy("user_id")
 
-  /** As-of join: for each purchase, the most recent STRICTLY-earlier
-    * click by the same user — union-and-window formulation: one shuffle
+  /** As-of join: for each purchase, the most recent click at or before
+    * it by the same user (same-timestamp clicks count when they sort
+    * before the purchase by event_id — a ROWS frame, not a strict
+    * time inequality) — union-and-window formulation: one shuffle
     * on user_id, no join at all. (The naive formulation is a range
     * join purchase x click which explodes at scale.) */
   def asofPurchaseClick(spark: SparkSession, dir: String): DataFrame = {
@@ -137,7 +139,11 @@ object Events {
     Tables.events(spark, dir)
       .withColumn("m", from_json(col("props"),
         org.apache.spark.sql.types.DataType.fromDDL("map<string,string>")))
-      .withColumn("m2", map_concat(col("m"),
+      // map_filter first: map_concat THROWS on duplicate keys under the
+      // default dedup policy, so a props payload that happens to carry
+      // a "type" key must not collide with the one added here.
+      .withColumn("m2", map_concat(
+        map_filter(col("m"), (k, _) => k =!= "type"),
         map(lit("type"), col("event_type"))))
       .select(col("event_id"),
         size(map_keys(col("m2"))).cast("bigint").as("n_keys"),

@@ -75,6 +75,10 @@ object Multimodal {
     * synthetic payload is the text's bytes and the corpus is ASCII). */
   def features(spark: SparkSession, dir: String): DataFrame =
     extractFeatures(spark, dir).toDF()
+      // Empty payloads carry no features: the oracle's LATERAL unnest
+      // emits no rows for them, so filtering here keeps the two engines
+      // aligned on any corpus AND guards the avg division.
+      .filter(col("n_bytes") > 0)
       // round here with Spark's HALF_UP (matches DuckDB's round), not in
       // the typed row (math.rint is half-even)
       .select(col("doc_id"), col("kind"), col("n_bytes"), col("byte_sum"),

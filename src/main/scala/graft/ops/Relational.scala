@@ -97,11 +97,12 @@ object Relational {
     * nested loop on a 6-row build side, so the probe side streams. */
   def rangeJoin(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    // part.p_retailprice spans [900, 920) in the corpus — 5 bands of 5.
+    // part.p_retailprice spans [900, 1000) in the corpus — 4 bands of
+    // 25 plus a catch-all, so every band carries real weight.
     val bands = Seq(
-      ("p900_905", 900.0, 905.0), ("p905_910", 905.0, 910.0),
-      ("p910_915", 910.0, 915.0), ("p915_920", 915.0, 920.0),
-      ("p920_inf", 920.0, 1e18))
+      ("p900_925", 900.0, 925.0), ("p925_950", 925.0, 950.0),
+      ("p950_975", 950.0, 975.0), ("p975_1000", 975.0, 1000.0),
+      ("p1000_inf", 1000.0, 1e18))
       .toDF("band", "lo", "hi")
     val p = Tables.part(spark, dir)
     p.join(broadcast(bands),
@@ -399,7 +400,8 @@ object Relational {
 
   /** Histogram: fixed-width binning with integer floor arithmetic
     * (deterministic in any engine, unlike engine-specific histogram
-    * aggregates). 20 bins over the price range. */
+    * aggregates). Width-200 bins — ~520 over the corpus price range
+    * [900, ~105000). */
   def histogram(spark: SparkSession, dir: String): DataFrame =
     Tables.lineitem(spark, dir)
       .withColumn("bin", floor((col("l_extendedprice") - 900.0) / 200.0).cast("bigint"))
@@ -478,7 +480,7 @@ object Relational {
       .filter(DetHash.hex60(concat(lit("s:"), col("o_orderkey"))) % 100 < 10)
       .groupBy("o_orderpriority")
       .agg(count(lit(1)).as("n"),
-        round(sum(col("o_totalprice").cast("decimal(18,2)")), 2).cast("double").as("revenue"))
+        round(sum(money("o_totalprice")), 2).cast("double").as("revenue"))
       .orderBy("o_orderpriority")
   }
 
@@ -501,7 +503,7 @@ object Relational {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types.LongType
     val src = Tables.orders(spark, dir).select("o_orderkey", "o_totalprice")
-    val n = src.count()
+    val n = src.count() // parquet footer-stats count, no data scan
     val sorted = src.orderBy(col("o_totalprice").asc, col("o_orderkey").asc)
     val ranked = spark.createDataFrame(
       sorted.rdd.zipWithIndex.map { case (row, i) => Row.fromSeq(row.toSeq :+ (i + 1L)) },
@@ -511,7 +513,10 @@ object Relational {
         expr(s"CAST(CASE WHEN rk <= $cut THEN (rk - 1) DIV ${base + 1} + 1" +
              s" ELSE $rem + (rk - $cut - 1) DIV ${math.max(base, 1)} + 1 END AS INT)")
           .as("decile"),
-        round((col("rk") - 1).cast("double") / lit(n - 1).cast("double"), 6).as("pct_rank"),
+        // n==1 guard: percent_rank of a single row is 0, not 0/0
+        (if (n > 1)
+          round((col("rk") - 1).cast("double") / lit(n - 1).cast("double"), 6)
+        else lit(0.0)).as("pct_rank"),
         round(col("rk").cast("double") / lit(n).cast("double"), 6).as("cume"))
       .orderBy("o_orderkey")
   }
@@ -538,7 +543,7 @@ object Relational {
       .filter(year(col("o_orderdate")) === 1996)
       .groupBy(date_format(col("o_orderdate"), "yyyy-MM").as("month"))
       .agg(count(lit(1)).as("n_orders"),
-        round(sum(col("o_totalprice").cast("decimal(18,2)")), 2).cast("double").as("revenue"))
+        round(sum(money("o_totalprice")), 2).cast("double").as("revenue"))
     spine.join(actual, Seq("month"), "left")
       .select(col("month"), coalesce(col("n_orders"), lit(0L)).as("n_orders"),
         coalesce(col("revenue"), lit(0.0)).as("revenue"))
@@ -637,8 +642,12 @@ object Relational {
     val updates = base.filter(col("o_orderkey") % 10 === 0)
       .select(col("o_orderkey"), lit("X").as("u_status"),
         (col("o_totalprice") + 100.0).as("u_totalprice"))
+    // Insert clones re-key past the ACTUAL max key (a fixed constant
+    // collides with real keys once the corpus scales past it, silently
+    // double-matching the outer join).
+    val shift = base.agg(max(col("o_orderkey"))).head().getAs[Number](0).longValue() + 1L
     val inserts = base.filter(col("o_orderkey") % 1000 === 0)
-      .select((col("o_orderkey") + 10000000L).as("o_orderkey"),
+      .select((col("o_orderkey") + shift).as("o_orderkey"),
         lit("I").as("u_status"), col("o_totalprice").as("u_totalprice"))
     val delta = updates.unionByName(inserts)
     base.join(delta, Seq("o_orderkey"), "full_outer")
@@ -647,7 +656,7 @@ object Relational {
         coalesce(col("u_totalprice"), col("o_totalprice")).as("totalprice"))
       .groupBy("status")
       .agg(count(lit(1)).as("n"),
-        round(sum(col("totalprice").cast("decimal(18,2)")), 2).cast("double").as("revenue"))
+        round(sum(money("totalprice")), 2).cast("double").as("revenue"))
       .orderBy("status")
   }
 

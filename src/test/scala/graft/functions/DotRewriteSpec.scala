@@ -65,7 +65,31 @@ class DotRewriteSpec extends AnyFunSuite {
   }
 
   test("function registry form works via spark.sql") {
-    spark.sql("SELECT graft_dot(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS d")
-      .collect()(0).getDouble(0) == 11.0
+    assert(spark.sql("SELECT graft_dot(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS d")
+      .collect()(0).getDouble(0) == 11.0)
+  }
+
+  test("null semantics match the HOF form: length mismatch and null slots go NULL") {
+    import spark.implicits._
+    // zip_with pads a length mismatch with nulls and the fold goes
+    // null; a null element nulls its product. The rewrite is only
+    // result-preserving because graft_dot does the SAME.
+    val df = Seq(
+      (Array[java.lang.Double](1.0, 2.0), Array[java.lang.Double](3.0)),
+      (Array[java.lang.Double](1.0, null), Array[java.lang.Double](3.0, 4.0)),
+      (Array[java.lang.Double](1.0, 2.0), Array[java.lang.Double](3.0, 4.0)))
+      .toDF("a", "b")
+    val hof = df.select(hofDot.as("d")).collect().map(r => Option(r.get(0)))
+    val native = df.select(
+      GraftFunctions.dot(spark, col("a"), col("b")).as("d"))
+      .collect().map(r => Option(r.get(0)))
+    assert(hof.toSeq == native.toSeq)
+    assert(hof(0).isEmpty && hof(1).isEmpty && hof(2).contains(11.0))
+  }
+
+  test("graft_dot rejects wrong arity instead of silently dropping arguments") {
+    val e = intercept[Exception](
+      spark.sql("SELECT graft_dot(array(1.0d), array(1.0d), array(1.0d))").collect())
+    assert(e.getMessage.contains("graft_dot"), s"unhelpful error: ${e.getMessage}")
   }
 }
