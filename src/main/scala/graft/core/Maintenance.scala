@@ -35,13 +35,8 @@ object Maintenance {
       .orderBy("phase")
     // all numbers above are already materialized driver-side values —
     // the scratch copies can go (repeated runs must not fill the disk)
-    deleteRecursively(new java.io.File(out))
+    TempDirs.deleteRecursively(new java.io.File(out))
     report
-  }
-
-  private def deleteRecursively(f: java.io.File): Unit = {
-    Option(f.listFiles()).foreach(_.foreach(deleteRecursively))
-    f.delete(): Unit
   }
 
   /** Z-value: bit-interleave of two low-cardinality-bucketed columns

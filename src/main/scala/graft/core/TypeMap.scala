@@ -18,9 +18,16 @@ object TypeMap {
   private val Numeric = """(?:numeric|decimal)\s*\((\d+)\s*,\s*(\d+)\)""".r
   private val NumericP = """(?:numeric|decimal)\s*\((\d+)\)""".r
   private val ArraySuffix = """(.+)\[\]""".r
+  // format_type renders fractional-second precision INSIDE the name:
+  // "timestamp(3) with time zone", "time(6) without time zone". Strip
+  // it before matching — Catalyst timestamps are micros regardless —
+  // or the whole timestamp/time family would fall through to the
+  // StringType default and silently corrupt copied schemas.
+  private val TimePrecision = """^(timestamp|timestamptz|time|timetz)\s*\(\d+\)""".r
 
   /** Postgres `format_type` output -> Catalyst DataType. */
-  def toCatalyst(pgType: String): DataType = pgType.trim.toLowerCase match {
+  def toCatalyst(pgType: String): DataType = TimePrecision.replaceFirstIn(
+      pgType.trim.toLowerCase, "$1") match {
     case "smallint" | "int2"                        => ShortType
     case "integer" | "int" | "int4" | "serial"      => IntegerType
     case "bigint" | "int8" | "bigserial"            => LongType
@@ -37,7 +44,8 @@ object TypeMap {
     case "date"                                     => DateType
     case "timestamp without time zone" | "timestamp" => TimestampNTZType
     case "timestamp with time zone" | "timestamptz" => TimestampType
-    case "time without time zone" | "time"          => StringType
+    case "time without time zone" | "time"
+       | "time with time zone" | "timetz"           => StringType
     case "interval"                                 => StringType
     case ArraySuffix(elem)                          => ArrayType(toCatalyst(elem))
     case t if t.startsWith("_")                     => ArrayType(toCatalyst(t.stripPrefix("_")))
@@ -85,7 +93,9 @@ object TypeMap {
   def createTableDdl(qualified: String, cols: Seq[ColumnDef]): String = {
     val lines = cols.map { c =>
       val n = if (c.nullable) "NULL" else "NOT NULL"
-      s"""  "${c.name}" ${c.pgType} $n"""
+      // SQL identifier escaping: embedded double quotes double
+      val ident = c.name.replace("\"", "\"\"")
+      s"""  "$ident" ${c.pgType} $n"""
     }
     s"CREATE TABLE IF NOT EXISTS $qualified (\n${lines.mkString(",\n")}\n)"
   }

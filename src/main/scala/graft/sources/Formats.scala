@@ -3,7 +3,6 @@ package graft.sources
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.core.Tables
-import java.nio.file.Files
 
 /** Non-parquet source/sink formats (SURVEY §2b "Scans/sources/sinks"):
   * CSV and JSON read/write, exercised as round-trips so the DuckDB
@@ -15,19 +14,35 @@ import java.nio.file.Files
   * wasteful at scale, and type-unstable). */
 object Formats {
 
-  /** parquet -> CSV (header) -> read back with explicit schema. */
+  // Roundtrip scratch dirs come from TempDirs (stable per (format,
+  // corpus): repeated bench runs overwrite instead of leaking one full
+  // table copy per call, and JVM exit sweeps the base away).
+  private def scratch(tag: String, dir: String): String =
+    s"${graft.core.TempDirs.stable(s"$tag:$dir")}/data"
+
+  /** parquet -> CSV (header) -> read back with explicit schema.
+    * Whitespace trimming is OFF both ways (the writer default silently
+    * trims edge whitespace — a fidelity loss on string payloads).
+    * Remaining CSV-format caveat: '' and NULL are conflated by the
+    * format itself unless quoting conventions distinguish them. */
   def csvRoundtrip(spark: SparkSession, dir: String): DataFrame = {
     val src = Tables.nation(spark, dir)
-    val out = Files.createTempDirectory("graft_csv_").toString
-    src.write.mode("overwrite").option("header", "true").csv(out)
-    spark.read.schema(src.schema).option("header", "true").csv(out)
+    val out = scratch("csv_rt", dir)
+    src.write.mode("overwrite").option("header", "true")
+      .option("ignoreLeadingWhiteSpace", "false")
+      .option("ignoreTrailingWhiteSpace", "false")
+      .csv(out)
+    spark.read.schema(src.schema).option("header", "true")
+      .option("ignoreLeadingWhiteSpace", "false")
+      .option("ignoreTrailingWhiteSpace", "false")
+      .csv(out)
       .orderBy("n_nationkey")
   }
 
   /** parquet -> JSON lines -> read back with explicit schema. */
   def jsonRoundtrip(spark: SparkSession, dir: String): DataFrame = {
     val src = Tables.region(spark, dir)
-    val out = Files.createTempDirectory("graft_json_").toString
+    val out = scratch("json_rt", dir)
     src.write.mode("overwrite").json(out)
     spark.read.schema(src.schema).json(out)
       .orderBy("r_regionkey")
@@ -37,7 +52,7 @@ object Formats {
     * Spark). Schema carries in the ORC footer — no explicit pass. */
   def orcRoundtrip(spark: SparkSession, dir: String): DataFrame = {
     val src = Tables.supplier(spark, dir)
-    val out = Files.createTempDirectory("graft_orc_").toString
+    val out = scratch("orc_rt", dir)
     src.write.mode("overwrite").orc(out)
     spark.read.orc(out).orderBy("s_suppkey")
   }
@@ -57,9 +72,19 @@ object Formats {
     props.setProperty("driver", "org.apache.derby.jdbc.EmbeddedDriver")
     val jdbc = new graft.core.JdbcSource(s"jdbc:derby:$db;create=true", props,
       partitionColumn = Some("n_nationkey"), numPartitions = 4)
-    jdbc.write(Tables.nation(spark, dir), "nation")
-    jdbc.read(spark, "nation").orderBy("n_nationkey")
-    // the in-memory db dies with the JVM; each call uses a fresh name
+    val (rows, schema) =
+      try {
+        jdbc.write(Tables.nation(spark, dir), "nation")
+        val back = jdbc.read(spark, "nation").orderBy("n_nationkey")
+        (back.collect(), back.schema) // materialize THROUGH the partitioned read
+      } finally {
+        // in-memory Derby DBs outlive their connections until dropped —
+        // repeated bench runs would otherwise pin one loaded DB per
+        // call. The drop "succeeds" by throwing 08006.
+        try { java.sql.DriverManager.getConnection(s"jdbc:derby:$db;drop=true"); () }
+        catch { case _: java.sql.SQLException => () }
+      }
+    spark.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
   }
 
   /** document corpus -> line-oriented text files -> read back. The text
@@ -67,7 +92,7 @@ object Formats {
     * newline-free ASCII, so lines == documents). */
   def textRoundtrip(spark: SparkSession, dir: String): DataFrame = {
     val src = Tables.documents(spark, dir).select(col("text"))
-    val out = Files.createTempDirectory("graft_text_").toString
+    val out = scratch("text_rt", dir)
     src.write.mode("overwrite").text(out)
     spark.read.text(out)
       .select(col("value"), length(col("value")).cast("bigint").as("n_chars"))

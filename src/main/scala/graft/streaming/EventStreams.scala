@@ -3,7 +3,6 @@ package graft.streaming
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
-import java.nio.file.Files
 
 /** Per-user running state emitted by EventStreams.userCounts. */
 final case class UserCountUpdate(user_id: Long, n: Long, max_value: Double)
@@ -68,7 +67,7 @@ object EventStreams {
   }
 
   /** Run a streaming DF to completion into a memory sink; return the
-    * final table. Complete mode: the sink holds the full result. */
+    * final result. Complete mode: the sink holds the full result. */
   private def runComplete(df: DataFrame, checkpointDir: String): DataFrame = {
     val name = sinkName("graft")
     val q = df.writeStream
@@ -79,11 +78,32 @@ object EventStreams {
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    df.sparkSession.table(name)
+    materializeAndDrop(df.sparkSession, name)
   }
 
-  private def ckpt(): String =
-    Files.createTempDirectory("graft_ckpt_").toString
+  /** Copy the memory sink's rows into a LOCAL frame and DROP the sink's
+    * temp view: each run registers a unique name, so without the drop a
+    * bench sweep pins one full result copy in the driver per call for
+    * the JVM's lifetime. Capture results are driver-sized by design
+    * (they exist for oracle comparison), so the transient extra copy is
+    * bounded. */
+  private def materializeAndDrop(spark: SparkSession, name: String): DataFrame = {
+    val captured = spark.table(name)
+    val schema = captured.schema
+    val rows = captured.collect()
+    spark.catalog.dropTempView(name)
+    spark.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
+  }
+
+  /** Fresh checkpoint dir per run (a REUSED checkpoint would resume the
+    * previous query instead of running this one), parked under the
+    * TempDirs base so JVM exit sweeps the accumulation away. */
+  private def ckpt(): String = {
+    val d = new java.io.File(graft.core.TempDirs.stable("stream_ckpt"),
+      java.util.UUID.randomUUID().toString.take(12))
+    d.mkdirs()
+    d.toString
+  }
 
   /** Streaming tumbling 1-hour windows per event_type with a 1-hour
     * watermark — same output schema/values as Events.tumbling, so it
@@ -206,7 +226,7 @@ object EventStreams {
       .withColumn("max_sid", max(col("sid")).over(Window.partitionBy("user_id")))
       .filter(col("sid") === col("max_sid")) // open tail = last session
       .select(col("user_id"), col("start_us"), col("n_events"))
-    spark.table(name)
+    materializeAndDrop(spark, name)
       .select(col("user_id"), col("start_us"), col("n_events"))
       .union(tails)
       .orderBy("user_id", "start_us")
@@ -298,7 +318,7 @@ object EventStreams {
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    spark.table(name)
+    materializeAndDrop(spark, name)
       .groupBy(window(col("p_ts"), "1 hour").as("w"))
       .agg(count(lit(1)).as("n"))
       .select(unix_micros(col("w.start")).as("w_start_us"), col("n"))
@@ -315,7 +335,7 @@ object EventStreams {
     * dim broadcast is per-executor-constant — this is the shape every
     * production enrichment runs. */
   def enriched(spark: SparkSession, dir: String): DataFrame = {
-    val cust = spark.read.parquet(s"$dir/customer.parquet")
+    val cust = graft.core.Tables.customer(spark, dir)
       .select(col("c_custkey"), col("c_mktsegment"))
     val agg = eventStream(spark, dir)
       .withWatermark("ts", "1 hour")
@@ -343,7 +363,11 @@ object EventStreams {
         (uid: Long, rows: Iterator[(Long, Double)], state: GroupState[(Long, Double)]) =>
           val (n0, m0) = state.getOption.getOrElse((0L, Double.MinValue))
           var n = n0; var m = m0
-          rows.foreach { case (_, v) => n += 1; if (v > m) m = v }
+          // Double.compare, not `>`: batch max() — the oracle — treats
+          // NaN as greater than everything; `NaN > m` is always false.
+          rows.foreach { case (_, v) =>
+            n += 1; if (java.lang.Double.compare(v, m) > 0) m = v
+          }
           state.update((n, m))
           UserCountUpdate(uid, n, m)
       }
@@ -356,7 +380,7 @@ object EventStreams {
       .start()
     q.awaitTermination()
     // last state per user = max n (counts are monotone)
-    spark.table(name)
+    materializeAndDrop(spark, name)
       .groupBy("user_id")
       .agg(max(col("n")).as("n_events"),
            round(max(col("max_value")), 6).as("max_value"))

@@ -22,6 +22,18 @@ class TypeMapSpec extends AnyFunSuite {
     assert(TypeMap.toCatalyst("timestamp with time zone") == TimestampType)
   }
 
+  test("pg -> catalyst: precision-qualified timestamp/time family") {
+    // format_type renders fractional-second precision INSIDE the name;
+    // these used to fall through to StringType (silent schema
+    // corruption on a live-PG copy).
+    assert(TypeMap.toCatalyst("timestamp(3) with time zone") == TimestampType)
+    assert(TypeMap.toCatalyst("timestamp(6) without time zone") == TimestampNTZType)
+    assert(TypeMap.toCatalyst("timestamp(0)") == TimestampNTZType)
+    assert(TypeMap.toCatalyst("timestamptz(3)") == TimestampType)
+    assert(TypeMap.toCatalyst("time(6) without time zone") == StringType)
+    assert(TypeMap.toCatalyst("time with time zone") == StringType)
+  }
+
   test("pg -> catalyst: array forms (both suffix and leading-underscore)") {
     assert(TypeMap.toCatalyst("integer[]") == ArrayType(IntegerType))
     assert(TypeMap.toCatalyst("_int4") == ArrayType(IntegerType))
