@@ -38,7 +38,12 @@ object Bench {
     // reflects steady-state throughput, which is what a long-lived
     // cluster sees.
     val names = SparkEntry.queries.keys.toSeq
-    val best = scala.collection.mutable.Map[String, Double]()
+    // TrieMap: the shutdown hook below iterates this while the main
+    // thread may be mid-write (SIGTERM mid-sweep is exactly when the
+    // hook matters) — a plain mutable.HashMap could resize under the
+    // iteration and kill the hook before it prints the JSON line.
+    val best = scala.collection.concurrent.TrieMap[String, Double]()
+    val failed = scala.collection.concurrent.TrieMap[String, String]()
     val benchStart = System.nanoTime()
     def elapsedMin: Double = (System.nanoTime() - benchStart) / 6e10
     // One SHORT json line over whatever is measured so far. The driver
@@ -58,7 +63,10 @@ object Bench {
       val slow = measured.sortBy(n => -best(n)).take(10)
         .map(k => "\"" + k + "\":" + fmt(best(k))).mkString("{", ",", "}")
       val sfShort = sfDir.split("/").last
-      s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfShort","nq":${measured.size},"median":$median,"queries":$slow}"""
+      // failed queries are EXCLUDED from best/total (a 50ms crash must
+      // not masquerade as a 50ms query) and surfaced as a count
+      val failedPart = if (failed.isEmpty) "" else s""","failed":${failed.size}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfShort","nq":${measured.size},"median":$median$failedPart,"queries":$slow}"""
     }
     def dumpFull(): Unit = {
       val measured = names.filter(best.contains).sorted
@@ -69,7 +77,11 @@ object Bench {
     // parseable line with the minima collected so far.
     val printed = new java.util.concurrent.atomic.AtomicBoolean(false)
     Runtime.getRuntime.addShutdownHook(new Thread(() => {
-      if (printed.compareAndSet(false, true)) { dumpFull(); println(jsonLine()); System.out.flush() }
+      // best.nonEmpty guard: a crash BEFORE any measurement must not
+      // emit a success-shaped total=0.00 line for the driver to parse
+      if (best.nonEmpty && printed.compareAndSet(false, true)) {
+        dumpFull(); println(jsonLine()); System.out.flush()
+      }
     }))
     for (sweep <- 1 to 3) {
       // Sweep 1 always measures everything (a missing entry would hole
@@ -82,11 +94,17 @@ object Bench {
                  else names.filter(n => best.get(n).forall(_ >= 0.5))
       for (name <- todo if sweep == 1 || elapsedMin < 15) {
         val t0 = System.nanoTime()
-        try { SparkEntry.queries(name)(spark, sfDir).count() }
-        catch { case _: Throwable => () }
+        val ok =
+          try { SparkEntry.queries(name)(spark, sfDir).count(); true }
+          catch { case e: Throwable => failed(name) = e.getClass.getSimpleName; false }
         val dt = (System.nanoTime() - t0) / 1e9
-        System.err.println(s"[bench] $name sweep=$sweep ${fmt(dt)}")
-        best(name) = math.min(best.getOrElse(name, Double.MaxValue), dt)
+        System.err.println(s"[bench] $name sweep=$sweep ${fmt(dt)}${if (ok) "" else " FAILED"}")
+        // time-to-crash is not a measurement: a broken query must hole
+        // the report (visible), not shrink the total (invisible)
+        if (ok) {
+          failed.remove(name) // a later sweep can clear a transient failure
+          best(name) = math.min(best.getOrElse(name, Double.MaxValue), dt)
+        }
       }
     }
     if (printed.compareAndSet(false, true)) { dumpFull(); println(jsonLine()) }

@@ -21,25 +21,6 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    // Per-query watchdog: one hung query (e.g. a streaming source that
-    // never terminates in an unexpected env) must not zero the whole
-    // round's correctness output.
-    import scala.concurrent.{Await, Future, ExecutionContext}
-    import scala.concurrent.duration._
-    implicit val ec: ExecutionContext = ExecutionContext.global
-    // Local-iteration filter (unset in driver runs): comma-separated names
-    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
-    SparkEntry.queries
-      .filter { case (name, _) => only.forall(_.contains(name)) }
-      .foreach { case (name, fn) =>
-      try Await.result(Future {
-        fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-          .parquet(s"$outDir/$name")
-      }, 10.minutes)
-      catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
-      }
-    }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.
@@ -54,7 +35,36 @@ object Verify {
     } + "\""
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+    // Written BEFORE the query loop: the file depends on nothing computed
+    // below, and a driver-timeout SIGTERM mid-run must cost only the
+    // unfinished queries, never the whole round's correctness.
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // Per-query watchdog: one hung query (e.g. a streaming source that
+    // never terminates in an unexpected env) must not zero the whole
+    // round's correctness output.
+    import scala.concurrent.{Await, Future, ExecutionContext}
+    import scala.concurrent.duration._
+    implicit val ec: ExecutionContext = ExecutionContext.global
+    // Local-iteration filter (unset in driver runs): comma-separated names
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    SparkEntry.queries
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .foreach { case (name, fn) =>
+      // Job group per query: a timed-out query's still-running Spark
+      // jobs are CANCELLED, or the zombie would hold the local[N] cores
+      // (and one global-pool worker) against every later query.
+      spark.sparkContext.setJobGroup(name, name, interruptOnCancel = true)
+      try Await.result(Future {
+        spark.sparkContext.setJobGroup(name, name, interruptOnCancel = true)
+        fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+          .parquet(s"$outDir/$name")
+      }, 10.minutes)
+      catch { case e: Throwable =>
+        System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        spark.sparkContext.cancelJobGroup(name)
+        spark.streams.active.foreach(sq => try sq.stop() catch { case _: Throwable => () })
+      }
+    }
     spark.stop()
     // a leaked non-daemon thread (3rd-party or future op) must not turn
     // a finished verify into a driver-side hang

@@ -89,7 +89,13 @@ object Cli {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    try run(spark, args)
-    finally spark.stop()
+    // fail loudly AND promptly: exit codes for CI, System.exit so a
+    // leaked non-daemon thread can't turn a finished copy into a hang
+    // (same discipline as Verify/Bench)
+    val code =
+      try { run(spark, args); 0 }
+      catch { case e: Throwable => System.err.println(s"[cli] FAILED: ${e.getMessage}"); 1 }
+      finally spark.stop()
+    System.exit(code)
   }
 }
