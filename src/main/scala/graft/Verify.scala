@@ -41,26 +41,38 @@ object Verify {
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     // Per-query watchdog: one hung query (e.g. a streaming source that
     // never terminates in an unexpected env) must not zero the whole
-    // round's correctness output.
-    import scala.concurrent.{Await, Future, ExecutionContext}
-    import scala.concurrent.duration._
-    implicit val ec: ExecutionContext = ExecutionContext.global
+    // round's correctness output. Each query runs on its OWN daemon
+    // thread (not a shared pool, ADVICE r5): on timeout the thread is
+    // INTERRUPTED — unblocking driver-side work cancelJobGroup can't
+    // reach (JDBC DriverManager calls, collect loops) — and then
+    // abandoned; being a daemon it can't pin JVM exit, and no shared
+    // pool exists for zombies to exhaust.
     // Local-iteration filter (unset in driver runs): comma-separated names
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
-      // Job group per query: a timed-out query's still-running Spark
-      // jobs are CANCELLED, or the zombie would hold the local[N] cores
-      // (and one global-pool worker) against every later query.
-      spark.sparkContext.setJobGroup(name, name, interruptOnCancel = true)
-      try Await.result(Future {
+      @volatile var err: Throwable = null
+      val t = new Thread(() => {
+        // Job group per query: a timed-out query's still-running Spark
+        // jobs are CANCELLED, or the zombie would hold the local[N]
+        // cores against every later query.
         spark.sparkContext.setJobGroup(name, name, interruptOnCancel = true)
-        fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+        try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
           .parquet(s"$outDir/$name")
-      }, 10.minutes)
-      catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        catch { case e: Throwable => err = e }
+      }, s"verify-$name")
+      t.setDaemon(true)
+      t.start()
+      t.join(10L * 60 * 1000)
+      if (t.isAlive) {
+        System.err.println(s"[verify] $name timed out")
+        spark.sparkContext.cancelJobGroup(name)
+        t.interrupt()
+        spark.streams.active.foreach(sq => try sq.stop() catch { case _: Throwable => () })
+        t.join(5000) // grace for the interrupt; then abandon the daemon
+      } else if (err != null) {
+        System.err.println(s"[verify] $name failed: ${err.getMessage}")
         spark.sparkContext.cancelJobGroup(name)
         spark.streams.active.foreach(sq => try sq.stop() catch { case _: Throwable => () })
       }

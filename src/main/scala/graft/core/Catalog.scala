@@ -167,6 +167,35 @@ final class JdbcSource(
     else s.replace(esc, esc + esc).replace("_", esc + "_").replace("%", esc + "%")
   }
 
+  /** DDL dialect switch: the one place the portable JDBC surface can't
+    * express an operation (table rename) in one spelling. URL-sniffed,
+    * like Spark's own JdbcDialects registry. */
+  private def isPostgres: Boolean = url.startsWith("jdbc:postgresql:")
+
+  private def quoteId(id: String): String = "\"" + id.replace("\"", "\"\"") + "\""
+  private def quoted(qn: QualifiedName): String =
+    s"${quoteId(qn.schema)}.${quoteId(qn.table)}"
+
+  /** The STORED exact-case name of a table from metadata. Swap/drop DDL
+    * must address identifiers AS STORED (quoted), or engines whose
+    * stored case differs from their fold direction — e.g. any
+    * lower/mixed-case-named table on Derby, any quoted-created table on
+    * PG — case-fold the DDL away from the real table (ADVICE r5). */
+  private def storedName(conn: java.sql.Connection, name: String): QualifiedName = {
+    val qn = qualify(conn, name)
+    def probe(s: String, t: String): Option[QualifiedName] = {
+      val rs = conn.getMetaData.getTables(
+        null, escapePattern(conn, s), escapePattern(conn, t), Array("TABLE"))
+      try {
+        if (rs.next())
+          Some(QualifiedName(Option(rs.getString("TABLE_SCHEM")).getOrElse(s),
+            rs.getString("TABLE_NAME")))
+        else None
+      } finally rs.close()
+    }
+    firstFold(qn.schema, qn.table)(probe)(_.nonEmpty).getOrElse(qn)
+  }
+
   /** Unquoted identifiers case-fold differently per engine (Derby/HSQL
     * store UPPER, Postgres lower): try the name as given, then both
     * folds, returning the first non-empty probe. */
@@ -274,14 +303,14 @@ final class JdbcSource(
     * the subquery server-side), then issue numPartitions parallel
     * range scans. One tiny query + N streaming scans — the Spark
     * answer to the reference's single psql pipe (transport.rb:66-75). */
-  private def bounds(spark: SparkSession, name: String, col: String): (Long, Long) = {
+  private def bounds(spark: SparkSession, dbtable: String, col: String): (Long, Long) = {
     // quote the identifier: Spark's JDBC writer creates quoted (exact-
     // case) columns, and unquoted names case-fold in most engines
     // (Derby/PG uppercase/lowercase them away from the exact name)
     val q = "\"" + col + "\""
     val b = spark.read.format("jdbc")
       .option("url", url)
-      .option("dbtable", s"""(SELECT min($q) AS "lo", max($q) AS "hi" FROM $name) t""")
+      .option("dbtable", s"""(SELECT min($q) AS "lo", max($q) AS "hi" FROM $dbtable) t""")
       .options(propMap)
       .load().collect()(0)
     (b.getAs[Number]("lo").longValue(), b.getAs[Number]("hi").longValue())
@@ -294,12 +323,18 @@ final class JdbcSource(
   }
 
   override def read(spark: SparkSession, name: String): DataFrame = {
+    // Address the table AS STORED, quoted: a lowercase/mixed-case-stored
+    // table (quoted at creation) is unreachable through the unquoted
+    // name once the engine case-folds it the other way (ADVICE r5).
+    // Unknown tables keep the given spelling and fail with the engine's
+    // own error downstream.
+    val dbtable = quoted(withConnection(conn => storedName(conn, name)))
     val r = spark.read.format("jdbc")
-      .option("url", url).option("dbtable", name)
+      .option("url", url).option("dbtable", dbtable)
       .options(propMap)
     partitionColumn match {
       case Some(col) =>
-        val (lo, hi) = bounds(spark, name, col)
+        val (lo, hi) = bounds(spark, dbtable, col)
         r.option("partitionColumn", col)
           .option("lowerBound", lo)
           .option("upperBound", hi)
@@ -329,9 +364,11 @@ final class JdbcSource(
     * NOT NULL columns); dest indexes die with the DROP, so the copy
     * pipeline replays them after the publish. A failed stage or swap
     * ensure-drops the temp (the parquet path's finally-delete,
-    * transport.rb:141-142). RENAME TABLE is Derby's spelling; a live-PG
-    * deployment maps it to ALTER TABLE RENAME (postgres.rb:93-106 does
-    * the same swap). */
+    * transport.rb:141-142). The rename DDL is dialect-dispatched —
+    * Derby spells it RENAME TABLE, Postgres ALTER TABLE ... RENAME TO
+    * (postgres.rb:93-106 does the same swap) — and addresses both
+    * tables by their STORED-case names, quoted, so lower/mixed-case
+    * destinations survive a re-copy (ADVICE r5). */
   override def write(df: DataFrame, name: String): Unit = {
     if (!tableExists(name)) appendInto(df, name)
     else {
@@ -340,20 +377,31 @@ final class JdbcSource(
         s"$destSchema.temp_${java.util.UUID.randomUUID().toString.replace("-", "").take(10)}"
       try {
         val incoming = df.columns.map(_.toLowerCase).toSet
-        val defs = columnDefinitions(name)
-          .filter(c => incoming.contains(c._1.toLowerCase))
-        if (defs.nonEmpty) createTable(tmp, defs) // else: writer auto-creates
+        val allDefs = columnDefinitions(name)
+        val defs = allDefs.filter(c => incoming.contains(c._1.toLowerCase))
+        // Schema evolution on re-copy: a frame carrying columns the dest
+        // LACKS can't land in a dest-shaped temp (the append would fail
+        // on the unknown columns). Fall back to writer auto-create so
+        // the evolved shape wins — nullability fidelity yields to
+        // evolution, matching the parquet path's overwrite semantics
+        // (ADVICE r5).
+        val covered = df.columns.forall(c => defs.exists(_._1.equalsIgnoreCase(c)))
+        if (defs.nonEmpty && covered) createTable(tmp, defs) // else: writer auto-creates
         appendInto(df, tmp)
         withConnection { conn =>
-          val destQn = qualify(conn, name)
-          val tmpQn = qualify(conn, tmp)
+          val destQn = storedName(conn, name)
+          val tmpQn = storedName(conn, tmp)
           conn.setAutoCommit(false)
           val st = conn.createStatement()
           try {
-            st.executeUpdate(s"DROP TABLE ${destQn.fullName}")
-            // RENAME TABLE keeps the schema; target name is unqualified
-            st.executeUpdate(
-              s"RENAME TABLE ${tmpQn.fullName.toUpperCase} TO ${destQn.table.toUpperCase}")
+            st.executeUpdate(s"DROP TABLE ${quoted(destQn)}")
+            // rename keeps the schema; target name is unqualified
+            val renameSql =
+              if (isPostgres)
+                s"ALTER TABLE ${quoted(tmpQn)} RENAME TO ${quoteId(destQn.table)}"
+              else
+                s"RENAME TABLE ${quoted(tmpQn)} TO ${quoteId(destQn.table)}"
+            st.executeUpdate(renameSql)
             conn.commit()
           } catch {
             case t: Throwable => conn.rollback(); throw t

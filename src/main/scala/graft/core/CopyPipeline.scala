@@ -118,8 +118,13 @@ object CopyPipeline {
     sink match {
       case d: JdbcSource if !options.skipIndexes =>
         val specs = source match {
-          case s: JdbcSource => s.indexesOf(table) // source wins (reference flow)
-          case _             => preIndexes         // preserve dest's own
+          case s: JdbcSource =>
+            // source wins (reference flow) — but an index-less JDBC
+            // source must not strip the dest's pre-existing indexes
+            // either (ADVICE r5): fall back like the non-JDBC branch.
+            val si = s.indexesOf(table)
+            if (si.nonEmpty) si else preIndexes
+          case _ => preIndexes // preserve dest's own
         }
         if (specs.nonEmpty) {
           val have = d.indexesOf(dest).map(x => (x.columns, x.unique, x.primary)).toSet
@@ -179,9 +184,15 @@ object CopyPipeline {
       table: String,
       keyCol: String): Long = {
     import org.apache.spark.sql.functions.{col, lit, max}
+    // First load: a NONEXISTENT destination has no watermark to probe
+    // (sink.read would throw, ADVICE r5) — full copy, then deltas.
+    if (!sink.tableExists(table)) {
+      sink.write(source.read(spark, table), table)
+      return sink.read(spark, table).count()
+    }
     val wm = sink.read(spark, table).agg(max(col(keyCol))).head().get(0)
     val src = source.read(spark, table)
-    // empty destination -> NULL watermark; `key > NULL` would filter
+    // EMPTY destination -> NULL watermark; `key > NULL` would filter
     // out EVERYTHING and silently skip the backlog — copy it all.
     // Persisted: count + append otherwise scan the delta twice, and on
     // a LIVE source the two scans could even disagree (reported n vs
