@@ -401,6 +401,8 @@ object SparkEntry {
         |t(col_name, pg_type, is_nullable)""".stripMargin,
     "index_report" -> // fixture specs -> replay DDL; checks the composite-PK fix
       """SELECT * FROM (VALUES
+        |('idx_customer_name_lower','public.customer','lower(c_name)',false,false,'',
+        | 'CREATE INDEX idx_customer_name_lower ON public.customer (lower(c_name))'),
         |('idx_orders_custkey','public.orders','o_custkey',false,false,'',
         | 'CREATE INDEX idx_orders_custkey ON public.orders (o_custkey)'),
         |('idx_orders_open','public.orders','o_orderdate',false,false,'o_orderstatus = ''O''',

@@ -285,12 +285,19 @@ final class JdbcSource(
     }
 
   /** Source-side index introspection for replay-after-load
-    * (transport.rb:51-56), with the same case-fold fallback. */
+    * (transport.rb:51-56), with the same case-fold fallback.
+    * Dialect-dispatched: PostgreSQL URLs read pg_catalog directly
+    * (partial-index predicates + expression columns, reference
+    * postgres.rb:212,233-241 — JDBC metadata can express neither);
+    * every other engine uses the portable DatabaseMetaData path. */
   def indexesOf(table: String): Seq[IndexSpec] = withConnection { conn =>
     // getPrimaryKeys/getIndexInfo take EXACT names (not patterns), so
     // no wildcard escaping here — only the case-fold probes.
     val qn = qualify(conn, table)
-    firstFold(qn.schema, qn.table)(Indexes.fromJdbc(conn, _, _))(_.nonEmpty)
+    val probe: (String, String) => Seq[IndexSpec] =
+      if (isPostgres) Indexes.fromPgCatalog(conn, _, _)
+      else Indexes.fromJdbc(conn, _, _)
+    firstFold(qn.schema, qn.table)(probe)(_.nonEmpty)
   }
 
   /** Replay introspected indexes onto a destination table here —

@@ -17,6 +17,10 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * only the FIRST column survives the copy. Fixed here (SURVEY §7.3):
   * `ddl` always emits the full column list.
   */
+/** One index. `columns` entries are OPAQUE SQL passthrough — a plain
+  * column name OR an expression like `lower(email)` (the reference
+  * carries expressions verbatim via pg_get_indexdef, postgres.rb:233-241
+  * -> replay :252, so a function index survives a copy). */
 final case class IndexSpec(
     name: String,
     table: QualifiedName,
@@ -26,6 +30,17 @@ final case class IndexSpec(
     where: Option[String]) {
   require(columns.nonEmpty, s"index $name has no columns")
 }
+
+/** One (index, column-position) row as returned by an engine-dialect
+  * catalog query — the shape `Indexes.fromCatalogRows` assembles into
+  * IndexSpecs. `columnExpr` is the rendered column OR expression. */
+final case class IndexCatalogRow(
+    indexName: String,
+    position: Int,
+    columnExpr: String,
+    unique: Boolean,
+    primary: Boolean,
+    where: Option[String])
 
 object Indexes {
 
@@ -99,6 +114,61 @@ object Indexes {
     (pkSpec ++ plain).sortBy(_.name)
   }
 
+  /** The PostgreSQL catalog query behind `JdbcSource.indexesOf` on
+    * pg URLs: one row per (index, key-column position) with the
+    * PARTIAL-INDEX PREDICATE via pg_get_expr(indpred, indrelid) and the
+    * column rendered by pg_get_indexdef(indexrelid, n, true) — which
+    * yields the plain name for a column index and the expression text
+    * for an expression index, exactly the reference's passthrough
+    * (postgres.rb:212, :233-241). DatabaseMetaData cannot express
+    * either, which is why the portable path (`fromJdbc`) always reports
+    * where=None and name-only columns. Parameters: (schema, table). */
+  val pgIndexSql: String =
+    """SELECT i.relname AS index_name,
+      |       k.pos AS position,
+      |       pg_get_indexdef(x.indexrelid, k.pos, true) AS column_expr,
+      |       x.indisunique AS is_unique,
+      |       x.indisprimary AS is_primary,
+      |       pg_get_expr(x.indpred, x.indrelid) AS where_pred
+      |FROM pg_index x
+      |JOIN pg_class i ON i.oid = x.indexrelid
+      |JOIN pg_class t ON t.oid = x.indrelid
+      |JOIN pg_namespace n ON n.oid = t.relnamespace
+      |CROSS JOIN LATERAL generate_series(1, x.indnkeyatts) AS k(pos)
+      |WHERE n.nspname = ? AND t.relname = ?
+      |ORDER BY index_name, position""".stripMargin
+
+  /** Run `pgIndexSql` over a live connection and assemble the specs.
+    * Untestable against real PG in this sandbox (zero egress) — the
+    * row-assembly half (`fromCatalogRows`) is specced on fixture rows
+    * shaped exactly like the query's result set. */
+  def fromPgCatalog(conn: java.sql.Connection, schema: String, table: String): Seq[IndexSpec] = {
+    val ps = conn.prepareStatement(pgIndexSql)
+    val rows = scala.collection.mutable.ArrayBuffer[IndexCatalogRow]()
+    try {
+      ps.setString(1, schema)
+      ps.setString(2, table)
+      val rs = ps.executeQuery()
+      try {
+        while (rs.next())
+          rows += IndexCatalogRow(
+            rs.getString("index_name"), rs.getInt("position"),
+            rs.getString("column_expr"), rs.getBoolean("is_unique"),
+            rs.getBoolean("is_primary"), Option(rs.getString("where_pred")))
+      } finally rs.close()
+    } finally ps.close()
+    fromCatalogRows(rows.toSeq, QualifiedName(schema, table))
+  }
+
+  /** Assemble per-position catalog rows into IndexSpecs: group by index
+    * name, columns/expressions in position order, unique/primary/where
+    * from any row of the group (constant per index). */
+  def fromCatalogRows(rows: Seq[IndexCatalogRow], qn: QualifiedName): Seq[IndexSpec] =
+    rows.groupBy(_.indexName).toSeq.map { case (name, rs) =>
+      IndexSpec(name, qn, rs.sortBy(_.position).map(_.columnExpr),
+        unique = rs.head.unique, primary = rs.head.primary, where = rs.head.where)
+    }.sortBy(_.name)
+
   /** Replay introspected indexes onto a destination JDBC table —
     * `create_indexes` (postgres.rb:243-261) with the composite-PK fix.
     * Partial indexes (where != None) are engine-specific DDL; callers
@@ -128,7 +198,8 @@ object Indexes {
   /** The canonical index set a PG-hosted TPC-H schema carries — the
     * fixture `index_report` runs over. Exercises every replay shape:
     * single-column PK, COMPOSITE PK (the reference-bug case), unique
-    * secondary, plain secondary, and a partial index. */
+    * secondary, plain secondary, a partial index, and an EXPRESSION
+    * index (pg_get_indexdef passthrough, postgres.rb:233-241). */
   def tpchIndexes: Seq[IndexSpec] = {
     def qn(t: String) = QualifiedName("public", t)
     Seq(
@@ -141,6 +212,8 @@ object Indexes {
       IndexSpec("idx_orders_custkey", qn("orders"), Seq("o_custkey"),
         unique = false, primary = false, where = None),
       IndexSpec("idx_orders_open", qn("orders"), Seq("o_orderdate"),
-        unique = false, primary = false, where = Some("o_orderstatus = 'O'")))
+        unique = false, primary = false, where = Some("o_orderstatus = 'O'")),
+      IndexSpec("idx_customer_name_lower", qn("customer"), Seq("lower(c_name)"),
+        unique = false, primary = false, where = None))
   }
 }

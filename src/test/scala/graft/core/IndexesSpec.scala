@@ -76,11 +76,47 @@ class IndexesSpec extends AnyFunSuite {
   test("report: fixture rows are deterministic and carry replay DDL") {
     val df = Indexes.report(graft.SparkFixture.session, Indexes.tpchIndexes)
     val rows = df.collect()
-    assert(rows.length == 5)
+    assert(rows.length == 6)
     assert(rows.map(_.getString(0)).toSeq == rows.map(_.getString(0)).toSeq.sorted)
     val li = rows.find(_.getString(0) == "pk_lineitem").get
     assert(li.getString(6).endsWith("PRIMARY KEY (l_orderkey, l_linenumber)"))
     val open = rows.find(_.getString(0) == "idx_orders_open").get
     assert(open.getString(6).contains("WHERE o_orderstatus = 'O'"))
+    val expr = rows.find(_.getString(0) == "idx_customer_name_lower").get
+    assert(expr.getString(6) ==
+      "CREATE INDEX idx_customer_name_lower ON public.customer (lower(c_name))")
+  }
+
+  test("pg dialect: catalog rows with partial predicate + expression column round-trip to DDL") {
+    // Fixture rows shaped exactly like Indexes.pgIndexSql's result set
+    // for a table carrying a composite PK, a partial index, and an
+    // expression index — what a live-PG introspection would return
+    // (pg_get_expr/pg_get_indexdef are PG-server-rendered; zero-egress
+    // sandbox, so the SQL execution half stays untestable here).
+    val rows = Seq(
+      IndexCatalogRow("pk_t", 1, "id", unique = true, primary = true, where = None),
+      IndexCatalogRow("pk_t", 2, "ver", unique = true, primary = true, where = None),
+      IndexCatalogRow("idx_open", 1, "created_at", unique = false, primary = false,
+        where = Some("status = 'O'")),
+      IndexCatalogRow("idx_email_lower", 1, "lower(email)", unique = true, primary = false,
+        where = None))
+    val specs = Indexes.fromCatalogRows(rows, QualifiedName("public", "t"))
+    assert(specs.map(_.name) == Seq("idx_email_lower", "idx_open", "pk_t"))
+    val byName = specs.map(s => s.name -> s).toMap
+    assert(byName("pk_t").columns == Seq("id", "ver") && byName("pk_t").primary)
+    assert(byName("idx_open").where.contains("status = 'O'"))
+    assert(byName("idx_email_lower").columns == Seq("lower(email)"))
+    // Replay DDL onto a copy destination carries BOTH the predicate and
+    // the expression verbatim — the reference's passthrough semantics.
+    val dest = QualifiedName("analytics", "t")
+    assert(Indexes.ddl(byName("idx_open"), dest) ==
+      "CREATE INDEX idx_open ON analytics.t (created_at) WHERE status = 'O'")
+    assert(Indexes.ddl(byName("idx_email_lower"), dest) ==
+      "CREATE UNIQUE INDEX idx_email_lower ON analytics.t (lower(email))")
+    assert(Indexes.ddl(byName("pk_t"), dest) ==
+      "ALTER TABLE analytics.t ADD CONSTRAINT pk_t PRIMARY KEY (id, ver)")
+    // The dialect SQL itself pins the two PG-only capabilities.
+    assert(Indexes.pgIndexSql.contains("pg_get_expr(x.indpred"))
+    assert(Indexes.pgIndexSql.contains("pg_get_indexdef(x.indexrelid"))
   }
 }
