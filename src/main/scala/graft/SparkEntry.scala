@@ -222,6 +222,9 @@ object SparkEntry {
     "stream_dedup"     -> (EventStreams.dedupedCounts _),
     "stream_interval_join" -> (EventStreams.intervalJoin _),
     "stream_flat_sessions" -> ((s, d) => EventStreams.flatSessions(s, d)),
+    "stream_enrich_parquet" -> (EventStreams.enrichedToParquet _),
+    "stream_dedup_parquet"  -> (EventStreams.dedupedToParquet _),
+    "stream_sessions_parquet" -> (EventStreams.sessionsToParquet _),
     // ---- text / dedup
     "dedup_exact"      -> (Text.dedupExact _),
     "fingerprint"      -> (Text.fingerprint _),
@@ -759,6 +762,42 @@ object SparkEntry {
         |SELECT w_start_us, event_type, n, sum_value FROM w, mx
         |WHERE w_start_us + 3600000000 <= max_us - 3600000000
         |ORDER BY w_start_us, event_type""".stripMargin,
+    "stream_enrich_parquet" -> // append-mode parquet twin of the enrich join:
+      // only watermark-finalized windows (w.end <= max(ts) - 1h) emit
+      """WITH e AS (SELECT CAST(ts AS TIMESTAMP) AS t, user_id, value FROM events),
+        |  mx AS (SELECT max(epoch_us(t)) AS max_us FROM e),
+        |  w AS (SELECT epoch_us(time_bucket(INTERVAL 1 HOUR, t)) AS w_start_us,
+        |    c_mktsegment, count(*) AS n,
+        |    CAST(round(sum(CAST(value AS DECIMAL(18,2))),2) AS DOUBLE) AS sum_value
+        |  FROM e JOIN customer ON user_id = c_custkey GROUP BY 1, 2)
+        |SELECT w_start_us, c_mktsegment, n, sum_value FROM w, mx
+        |WHERE w_start_us + 3600000000 <= max_us - 3600000000
+        |ORDER BY w_start_us, c_mktsegment""".stripMargin,
+    "stream_dedup_parquet" -> // chained dedup + window agg, append to parquet:
+      // duplicates vanish, finalized windows only
+      """WITH e AS (SELECT CAST(ts AS TIMESTAMP) AS t FROM events),
+        |  mx AS (SELECT max(epoch_us(t)) AS max_us FROM e),
+        |  w AS (SELECT epoch_us(time_bucket(INTERVAL 1 HOUR, t)) AS w_start_us,
+        |    count(*) AS n FROM e GROUP BY 1)
+        |SELECT w_start_us, n FROM w, mx
+        |WHERE w_start_us + 3600000000 <= max_us - 3600000000
+        |ORDER BY w_start_us""".stripMargin,
+    "stream_sessions_parquet" -> // append-mode session windows: a session's
+      // window end is last event + gap; finalized when the watermark passes it
+      """WITH e AS (SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),
+        |  mx AS (SELECT max(us) AS max_us FROM e),
+        |  l AS (SELECT user_id, event_id, us, lag(us) OVER
+        |    (PARTITION BY user_id ORDER BY us ASC, event_id ASC) AS prev_us FROM e),
+        |  b AS (SELECT *, CASE WHEN prev_us IS NULL OR us - prev_us >= 1800000000
+        |    THEN 1 ELSE 0 END AS boundary FROM l),
+        |  s AS (SELECT *, sum(boundary) OVER (PARTITION BY user_id
+        |    ORDER BY us ASC, event_id ASC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid FROM b),
+        |  g AS (SELECT user_id, min(us) AS start_us, max(us) AS last_us,
+        |    count(*) AS n_events FROM s GROUP BY user_id, sid)
+        |SELECT user_id, start_us, n_events FROM g, mx
+        |WHERE last_us + 1800000000 <= max_us - 3600000000
+        |ORDER BY user_id, start_us""".stripMargin,
     "stream_sessions" -> // session_window semantics: boundary at diff >= gap
       """WITH e AS (SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),
         |  l AS (SELECT user_id, event_id, us, lag(us) OVER

@@ -270,11 +270,6 @@ object EventStreams {
     * dir and checkpoint are recreated together per run (TempDirs
     * overwrite semantics), so replays can't double-write. */
   def tumblingToParquet(spark: SparkSession, dir: String): DataFrame = {
-    val base = graft.core.TempDirs.stable(s"stream_pq:$dir")
-    val out = s"$base/tumbling"
-    val ck = s"$base/ckpt"
-    graft.core.TempDirs.deleteRecursively(new java.io.File(out))
-    graft.core.TempDirs.deleteRecursively(new java.io.File(ck))
     val agg = eventStream(spark, dir)
       .withWatermark("ts", "1 hour")
       .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
@@ -282,6 +277,20 @@ object EventStreams {
            round(sum(col("value").cast("decimal(18,2)")), 2).cast("double").as("sum_value"))
       .select(unix_micros(col("w.start")).as("w_start_us"), col("event_type"),
               col("n"), col("sum_value"))
+    runAppendToParquet(agg, "tumbling", dir)
+      .orderBy("w_start_us", "event_type")
+  }
+
+  /** Run an append-mode streaming frame to completion into a parquet
+    * sink under a per-(tag, corpus) stable dir; return the batch
+    * read-back. Sink dir and checkpoint are recreated together per run,
+    * so replays can't double-write (exactly-once). */
+  private def runAppendToParquet(agg: DataFrame, tag: String, dir: String): DataFrame = {
+    val base = graft.core.TempDirs.stable(s"stream_pq:$dir")
+    val out = s"$base/$tag"
+    val ck = s"$base/${tag}_ckpt"
+    graft.core.TempDirs.deleteRecursively(new java.io.File(out))
+    graft.core.TempDirs.deleteRecursively(new java.io.File(ck))
     val q = agg.writeStream
       .format("parquet")
       .option("path", out)
@@ -290,7 +299,61 @@ object EventStreams {
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    spark.read.parquet(out).orderBy("w_start_us", "event_type")
+    agg.sparkSession.read.parquet(out)
+  }
+
+  /** PRODUCTION twin of `enriched`: the stream-static broadcast join +
+    * tumbling aggregate in APPEND mode to a parquet sink — only
+    * watermark-finalized windows land in the files; the driver holds
+    * nothing. The oracle applies the identical w.end <= max(ts) - 1h
+    * cutoff on the batch join. */
+  def enrichedToParquet(spark: SparkSession, dir: String): DataFrame = {
+    val cust = graft.core.Tables.customer(spark, dir)
+      .select(col("c_custkey"), col("c_mktsegment"))
+    val agg = eventStream(spark, dir)
+      .withWatermark("ts", "1 hour")
+      .join(broadcast(cust), col("user_id") === col("c_custkey"))
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("c_mktsegment"))
+      .agg(count(lit(1)).as("n"),
+           round(sum(col("value").cast("decimal(18,2)")), 2).cast("double").as("sum_value"))
+      .select(unix_micros(col("w.start")).as("w_start_us"), col("c_mktsegment"),
+              col("n"), col("sum_value"))
+    runAppendToParquet(agg, "enrich", dir)
+      .orderBy("w_start_us", "c_mktsegment")
+  }
+
+  /** PRODUCTION twin of `dedupedCounts`: at-least-once ingest (stream
+    * unioned with itself) -> dropDuplicatesWithinWatermark -> hourly
+    * counts, APPEND mode to parquet — TWO chained stateful operators
+    * (dedup state + window state), both watermark-bounded, finalized
+    * windows only in the files. */
+  def dedupedToParquet(spark: SparkSession, dir: String): DataFrame = {
+    val twice = eventStream(spark, dir).union(eventStream(spark, dir))
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("event_id")
+    val agg = twice
+      .groupBy(window(col("ts"), "1 hour").as("w"))
+      .agg(count(lit(1)).as("n"))
+      .select(unix_micros(col("w.start")).as("w_start_us"), col("n"))
+    runAppendToParquet(agg, "dedup", dir)
+      .orderBy("w_start_us")
+  }
+
+  /** PRODUCTION twin of `sessionWindows`: gap-session aggregation in
+    * APPEND mode to parquet. A session window's end is its last event
+    * + gap, so a session lands in the files exactly when the watermark
+    * passes that instant — the same in-stream finalization flatSessions
+    * gets from its event-time timeout, via the built-in operator. The
+    * oracle applies last_us + gap <= max(ts) - 1h on the batch
+    * sessionization. */
+  def sessionsToParquet(spark: SparkSession, dir: String): DataFrame = {
+    val agg = eventStream(spark, dir)
+      .withWatermark("ts", "1 hour")
+      .groupBy(session_window(col("ts"), "30 minutes").as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), unix_micros(col("w.start")).as("start_us"), col("n_events"))
+    runAppendToParquet(agg, "sessions", dir)
+      .orderBy("user_id", "start_us")
   }
 
   /** STREAMING DEDUPLICATION: the event stream unioned with itself (so
