@@ -247,6 +247,8 @@ object SparkEntry {
     "ann_cosine"       -> ((s, d) => Vector.annCosine(s, d)),
     "emb_neardups"     -> ((s, d) => Vector.embNearDups(s, d)),
     "ivf_cosine"       -> ((s, d) => Vector.ivfCosine(s, d)),
+    // rows-only (trained k-means has no SQL twin; recall vs knn_brute)
+    "ivf_trained_recall" -> ((s, d) => Vector.ivfTrainedRecall(s, d)),
     "centroid_norm"    -> ((s, d) => Vector.centroidNorm(s, d)),
     // ---- multimodal plumbing (binary payload + typed metadata)
     "mm_features"      -> (Multimodal.features _),

@@ -271,6 +271,31 @@ object Vector {
     ivfWith(spark, dir, trainIvfCentroids(spark, dir, lists, iters, dim),
       nProbe, nQueries, k)
 
+  /** Recall report for the TRAINED IVF path against the exact
+    * brute-force ground truth — the driver-visible face of
+    * `ivfCosineTrained` (declared rows-only: the k-means loop has no
+    * SQL twin; `ivf_cosine` locks the operator's join/rank semantics
+    * and IvfTrainingSpec pins trained >= pseudo-random recall). One row
+    * per query: how many of the true top-k the trained index found at
+    * nProbe=2. */
+  def ivfTrainedRecall(spark: SparkSession, dir: String,
+                       nQueries: Int = 8, k: Int = 3): DataFrame = {
+    val truth = knnBrute(spark, dir, nQueries, k)
+      .select(col("query_id"), col("neighbor_id"))
+    val approx = ivfCosineTrained(spark, dir, nQueries = nQueries, k = k)
+      .select(col("query_id").as("q2"), col("neighbor_id").as("n2"))
+    val hits = truth.join(approx,
+        col("query_id") === col("q2") && col("neighbor_id") === col("n2"), "left_semi")
+      .groupBy("query_id").agg(count(lit(1)).as("n_hits"))
+    truth.select("query_id").distinct()
+      .join(hits, Seq("query_id"), "left")
+      .select(col("query_id"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        lit(k).cast("int").as("k"),
+        round(coalesce(col("n_hits"), lit(0L)) / lit(k), 4).as("recall"))
+      .orderBy("query_id")
+  }
+
   /** The md5-derived coarse centroids `ivf_cosine` ships with —
     * engine-portable (the DuckDB oracle recomputes them in SQL). */
   private[ops] def pseudoRandomCentroids(lists: Int, dim: Int): Seq[Seq[Double]] = {
