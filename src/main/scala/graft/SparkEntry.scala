@@ -213,18 +213,18 @@ object SparkEntry {
     "tfidf_top"        -> (Text.tfidfTop _),
     // ---- structured streaming (real streaming queries; oracle checks
     //      the streaming RESULT against batch SQL)
-    "stream_tumbling"  -> (EventStreams.tumbling _),
-    "stream_tumbling_parquet" -> (EventStreams.tumblingToParquet _),
+    "stream_tumbling"  -> ((s, d) => EventStreams.tumbling(s, d)),
+    "stream_tumbling_parquet" -> ((s, d) => EventStreams.tumblingToParquet(s, d)),
     "stream_sliding"   -> (EventStreams.sliding _),
-    "stream_sessions"  -> (EventStreams.sessionWindows _),
+    "stream_sessions"  -> ((s, d) => EventStreams.sessionWindows(s, d)),
     "stream_user_counts" -> (EventStreams.userCounts _),
     "stream_enrich"    -> (EventStreams.enriched _),
-    "stream_dedup"     -> (EventStreams.dedupedCounts _),
-    "stream_interval_join" -> (EventStreams.intervalJoin _),
+    "stream_dedup"     -> ((s, d) => EventStreams.dedupedCounts(s, d)),
+    "stream_interval_join" -> ((s, d) => EventStreams.intervalJoin(s, d)),
     "stream_flat_sessions" -> ((s, d) => EventStreams.flatSessions(s, d)),
     "stream_enrich_parquet" -> (EventStreams.enrichedToParquet _),
     "stream_dedup_parquet"  -> (EventStreams.dedupedToParquet _),
-    "stream_sessions_parquet" -> (EventStreams.sessionsToParquet _),
+    "stream_sessions_parquet" -> ((s, d) => EventStreams.sessionsToParquet(s, d)),
     // ---- text / dedup
     "dedup_exact"      -> (Text.dedupExact _),
     "fingerprint"      -> (Text.fingerprint _),

@@ -108,8 +108,9 @@ object EventStreams {
   /** Streaming tumbling 1-hour windows per event_type with a 1-hour
     * watermark — same output schema/values as Events.tumbling, so it
     * shares that oracle. */
-  def tumbling(spark: SparkSession, dir: String): DataFrame = {
-    val agg = eventStream(spark, dir)
+  def tumbling(spark: SparkSession, dir: String,
+      maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    val agg = eventStream(spark, dir, maxFilesPerTrigger)
       .withWatermark("ts", "1 hour")
       .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
       .agg(count(lit(1)).as("n"),
@@ -138,8 +139,9 @@ object EventStreams {
     * gap): merges events separated by < gap into one growing window.
     * Output (user_id, start_us, n_events) matches the batch lag+cumsum
     * formulation's sessions. */
-  def sessionWindows(spark: SparkSession, dir: String): DataFrame = {
-    val agg = eventStream(spark, dir)
+  def sessionWindows(spark: SparkSession, dir: String,
+      maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    val agg = eventStream(spark, dir, maxFilesPerTrigger)
       .withWatermark("ts", "1 hour")
       .groupBy(session_window(col("ts"), "30 minutes").as("w"), col("user_id"))
       .agg(count(lit(1)).as("n_events"))
@@ -269,8 +271,9 @@ object EventStreams {
     * DuckDB oracle applies the identical cutoff. Exactly-once: the sink
     * dir and checkpoint are recreated together per run (TempDirs
     * overwrite semantics), so replays can't double-write. */
-  def tumblingToParquet(spark: SparkSession, dir: String): DataFrame = {
-    val agg = eventStream(spark, dir)
+  def tumblingToParquet(spark: SparkSession, dir: String,
+      maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    val agg = eventStream(spark, dir, maxFilesPerTrigger)
       .withWatermark("ts", "1 hour")
       .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
       .agg(count(lit(1)).as("n"),
@@ -346,8 +349,9 @@ object EventStreams {
     * gets from its event-time timeout, via the built-in operator. The
     * oracle applies last_us + gap <= max(ts) - 1h on the batch
     * sessionization. */
-  def sessionsToParquet(spark: SparkSession, dir: String): DataFrame = {
-    val agg = eventStream(spark, dir)
+  def sessionsToParquet(spark: SparkSession, dir: String,
+      maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    val agg = eventStream(spark, dir, maxFilesPerTrigger)
       .withWatermark("ts", "1 hour")
       .groupBy(session_window(col("ts"), "30 minutes").as("w"), col("user_id"))
       .agg(count(lit(1)).as("n_events"))
@@ -365,8 +369,10 @@ object EventStreams {
     * Output must equal the batch hourly counts of the ORIGINAL events:
     * the duplicates all vanish because each duplicate pair arrives
     * inside one watermark span. */
-  def dedupedCounts(spark: SparkSession, dir: String): DataFrame = {
-    val twice = eventStream(spark, dir).union(eventStream(spark, dir))
+  def dedupedCounts(spark: SparkSession, dir: String,
+      maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    val twice = eventStream(spark, dir, maxFilesPerTrigger)
+      .union(eventStream(spark, dir, maxFilesPerTrigger))
       .withWatermark("ts", "1 hour")
       .dropDuplicatesWithinWatermark("event_id")
     val agg = twice
@@ -392,8 +398,9 @@ object EventStreams {
     * batch read-back of the match files — a distributed aggregate whose
     * scan prunes to the one p_ts column — and equal the batch interval
     * join, which is the oracle. */
-  def intervalJoin(spark: SparkSession, dir: String): DataFrame = {
-    spark.read.parquet(intervalJoinMatches(spark, dir))
+  def intervalJoin(spark: SparkSession, dir: String,
+      maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    spark.read.parquet(intervalJoinMatches(spark, dir, maxFilesPerTrigger))
       .groupBy(window(col("p_ts"), "1 hour").as("w"))
       .agg(count(lit(1)).as("n"))
       .select(unix_micros(col("w.start")).as("w_start_us"), col("n"))
@@ -405,17 +412,18 @@ object EventStreams {
     * p_ts) row per match — the join output an attribution pipeline
     * would persist. Exactly-once: sink dir and checkpoint are recreated
     * together per run. */
-  private[streaming] def intervalJoinMatches(spark: SparkSession, dir: String): String = {
+  private[streaming] def intervalJoinMatches(spark: SparkSession, dir: String,
+      maxFilesPerTrigger: Option[Int] = None): String = {
     val base = graft.core.TempDirs.stable(s"stream_ij:$dir")
     val out = s"$base/matches"
     val ck = s"$base/ckpt"
     graft.core.TempDirs.deleteRecursively(new java.io.File(out))
     graft.core.TempDirs.deleteRecursively(new java.io.File(ck))
-    val clicks = eventStream(spark, dir)
+    val clicks = eventStream(spark, dir, maxFilesPerTrigger)
       .filter(col("event_type") === "click")
       .select(col("user_id"), col("ts").as("c_ts"))
       .withWatermark("c_ts", "1 hour")
-    val purchases = eventStream(spark, dir)
+    val purchases = eventStream(spark, dir, maxFilesPerTrigger)
       .filter(col("event_type") === "purchase")
       .select(col("user_id").as("p_user"), col("ts").as("p_ts"))
       .withWatermark("p_ts", "1 hour")
