@@ -14,7 +14,13 @@ class StreamShapeSpec extends AnyFunSuite with SparkFixture {
   private val sf = "/root/testdata/sf0.001"
 
   test("intervalJoin: match volume lands in the parquet sink, result is aggregate-sized") {
-    val result = EventStreams.intervalJoin(spark, sf).collect()
+    val resultDf = EventStreams.intervalJoin(spark, sf)
+    val result = resultDf.collect()
+    // The read-back aggregate scans ONLY p_ts from the match files —
+    // column pruning reaches the sink scan (the Scaladoc's claim).
+    val plan = resultDf.queryExecution.executedPlan.toString
+    assert(plan.contains("ReadSchema: struct<p_ts"),
+      s"read-back must prune to p_ts; plan:\n$plan")
     // The sink (re-run overwrites the same stable dir) holds ONE row per
     // match — the batch interval join is the ground truth for how many.
     val sinkPath = EventStreams.intervalJoinMatches(spark, sf)
