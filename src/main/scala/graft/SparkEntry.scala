@@ -227,6 +227,7 @@ object SparkEntry {
     "stream_sessions_parquet" -> ((s, d) => EventStreams.sessionsToParquet(s, d)),
     // ---- text / dedup
     "dedup_exact"      -> (Text.dedupExact _),
+    "dedup_incremental" -> (Text.dedupIncremental _),
     "fingerprint"      -> (Text.fingerprint _),
     "jaccard_pairs"    -> ((s, d) => Text.jaccardPairs(s, d)),
     "minhash_candidates" -> ((s, d) => Text.minhashCandidates(s, d)),
@@ -898,6 +899,14 @@ object SparkEntry {
     "dedup_exact" ->
       """SELECT min(doc_id) AS doc_id, md5(text) AS fp, count(*) AS n_copies
         |FROM documents GROUP BY md5(text) ORDER BY doc_id""".stripMargin,
+    "dedup_incremental" -> // new shard (odd ids) anti-joined vs existing hashes
+      """WITH ex AS (SELECT DISTINCT md5(text) AS content_hash
+        |            FROM documents WHERE doc_id % 2 = 0),
+        |  fresh AS (SELECT doc_id, md5(text) AS content_hash
+        |            FROM documents WHERE doc_id % 2 = 1)
+        |SELECT doc_id, content_hash FROM fresh
+        |WHERE content_hash NOT IN (SELECT content_hash FROM ex)
+        |ORDER BY doc_id""".stripMargin,
     "fingerprint" ->
       """SELECT doc_id, substring(md5(text), 1, 16) AS fp16,
         |  CAST(strlen(text) AS BIGINT) AS n_bytes,

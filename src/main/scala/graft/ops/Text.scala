@@ -77,6 +77,29 @@ object Text {
       .select(col("doc_id"), col("fp"), col("n_copies"))
       .orderBy("doc_id")
 
+  /** CROSS-CORPUS incremental dedup — the nightly-crawl composition of
+    * exact dedup: keep only new-shard documents whose content hash is
+    * ABSENT from the existing corpus. Split here is deterministic
+    * (even doc_id = existing corpus, odd = incoming shard) so the
+    * oracle replays it. Scale shape: the existing side collapses to
+    * DISTINCT 16-byte hashes (map-side combine) before a hash
+    * anti-join — the shard's text never shuffles, and the runtime
+    * bloom-filter injection (BloomFilterJoinSpec) prunes the probe
+    * scan when the hash side is selective. At a 100 TB corpus the
+    * existing-hash relation is ~corpus/avg-doc * 50 B — a shuffle
+    * anti-join, or a broadcast when a single day's shard dedups
+    * against a bounded recent window. */
+  def dedupIncremental(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val existing = docs.filter(col("doc_id") % 2 === 0)
+      .select(md5(col("text")).as("content_hash")).distinct()
+    val fresh = docs.filter(col("doc_id") % 2 === 1)
+      .select(col("doc_id"), md5(col("text")).as("content_hash"))
+    fresh.join(existing, Seq("content_hash"), "left_anti")
+      .select(col("doc_id"), col("content_hash"))
+      .orderBy("doc_id")
+  }
+
   /** doc_id -> exact-duplicate-class representative (min doc_id among
     * docs sharing md5(text)) — the composition step that makes every
     * sketch pipeline below cost O(class size), not O(class size^2), on
