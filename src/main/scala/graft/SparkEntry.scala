@@ -899,13 +899,15 @@ object SparkEntry {
     "dedup_exact" ->
       """SELECT min(doc_id) AS doc_id, md5(text) AS fp, count(*) AS n_copies
         |FROM documents GROUP BY md5(text) ORDER BY doc_id""".stripMargin,
-    "dedup_incremental" -> // new shard (odd ids) anti-joined vs existing hashes
+    "dedup_incremental" -> // new shard (odd ids) anti-joined vs existing hashes.
+      // NOT EXISTS, not NOT IN: left_anti keeps null-key rows and never
+      // nulls out on a null in the subquery — NOT IN does both.
       """WITH ex AS (SELECT DISTINCT md5(text) AS content_hash
         |            FROM documents WHERE doc_id % 2 = 0),
         |  fresh AS (SELECT doc_id, md5(text) AS content_hash
         |            FROM documents WHERE doc_id % 2 = 1)
         |SELECT doc_id, content_hash FROM fresh
-        |WHERE content_hash NOT IN (SELECT content_hash FROM ex)
+        |WHERE NOT EXISTS (SELECT 1 FROM ex WHERE ex.content_hash = fresh.content_hash)
         |ORDER BY doc_id""".stripMargin,
     "fingerprint" ->
       """SELECT doc_id, substring(md5(text), 1, 16) AS fp16,

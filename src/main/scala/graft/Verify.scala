@@ -53,19 +53,39 @@ object Verify {
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
       @volatile var err: Throwable = null
+      // Set on timeout BEFORE the thread is abandoned: a zombie that
+      // wakes up later (cancelJobGroup only cancels jobs active at
+      // cancel time; an uninterruptible driver-side wait can survive
+      // the interrupt) must not publish a late result into the dir the
+      // driver's oracle compare reads as this query's answer. The
+      // write goes to a dot-temp dir and renames into place only while
+      // un-abandoned.
+      val abandoned = new java.util.concurrent.atomic.AtomicBoolean(false)
+      def deleteTree(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(deleteTree)); f.delete(): Unit
+      }
       val t = new Thread(() => {
         // Job group per query: a timed-out query's still-running Spark
         // jobs are CANCELLED, or the zombie would hold the local[N]
         // cores against every later query.
         spark.sparkContext.setJobGroup(name, name, interruptOnCancel = true)
-        try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-          .parquet(s"$outDir/$name")
-        catch { case e: Throwable => err = e }
+        try {
+          val tmp = new java.io.File(outDir, s".tmp_$name")
+          fn(spark, sfDir).coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+          if (abandoned.get()) deleteTree(tmp)
+          else {
+            val dest = new java.io.File(outDir, name)
+            deleteTree(dest)
+            if (!tmp.renameTo(dest))
+              throw new java.io.IOException(s"publish failed for $name")
+          }
+        } catch { case e: Throwable => err = e }
       }, s"verify-$name")
       t.setDaemon(true)
       t.start()
       t.join(10L * 60 * 1000)
       if (t.isAlive) {
+        abandoned.set(true)
         System.err.println(s"[verify] $name timed out")
         spark.sparkContext.cancelJobGroup(name)
         t.interrupt()

@@ -181,7 +181,7 @@ final class JdbcSource(
     * stored case differs from their fold direction — e.g. any
     * lower/mixed-case-named table on Derby, any quoted-created table on
     * PG — case-fold the DDL away from the real table (ADVICE r5). */
-  private def storedName(conn: java.sql.Connection, name: String): QualifiedName = {
+  private def storedNameOpt(conn: java.sql.Connection, name: String): Option[QualifiedName] = {
     val qn = qualify(conn, name)
     def probe(s: String, t: String): Option[QualifiedName] = {
       val rs = conn.getMetaData.getTables(
@@ -193,8 +193,11 @@ final class JdbcSource(
         else None
       } finally rs.close()
     }
-    firstFold(qn.schema, qn.table)(probe)(_.nonEmpty).getOrElse(qn)
+    firstFold(qn.schema, qn.table)(probe)(_.nonEmpty)
   }
+
+  private def storedName(conn: java.sql.Connection, name: String): QualifiedName =
+    storedNameOpt(conn, name).getOrElse(qualify(conn, name))
 
   /** Unquoted identifiers case-fold differently per engine (Derby/HSQL
     * store UPPER, Postgres lower): try the name as given, then both
@@ -329,13 +332,27 @@ final class JdbcSource(
     b.result()
   }
 
+  // stored-name resolutions are stable for a source's lifetime; cache
+  // them so repeated reads of one table (data scan + post-publish count
+  // verification, glob fan-outs) pay ONE metadata probe, not one per read
+  private val storedNameCache =
+    new java.util.concurrent.ConcurrentHashMap[String, QualifiedName]()
+
   override def read(spark: SparkSession, name: String): DataFrame = {
     // Address the table AS STORED, quoted: a lowercase/mixed-case-stored
     // table (quoted at creation) is unreachable through the unquoted
     // name once the engine case-folds it the other way (ADVICE r5).
     // Unknown tables keep the given spelling and fail with the engine's
-    // own error downstream.
-    val dbtable = quoted(withConnection(conn => storedName(conn, name)))
+    // own error downstream (and are NOT cached — the table may be
+    // created later under a different fold).
+    val stored = Option(storedNameCache.get(name)).getOrElse {
+      val (resolved, fallback) = withConnection { conn =>
+        (storedNameOpt(conn, name), qualify(conn, name))
+      }
+      resolved.foreach(qn => storedNameCache.put(name, qn))
+      resolved.getOrElse(fallback)
+    }
+    val dbtable = quoted(stored)
     val r = spark.read.format("jdbc")
       .option("url", url).option("dbtable", dbtable)
       .options(propMap)

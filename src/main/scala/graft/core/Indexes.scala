@@ -122,7 +122,11 @@ object Indexes {
     * for an expression index, exactly the reference's passthrough
     * (postgres.rb:212, :233-241). DatabaseMetaData cannot express
     * either, which is why the portable path (`fromJdbc`) always reports
-    * where=None and name-only columns. Parameters: (schema, table). */
+    * where=None and name-only columns. Only VALID, LIVE, non-exclusion
+    * indexes qualify: a half-built index from an aborted CREATE INDEX
+    * CONCURRENTLY must not be replayed, and an exclusion constraint's
+    * backing index replayed as a plain index would silently lose its
+    * semantics. Parameters: (schema, table). */
   val pgIndexSql: String =
     """SELECT i.relname AS index_name,
       |       k.pos AS position,
@@ -136,6 +140,7 @@ object Indexes {
       |JOIN pg_namespace n ON n.oid = t.relnamespace
       |CROSS JOIN LATERAL generate_series(1, x.indnkeyatts) AS k(pos)
       |WHERE n.nspname = ? AND t.relname = ?
+      |  AND x.indisvalid AND x.indislive AND NOT x.indisexclusion
       |ORDER BY index_name, position""".stripMargin
 
   /** Run `pgIndexSql` over a live connection and assemble the specs.

@@ -57,10 +57,15 @@ object PgCopyText {
     sb.append('\n').toString
   }
 
-  /** The COPY statement for a table + explicit column list (quoted —
-    * Spark-written tables carry exact-case column names). */
-  def copySql(table: String, columns: Seq[String]): String =
-    s"""COPY $table (${columns.map(c => "\"" + c + "\"").mkString(", ")}) FROM STDIN"""
+  /** The COPY statement for a table + explicit column list (quoted with
+    * embedded-quote doubling — Spark-written tables carry exact-case
+    * column names, and a legal name may itself contain a quote). The
+    * table name is caller-provided SQL (possibly schema-qualified) and
+    * passes through as-is. */
+  def copySql(table: String, columns: Seq[String]): String = {
+    val cols = columns.map(c => "\"" + c.replace("\"", "\"\"") + "\"")
+    s"""COPY $table (${cols.mkString(", ")}) FROM STDIN"""
+  }
 
   /** A Reader streaming the encoded rows — CopyManager pulls from this,
     * so the partition never materializes as one string. */

@@ -174,10 +174,15 @@ object EventStreams {
     * per-batch sort is per-user-per-batch, not global. Cross-batch
     * sessions are first-class: state seeds each batch's fold, PROVIDED
     * each key's events arrive in event-time order across batches
-    * (time-partitioned files consumed oldest-first, or per-key-ordered
-    * Kafka; the fold detects violations and fails loudly instead of
-    * corrupting counts). StreamMultiBatchSpec drives a 3-file/3-batch
-    * split against the batch oracle. */
+    * (time-partitioned files consumed oldest-first — disjoint
+    * ascending ranges, so nothing is ever late). Two distinct
+    * violation modes, two behaviors: an event older than the WATERMARK
+    * (>1h behind the stream max) is DROPPED before the operator — the
+    * standard late-data policy the watermark defines, and the price of
+    * the event-time timeout; an out-of-order event INSIDE the
+    * watermark's tolerance reaches the fold and fails loudly rather
+    * than corrupt session counts. StreamMultiBatchSpec drives a
+    * 3-file/3-batch split against the batch oracle. */
   def flatSessions(spark: SparkSession, dir: String, gapMin: Int = 30,
       maxFilesPerTrigger: Option[Int] = None): DataFrame = {
     val (inStream, tails) = flatSessionsParts(spark, dir, gapMin, maxFilesPerTrigger)
@@ -302,7 +307,10 @@ object EventStreams {
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    agg.sparkSession.read.parquet(out)
+    // Explicit schema: a run that finalized ZERO rows leaves a sink dir
+    // with only _spark_metadata, and schema inference would throw where
+    // the memory-sink variants return an empty result.
+    agg.sparkSession.read.schema(agg.schema).parquet(out)
   }
 
   /** PRODUCTION twin of `enriched`: the stream-static broadcast join +
@@ -400,7 +408,7 @@ object EventStreams {
     * join, which is the oracle. */
   def intervalJoin(spark: SparkSession, dir: String,
       maxFilesPerTrigger: Option[Int] = None): DataFrame = {
-    spark.read.parquet(intervalJoinMatches(spark, dir, maxFilesPerTrigger))
+    intervalJoinMatches(spark, dir, maxFilesPerTrigger)
       .groupBy(window(col("p_ts"), "1 hour").as("w"))
       .agg(count(lit(1)).as("n"))
       .select(unix_micros(col("w.start")).as("w_start_us"), col("n"))
@@ -408,12 +416,14 @@ object EventStreams {
   }
 
   /** Run the streaming click->purchase interval join to completion into
-    * a parquet sink; return the sink path holding one (user_id, c_ts,
-    * p_ts) row per match — the join output an attribution pipeline
-    * would persist. Exactly-once: sink dir and checkpoint are recreated
-    * together per run. */
+    * a parquet sink; return the batch read-back of the sink — one
+    * (user_id, c_ts, p_ts) row per match, the join output an
+    * attribution pipeline would persist. Read with the join's own
+    * schema so a zero-match run yields an empty frame instead of a
+    * schema-inference failure. Exactly-once: sink dir and checkpoint
+    * are recreated together per run. */
   private[streaming] def intervalJoinMatches(spark: SparkSession, dir: String,
-      maxFilesPerTrigger: Option[Int] = None): String = {
+      maxFilesPerTrigger: Option[Int] = None): DataFrame = {
     val base = graft.core.TempDirs.stable(s"stream_ij:$dir")
     val out = s"$base/matches"
     val ck = s"$base/ckpt"
@@ -440,7 +450,7 @@ object EventStreams {
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    out
+    spark.read.schema(joined.schema).parquet(out)
   }
 
   /** STREAM-STATIC broadcast join: enrich the event stream with the

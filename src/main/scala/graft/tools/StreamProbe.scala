@@ -43,11 +43,15 @@ object StreamProbe {
       val tmp = Files.createTempDirectory(s"graft_probe_part$i").toString
       raw.filter(col("ts") >= lo + i * step && col("ts") < lo + (i + 1) * step)
         .coalesce(1).write.mode("overwrite").parquet(tmp)
-      val part = new java.io.File(tmp).listFiles()
-        .find(f => f.getName.endsWith(".parquet") && !f.getName.startsWith("_")).get
-      val dest = new java.io.File(evDir, f"part-$i%05d.parquet")
-      Files.copy(part.toPath, dest.toPath)
-      require(dest.setLastModified(3600000L * (i + 1)))
+      // a slice with zero events (sparse corpus / too many slices)
+      // writes no part file — skip it rather than die on .get
+      new java.io.File(tmp).listFiles()
+        .find(f => f.getName.endsWith(".parquet") && !f.getName.startsWith("_"))
+        .foreach { part =>
+          val dest = new java.io.File(evDir, f"part-$i%05d.parquet")
+          Files.copy(part.toPath, dest.toPath)
+          require(dest.setLastModified(3600000L * (i + 1)))
+        }
     }
 
     // One listener for the whole run; queries run sequentially and the

@@ -30,9 +30,11 @@ class PgCopySinkSpec extends AnyFunSuite with SparkFixture {
     assert(PgCopyText.encodeRow(row) == "1\t\\N\tx\\ty\n")
   }
 
-  test("copySql quotes the column list") {
+  test("copySql quotes the column list, doubling embedded quotes") {
     assert(PgCopyText.copySql("public.t", Seq("id", "Mixed")) ==
       """COPY public.t ("id", "Mixed") FROM STDIN""")
+    assert(PgCopyText.copySql("t", Seq("a\"b")) ==
+      "COPY t (\"a\"\"b\") FROM STDIN")
   }
 
   test("RowReader streams rows without materializing the partition") {

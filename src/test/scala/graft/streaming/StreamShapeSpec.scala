@@ -23,8 +23,8 @@ class StreamShapeSpec extends AnyFunSuite with SparkFixture {
       s"read-back must prune to p_ts; plan:\n$plan")
     // The sink (re-run overwrites the same stable dir) holds ONE row per
     // match — the batch interval join is the ground truth for how many.
-    val sinkPath = EventStreams.intervalJoinMatches(spark, sf)
-    val sinkRows = spark.read.parquet(sinkPath).count()
+    val matches = EventStreams.intervalJoinMatches(spark, sf)
+    val sinkRows = matches.count()
     val e = graft.core.Tables.events(spark, sf)
     val clicks = e.filter(col("event_type") === "click")
       .select(col("user_id"), col("ts").as("c_ts"))
@@ -40,7 +40,7 @@ class StreamShapeSpec extends AnyFunSuite with SparkFixture {
     // match volume — the capture is aggregate-sized, not match-sized.
     assert(result.map(_.getLong(1)).sum == batchMatches)
     assert(result.length <= sinkRows)
-    val distinctHours = spark.read.parquet(sinkPath)
+    val distinctHours = matches
       .select(date_trunc("hour", col("p_ts"))).distinct().count()
     assert(result.length == distinctHours)
   }
