@@ -170,6 +170,12 @@ object EventStreams {
     * implementation re-ran the full batch sessionization just to find
     * the tails — 2x the cost of the stream on a backfill.)
     *
+    * The emitted sessions go to a PARQUET sink, not a memory sink:
+    * session volume is data-sized (one row per session across the whole
+    * backlog), so it belongs on the filesystem across executors; the
+    * driver holds nothing and both halves of the result stay
+    * distributed frames.
+    *
     * Scale note: state is ONE OpenSession per user (bounded); the
     * per-batch sort is per-user-per-batch, not global. Cross-batch
     * sessions are first-class: state seeds each batch's fold, PROVIDED
@@ -196,7 +202,11 @@ object EventStreams {
       gapMin: Int = 30, maxFilesPerTrigger: Option[Int] = None): (DataFrame, DataFrame) = {
     import spark.implicits._
     val gapUs = gapMin * 60L * 1000000L
-    val ckDir = ckpt()
+    val base = graft.core.TempDirs.stable(s"stream_fs:$dir:$gapMin")
+    val out = s"$base/sessions"
+    val ckDir = s"$base/ckpt"
+    graft.core.TempDirs.deleteRecursively(new java.io.File(out))
+    graft.core.TempDirs.deleteRecursively(new java.io.File(ckDir))
     // The watermarked ts attribute must REACH the stateful operator
     // (the checker looks for watermark metadata on the child's output;
     // unix_micros(ts) is a fresh attribute without it), so ts rides
@@ -246,21 +256,24 @@ object EventStreams {
             closed.result().iterator
           }
       }
-    val name = sinkName("graft")
-    val q = updates.toDF().writeStream
-      .format("memory").queryName(name)
+    val emitted = updates.toDF()
+    val q = emitted.writeStream
+      .format("parquet")
+      .option("path", out)
+      .option("checkpointLocation", ckDir)
       .outputMode(OutputMode.Append())
-      .option("checkpointLocation", s"$ckDir/$name")
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
     // Residual open tails at stream end, from the state store itself.
     val tails = spark.read.format("statestore")
-      .load(s"$ckDir/$name")
+      .load(ckDir)
       .select(col("key.value").as("user_id"),
         col("value.groupState.startUs").as("start_us"),
         col("value.groupState.n").as("n_events"))
-    (materializeAndDrop(spark, name)
+    // schema supplied: a backlog whose every session stays open emits
+    // zero rows, and inference would fail on the data-less sink dir
+    (spark.read.schema(emitted.schema).parquet(out)
       .select(col("user_id"), col("start_us"), col("n_events")), tails)
   }
 
