@@ -223,6 +223,7 @@ object SparkEntry {
     "stream_interval_join" -> ((s, d) => EventStreams.intervalJoin(s, d)),
     "stream_flat_sessions" -> ((s, d) => EventStreams.flatSessions(s, d)),
     "stream_enrich_parquet" -> (EventStreams.enrichedToParquet _),
+    "stream_sliding_parquet" -> ((s, d) => EventStreams.slidingToParquet(s, d)),
     "stream_dedup_parquet"  -> (EventStreams.dedupedToParquet _),
     "stream_sessions_parquet" -> ((s, d) => EventStreams.sessionsToParquet(s, d)),
     // ---- text / dedup
@@ -1137,6 +1138,18 @@ object SparkEntry {
         |  SELECT epoch_us(time_bucket(INTERVAL 30 MINUTE, CAST(ts AS TIMESTAMP))
         |                  - INTERVAL 30 MINUTE) FROM events)
         |SELECT w_start_us, count(*) AS n FROM w GROUP BY w_start_us
+        |ORDER BY w_start_us""".stripMargin,
+    "stream_sliding_parquet" -> // append-mode sliding twin: finalized
+      // windows only (w.end = w_start + 1h <= max(ts) - 1h)
+      """WITH e AS (SELECT CAST(ts AS TIMESTAMP) AS t FROM events),
+        |  mx AS (SELECT max(epoch_us(t)) AS max_us FROM e),
+        |  w AS (
+        |    SELECT epoch_us(time_bucket(INTERVAL 30 MINUTE, t)) AS w_start_us FROM e
+        |    UNION ALL
+        |    SELECT epoch_us(time_bucket(INTERVAL 30 MINUTE, t) - INTERVAL 30 MINUTE) FROM e),
+        |  g AS (SELECT w_start_us, count(*) AS n FROM w GROUP BY w_start_us)
+        |SELECT w_start_us, n FROM g, mx
+        |WHERE w_start_us + 3600000000 <= max_us - 3600000000
         |ORDER BY w_start_us""".stripMargin,
     "minhash_candidates" ->
       s"""WITH $minhashCtes

@@ -346,6 +346,22 @@ object EventStreams {
       .orderBy("w_start_us", "c_mktsegment")
   }
 
+  /** PRODUCTION twin of `sliding`: overlapping 1-hour/30-minute windows
+    * in APPEND mode to parquet. Each event feeds two windows; a window
+    * finalizes (lands in the files) when the watermark passes its end —
+    * same contract as the tumbling twin, just with overlapping window
+    * state. */
+  def slidingToParquet(spark: SparkSession, dir: String,
+      maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    val agg = eventStream(spark, dir, maxFilesPerTrigger)
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour", "30 minutes").as("w"))
+      .agg(count(lit(1)).as("n"))
+      .select(unix_micros(col("w.start")).as("w_start_us"), col("n"))
+    runAppendToParquet(agg, "sliding", dir)
+      .orderBy("w_start_us")
+  }
+
   /** PRODUCTION twin of `dedupedCounts`: at-least-once ingest (stream
     * unioned with itself) -> dropDuplicatesWithinWatermark -> hourly
     * counts, APPEND mode to parquet — TWO chained stateful operators
