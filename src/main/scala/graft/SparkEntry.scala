@@ -218,6 +218,8 @@ object SparkEntry {
     "stream_sliding"   -> (EventStreams.sliding _),
     "stream_sessions"  -> ((s, d) => EventStreams.sessionWindows(s, d)),
     "stream_user_counts" -> (EventStreams.userCounts _),
+    "stream_user_counts_parquet" -> ((s, d) => EventStreams.userCountsToParquet(s, d)),
+    "stream_user_counts_tws" -> (EventStreams.userCountsTws _),
     "stream_enrich"    -> (EventStreams.enriched _),
     "stream_dedup"     -> ((s, d) => EventStreams.dedupedCounts(s, d)),
     "stream_interval_join" -> ((s, d) => EventStreams.intervalJoin(s, d)),
@@ -814,6 +816,12 @@ object SparkEntry {
         |SELECT user_id, min(us) AS start_us, count(*) AS n_events
         |FROM s GROUP BY user_id, sid ORDER BY user_id, start_us""".stripMargin,
     "stream_user_counts" ->
+      """SELECT user_id, count(*) AS n_events, round(max(value), 6) AS max_value
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "stream_user_counts_parquet" -> // foreachBatch twin: same final states
+      """SELECT user_id, count(*) AS n_events, round(max(value), 6) AS max_value
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "stream_user_counts_tws" -> // transformWithState twin: same final states
       """SELECT user_id, count(*) AS n_events, round(max(value), 6) AS max_value
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
     "mm_features" ->

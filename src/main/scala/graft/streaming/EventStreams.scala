@@ -506,13 +506,12 @@ object EventStreams {
       .orderBy("w_start_us", "c_mktsegment")
   }
 
-  /** Custom streaming state via mapGroupsWithState: per-user running
-    * event count + max value. Update mode appends one row per state
-    * change to the sink; the final state per user is the max count —
-    * equal to the batch groupBy, which is the oracle. */
-  def userCounts(spark: SparkSession, dir: String): DataFrame = {
+  /** The shared per-user running (count, max) update stream — one
+    * UserCountUpdate per user per micro-batch, via mapGroupsWithState. */
+  private def userCountUpdates(spark: SparkSession, dir: String,
+      maxFilesPerTrigger: Option[Int] = None): DataFrame = {
     import spark.implicits._
-    val updates = eventStream(spark, dir)
+    eventStream(spark, dir, maxFilesPerTrigger)
       .select(col("user_id"), col("value"))
       .as[(Long, Double)]
       .groupByKey(_._1)
@@ -527,20 +526,126 @@ object EventStreams {
           }
           state.update((n, m))
           UserCountUpdate(uid, n, m)
-      }
+      }.toDF()
+  }
+
+  /** Final per-user row from an update stream: counts are monotone, so
+    * the last update per user is the max. */
+  private def finalizeUserCounts(updates: DataFrame): DataFrame =
+    updates
+      .groupBy("user_id")
+      .agg(max(col("n")).as("n_events"),
+           round(max(col("max_value")), 6).as("max_value"))
+      .orderBy("user_id")
+
+  /** Custom streaming state via mapGroupsWithState: per-user running
+    * event count + max value. Update mode appends one row per state
+    * change to the sink; the final state per user is the max count —
+    * equal to the batch groupBy, which is the oracle. */
+  def userCounts(spark: SparkSession, dir: String): DataFrame = {
+    val updates = userCountUpdates(spark, dir)
     val name = sinkName("graft")
-    val q = updates.toDF().writeStream
+    val q = updates.writeStream
       .format("memory").queryName(name)
       .outputMode(OutputMode.Update())
       .option("checkpointLocation", s"${ckpt()}/$name")
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    // last state per user = max n (counts are monotone)
-    materializeAndDrop(spark, name)
-      .groupBy("user_id")
-      .agg(max(col("n")).as("n_events"),
-           round(max(col("max_value")), 6).as("max_value"))
-      .orderBy("user_id")
+    finalizeUserCounts(materializeAndDrop(spark, name))
+  }
+
+  /** PRODUCTION twin of `userCounts` via FOREACHBATCH — the Update-mode
+    * sink shape parquet can't express natively: each micro-batch's
+    * state updates are appended batch-side (in production this is the
+    * upsert-into-a-store callback; here an append the read-back
+    * last-writes by monotone count). Exercises the one streaming sink
+    * API the other queries don't. */
+  def userCountsToParquet(spark: SparkSession, dir: String,
+      maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    val base = graft.core.TempDirs.stable(s"stream_ucp:$dir")
+    val out = s"$base/updates"
+    val ck = s"$base/ckpt"
+    graft.core.TempDirs.deleteRecursively(new java.io.File(out))
+    graft.core.TempDirs.deleteRecursively(new java.io.File(ck))
+    val updates = userCountUpdates(spark, dir, maxFilesPerTrigger)
+    val q = updates.writeStream
+      .outputMode(OutputMode.Update())
+      .option("checkpointLocation", ck)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+                       _: Long) =>
+        batch.write.mode("append").parquet(out); ()
+      }
+      .start()
+    q.awaitTermination()
+    finalizeUserCounts(spark.read.schema(updates.schema).parquet(out))
+  }
+
+  /** The same per-user running state through Spark 4's ARBITRARY STATE
+    * API (`transformWithState` + `StatefulProcessor` + typed
+    * `ValueState`), which requires the RocksDB state store provider —
+    * the modern replacement for mapGroupsWithState (composable typed
+    * state variables, TTL, timers) and the API a new deployment should
+    * reach for first. Output equals `userCounts`, so it shares that
+    * oracle. The provider override is scoped to this query and
+    * restored after. */
+  def userCountsTws(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val saved = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val updates = eventStream(spark, dir)
+        .select(col("user_id"), col("value"))
+        .as[(Long, Double)]
+        .groupByKey(_._1)
+        .transformWithState(new UserCountProcessor,
+          org.apache.spark.sql.streaming.TimeMode.None(),
+          OutputMode.Update(),
+          implicitly[org.apache.spark.sql.Encoder[UserCountUpdate]])
+      val name = sinkName("graft")
+      val q = updates.toDF().writeStream
+        .format("memory").queryName(name)
+        .outputMode(OutputMode.Update())
+        .option("checkpointLocation", s"${ckpt()}/$name")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      finalizeUserCounts(materializeAndDrop(spark, name))
+    } finally saved match {
+      case Some(v) => spark.conf.set(key, v)
+      case None    => spark.conf.unset(key)
+    }
+  }
+}
+
+/** StatefulProcessor for `userCountsTws`: per-user running (count, max)
+  * in one typed ValueState. Same fold as the mapGroupsWithState form —
+  * including the Double.compare NaN ordering that matches batch max(). */
+private[streaming] class UserCountProcessor
+    extends org.apache.spark.sql.streaming.StatefulProcessor[
+      Long, (Long, Double), UserCountUpdate] {
+  import org.apache.spark.sql.streaming.{OutputMode => OM, TimeMode, TimerValues, TTLConfig, ValueState}
+
+  @transient private var state: ValueState[(Long, Double)] = _
+
+  override def init(outputMode: OM, timeMode: TimeMode): Unit =
+    state = getHandle.getValueState[(Long, Double)]("uc",
+      org.apache.spark.sql.Encoders.tuple(
+        org.apache.spark.sql.Encoders.scalaLong,
+        org.apache.spark.sql.Encoders.scalaDouble),
+      TTLConfig.NONE)
+
+  override def handleInputRows(key: Long, rows: Iterator[(Long, Double)],
+      timerValues: TimerValues): Iterator[UserCountUpdate] = {
+    val (n0, m0) = if (state.exists()) state.get() else (0L, Double.MinValue)
+    var n = n0; var m = m0
+    rows.foreach { case (_, v) =>
+      n += 1; if (java.lang.Double.compare(v, m) > 0) m = v
+    }
+    state.update((n, m))
+    Iterator.single(UserCountUpdate(key, n, m))
   }
 }
