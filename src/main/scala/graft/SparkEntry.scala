@@ -167,6 +167,7 @@ object SparkEntry {
     "outer_join"       -> (Relational.outerJoin _),
     "skew_join_salted" -> (Relational.skewJoinSalted _),
     "bucketed_join"    -> (Relational.bucketedJoin _),
+    "shipping_priority" -> (Relational.shippingPriority _),
     // ---- relational: windows / sort / set ops / scalar fns
     "topk_per_group"   -> (Relational.topKPerGroup _),
     "running_total"    -> (Relational.runningTotal _),
@@ -208,6 +209,7 @@ object SparkEntry {
     "ev_funnel"        -> (Events.funnel _),
     "ev_value_delta"   -> (Events.valueDelta _),
     "ev_json_extract"  -> (Events.jsonExtract _),
+    "ev_fill_forward"  -> (Events.fillForward _),
     "map_fns"          -> (Events.mapFns _),
     "array_fns"        -> (Text.arrayFns _),
     "tfidf_top"        -> (Text.tfidfTop _),
@@ -223,6 +225,7 @@ object SparkEntry {
     "stream_enrich"    -> (EventStreams.enriched _),
     "stream_dedup"     -> ((s, d) => EventStreams.dedupedCounts(s, d)),
     "stream_interval_join" -> ((s, d) => EventStreams.intervalJoin(s, d)),
+    "stream_outer_join" -> ((s, d) => EventStreams.leftOuterJoin(s, d)),
     "stream_flat_sessions" -> ((s, d) => EventStreams.flatSessions(s, d)),
     "stream_enrich_parquet" -> (EventStreams.enrichedToParquet _),
     "stream_sliding_parquet" -> ((s, d) => EventStreams.slidingToParquet(s, d)),
@@ -237,6 +240,7 @@ object SparkEntry {
     "minhash_bucket_stats" -> ((s, d) => Text.minhashBucketStats(s, d)),
     "minhash_neardups" -> ((s, d) => Text.minhashNearDups(s, d)),
     "dup_classes"      -> ((s, d) => Text.dupClasses(s, d)),
+    "dup_ngram_coverage" -> (Text.dupNgramCoverage _),
     "simhash_candidates" -> ((s, d) => Text.simhashCandidates(s, d)),
     "lang_stats"       -> (Text.langStats _),
     "token_stats"      -> (Text.tokenStats _),
@@ -506,6 +510,35 @@ object SparkEntry {
          |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
          |GROUP BY l_returnflag, o_orderpriority
          |ORDER BY l_returnflag, o_orderpriority""".stripMargin,
+    "shipping_priority" -> // TPC-H Q3 shape: 3-way join, agg, global top-10
+      """SELECT l_orderkey, epoch_us(CAST(o_orderdate AS TIMESTAMP)) AS o_orderdate_us,
+        |  o_orderpriority,
+        |  CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |    (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))),2) AS DOUBLE)
+        |    AS revenue
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1998-01-01'
+        |  AND l_shipdate > TIMESTAMP '1998-01-01'
+        |GROUP BY 1, 2, 3
+        |ORDER BY revenue DESC, l_orderkey ASC LIMIT 10""".stripMargin,
+    "ev_fill_forward" -> // hourly LOCF resample: spine per user's active range
+      """WITH e AS (SELECT user_id, time_bucket(INTERVAL 1 HOUR, CAST(ts AS TIMESTAMP)) AS h,
+        |    sum(CAST(value AS DECIMAL(18,2))) AS v
+        |  FROM events GROUP BY 1, 2),
+        |  b AS (SELECT user_id, min(h) AS lo, max(h) AS hi FROM e GROUP BY 1),
+        |  spine AS (SELECT user_id, unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS h
+        |    FROM b),
+        |  j AS (SELECT s.user_id, s.h, e.v FROM spine s
+        |    LEFT JOIN e ON s.user_id = e.user_id AND s.h = e.h)
+        |SELECT user_id, epoch_us(h) AS h_us,
+        |  CAST(round(last_value(v IGNORE NULLS) OVER (PARTITION BY user_id
+        |    ORDER BY h ASC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),2) AS DOUBLE)
+        |    AS value_filled,
+        |  v IS NULL AS is_gap
+        |FROM j ORDER BY user_id, h_us""".stripMargin,
     "topk_per_group" ->
       """SELECT o_orderpriority, rn, o_orderkey, o_totalprice FROM (
         |  SELECT o_orderpriority, o_orderkey, o_totalprice,
@@ -746,6 +779,26 @@ object SparkEntry {
         |  count(*) AS n
         |FROM c JOIN p ON c.user_id = p.user_id
         |  AND p_ts >= c_ts AND p_ts <= c_ts + INTERVAL 30 MINUTE
+        |GROUP BY 1 ORDER BY w_start_us""".stripMargin,
+    "stream_outer_join" -> // left-outer interval join: unmatched clicks emit
+      // nulls on state eviction; both kinds cut to the final-watermark
+      // horizon. The global watermark is the MIN of the two sides'
+      // (each tracks its own post-filter max event time, ms-floored);
+      // 1ms slack — same arithmetic as EventStreams.leftOuterJoin
+      """WITH e AS (SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS t FROM events),
+        |  mx AS (SELECT (min(mx_us // 1000) - 3600000) * 1000 - 1000 AS horizon_us
+        |    FROM (SELECT event_type, max(epoch_us(t)) AS mx_us FROM e
+        |          WHERE event_type IN ('click','purchase') GROUP BY 1)),
+        |  c AS (SELECT user_id, t AS c_ts FROM e WHERE event_type = 'click'),
+        |  p AS (SELECT user_id, t AS p_ts FROM e WHERE event_type = 'purchase'),
+        |  j AS (SELECT c.user_id, c_ts, p_ts FROM c LEFT JOIN p
+        |    ON c.user_id = p.user_id AND p_ts >= c_ts
+        |      AND p_ts <= c_ts + INTERVAL 30 MINUTE)
+        |SELECT epoch_us(time_bucket(INTERVAL 1 HOUR, c_ts)) AS w_start_us,
+        |  count(p_ts) AS n_pairs,
+        |  CAST(count(CASE WHEN p_ts IS NULL THEN 1 END) AS BIGINT) AS n_unmatched
+        |FROM j, mx
+        |WHERE epoch_us(c_ts) + 1800000000 < horizon_us
         |GROUP BY 1 ORDER BY w_start_us""".stripMargin,
     "stream_dedup" -> // doubled stream deduped within watermark == batch counts
       """SELECT epoch_us(time_bucket(INTERVAL 1 HOUR, CAST(ts AS TIMESTAMP))) AS w_start_us,
@@ -1195,6 +1248,14 @@ object SparkEntry {
          |    UNION SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src)
          |SELECT src AS doc_id, least(src, min(dst)) AS class_id
          |FROM reach GROUP BY src ORDER BY doc_id""".stripMargin,
+    "dup_ngram_coverage" -> // per-doc fraction of shingles shared with other docs
+      s"""WITH $shinglesCte,
+         |  df AS (SELECT shingle, count(*) AS n_docs FROM sh GROUP BY shingle)
+         |SELECT s.doc_id, count(*) AS n_shingles,
+         |  CAST(count(CASE WHEN n_docs > 1 THEN 1 END) AS BIGINT) AS n_shared,
+         |  round(count(CASE WHEN n_docs > 1 THEN 1 END) / count(*), 4) AS dup_frac
+         |FROM sh s JOIN df USING (shingle)
+         |GROUP BY s.doc_id ORDER BY doc_id""".stripMargin,
     "simhash_candidates" ->
       s"""WITH tok AS (SELECT doc_id, unnest(string_split(text,' ')) AS tok FROM documents),
          |  th AS (SELECT doc_id, ${hex60("tok")} AS h FROM tok),

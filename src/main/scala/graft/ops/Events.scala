@@ -160,4 +160,32 @@ object Events {
       .agg(count(lit(1)).as("n"),
            countDistinct(col("user_id")).as("n_users"))
       .orderBy("k_bucket")
+
+  /** Hourly resample + LOCF gap fill (last observation carried
+    * forward): aggregate per-user hourly value sums, generate each
+    * user's hourly spine between their first and last active hour
+    * (`sequence` + explode — spine size tracks the user's OWN active
+    * range, never the global calendar, so a 100 TB corpus with sparse
+    * users doesn't cross-join users x all-time), left-join the
+    * observations in, and fill gaps with `last(_, ignoreNulls)` over
+    * the per-user time order — one shuffle on user_id for the window,
+    * gap hours flagged. Decimal sums carry exactly through the fill;
+    * rounding happens once at the edge. */
+  def fillForward(spark: SparkSession, dir: String): DataFrame = {
+    val hourly = Tables.events(spark, dir)
+      .groupBy(col("user_id"), date_trunc("hour", col("ts")).as("h"))
+      .agg(sum(col("value").cast("decimal(18,2)")).as("v"))
+    val spine = hourly.groupBy("user_id")
+      .agg(min("h").as("lo"), max("h").as("hi"))
+      .select(col("user_id"),
+        explode(sequence(col("lo"), col("hi"), expr("INTERVAL 1 HOUR"))).as("h"))
+    val w = Window.partitionBy("user_id").orderBy("h")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    spine.join(hourly, Seq("user_id", "h"), "left")
+      .select(col("user_id"), unix_micros(col("h")).as("h_us"),
+        round(last(col("v"), ignoreNulls = true).over(w), 2)
+          .cast("double").as("value_filled"),
+        col("v").isNull.as("is_gap"))
+      .orderBy("user_id", "h_us")
+  }
 }

@@ -72,6 +72,36 @@ object Relational {
       .orderBy("o_orderpriority")
   }
 
+  /** TPC-H Q3-shaped composite (shipping priority): the full analytic
+    * pipeline in one query — selective filters pushed to all three
+    * scans, the segment-pruned customer dim BROADCAST against orders,
+    * the surviving orders joined to lineitem on the shuffle key,
+    * decimal-exact revenue aggregation, then a global top-10 via
+    * TakeOrderedAndProject (no full sort materializes). At 100 TB the
+    * only shuffle is lineitem x orders on orderkey; the customer probe
+    * ships to executors. */
+  def shippingPriority(spark: SparkSession, dir: String): DataFrame = {
+    val cutoff = lit("1998-01-01").cast("timestamp_ntz")
+    val c = Tables.customer(spark, dir)
+      .filter(col("c_mktsegment") === "BUILDING").select("c_custkey")
+    val o = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") < cutoff)
+      .select("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority")
+    val l = Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") > cutoff)
+      .select("l_orderkey", "l_extendedprice", "l_discount")
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("l_orderkey"),
+        unix_micros(col("o_orderdate").cast("timestamp")).as("o_orderdate_us"),
+        col("o_orderpriority"))
+      .agg(round(sum(money("l_extendedprice") *
+             (lit(1).cast("decimal(18,2)") - money("l_discount"))), 2)
+        .cast("double").as("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey").asc)
+      .limit(10)
+  }
+
   /** Left-semi: customers that have orders — no payload from the right
     * side crosses the shuffle. */
   def semiJoin(spark: SparkSession, dir: String): DataFrame = {

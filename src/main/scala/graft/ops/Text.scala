@@ -472,6 +472,27 @@ object Text {
       .orderBy("d1", "d2")
   }
 
+  /** Cross-document duplicated-text diagnostic: per doc, the fraction
+    * of its distinct 3-shingles that also occur in at least one OTHER
+    * document — the corpus-level twin of `repetitionStats` (which is
+    * intra-doc) and the scalar the substring-dedup literature thresholds
+    * on before cutting. Shape: shingle document-frequency (one
+    * hash-aggregate over fixed-width longs, map-side combined) joined
+    * back to the exploded shingles, then a per-doc roll-up — two
+    * shuffles total, cost tracks shingle volume exactly like the
+    * MinHash pipeline. Duplicated-shingle carriers surface with
+    * dup_frac near 1. */
+  def dupNgramCoverage(spark: SparkSession, dir: String): DataFrame = {
+    val sh = shingles(Tables.documents(spark, dir))
+    val df = sh.groupBy("sh").agg(count(lit(1)).as("n_docs"))
+    sh.join(df, "sh")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shingles"),
+           sum(when(col("n_docs") > 1, 1L).otherwise(0L)).as("n_shared"))
+      .withColumn("dup_frac", round(col("n_shared") / col("n_shingles"), 4))
+      .orderBy("doc_id")
+  }
+
   // -------------------------------------------------------------- simhash
 
   /** 60-bit SimHash per doc: per-bit +/-1 majority vote over token

@@ -482,6 +482,76 @@ object EventStreams {
     spark.read.schema(joined.schema).parquet(out)
   }
 
+  /** LEFT-OUTER stream-stream interval join — the abandonment twin of
+    * `intervalJoin`: every click joined to same-user purchases within
+    * the following 30 minutes, and clicks with NO such purchase emit
+    * once with null purchase columns — but only when the watermark
+    * proves no match can still arrive (watermark > c_ts + 30 min), the
+    * point where the join state evicts the click. That delayed null
+    * emission is exactly what makes outer stream-stream joins safe on
+    * unbounded streams: the result for a click is final when it leaves
+    * state. Matches land in the parquet sink immediately (match volume
+    * is data-sized — same sink shape as intervalJoin); unmatched rows
+    * land on eviction, including the end-of-stream no-data batch. The
+    * batch read-back applies the SAME horizon to both kinds —
+    * c_ts + 30 min < max(ts) - 1h, strict, so rows exactly AT the final
+    * watermark (whose eviction is boundary-convention-dependent) are
+    * excluded deterministically — then rolls up per-hour conversion
+    * counts; the oracle replays the identical batch left join + cutoff. */
+  def leftOuterJoin(spark: SparkSession, dir: String,
+      maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    val base = graft.core.TempDirs.stable(s"stream_loj:$dir")
+    val out = s"$base/matches"
+    val ck = s"$base/ckpt"
+    graft.core.TempDirs.deleteRecursively(new java.io.File(out))
+    graft.core.TempDirs.deleteRecursively(new java.io.File(ck))
+    val clicks = eventStream(spark, dir, maxFilesPerTrigger)
+      .filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts").as("c_ts"))
+      .withWatermark("c_ts", "1 hour")
+    val purchases = eventStream(spark, dir, maxFilesPerTrigger)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"))
+      .withWatermark("p_ts", "1 hour")
+    val joined = clicks.join(purchases,
+      col("user_id") === col("p_user") &&
+        col("p_ts") >= col("c_ts") &&
+        col("p_ts") <= col("c_ts") + expr("INTERVAL 30 MINUTES"),
+      "left_outer")
+      .select(col("user_id"), col("c_ts"), col("p_ts"))
+    val q = joined.writeStream
+      .format("parquet")
+      .option("path", out)
+      .option("checkpointLocation", ck)
+      .outputMode(OutputMode.Append())
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    // The GLOBAL watermark of a two-sided join is the MIN of the
+    // per-side watermarks (multipleWatermarkPolicy=min, the default) —
+    // and each side's watermark tracks the max event time that side
+    // SAW, i.e. post-filter: sparse purchases hold the global watermark
+    // far behind max(ts), so eviction (and null emission) stops at
+    // min(max click, max purchase) - 1h, not max(ts) - 1h. Watermarks
+    // are also MILLISECOND-floored (event-time stats truncate µs to
+    // ms); 1 ms of extra slack keeps the filter strictly inside the
+    // evicted region whichever boundary convention eviction uses. The
+    // oracle applies the identical arithmetic.
+    val wmMs = graft.core.Tables.events(spark, dir)
+      .filter(col("event_type").isin("click", "purchase"))
+      .groupBy("event_type").agg(max(unix_micros(col("ts"))).as("m"))
+      .agg(min(floor(col("m") / 1000))).head().getLong(0)
+    val horizonUs = (wmMs - 3600000L) * 1000 - 1000
+    spark.read.schema(joined.schema).parquet(out)
+      .filter(unix_micros(col("c_ts")) + 1800L * 1000000 < horizonUs)
+      .groupBy(window(col("c_ts"), "1 hour").as("w"))
+      .agg(count(col("p_ts")).as("n_pairs"),
+           sum(when(col("p_ts").isNull, 1L).otherwise(0L)).as("n_unmatched"))
+      .select(unix_micros(col("w.start")).as("w_start_us"),
+              col("n_pairs"), col("n_unmatched"))
+      .orderBy("w_start_us")
+  }
+
   /** STREAM-STATIC broadcast join: enrich the event stream with the
     * customer dimension (user_id -> c_custkey), then window-aggregate
     * revenue per market segment — the canonical streaming-enrichment

@@ -70,4 +70,40 @@ class StreamShapeSpec extends AnyFunSuite with SparkFixture {
           s"timeout-flushed in-stream (horizon $horizonUs)")
     }
   }
+
+  test("leftOuterJoin: null rows flush on watermark eviction and equal the batch left join") {
+    val rows = EventStreams.leftOuterJoin(spark, sf).collect()
+    assert(rows.nonEmpty)
+    // the outer semantics actually fired: some clicks went unmatched
+    assert(rows.map(_.getAs[Long]("n_unmatched")).sum > 0,
+      "corpus must produce unmatched clicks or the outer join is vacuous")
+    // batch replay with the identical min-side watermark horizon
+    val e = graft.core.Tables.events(spark, sf)
+    val wmMs = e.filter(col("event_type").isin("click", "purchase"))
+      .groupBy("event_type").agg(max(unix_micros(col("ts"))).as("m"))
+      .agg(min(floor(col("m") / 1000))).head().getLong(0)
+    val horizonUs = (wmMs - 3600000L) * 1000 - 1000
+    val clicks = e.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts").as("c_ts"))
+      .filter(unix_micros(col("c_ts")) + 1800L * 1000000 < horizonUs)
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"))
+    val batch = clicks.join(purchases,
+        col("user_id") === col("p_user") &&
+          col("p_ts") >= col("c_ts") &&
+          col("p_ts") <= col("c_ts") + expr("INTERVAL 30 MINUTES"),
+        "left_outer")
+      .groupBy(window(col("c_ts"), "1 hour").as("w"))
+      .agg(count(col("p_ts")).as("n_pairs"),
+           sum(when(col("p_ts").isNull, 1L).otherwise(0L)).as("n_unmatched"))
+      .select(unix_micros(col("w.start")).as("w_start_us"),
+              col("n_pairs"), col("n_unmatched"))
+      .collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)))).toMap
+    assert(rows.length == batch.size)
+    rows.foreach { r =>
+      assert(batch(r.getLong(0)) == ((r.getLong(1), r.getLong(2))),
+        s"window ${r.getLong(0)} differs from the batch left join")
+    }
+  }
 }
