@@ -155,4 +155,22 @@ class PlanAuditSpec extends AnyFunSuite with SparkFixture {
       .orderBy("o_orderkey")
     assert(df.collect().toSeq == windowed.collect().toSeq)
   }
+
+  test("shipping_priority: dim broadcasts, filters reach all scans, top-10 is partial") {
+    val df = Relational.shippingPriority(spark, sf)
+    val p = planOf(df)
+    assert(p.contains("BroadcastHashJoin"), s"customer probe must broadcast:\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-10 must be TakeOrderedAndProject, not a global sort:\n$p")
+    // all three scans carry their pushed predicate
+    assert("PushedFilters: \\[[^\\]]*c_mktsegment".r.findFirstIn(p).isDefined, s"customer filter not pushed:\n$p")
+    assert("PushedFilters: \\[[^\\]]*o_orderdate".r.findFirstIn(p).isDefined, s"orders filter not pushed:\n$p")
+    assert("PushedFilters: \\[[^\\]]*l_shipdate".r.findFirstIn(p).isDefined, s"lineitem filter not pushed:\n$p")
+  }
+
+  test("ev_fill_forward: spine join is an equi-join on (user_id, h) — no nested loop") {
+    val p = planOf(Events.fillForward(spark, sf))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"spine must equi-join the hourly observations:\n$p")
+  }
 }
