@@ -43,7 +43,13 @@ object CopyPipeline {
       // subdirectories, so the dest table becomes `<ns>/<table>`;
       // callers create the namespace first (CREATE SCHEMA IF NOT
       // EXISTS, transport.rb:46).
-      destNamespace: Option[String] = None)
+      destNamespace: Option[String] = None,
+      // Re-read the published destination and cross-check its row count
+      // against the write-side observation. OFF by default: at 100 TB
+      // the recount re-scans the whole destination, doubling the copy's
+      // read volume; the observed count + Spark's atomic commit protocol
+      // already say what landed. Turn on for paranoid migrations.
+      verifyCount: Boolean = false)
 
   final case class CopyResult(table: String, rows: Long, columns: Int,
       skipped: Boolean = false)
@@ -80,6 +86,14 @@ object CopyPipeline {
     options.sortWithinPartitions.foreach { keys =>
       df = df.sortWithinPartitions(keys.map(df.col): _*)
     }
+    // Row count rides the WRITE job (CollectMetrics in the write plan):
+    // one pass over the data, no post-publish re-scan. The reference
+    // never verified its copies at all (its exit check was broken,
+    // transport.rb:71-74); verifyCount below adds an explicit sink-side
+    // recount for copies that want a second, independent pass.
+    val obs = org.apache.spark.sql.Observation()
+    df = df.observe(obs, org.apache.spark.sql.functions.count(
+      org.apache.spark.sql.functions.lit(1)).as("rows"))
     val dest = destName
     // JDBC->JDBC: pre-create the destination from the SOURCE's column
     // definitions (reference create_dest_table, transport.rb:112-126) —
@@ -133,12 +147,13 @@ object CopyPipeline {
         }
       case _ => ()
     }
-    // Count AFTER publish, from the sink side when it is also a source
-    // (verifies the copy really landed — the reference never verified,
-    // its exit check was broken, transport.rb:71-74).
-    val rows = sink match {
-      case s: TableSource => s.read(spark, dest).count()
-      case _              => df.count()
+    val rows = obs.get("rows").asInstanceOf[Long]
+    if (options.verifyCount) sink match {
+      case s: TableSource =>
+        val landed = s.read(spark, dest).count()
+        require(landed == rows,
+          s"copy verification failed for $dest: wrote $rows rows, sink holds $landed")
+      case _ => ()
     }
     CopyResult(dest, rows, df.schema.size)
   }
@@ -183,26 +198,31 @@ object CopyPipeline {
       sink: ParquetDir,
       table: String,
       keyCol: String): Long = {
-    import org.apache.spark.sql.functions.{col, lit, max}
+    import org.apache.spark.sql.functions.{col, count, lit, max}
     // First load: a NONEXISTENT destination has no watermark to probe
     // (sink.read would throw, ADVICE r5) — full copy, then deltas.
     if (!sink.tableExists(table)) {
-      sink.write(source.read(spark, table), table)
-      return sink.read(spark, table).count()
+      val obs = org.apache.spark.sql.Observation()
+      sink.write(source.read(spark, table)
+        .observe(obs, count(lit(1)).as("rows")), table)
+      return obs.get("rows").asInstanceOf[Long]
     }
     val wm = sink.read(spark, table).agg(max(col(keyCol))).head().get(0)
     val src = source.read(spark, table)
     // EMPTY destination -> NULL watermark; `key > NULL` would filter
     // out EVERYTHING and silently skip the backlog — copy it all.
-    // Persisted: count + append otherwise scan the delta twice, and on
-    // a LIVE source the two scans could even disagree (reported n vs
-    // appended rows).
-    val fresh = (if (wm == null) src else src.filter(col(keyCol) > lit(wm))).persist()
-    try {
-      val n = fresh.count()
-      if (n > 0) sink.append(fresh, table)
-      n
-    } finally { fresh.unpersist(); () }
+    // The appended count rides the append job itself (CollectMetrics):
+    // ONE pass over the delta — the earlier persist+count+append shape
+    // cached the whole delta (TB-scale spill on a real day's backlog)
+    // just to learn n before writing, and an unpersisted variant could
+    // even disagree with a LIVE source between its two scans. A
+    // zero-row delta commits an empty append (no data files), which is
+    // harmless and keeps the path single-pass.
+    val obs = org.apache.spark.sql.Observation()
+    val fresh = (if (wm == null) src else src.filter(col(keyCol) > lit(wm)))
+      .observe(obs, count(lit(1)).as("rows"))
+    sink.append(fresh, table)
+    obs.get("rows").asInstanceOf[Long]
   }
 
   /** fnmatch-style glob (the reference used File.fnmatch,

@@ -56,6 +56,18 @@ class CopyPipelineSpec extends AnyFunSuite with SparkFixture {
     assert(new ParquetDir(dst).read(spark, "t1").count() == 3)
   }
 
+  test("copyTable row count rides the write job; verifyCount recount agrees") {
+    val (src, dst) = (tmp(), tmp())
+    writeTable(src, "t1")
+    // verifyCount = true: the observed write-side count must survive the
+    // independent sink-side recount (require inside copyTable throws on
+    // disagreement)
+    val res = CopyPipeline.copyTable(spark, new ParquetDir(src), new ParquetDir(dst), "t1",
+      options = CopyPipeline.CopyOptions(verifyCount = true))
+    assert(res.rows == 3)
+    assert(new ParquetDir(dst).read(spark, "t1").count() == res.rows)
+  }
+
   test("copyTable projection + filter narrows the copy") {
     import org.apache.spark.sql.functions.col
     val (src, dst) = (tmp(), tmp())
