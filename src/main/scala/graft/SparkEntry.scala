@@ -178,6 +178,8 @@ object SparkEntry {
     "ctas"             -> (Relational.ctas _),
     "pivot_agg"        -> (Relational.pivotAgg _),
     "percentiles"      -> (Relational.percentiles _),
+    // rows-only (mergeable GK sketch; rank-error bound unit-specced)
+    "approx_percentiles" -> (Relational.approxPercentiles _),
     "string_fns"       -> (Relational.stringFns _),
     "date_fns"         -> (Relational.dateFns _),
     "math_fns"         -> (Relational.mathFns _),

@@ -389,6 +389,25 @@ object Relational {
         round(expr("percentile(o_totalprice, 0.99)"), 4).as("p99"))
       .orderBy("o_orderstatus")
 
+  /** Approximate percentiles via Spark's mergeable quantile sketch
+    * (`approx_percentile`, Greenwald-Khanna) — the single-pass,
+    * fixed-memory answer the exact `percentiles` query (full sort per
+    * group) can't give at 100 TB: partial sketches merge across
+    * partitions, so cost is one scan + sketch-sized shuffle no matter
+    * the data volume. Accuracy 1000 bounds rank error at n/1000 per
+    * group. Rows-only like `approx_distinct` (the sketch is
+    * engine-specific, no DuckDB twin); ApproxSpec pins the rank-error
+    * bound against the exact order statistics. */
+  def approxPercentiles(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .groupBy("o_orderstatus")
+      .agg(
+        expr("approx_percentile(o_totalprice, 0.5, 1000)").as("ap50"),
+        expr("approx_percentile(o_totalprice, 0.9, 1000)").as("ap90"),
+        expr("approx_percentile(o_totalprice, 0.99, 1000)").as("ap99"),
+        count(lit(1)).as("n_rows"))
+      .orderBy("o_orderstatus")
+
   /** Statistical aggregates: stddev / variance / correlation /
     * covariance per group, rounded to absorb partial-agg float-order
     * noise (both engines compute in double; ~1e-12 relative error). */

@@ -94,6 +94,7 @@ object StreamProbe {
     run("sessions_append_pq")(EventStreams.sessionsToParquet(spark, corpus, Some(1)).count())
     run("dedup")(EventStreams.dedupedCounts(spark, corpus, Some(1)).count())
     run("interval_join")(EventStreams.intervalJoin(spark, corpus, Some(1)).count())
+    run("outer_join")(EventStreams.leftOuterJoin(spark, corpus, Some(1)).count())
     spark.streams.removeListener(listener)
 
     println("| query | batch | input rows | state rows | state MB |")

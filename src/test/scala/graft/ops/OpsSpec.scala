@@ -217,4 +217,33 @@ class OpsSpec extends AnyFunSuite with SparkFixture {
         s"l_returnflag=$flag: approx $a vs exact $e exceeds 2%")
     }
   }
+
+  test("approx_percentiles: GK sketch rank error stays within n/accuracy of exact") {
+    // The second no-oracle sketch query (beside approx_distinct): the
+    // returned value's RANK among the group's values must sit within
+    // accuracy bound n/1000 (+1 for ties/rounding) of the target rank —
+    // the Greenwald-Khanna guarantee, checked per group and percentile.
+    val sf01 = "/root/testdata/sf0.01"
+    val orders = graft.core.Tables.orders(spark, sf01)
+      .select(col("o_orderstatus"), col("o_totalprice")).collect()
+      .groupBy(_.getString(0)).map { case (k, rs) =>
+        k -> rs.map(_.getDouble(1)).sorted }
+    val rows = Relational.approxPercentiles(spark, sf01).collect()
+    assert(rows.map(_.getString(0)).toSet == orders.keySet)
+    rows.foreach { r =>
+      val vals = orders(r.getString(0))
+      val n = vals.length
+      assert(r.getAs[Long]("n_rows") == n)
+      Seq(("ap50", 0.5), ("ap90", 0.9), ("ap99", 0.99)).foreach { case (c, p) =>
+        val a = r.getAs[Double](c)
+        // rank band of the approx value among the sorted group
+        val lo = vals.count(_ < a)
+        val hi = vals.count(_ <= a)
+        val target = p * (n - 1)
+        val err = n.toDouble / 1000 + 1
+        assert(target >= lo - err && target <= hi + err,
+          s"${r.getString(0)}/$c: value $a has rank [$lo,$hi], target $target ± $err")
+      }
+    }
+  }
 }
