@@ -228,6 +228,7 @@ object SparkEntry {
     "stream_dedup"     -> ((s, d) => EventStreams.dedupedCounts(s, d)),
     "stream_interval_join" -> ((s, d) => EventStreams.intervalJoin(s, d)),
     "stream_outer_join" -> ((s, d) => EventStreams.leftOuterJoin(s, d)),
+    "stream_full_outer_join" -> ((s, d) => EventStreams.fullOuterJoin(s, d)),
     "stream_flat_sessions" -> ((s, d) => EventStreams.flatSessions(s, d)),
     "stream_enrich_parquet" -> (EventStreams.enrichedToParquet _),
     "stream_sliding_parquet" -> ((s, d) => EventStreams.slidingToParquet(s, d)),
@@ -801,6 +802,29 @@ object SparkEntry {
         |  CAST(count(CASE WHEN p_ts IS NULL THEN 1 END) AS BIGINT) AS n_unmatched
         |FROM j, mx
         |WHERE epoch_us(c_ts) + 1800000000 < horizon_us
+        |GROUP BY 1 ORDER BY w_start_us""".stripMargin,
+    "stream_full_outer_join" -> // both abandonment directions; per-side
+      // horizons: clicks finalize at c_ts+30min < wm, purchases at
+      // p_ts < wm (a later click would be late data); buckets on
+      // coalesce(c_ts, p_ts) — same arithmetic as fullOuterJoin
+      """WITH e AS (SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS t FROM events),
+        |  mx AS (SELECT (min(mx_us // 1000) - 3600000) * 1000 - 1000 AS horizon_us
+        |    FROM (SELECT event_type, max(epoch_us(t)) AS mx_us FROM e
+        |          WHERE event_type IN ('click','purchase') GROUP BY 1)),
+        |  c AS (SELECT user_id, t AS c_ts FROM e WHERE event_type = 'click'),
+        |  p AS (SELECT user_id, t AS p_ts FROM e WHERE event_type = 'purchase'),
+        |  j AS (SELECT coalesce(c.user_id, p.user_id) AS user_id, c_ts, p_ts
+        |    FROM c FULL OUTER JOIN p
+        |    ON c.user_id = p.user_id AND p_ts >= c_ts
+        |      AND p_ts <= c_ts + INTERVAL 30 MINUTE)
+        |SELECT epoch_us(time_bucket(INTERVAL 1 HOUR, coalesce(c_ts, p_ts))) AS w_start_us,
+        |  CAST(count(CASE WHEN c_ts IS NOT NULL AND p_ts IS NOT NULL THEN 1 END) AS BIGINT)
+        |    AS n_matched,
+        |  CAST(count(CASE WHEN p_ts IS NULL THEN 1 END) AS BIGINT) AS n_click_only,
+        |  CAST(count(CASE WHEN c_ts IS NULL THEN 1 END) AS BIGINT) AS n_purchase_only
+        |FROM j, mx
+        |WHERE (c_ts IS NULL OR epoch_us(c_ts) + 1800000000 < horizon_us)
+        |  AND (p_ts IS NULL OR epoch_us(p_ts) < horizon_us)
         |GROUP BY 1 ORDER BY w_start_us""".stripMargin,
     "stream_dedup" -> // doubled stream deduped within watermark == batch counts
       """SELECT epoch_us(time_bucket(INTERVAL 1 HOUR, CAST(ts AS TIMESTAMP))) AS w_start_us,

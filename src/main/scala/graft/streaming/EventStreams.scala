@@ -500,7 +500,66 @@ object EventStreams {
     * counts; the oracle replays the identical batch left join + cutoff. */
   def leftOuterJoin(spark: SparkSession, dir: String,
       maxFilesPerTrigger: Option[Int] = None): DataFrame = {
-    val base = graft.core.TempDirs.stable(s"stream_loj:$dir")
+    val (matches, horizonUs) =
+      outerIntervalJoin(spark, dir, "left_outer", "stream_loj", maxFilesPerTrigger)
+    matches
+      .filter(unix_micros(col("c_ts")) + 1800L * 1000000 < horizonUs)
+      .groupBy(window(col("c_ts"), "1 hour").as("w"))
+      .agg(count(col("p_ts")).as("n_pairs"),
+           sum(when(col("p_ts").isNull, 1L).otherwise(0L)).as("n_unmatched"))
+      .select(unix_micros(col("w.start")).as("w_start_us"),
+              col("n_pairs"), col("n_unmatched"))
+      .orderBy("w_start_us")
+  }
+
+  /** FULL-OUTER stream-stream interval join — both abandonment
+    * directions at once: clicks with no purchase inside their forward
+    * 30-minute window AND purchases no click preceded emit with nulls
+    * on their respective evictions. The two sides finalize on different
+    * horizons: a click is safe to evict when the watermark passes
+    * c_ts + 30 min (no qualifying purchase can still arrive); a
+    * purchase when the watermark passes p_ts itself (any later click
+    * would be late data and dropped). The read-back applies BOTH
+    * per-side horizons, so matched rows near the stream edge are cut
+    * identically by engine and oracle, and buckets rows on
+    * coalesce(c_ts, p_ts) — the click hour for matches and click-only
+    * rows, the purchase hour for purchase-only rows. */
+  def fullOuterJoin(spark: SparkSession, dir: String,
+      maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    val (matches, horizonUs) =
+      outerIntervalJoin(spark, dir, "full_outer", "stream_foj", maxFilesPerTrigger)
+    matches
+      .filter((col("c_ts").isNull ||
+                unix_micros(col("c_ts")) + 1800L * 1000000 < horizonUs) &&
+              (col("p_ts").isNull || unix_micros(col("p_ts")) < horizonUs))
+      .groupBy(window(coalesce(col("c_ts"), col("p_ts")), "1 hour").as("w"))
+      .agg(sum(when(col("c_ts").isNotNull && col("p_ts").isNotNull, 1L)
+             .otherwise(0L)).as("n_matched"),
+           sum(when(col("p_ts").isNull, 1L).otherwise(0L)).as("n_click_only"),
+           sum(when(col("c_ts").isNull, 1L).otherwise(0L)).as("n_purchase_only"))
+      .select(unix_micros(col("w.start")).as("w_start_us"),
+              col("n_matched"), col("n_click_only"), col("n_purchase_only"))
+      .orderBy("w_start_us")
+  }
+
+  /** Shared machinery for the outer interval joins: run the streaming
+    * click->purchase join of the given type to a parquet sink, return
+    * the batch read-back plus the final-watermark horizon in µs.
+    *
+    * The GLOBAL watermark of a two-sided join is the MIN of the
+    * per-side watermarks (multipleWatermarkPolicy=min, the default) —
+    * and each side's watermark tracks the max event time that side
+    * SAW, i.e. post-filter: sparse purchases hold the global watermark
+    * far behind max(ts), so eviction (and null emission) stops at
+    * min(max click, max purchase) - 1h, not max(ts) - 1h. Watermarks
+    * are also MILLISECOND-floored (event-time stats truncate µs to
+    * ms); 1 ms of extra slack keeps callers' horizon filters strictly
+    * inside the evicted region whichever boundary convention eviction
+    * uses. Oracles apply the identical arithmetic. */
+  private def outerIntervalJoin(spark: SparkSession, dir: String,
+      joinType: String, tag: String,
+      maxFilesPerTrigger: Option[Int]): (DataFrame, Long) = {
+    val base = graft.core.TempDirs.stable(s"$tag:$dir")
     val out = s"$base/matches"
     val ck = s"$base/ckpt"
     graft.core.TempDirs.deleteRecursively(new java.io.File(out))
@@ -517,8 +576,9 @@ object EventStreams {
       col("user_id") === col("p_user") &&
         col("p_ts") >= col("c_ts") &&
         col("p_ts") <= col("c_ts") + expr("INTERVAL 30 MINUTES"),
-      "left_outer")
-      .select(col("user_id"), col("c_ts"), col("p_ts"))
+      joinType)
+      .select(coalesce(col("user_id"), col("p_user")).as("user_id"),
+              col("c_ts"), col("p_ts"))
     val q = joined.writeStream
       .format("parquet")
       .option("path", out)
@@ -527,29 +587,12 @@ object EventStreams {
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    // The GLOBAL watermark of a two-sided join is the MIN of the
-    // per-side watermarks (multipleWatermarkPolicy=min, the default) —
-    // and each side's watermark tracks the max event time that side
-    // SAW, i.e. post-filter: sparse purchases hold the global watermark
-    // far behind max(ts), so eviction (and null emission) stops at
-    // min(max click, max purchase) - 1h, not max(ts) - 1h. Watermarks
-    // are also MILLISECOND-floored (event-time stats truncate µs to
-    // ms); 1 ms of extra slack keeps the filter strictly inside the
-    // evicted region whichever boundary convention eviction uses. The
-    // oracle applies the identical arithmetic.
     val wmMs = graft.core.Tables.events(spark, dir)
       .filter(col("event_type").isin("click", "purchase"))
       .groupBy("event_type").agg(max(unix_micros(col("ts"))).as("m"))
       .agg(min(floor(col("m") / 1000))).head().getLong(0)
     val horizonUs = (wmMs - 3600000L) * 1000 - 1000
-    spark.read.schema(joined.schema).parquet(out)
-      .filter(unix_micros(col("c_ts")) + 1800L * 1000000 < horizonUs)
-      .groupBy(window(col("c_ts"), "1 hour").as("w"))
-      .agg(count(col("p_ts")).as("n_pairs"),
-           sum(when(col("p_ts").isNull, 1L).otherwise(0L)).as("n_unmatched"))
-      .select(unix_micros(col("w.start")).as("w_start_us"),
-              col("n_pairs"), col("n_unmatched"))
-      .orderBy("w_start_us")
+    (spark.read.schema(joined.schema).parquet(out), horizonUs)
   }
 
   /** STREAM-STATIC broadcast join: enrich the event stream with the

@@ -106,4 +106,21 @@ class StreamShapeSpec extends AnyFunSuite with SparkFixture {
         s"window ${r.getLong(0)} differs from the batch left join")
     }
   }
+
+  test("fullOuterJoin: click side agrees with leftOuterJoin; purchase-only rows exist") {
+    val full = EventStreams.fullOuterJoin(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    val left = EventStreams.leftOuterJoin(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // the unmatched-click count is identical per window (same rows, same
+    // bucket); matched can only SHRINK under full's extra p-side horizon
+    left.foreach { case (w, (nPairs, nUnmatched)) =>
+      val (m, co, _) = full.getOrElse(w, (0L, 0L, 0L))
+      assert(co == nUnmatched, s"window $w: click-only $co vs left-outer unmatched $nUnmatched")
+      assert(m <= nPairs, s"window $w: full matched $m exceeds left pairs $nPairs")
+    }
+    // both abandonment directions are exercised by the corpus
+    assert(full.values.map(_._3).sum > 0, "no purchase-only rows — full-outer is vacuous")
+    assert(full.values.map(_._2).sum > 0, "no click-only rows")
+  }
 }
