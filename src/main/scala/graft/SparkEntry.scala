@@ -199,6 +199,8 @@ object SparkEntry {
     "bitmap_agg"       -> (Relational.bitmapAgg _),
     "cond_agg"         -> (Relational.condAgg _),
     "grouping_sets_id" -> (Relational.groupingSetsId _),
+    "recursive_cte"    -> (Relational.recursiveCte _),
+    "variant_fns"      -> (Events.variantFns _),
     "window_dedup"     -> (Relational.windowDedup _),
     "regexp_fns"       -> (Relational.regexpFns _),
     "interval_arith"   -> (Relational.intervalArith _),
@@ -1197,6 +1199,21 @@ object SparkEntry {
         |FROM lineitem
         |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
         |ORDER BY gid, l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
+    "recursive_cte" -> // ancestor chain over node -> node//2, acyclic
+      """WITH RECURSIVE anc(okey, node) AS (
+        |  SELECT o_orderkey, o_orderkey FROM orders WHERE o_orderkey < 2048
+        |  UNION ALL
+        |  SELECT okey, node // 2 FROM anc WHERE node > 1)
+        |SELECT okey AS o_orderkey, count(*) AS depth,
+        |  CAST(sum(node) AS BIGINT) AS path_sum
+        |FROM anc GROUP BY okey ORDER BY o_orderkey""".stripMargin,
+    "variant_fns" -> // VARIANT typed path access == DuckDB JSON extraction
+      """SELECT event_id,
+        |  CAST(json_extract_string(props, '$.k') AS INT) AS k_val,
+        |  CAST(json_extract_string(props, '$.missing') AS INT) AS absent_val,
+        |  json_extract_string(props, '$.k') AS k_str,
+        |  json_extract_string(props, '$.k') IS NOT NULL AS has_k
+        |FROM events ORDER BY event_id""".stripMargin,
     "window_dedup" ->
       """SELECT o_custkey, o_orderkey AS latest_order,
         |  epoch_us(CAST(o_orderdate AS TIMESTAMP)) AS order_us

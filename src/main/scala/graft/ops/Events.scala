@@ -161,6 +161,22 @@ object Events {
            countDistinct(col("user_id")).as("n_users"))
       .orderBy("k_bucket")
 
+  /** VARIANT-typed semi-structured access (Spark 4): `parse_json` once
+    * into a VARIANT column, then typed `variant_get` path extraction —
+    * the open-schema ingestion shape (one binary-encoded column, typed
+    * access at query time, no up-front schema). Missing paths surface
+    * as NULL, not errors; the k=NULL guard distinguishes absent from
+    * present-null. */
+  def variantFns(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .withColumn("v", expr("parse_json(props)"))
+      .select(col("event_id"),
+        expr("variant_get(v, '$.k', 'int')").as("k_val"),
+        expr("variant_get(v, '$.missing', 'int')").as("absent_val"),
+        expr("variant_get(v, '$.k', 'string')").as("k_str"),
+        expr("variant_get(v, '$.k', 'int') IS NOT NULL").as("has_k"))
+      .orderBy("event_id")
+
   /** Hourly resample + LOCF gap fill (last observation carried
     * forward): aggregate per-user hourly value sums, generate each
     * user's hourly spine between their first and last active hour

@@ -389,6 +389,28 @@ object Relational {
         round(expr("percentile(o_totalprice, 0.99)"), 4).as("p99"))
       .orderBy("o_orderstatus")
 
+  /** Recursive CTE (Spark 4 `WITH RECURSIVE`): per-row ancestor chains
+    * over the synthetic binary-tree hierarchy node -> node DIV 2 —
+    * depth and path sum per starting order key. The declarative twin of
+    * the hand-rolled iteration `dup_classes` uses: Catalyst drives the
+    * fixpoint (each recursion step is one self-join + filter, UNION ALL
+    * accumulates), which is the right tool when the recursion is
+    * acyclic and depth-bounded (log2(maxKey) ~ 11 here). For cyclic
+    * reachability at 100 TB the iterative min-label loop with its
+    * parquet barriers stays the scale path — a recursive CTE has no
+    * mid-recursion materialization barrier. */
+  def recursiveCte(spark: SparkSession, dir: String): DataFrame = {
+    Tables.orders(spark, dir).filter(col("o_orderkey") < 2048)
+      .select("o_orderkey").createOrReplaceTempView("graft_rc_orders")
+    spark.sql(
+      """WITH RECURSIVE anc(okey, node) AS (
+        |  SELECT o_orderkey, o_orderkey FROM graft_rc_orders
+        |  UNION ALL
+        |  SELECT okey, node DIV 2 FROM anc WHERE node > 1)
+        |SELECT okey AS o_orderkey, count(*) AS depth, sum(node) AS path_sum
+        |FROM anc GROUP BY okey ORDER BY o_orderkey""".stripMargin)
+  }
+
   /** Approximate percentiles via Spark's mergeable quantile sketch
     * (`approx_percentile`, Greenwald-Khanna) — the single-pass,
     * fixed-memory answer the exact `percentiles` query (full sort per
