@@ -201,6 +201,8 @@ object SparkEntry {
     "grouping_sets_id" -> (Relational.groupingSetsId _),
     "recursive_cte"    -> (Relational.recursiveCte _),
     "variant_fns"      -> (Events.variantFns _),
+    "corr_subquery"    -> (Relational.corrSubquery _),
+    "lateral_topk"     -> (Relational.lateralTopK _),
     "window_dedup"     -> (Relational.windowDedup _),
     "regexp_fns"       -> (Relational.regexpFns _),
     "interval_arith"   -> (Relational.intervalArith _),
@@ -1207,6 +1209,20 @@ object SparkEntry {
         |SELECT okey AS o_orderkey, count(*) AS depth,
         |  CAST(sum(node) AS BIGINT) AS path_sum
         |FROM anc GROUP BY okey ORDER BY o_orderkey""".stripMargin,
+    "corr_subquery" -> // scalar subquery decorrelates to left-outer agg join
+      """SELECT c_custkey, c_name,
+        |  (SELECT max(o_totalprice) FROM orders o
+        |   WHERE o.o_custkey = c.c_custkey) AS max_order
+        |FROM customer c
+        |WHERE c_mktsegment = 'BUILDING' ORDER BY c_custkey""".stripMargin,
+    "lateral_topk" -> // correlated LATERAL with LIMIT == per-group top-k
+      """SELECT c_custkey, t.o_orderkey, t.o_totalprice
+        |FROM customer c,
+        |  LATERAL (SELECT o_orderkey, o_totalprice FROM orders o
+        |    WHERE o.o_custkey = c.c_custkey
+        |    ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 2) t
+        |WHERE c_mktsegment = 'MACHINERY'
+        |ORDER BY c_custkey, o_totalprice DESC, o_orderkey""".stripMargin,
     "variant_fns" -> // VARIANT typed path access == DuckDB JSON extraction
       """SELECT event_id,
         |  CAST(json_extract_string(props, '$.k') AS INT) AS k_val,

@@ -389,6 +389,44 @@ object Relational {
         round(expr("percentile(o_totalprice, 0.99)"), 4).as("p99"))
       .orderBy("o_orderstatus")
 
+  /** Correlated scalar subquery: each BUILDING customer's max order
+    * price, written the way an analyst writes it (a scalar subquery in
+    * the SELECT list). Catalyst DECORRELATES it into a left outer
+    * aggregate join — no per-row re-execution, one shuffle on custkey —
+    * which is exactly why the declarative form survives 100 TB where a
+    * nested-loop interpretation wouldn't. Orderless customers surface
+    * NULL (left-outer semantics of decorrelation). */
+  def corrSubquery(spark: SparkSession, dir: String): DataFrame = {
+    Tables.customer(spark, dir).createOrReplaceTempView("graft_cs_customer")
+    Tables.orders(spark, dir).createOrReplaceTempView("graft_cs_orders")
+    spark.sql(
+      """SELECT c_custkey, c_name,
+        |  (SELECT max(o_totalprice) FROM graft_cs_orders o
+        |   WHERE o.o_custkey = c.c_custkey) AS max_order
+        |FROM graft_cs_customer c
+        |WHERE c_mktsegment = 'BUILDING' ORDER BY c_custkey""".stripMargin)
+  }
+
+  /** Correlated LATERAL subquery with ORDER BY + LIMIT: top-2 orders
+    * per MACHINERY customer — the SQL-standard spelling of per-group
+    * top-k. Catalyst decorrelates the limited sort into a window-rank
+    * filter over one join, the same plan `topk_per_group` builds by
+    * hand with row_number; declared separately because LATERAL is its
+    * own surface (the reference's users write it; engines that only
+    * nested-loop it die at scale). */
+  def lateralTopK(spark: SparkSession, dir: String): DataFrame = {
+    Tables.customer(spark, dir).createOrReplaceTempView("graft_lt_customer")
+    Tables.orders(spark, dir).createOrReplaceTempView("graft_lt_orders")
+    spark.sql(
+      """SELECT c_custkey, t.o_orderkey, t.o_totalprice
+        |FROM graft_lt_customer c,
+        |  LATERAL (SELECT o_orderkey, o_totalprice FROM graft_lt_orders o
+        |    WHERE o.o_custkey = c.c_custkey
+        |    ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 2) t
+        |WHERE c_mktsegment = 'MACHINERY'
+        |ORDER BY c_custkey, o_totalprice DESC, o_orderkey""".stripMargin)
+  }
+
   /** Recursive CTE (Spark 4 `WITH RECURSIVE`): per-row ancestor chains
     * over the synthetic binary-tree hierarchy node -> node DIV 2 —
     * depth and path sum per starting order key. The declarative twin of

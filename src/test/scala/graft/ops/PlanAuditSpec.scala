@@ -173,4 +173,15 @@ class PlanAuditSpec extends AnyFunSuite with SparkFixture {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
       s"spine must equi-join the hourly observations:\n$p")
   }
+
+  test("corr_subquery + lateral_topk decorrelate — no per-row nested-loop re-execution") {
+    val ps = planOf(Relational.corrSubquery(spark, sf))
+    assert(!ps.contains("CartesianProduct") && !ps.contains("BroadcastNestedLoopJoin"),
+      s"scalar subquery must decorrelate to an aggregate join:\n$ps")
+    assert(ps.contains("HashAggregate"), s"expected the decorrelated max() aggregate:\n$ps")
+    val pl = planOf(Relational.lateralTopK(spark, sf))
+    assert(!pl.contains("CartesianProduct") && !pl.contains("BroadcastNestedLoopJoin"),
+      s"lateral limit must decorrelate, not nested-loop:\n$pl")
+    assert(pl.contains("Window"), s"expected the rank-based decorrelated limit:\n$pl")
+  }
 }
