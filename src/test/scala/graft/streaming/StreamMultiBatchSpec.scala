@@ -76,4 +76,20 @@ class StreamMultiBatchSpec extends AnyFunSuite with SparkFixture {
       "multi-batch sessions must equal the single-batch result")
     assert(multi.nonEmpty)
   }
+
+  test("leftOuterJoin over the 3-batch backlog equals the single-batch run") {
+    // Null emission happens at DIFFERENT times in the two runs (mid-
+    // stream evictions as the watermark advances batch-by-batch vs one
+    // end-of-stream flush), but the horizon-filtered result must be
+    // identical — emission time is an implementation detail, the
+    // emitted SET is the contract.
+    val corpus = splitCorpus()
+    val multi = EventStreams.leftOuterJoin(spark, corpus, Some(1))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq.sorted
+    val single = EventStreams.leftOuterJoin(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq.sorted
+    assert(multi == single,
+      "multi-batch outer-join result must equal the single-batch result")
+    assert(multi.nonEmpty)
+  }
 }
