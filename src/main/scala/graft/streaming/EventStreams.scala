@@ -587,10 +587,13 @@ object EventStreams {
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
+    // `div`, not floor(/): Divide on longs is DOUBLE division, and a
+    // 1-ulp round-down on an exactly-ms-aligned max flips floor() to
+    // N-1 while the oracle's integer // stays at N.
     val wmMs = graft.core.Tables.events(spark, dir)
       .filter(col("event_type").isin("click", "purchase"))
       .groupBy("event_type").agg(max(unix_micros(col("ts"))).as("m"))
-      .agg(min(floor(col("m") / 1000))).head().getLong(0)
+      .agg(min(expr("m div 1000"))).head().getLong(0)
     val horizonUs = (wmMs - 3600000L) * 1000 - 1000
     (spark.read.schema(joined.schema).parquet(out), horizonUs)
   }

@@ -81,7 +81,7 @@ class StreamShapeSpec extends AnyFunSuite with SparkFixture {
     val e = graft.core.Tables.events(spark, sf)
     val wmMs = e.filter(col("event_type").isin("click", "purchase"))
       .groupBy("event_type").agg(max(unix_micros(col("ts"))).as("m"))
-      .agg(min(floor(col("m") / 1000))).head().getLong(0)
+      .agg(min(expr("m div 1000"))).head().getLong(0)
     val horizonUs = (wmMs - 3600000L) * 1000 - 1000
     val clicks = e.filter(col("event_type") === "click")
       .select(col("user_id"), col("ts").as("c_ts"))
