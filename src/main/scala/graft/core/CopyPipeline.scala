@@ -54,6 +54,18 @@ object CopyPipeline {
   final case class CopyResult(table: String, rows: Long, columns: Int,
       skipped: Boolean = false)
 
+  /** Attach a row-count observation to `df`: the count rides whatever
+    * action executes the frame (CollectMetrics in its plan) — one pass,
+    * no separate count job. Returns the observed frame and a thunk that
+    * blocks until the action completes and yields the count. */
+  private def observedCount(df: DataFrame): (DataFrame, () => Long) = {
+    val obs = org.apache.spark.sql.Observation()
+    val observed = df.observe(obs,
+      org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("rows"))
+    (observed, () => obs.get("rows").asInstanceOf[Long])
+  }
+
   /** Single-table copy: the flagship operator (reference direct_copy,
     * transport.rb:66-75). Identity projection unless options narrow it. */
   def copyTable(
@@ -86,14 +98,13 @@ object CopyPipeline {
     options.sortWithinPartitions.foreach { keys =>
       df = df.sortWithinPartitions(keys.map(df.col): _*)
     }
-    // Row count rides the WRITE job (CollectMetrics in the write plan):
-    // one pass over the data, no post-publish re-scan. The reference
-    // never verified its copies at all (its exit check was broken,
-    // transport.rb:71-74); verifyCount below adds an explicit sink-side
-    // recount for copies that want a second, independent pass.
-    val obs = org.apache.spark.sql.Observation()
-    df = df.observe(obs, org.apache.spark.sql.functions.count(
-      org.apache.spark.sql.functions.lit(1)).as("rows"))
+    // Row count rides the WRITE job: one pass over the data, no
+    // post-publish re-scan. The reference never verified its copies at
+    // all (its exit check was broken, transport.rb:71-74); verifyCount
+    // below adds an explicit sink-side recount for copies that want a
+    // second, independent pass.
+    val (observed, rowsOf) = observedCount(df)
+    df = observed
     val dest = destName
     // JDBC->JDBC: pre-create the destination from the SOURCE's column
     // definitions (reference create_dest_table, transport.rb:112-126) —
@@ -147,7 +158,7 @@ object CopyPipeline {
         }
       case _ => ()
     }
-    val rows = obs.get("rows").asInstanceOf[Long]
+    val rows = rowsOf()
     if (options.verifyCount) sink match {
       case s: TableSource =>
         val landed = s.read(spark, dest).count()
@@ -198,14 +209,13 @@ object CopyPipeline {
       sink: ParquetDir,
       table: String,
       keyCol: String): Long = {
-    import org.apache.spark.sql.functions.{col, count, lit, max}
+    import org.apache.spark.sql.functions.{col, lit, max}
     // First load: a NONEXISTENT destination has no watermark to probe
     // (sink.read would throw, ADVICE r5) — full copy, then deltas.
     if (!sink.tableExists(table)) {
-      val obs = org.apache.spark.sql.Observation()
-      sink.write(source.read(spark, table)
-        .observe(obs, count(lit(1)).as("rows")), table)
-      return obs.get("rows").asInstanceOf[Long]
+      val (observed, rowsOf) = observedCount(source.read(spark, table))
+      sink.write(observed, table)
+      return rowsOf()
     }
     val wm = sink.read(spark, table).agg(max(col(keyCol))).head().get(0)
     val src = source.read(spark, table)
@@ -218,11 +228,10 @@ object CopyPipeline {
     // even disagree with a LIVE source between its two scans. A
     // zero-row delta commits an empty append (no data files), which is
     // harmless and keeps the path single-pass.
-    val obs = org.apache.spark.sql.Observation()
-    val fresh = (if (wm == null) src else src.filter(col(keyCol) > lit(wm)))
-      .observe(obs, count(lit(1)).as("rows"))
+    val (fresh, rowsOf) = observedCount(
+      if (wm == null) src else src.filter(col(keyCol) > lit(wm)))
     sink.append(fresh, table)
-    obs.get("rows").asInstanceOf[Long]
+    rowsOf()
   }
 
   /** fnmatch-style glob (the reference used File.fnmatch,

@@ -165,8 +165,10 @@ object Events {
     * into a VARIANT column, then typed `variant_get` path extraction —
     * the open-schema ingestion shape (one binary-encoded column, typed
     * access at query time, no up-front schema). Missing paths surface
-    * as NULL, not errors; the k=NULL guard distinguishes absent from
-    * present-null. */
+    * as NULL, not errors. has_k uses the STRING-typed extraction so its
+    * semantics match the oracle's json_extract_string regardless of
+    * the value's runtime type (int-typed extraction of a non-numeric
+    * value would null out where the string form doesn't). */
   def variantFns(spark: SparkSession, dir: String): DataFrame =
     Tables.events(spark, dir)
       .withColumn("v", expr("parse_json(props)"))
@@ -174,7 +176,7 @@ object Events {
         expr("variant_get(v, '$.k', 'int')").as("k_val"),
         expr("variant_get(v, '$.missing', 'int')").as("absent_val"),
         expr("variant_get(v, '$.k', 'string')").as("k_str"),
-        expr("variant_get(v, '$.k', 'int') IS NOT NULL").as("has_k"))
+        expr("variant_get(v, '$.k', 'string') IS NOT NULL").as("has_k"))
       .orderBy("event_id")
 
   /** Hourly resample + LOCF gap fill (last observation carried

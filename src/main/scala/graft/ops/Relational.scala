@@ -461,11 +461,17 @@ object Relational {
   def approxPercentiles(spark: SparkSession, dir: String): DataFrame =
     Tables.orders(spark, dir)
       .groupBy("o_orderstatus")
+      // ONE sketch queried at three percentiles (array form) — three
+      // scalar approx_percentile calls would each maintain and merge
+      // their own sketch over every row, 3x the work for no accuracy.
       .agg(
-        expr("approx_percentile(o_totalprice, 0.5, 1000)").as("ap50"),
-        expr("approx_percentile(o_totalprice, 0.9, 1000)").as("ap90"),
-        expr("approx_percentile(o_totalprice, 0.99, 1000)").as("ap99"),
+        expr("approx_percentile(o_totalprice, array(0.5, 0.9, 0.99), 1000)").as("aps"),
         count(lit(1)).as("n_rows"))
+      .select(col("o_orderstatus"),
+        element_at(col("aps"), 1).as("ap50"),
+        element_at(col("aps"), 2).as("ap90"),
+        element_at(col("aps"), 3).as("ap99"),
+        col("n_rows"))
       .orderBy("o_orderstatus")
 
   /** Statistical aggregates: stddev / variance / correlation /

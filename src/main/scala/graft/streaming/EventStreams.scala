@@ -452,35 +452,8 @@ object EventStreams {
     * schema-inference failure. Exactly-once: sink dir and checkpoint
     * are recreated together per run. */
   private[streaming] def intervalJoinMatches(spark: SparkSession, dir: String,
-      maxFilesPerTrigger: Option[Int] = None): DataFrame = {
-    val base = graft.core.TempDirs.stable(s"stream_ij:$dir")
-    val out = s"$base/matches"
-    val ck = s"$base/ckpt"
-    graft.core.TempDirs.deleteRecursively(new java.io.File(out))
-    graft.core.TempDirs.deleteRecursively(new java.io.File(ck))
-    val clicks = eventStream(spark, dir, maxFilesPerTrigger)
-      .filter(col("event_type") === "click")
-      .select(col("user_id"), col("ts").as("c_ts"))
-      .withWatermark("c_ts", "1 hour")
-    val purchases = eventStream(spark, dir, maxFilesPerTrigger)
-      .filter(col("event_type") === "purchase")
-      .select(col("user_id").as("p_user"), col("ts").as("p_ts"))
-      .withWatermark("p_ts", "1 hour")
-    val joined = clicks.join(purchases,
-      col("user_id") === col("p_user") &&
-        col("p_ts") >= col("c_ts") &&
-        col("p_ts") <= col("c_ts") + expr("INTERVAL 30 MINUTES"))
-      .select(col("user_id"), col("c_ts"), col("p_ts"))
-    val q = joined.writeStream
-      .format("parquet")
-      .option("path", out)
-      .option("checkpointLocation", ck)
-      .outputMode(OutputMode.Append())
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    spark.read.schema(joined.schema).parquet(out)
-  }
+      maxFilesPerTrigger: Option[Int] = None): DataFrame =
+    outerIntervalJoin(spark, dir, "inner", "stream_ij", maxFilesPerTrigger)._1
 
   /** LEFT-OUTER stream-stream interval join — the abandonment twin of
     * `intervalJoin`: every click joined to same-user purchases within
@@ -542,9 +515,14 @@ object EventStreams {
       .orderBy("w_start_us")
   }
 
-  /** Shared machinery for the outer interval joins: run the streaming
-    * click->purchase join of the given type to a parquet sink, return
-    * the batch read-back plus the final-watermark horizon in µs.
+  /** Shared machinery for ALL the interval joins (inner, left-outer,
+    * full-outer): run the streaming click->purchase join of the given
+    * type to a parquet sink, return the batch read-back plus the
+    * final-watermark horizon in µs (the inner caller ignores the
+    * horizon — matches emit immediately and need no finalization cut).
+    * Read-back uses the join's own schema so a zero-match run yields an
+    * empty frame instead of a schema-inference failure; sink dir and
+    * checkpoint are recreated together per run (exactly-once).
     *
     * The GLOBAL watermark of a two-sided join is the MIN of the
     * per-side watermarks (multipleWatermarkPolicy=min, the default) —

@@ -92,4 +92,22 @@ class StreamMultiBatchSpec extends AnyFunSuite with SparkFixture {
       "multi-batch outer-join result must equal the single-batch result")
     assert(multi.nonEmpty)
   }
+
+  test("fullOuterJoin over the 3-batch backlog equals the single-batch run") {
+    // The purchase-side eviction (p_ts < wm, no inner/left precedent)
+    // must also hold across incremental watermark advance: a purchase
+    // must never be emitted as unmatched while its matching click can
+    // still arrive (time-ordered replay guarantees the click came in an
+    // earlier-or-same batch; this pins it).
+    val corpus = splitCorpus()
+    val multi = EventStreams.fullOuterJoin(spark, corpus, Some(1))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSeq.sorted
+    val single = EventStreams.fullOuterJoin(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSeq.sorted
+    assert(multi == single,
+      "multi-batch full-outer result must equal the single-batch result")
+    assert(multi.nonEmpty)
+  }
 }
