@@ -252,6 +252,8 @@ object SparkEntry {
     "lang_stats"       -> (Text.langStats _),
     "token_stats"      -> (Text.tokenStats _),
     "term_stats"       -> (Text.termStats _),
+    // rows-only (CMS sketch is engine-specific; error bound unit-specced)
+    "heavy_hitters"    -> ((s, d) => Text.heavyHitters(s, d)),
     "lang_id"          -> (Text.langIdHeuristic _),
     "quality_score"    -> (Text.qualityScore _),
     "quality_histogram" -> (Text.qualityHistogram _),

@@ -691,6 +691,35 @@ object Text {
       .orderBy(col("tf").desc, col("tok").asc)
       .limit(20)
 
+  /** Count-Min heavy hitters: a CMS sketch of the token stream built
+    * DISTRIBUTED (the `count_min_sketch` aggregate merges per-partition
+    * sketches — counters are additive, so the merged sketch is
+    * order-independent and, with a fixed seed, deterministic), then
+    * probed DRIVER-side for the exact top-20 terms — the real workflow
+    * for frequency estimation over a stream you can't afford to
+    * materialize: the sketch is KB-sized regardless of corpus size,
+    * and the one-sided guarantee est >= exact, est <= exact + eps*N
+    * (w.p. confidence) is what ApproxSpec pins. Third member of the
+    * sketch family beside HLL (`approx_distinct`) and GK
+    * (`approx_percentiles`); rows-only — no engine-neutral twin. */
+  def heavyHitters(spark: SparkSession, dir: String,
+      eps: Double = 0.001, confidence: Double = 0.99): DataFrame = {
+    import spark.implicits._
+    val tok = tokenized(spark, dir)
+      .select(explode(col("t")).as("tok"))
+    val bytes = tok
+      .agg(expr(s"count_min_sketch(tok, ${eps}d, ${confidence}d, 42)"))
+      .head().getAs[Array[Byte]](0)
+    val cms = org.apache.spark.util.sketch.CountMinSketch
+      .readFrom(new java.io.ByteArrayInputStream(bytes))
+    val top = tok.groupBy("tok").agg(count(lit(1)).as("tf"))
+      .orderBy(col("tf").desc, col("tok").asc).limit(20).collect()
+    top.map(r => (r.getString(0), r.getLong(1),
+        cms.estimateCount(r.getString(0))))
+      .toSeq.toDF("tok", "exact_tf", "cms_tf")
+      .orderBy(col("exact_tf").desc, col("tok").asc)
+  }
+
   /** Array functions over the token column: sort/dedup/slice/set ops —
     * the array-column surface (first 3 tokens, alphabetical first
     * token, overlap-with-stopwords count). */

@@ -246,4 +246,22 @@ class OpsSpec extends AnyFunSuite with SparkFixture {
       }
     }
   }
+
+  test("heavy_hitters: CMS estimates are one-sided and within eps * N of exact") {
+    val sf01 = "/root/testdata/sf0.01"
+    val rows = Text.heavyHitters(spark, sf01).collect()
+    assert(rows.length == 20)
+    val totalTokens = graft.core.Tables.documents(spark, sf01)
+      .select(size(split(col("text"), " ")).cast("long").as("n"))
+      .agg(sum(col("n"))).head().getLong(0)
+    rows.foreach { r =>
+      val (exact, est) = (r.getAs[Long]("exact_tf"), r.getAs[Long]("cms_tf"))
+      assert(est >= exact, s"${r.getString(0)}: CMS must never under-count ($est < $exact)")
+      assert(est - exact <= 0.001 * totalTokens,
+        s"${r.getString(0)}: overshoot ${est - exact} exceeds eps*N ${0.001 * totalTokens}")
+    }
+    // the top tokens genuinely dominate: exact counts are descending
+    val tfs = rows.map(_.getAs[Long]("exact_tf"))
+    assert(tfs.sameElements(tfs.sortBy(-_)))
+  }
 }
