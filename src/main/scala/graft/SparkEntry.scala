@@ -203,6 +203,7 @@ object SparkEntry {
     "variant_fns"      -> (Events.variantFns _),
     "corr_subquery"    -> (Relational.corrSubquery _),
     "lateral_topk"     -> (Relational.lateralTopK _),
+    "try_fns"          -> (Relational.tryFns _),
     "window_dedup"     -> (Relational.windowDedup _),
     "regexp_fns"       -> (Relational.regexpFns _),
     "interval_arith"   -> (Relational.intervalArith _),
@@ -1225,6 +1226,19 @@ object SparkEntry {
         |    ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 2) t
         |WHERE c_mktsegment = 'MACHINERY'
         |ORDER BY c_custkey, o_totalprice DESC, o_orderkey""".stripMargin,
+    "try_fns" -> // error-safe arithmetic: NULL where ANSI mode would throw
+      """SELECT l_orderkey, l_linenumber,
+        |  CAST(floor(l_extendedprice / nullif(l_quantity - 1.0, 0) * 10000) AS BIGINT)
+        |    AS unit_price_m1_e4,
+        |  CASE WHEN abs(CAST(l_orderkey * 1000000000 AS HUGEINT)
+        |           * (l_partkey * 1000000000)) > 9223372036854775807
+        |       THEN NULL
+        |       ELSE CAST(CAST(l_orderkey * 1000000000 AS HUGEINT)
+        |           * (l_partkey * 1000000000) AS BIGINT) END AS overflow_prod,
+        |  TRY_CAST(l_returnflag AS INT) AS flag_int,
+        |  l_linenumber + 1 AS ln_next
+        |FROM lineitem WHERE l_orderkey < 1000
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
     "variant_fns" -> // VARIANT typed path access == DuckDB JSON extraction
       """SELECT event_id,
         |  CAST(json_extract_string(props, '$.k') AS INT) AS k_val,

@@ -389,6 +389,28 @@ object Relational {
         round(expr("percentile(o_totalprice, 0.99)"), 4).as("p99"))
       .orderBy("o_orderstatus")
 
+  /** Error-safe arithmetic (`try_*`): Spark 4 runs ANSI mode by
+    * default, where division by zero and overflow THROW mid-job — on a
+    * 100 TB scan one poisoned row kills hours of work. The `try_`
+    * family turns those rows into NULLs the pipeline can quarantine
+    * instead: the production posture for data you didn't author.
+    * Here: unit price guarded against zero quantity, a deliberately
+    * overflowing bigint product, and a lossy string->int cast. */
+  def tryFns(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .filter(col("l_orderkey") < 1000)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        // floor-scaled, not round(): both engines compute the identical
+        // IEEE double quotient, but their round() tie-breaks differ on
+        // half-ulp boundaries; floor of the same double is unambiguous
+        expr("CAST(floor(try_divide(l_extendedprice, l_quantity - 1.0) * 10000) AS BIGINT)")
+          .as("unit_price_m1_e4"),
+        expr("try_multiply(l_orderkey * 1000000000L, l_partkey * 1000000000L)")
+          .as("overflow_prod"),
+        expr("try_cast(l_returnflag AS INT)").as("flag_int"),
+        expr("try_add(l_linenumber, 1)").as("ln_next"))
+      .orderBy("l_orderkey", "l_linenumber")
+
   /** Correlated scalar subquery: each BUILDING customer's max order
     * price, written the way an analyst writes it (a scalar subquery in
     * the SELECT list). Catalyst DECORRELATES it into a left outer
