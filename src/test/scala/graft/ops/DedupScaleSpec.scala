@@ -113,4 +113,17 @@ class DedupScaleSpec extends AnyFunSuite with SparkFixture {
       s"doc $i labeled ${labels(i.toLong)}, expected 0"))
     assert(!labels.contains(101L), "unrelated doc must not join a class")
   }
+
+  test("dupNgramCoverage separates verbatim copies, near-dups, and unrelated docs") {
+    val cov = Text.dupNgramCoverage(spark, corpus(8))
+      .collect().map(r => r.getLong(0) -> r.getAs[Double]("dup_frac")).toMap
+    // every shingle of a verbatim copy exists in its 7 twins
+    (0 until 8).foreach(i => assert(cov(i.toLong) == 1.0,
+      s"copy $i scored ${cov(i.toLong)}, expected 1.0"))
+    // the one-word edit shares most but not all shingles with the class
+    assert(cov(100L) > 0.0 && cov(100L) < 1.0,
+      s"near-dup scored ${cov(100L)}, expected a strict fraction")
+    // disjoint vocabulary shares nothing
+    assert(cov(101L) == 0.0, s"unrelated doc scored ${cov(101L)}, expected 0.0")
+  }
 }
