@@ -95,6 +95,7 @@ object StreamProbe {
     run("dedup")(EventStreams.dedupedCounts(spark, corpus, Some(1)).count())
     run("interval_join")(EventStreams.intervalJoin(spark, corpus, Some(1)).count())
     run("outer_join")(EventStreams.leftOuterJoin(spark, corpus, Some(1)).count())
+    run("full_outer_join")(EventStreams.fullOuterJoin(spark, corpus, Some(1)).count())
     spark.streams.removeListener(listener)
 
     println("| query | batch | input rows | state rows | state MB |")
