@@ -151,6 +151,7 @@ object SparkEntry {
     "orc_roundtrip"    -> (Formats.orcRoundtrip _),
     "jdbc_roundtrip"   -> (Formats.jdbcRoundtrip _),
     "text_roundtrip"   -> (Formats.textRoundtrip _),
+    "xml_roundtrip"    -> (Formats.xmlRoundtrip _),
     // ---- relational: aggregation
     "pricing_summary"  -> (Relational.pricingSummary _),
     "filter_project"   -> (Relational.filterProject _),
@@ -158,6 +159,10 @@ object SparkEntry {
     "cube_agg"         -> (Relational.cubeAgg _),
     "distinct_agg"     -> (Relational.distinctAgg _),
     "approx_distinct"  -> (Relational.approxDistinct _), // rows-only (HLL approximate)
+    "mode_median"      -> (Relational.modeMedian _),
+    "geo_mean"         -> (Relational.geoMeanAgg _),
+    "collation_agg"    -> (Relational.collationAgg _),
+    "sql_udf"          -> (Relational.sqlUdfQuery _),
     // ---- relational: joins
     "revenue_by_nation" -> (Relational.revenueByNation _),
     "fact_join"        -> (Relational.factJoin _),
@@ -168,6 +173,9 @@ object SparkEntry {
     "skew_join_salted" -> (Relational.skewJoinSalted _),
     "bucketed_join"    -> (Relational.bucketedJoin _),
     "shipping_priority" -> (Relational.shippingPriority _),
+    "large_orders"     -> (Relational.largeOrders _),
+    "null_safe_join"   -> (Relational.nullSafeJoin _),
+    "bloom_prune_join" -> (Relational.bloomPruneJoin _),
     // ---- relational: windows / sort / set ops / scalar fns
     "topk_per_group"   -> (Relational.topKPerGroup _),
     "running_total"    -> (Relational.runningTotal _),
@@ -206,6 +214,7 @@ object SparkEntry {
     "try_fns"          -> (Relational.tryFns _),
     "window_dedup"     -> (Relational.windowDedup _),
     "regexp_fns"       -> (Relational.regexpFns _),
+    "generator_fns"    -> (Relational.generatorFns _),
     "interval_arith"   -> (Relational.intervalArith _),
     // ---- events (stream-shaped)
     "ev_tumbling"      -> (Events.tumbling _),
@@ -355,6 +364,67 @@ object SparkEntry {
     "text_roundtrip" ->
       """SELECT text AS value, CAST(strlen(text) AS BIGINT) AS n_chars
         |FROM documents ORDER BY value""".stripMargin,
+    "xml_roundtrip" ->
+      """SELECT p_partkey, p_name, p_brand, p_type, p_size, p_retailprice
+        |FROM part ORDER BY p_partkey""".stripMargin,
+    "mode_median" ->
+      """SELECT l_linenumber, mode(l_returnflag) AS mode_flag,
+        |  CAST(round(median(l_quantity), 4) AS DOUBLE) AS median_qty,
+        |  CAST(round(median(l_extendedprice), 4) AS DOUBLE) AS median_price,
+        |  count(*) AS n
+        |FROM lineitem GROUP BY l_linenumber ORDER BY l_linenumber""".stripMargin,
+    "geo_mean" ->
+      """SELECT p_brand,
+        |  CAST(round(exp(CAST(sum(CAST(ln(p_retailprice) AS DECIMAL(38,18)))
+        |       AS DOUBLE) / count(*)), 4) AS DOUBLE) AS geo_price,
+        |  count(*) AS n_parts
+        |FROM part GROUP BY p_brand ORDER BY p_brand""".stripMargin,
+    "collation_agg" ->
+      """WITH m AS (SELECT CASE WHEN c_custkey % 2 = 0
+        |    THEN upper(c_mktsegment) ELSE lower(c_mktsegment) END AS seg_mixed
+        |  FROM customer)
+        |SELECT lower(seg_mixed) AS segment, count(*) AS n,
+        |  count(DISTINCT seg_mixed) AS n_case_variants
+        |FROM m GROUP BY lower(seg_mixed) ORDER BY segment""".stripMargin,
+    "sql_udf" ->
+      """SELECT l_returnflag,
+        |  CAST(round(sum(CAST(CAST(round(CAST(l_extendedprice AS DECIMAL(18,2))
+        |       * (1 - CAST(l_discount AS DECIMAL(4,2)))
+        |       * (1 + CAST(l_tax AS DECIMAL(4,2))), 2) AS DOUBLE)
+        |       AS DECIMAL(18,2))), 2) AS DOUBLE) AS net_revenue,
+        |  count(*) AS n
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "large_orders" ->
+      """SELECT c_name, o_orderkey, o_totalprice,
+        |  CAST(round(qty, 2) AS DOUBLE) AS total_qty
+        |FROM orders
+        |JOIN (SELECT l_orderkey, sum(CAST(l_quantity AS DECIMAL(18,2))) AS qty
+        |      FROM lineitem GROUP BY 1 HAVING qty > 250) hi
+        |  ON o_orderkey = hi.l_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin,
+    "null_safe_join" ->
+      """WITH c AS (SELECT CAST(nullif(c_nationkey, 3) AS BIGINT) AS k,
+        |    count(*) AS n_cust FROM customer GROUP BY 1),
+        |  s AS (SELECT CAST(nullif(s_nationkey, 3) AS BIGINT) AS sk,
+        |    count(*) AS n_supp FROM supplier GROUP BY 1)
+        |SELECT coalesce(k, sk) AS nationkey,
+        |  CAST(coalesce(n_cust, 0) AS BIGINT) AS n_cust,
+        |  CAST(coalesce(n_supp, 0) AS BIGINT) AS n_supp
+        |FROM c FULL OUTER JOIN s ON c.k IS NOT DISTINCT FROM s.sk
+        |ORDER BY coalesce(nationkey, -1)""".stripMargin,
+    "bloom_prune_join" ->
+      """SELECT p_brand, count(*) AS n_items,
+        |  CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))),2) AS DOUBLE) AS revenue
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE p_size <= 9
+        |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
+    "generator_fns" ->
+      """SELECT g.i - 1 AS pos, count(*) AS n_words,
+        |  count(DISTINCT t.w[g.i]) AS n_distinct
+        |FROM (SELECT string_split(p_name, ' ') AS w FROM part) t,
+        |     LATERAL (SELECT unnest(generate_series(1, len(t.w))) AS i) g
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "outer_join" ->
       """WITH c AS (SELECT CAST(c_nationkey AS BIGINT) AS nationkey,
         |    count(*) AS n_customers FROM customer

@@ -797,6 +797,158 @@ object Relational {
       .orderBy("status")
   }
 
+  /** mode() + median() aggregates (Spark 3.4+ built-ins). The group
+    * column is chosen so the mode is UNIQUE per group at the verified
+    * scale (probed: top-flag margins are clear at sf0.01) — mode ties
+    * are engine-arbitrary and would flap the oracle hash. median on an
+    * even count interpolates in double; round(4) quantizes the ulp. */
+  def modeMedian(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy("l_linenumber")
+      .agg(mode(col("l_returnflag")).as("mode_flag"),
+        round(median(col("l_quantity")), 4).cast("double").as("median_qty"),
+        round(median(col("l_extendedprice")), 4).cast("double").as("median_price"),
+        count(lit(1)).as("n"))
+      .orderBy("l_linenumber")
+
+  /** Null-safe equality join (`<=>` / IS NOT DISTINCT FROM): NULL keys
+    * match each other instead of vanishing — the semantics every
+    * nullable-dimension-key join actually wants. Nation 3 is folded to
+    * NULL on BOTH pre-aggregated sides, so the output carries a genuine
+    * NULL<=>NULL matched row; full-outer keeps supplier-less nations.
+    * Both sides are aggregate-sized -> broadcastable at any corpus SF. */
+  def nullSafeJoin(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+      .groupBy(expr("nullif(c_nationkey, 3)").cast("bigint").as("k"))
+      .agg(count(lit(1)).as("n_cust"))
+    val s = Tables.supplier(spark, dir)
+      .groupBy(expr("nullif(s_nationkey, 3)").cast("bigint").as("sk"))
+      .agg(count(lit(1)).as("n_supp"))
+    c.join(s, c("k") <=> s("sk"), "full_outer")
+      .select(coalesce(col("k"), col("sk")).as("nationkey"),
+        coalesce(col("n_cust"), lit(0L)).as("n_cust"),
+        coalesce(col("n_supp"), lit(0L)).as("n_supp"))
+      // coalesce of the matched NULL<=>NULL pair stays NULL — order it
+      // deterministically on a non-null proxy so both engines agree
+      .orderBy(coalesce(col("nationkey"), lit(-1L)))
+  }
+
+  /** TPC-H Q18 shape: IN-subquery over an aggregated HAVING ("orders
+    * whose total quantity exceeds 250"). The subquery collapses
+    * lineitem to order grain FIRST (map-side partial agg), and the
+    * HAVING leaves a tiny key set -> Catalyst plans the IN as a
+    * broadcast semi/equi join against the fact; customer is a
+    * broadcast dim. At 100 TB the only full-data shuffle is the
+    * order-grain aggregation itself. */
+  def largeOrders(spark: SparkSession, dir: String): DataFrame = {
+    val hi = Tables.lineitem(spark, dir)
+      .groupBy("l_orderkey")
+      .agg(sum(money("l_quantity")).as("qty"))
+      .filter(col("qty") > 250)
+    val orders = Tables.orders(spark, dir)
+    orders
+      .join(hi, orders("o_orderkey") === hi("l_orderkey"))
+      .join(broadcast(Tables.customer(spark, dir)),
+        orders("o_custkey") === col("c_custkey"))
+      .select(col("c_name"), col("o_orderkey"), col("o_totalprice"),
+        round(col("qty"), 2).cast("double").as("total_qty"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(100)
+  }
+
+  /** Runtime-filter join pruning with a Bloom sketch (the 4th sketch
+    * beside HLL / GK / CMS): build a Bloom filter over the SMALL
+    * filtered dim's keys (two dim-sized jobs), broadcast it, and
+    * prefilter the fact BEFORE the join — ~75% of fact rows drop at
+    * the scan, never reaching the shuffle/build. False positives are
+    * harmless: the exact join behind the prefilter removes them, so
+    * the result is exactly the plain join (what the oracle checks).
+    * This is the manual form of Spark's own
+    * spark.sql.optimizer.runtime.bloomFilter InjectRuntimeFilter rule
+    * (which needs stats thresholds to fire); at 100 TB you'd feed the
+    * sketch the same way and keep the fact scan-side. */
+  def bloomPruneJoin(spark: SparkSession, dir: String): DataFrame = {
+    val dim = Tables.part(spark, dir)
+      .filter(col("p_size") <= 9)
+      .select(col("p_partkey"), col("p_brand"))
+    val nKeys = math.max(dim.count(), 1L) // dim-sized job; at scale: stats
+    val bf = dim.stat.bloomFilter("p_partkey", nKeys, 0.01)
+    val bc = spark.sparkContext.broadcast(bf)
+    val mightContain = udf((k: Long) => bc.value.mightContain(k))
+    val li = Tables.lineitem(spark, dir)
+    li.filter(mightContain(col("l_partkey"))) // sketch prefilter, fact side
+      .join(broadcast(dim), col("l_partkey") === col("p_partkey")) // exact
+      .groupBy("p_brand")
+      .agg(count(lit(1)).as("n_items"),
+        round(sum(money("l_extendedprice")), 2).cast("double").as("revenue"))
+      .orderBy("p_brand")
+  }
+
+  /** Collation-aware aggregation (Spark 4 collations): grouping under
+    * UTF8_LCASE folds case variants into one group while count(DISTINCT
+    * <binary>) still sees the variants. The projected group key is
+    * lower()ed — the collated representative is whichever variant a
+    * partition saw first, which is not deterministic; its lcase image
+    * is. Case mix is derived deterministically from the row key. */
+  def collationAgg(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir)
+      .withColumn("seg_mixed",
+        when(col("c_custkey") % 2 === 0, upper(col("c_mktsegment")))
+          .otherwise(lower(col("c_mktsegment"))))
+      .groupBy(collate(col("seg_mixed"), "UTF8_LCASE").as("seg_key"))
+      .agg(count(lit(1)).as("n"),
+        countDistinct(col("seg_mixed")).as("n_case_variants"))
+      .select(lower(col("seg_key")).as("segment"), col("n"), col("n_case_variants"))
+      .orderBy("segment")
+
+  /** SQL-defined scalar UDF (Spark 4 CREATE FUNCTION ... RETURN expr):
+    * unlike a JVM closure UDF, the body INLINES into the plan — the
+    * aggregate below stays whole-stage-codegen with no serialization
+    * boundary. The UDF computes in DECIMAL (the corpus prices/rates
+    * are exact 2dp values, so the product is exact and round(.,2) is
+    * engine-independent — round(double,2) per row drifted the sf0.01
+    * sum by 0.03 across engines); the sum is decimal-exact. */
+  def sqlUdfQuery(spark: SparkSession, dir: String): DataFrame = {
+    spark.sql(
+      """CREATE OR REPLACE TEMPORARY FUNCTION graft_net_price(
+        |  ep DOUBLE, disc DOUBLE, tax DOUBLE) RETURNS DOUBLE
+        |RETURN CAST(round(CAST(ep AS DECIMAL(18,2))
+        |  * (1 - CAST(disc AS DECIMAL(4,2)))
+        |  * (1 + CAST(tax AS DECIMAL(4,2))), 2) AS DOUBLE)""".stripMargin)
+    Tables.lineitem(spark, dir).createOrReplaceTempView("lineitem_sqludf")
+    spark.sql(
+      """SELECT l_returnflag,
+        |  CAST(round(sum(CAST(graft_net_price(l_extendedprice, l_discount, l_tax)
+        |       AS DECIMAL(18,2))), 2) AS DOUBLE) AS net_revenue,
+        |  count(*) AS n
+        |FROM lineitem_sqludf GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
+  }
+
+  /** Typed-Aggregator UDAF (functions/GeoMean.scala): geometric mean of
+    * part retail price per brand — registered via functions.udaf, the
+    * partial/final two-phase plan of any built-in agg with an exact
+    * decimal sum buffer (partition-order independent). */
+  def geoMeanAgg(spark: SparkSession, dir: String): DataFrame = {
+    spark.udf.register("geo_mean",
+      udaf(graft.functions.GeoMean, org.apache.spark.sql.Encoders.scalaDouble))
+    Tables.part(spark, dir)
+      .groupBy("p_brand")
+      .agg(round(expr("geo_mean(p_retailprice)"), 4).cast("double").as("geo_price"),
+        count(lit(1)).as("n_parts"))
+      .orderBy("p_brand")
+  }
+
+  /** Generator functions: posexplode keeps the ORDINAL the bare
+    * explode loses (token position matters for any sequence feature).
+    * Map-side generate -> one shuffle on the (tiny) position key. */
+  def generatorFns(spark: SparkSession, dir: String): DataFrame =
+    Tables.part(spark, dir)
+      .select(posexplode(split(col("p_name"), " ")).as(Seq("pos", "word")))
+      .groupBy(col("pos").cast("bigint").as("pos"))
+      .agg(count(lit(1)).as("n_words"),
+        countDistinct(col("word")).as("n_distinct"))
+      .orderBy("pos")
+
   /** Interval arithmetic on timestamps/dates. */
   def intervalArith(spark: SparkSession, dir: String): DataFrame =
     Tables.orders(spark, dir)

@@ -87,6 +87,20 @@ object Formats {
     spark.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
   }
 
+  /** parquet -> XML (Spark 4 built-in source, one <part> element per
+    * row) -> read back with explicit schema (XML carries no types; the
+    * schema pass restores int/double instead of leaving everything
+    * string). Round-trip fidelity is what the oracle checks. */
+  def xmlRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val src = Tables.part(spark, dir)
+    val out = scratch("xml_rt", dir)
+    src.write.mode("overwrite").format("xml")
+      .option("rootTag", "parts").option("rowTag", "part").save(out)
+    spark.read.format("xml").option("rowTag", "part")
+      .schema(src.schema).load(out)
+      .orderBy("p_partkey")
+  }
+
   /** document corpus -> line-oriented text files -> read back. The text
     * source yields one `value` column per line (the corpus is
     * newline-free ASCII, so lines == documents). */
