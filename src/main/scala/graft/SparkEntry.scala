@@ -257,6 +257,7 @@ object SparkEntry {
     "minhash_bucket_stats" -> ((s, d) => Text.minhashBucketStats(s, d)),
     "minhash_neardups" -> ((s, d) => Text.minhashNearDups(s, d)),
     "dup_classes"      -> ((s, d) => Text.dupClasses(s, d)),
+    "dedup_keep_best"  -> ((s, d) => Text.dedupKeepBest(s, d)),
     "dup_ngram_coverage" -> (Text.dupNgramCoverage _),
     "simhash_candidates" -> ((s, d) => Text.simhashCandidates(s, d)),
     "lang_stats"       -> (Text.langStats _),
@@ -267,6 +268,8 @@ object SparkEntry {
     "lang_id"          -> (Text.langIdHeuristic _),
     "quality_score"    -> (Text.qualityScore _),
     "quality_histogram" -> (Text.qualityHistogram _),
+    "c4_filters"       -> (Text.c4Filters _),
+    "mix_weights"      -> (Text.mixWeights _),
     "busiest_hours"    -> ((s, d) => Events.busiestHours(s, d)),
     // ---- vectors / similarity
     "vector_norm_stats" -> (Vector.normStats _),
@@ -333,6 +336,40 @@ object SparkEntry {
       |  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents) d,
       |       LATERAL (SELECT unnest(generate_series(1, len(t)-2)) AS i) g
       |  WHERE len(t) >= 3)""".stripMargin
+
+  /** MinHash candidates -> exact-Jaccard verify -> bidirectional edges
+    * -> recursive closure -> class labels (shared by dup_classes and
+    * dedup_keep_best; must follow a WITH RECURSIVE opener). */
+  private def dupClassCtes: String =
+    s"""$minhashCtes,
+       |  sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+       |  inter AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS i
+       |    FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+       |    JOIN cand c ON c.d1 = a.doc_id AND c.d2 = b.doc_id
+       |    GROUP BY 1, 2),
+       |  nd AS (SELECT d1, d2 FROM inter
+       |    JOIN sizes sa ON sa.doc_id = d1 JOIN sizes sb ON sb.doc_id = d2
+       |    WHERE round(i / (sa.n + sb.n - i), 4) >= 0.5),
+       |  edges AS (SELECT d1 AS src, d2 AS dst FROM nd
+       |    UNION ALL SELECT d2, d1 FROM nd),
+       |  reach(src, dst) AS (SELECT src, dst FROM edges
+       |    UNION SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+       |  classes AS (SELECT src AS doc_id, least(src, min(dst)) AS class_id
+       |    FROM reach GROUP BY src)""".stripMargin
+
+  /** Per-doc quality score (shared by quality_score and
+    * dedup_keep_best). */
+  private val qualitySelect =
+    """SELECT doc_id, round(
+      |  (CASE WHEN n_chars >= 100 AND n_chars <= 1000 THEN 1.0 ELSE 0.5 END)
+      |  * (1.0 - least(CAST(len(regexp_extract_all(text, '[^\w\s]')) AS DOUBLE)
+      |       / greatest(CAST(len(string_split(text,' ')) AS DOUBLE), 1.0), 1.0) * 0.5)
+      |  * (0.5 + least(CAST(len(list_filter(string_split(text,' '),
+      |       x -> x IN ('the','a','of','and','is','to'))) AS DOUBLE)
+      |       / greatest(CAST(len(string_split(text,' ')) AS DOUBLE), 1.0) * 2, 0.5))
+      |  * (0.5 + CAST(len(list_distinct(string_split(text,' '))) AS DOUBLE)
+      |       / CAST(len(string_split(text,' ')) AS DOUBLE) * 0.5), 4) AS quality
+      |FROM documents""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "copy_roundtrip" ->
@@ -1190,16 +1227,38 @@ object SparkEntry {
         |  round(min(quality), 4) AS lo, round(max(quality), 4) AS hi
         |FROM q GROUP BY 1 ORDER BY bin""".stripMargin,
     "quality_score" ->
-      """SELECT doc_id, round(
-        |  (CASE WHEN n_chars >= 100 AND n_chars <= 1000 THEN 1.0 ELSE 0.5 END)
-        |  * (1.0 - least(CAST(len(regexp_extract_all(text, '[^\w\s]')) AS DOUBLE)
-        |       / greatest(CAST(len(string_split(text,' ')) AS DOUBLE), 1.0), 1.0) * 0.5)
-        |  * (0.5 + least(CAST(len(list_filter(string_split(text,' '),
-        |       x -> x IN ('the','a','of','and','is','to'))) AS DOUBLE)
-        |       / greatest(CAST(len(string_split(text,' ')) AS DOUBLE), 1.0) * 2, 0.5))
-        |  * (0.5 + CAST(len(list_distinct(string_split(text,' '))) AS DOUBLE)
-        |       / CAST(len(string_split(text,' ')) AS DOUBLE) * 0.5), 4) AS quality
+      s"$qualitySelect ORDER BY doc_id",
+    "c4_filters" ->
+      """SELECT doc_id,
+        |  CAST(len(string_split(text,' ')) AS BIGINT) AS word_count,
+        |  round(CAST(strlen(replace(text, ' ', '')) AS DOUBLE)
+        |    / len(string_split(text,' ')), 4) AS mean_word_len,
+        |  contains(lower(text), 'lorem ipsum') AS has_lorem,
+        |  contains(text, '{') AS has_brace,
+        |  round((CAST(len(regexp_extract_all(text, '#')) AS DOUBLE)
+        |    + len(regexp_extract_all(text, '\.\.\.')))
+        |    / len(string_split(text,' ')), 4) AS symbol_ratio,
+        |  (word_count BETWEEN 50 AND 100000
+        |   AND mean_word_len BETWEEN 3.0 AND 10.0
+        |   AND NOT has_lorem AND NOT has_brace
+        |   AND symbol_ratio <= 0.1) AS keep
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "mix_weights" ->
+      s"""WITH counts AS (SELECT lang, count(*) AS n_docs FROM documents GROUP BY 1),
+         |  stats AS (SELECT CAST(sum(n_docs) AS BIGINT) AS total,
+         |    count(*) AS n_langs FROM counts),
+         |  thr AS (SELECT lang, n_docs,
+         |    least(1000000, total * 1000000 // (n_langs * n_docs)) AS thr_ppm
+         |    FROM counts CROSS JOIN stats),
+         |  samp AS (SELECT d.lang, count(*) AS n_sampled
+         |    FROM documents d JOIN thr ON d.lang = thr.lang
+         |    WHERE ${hex60("'mix:' || doc_id")} % 1000000 < thr.thr_ppm
+         |    GROUP BY 1)
+         |SELECT thr.lang, CAST(thr.n_docs AS BIGINT) AS n_docs,
+         |  CAST(thr.thr_ppm AS BIGINT) AS thr_ppm,
+         |  CAST(coalesce(samp.n_sampled, 0) AS BIGINT) AS n_sampled
+         |FROM thr LEFT JOIN samp ON thr.lang = samp.lang
+         |ORDER BY thr.lang""".stripMargin,
     "vector_norm_stats" ->
       """SELECT label, count(*) AS n_vecs,
         |  round(min(nrm), 4) AS min_norm, round(max(nrm), 4) AS max_norm,
@@ -1378,21 +1437,16 @@ object SparkEntry {
          |FROM inter JOIN sizes sa ON sa.doc_id = d1 JOIN sizes sb ON sb.doc_id = d2
          |WHERE round(i / (sa.n + sb.n - i), 4) >= 0.5 ORDER BY d1, d2""".stripMargin,
     "dup_classes" -> // connected components via recursive closure
-      s"""WITH RECURSIVE $minhashCtes,
-         |  sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
-         |  inter AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS i
-         |    FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-         |    JOIN cand c ON c.d1 = a.doc_id AND c.d2 = b.doc_id
-         |    GROUP BY 1, 2),
-         |  nd AS (SELECT d1, d2 FROM inter
-         |    JOIN sizes sa ON sa.doc_id = d1 JOIN sizes sb ON sb.doc_id = d2
-         |    WHERE round(i / (sa.n + sb.n - i), 4) >= 0.5),
-         |  edges AS (SELECT d1 AS src, d2 AS dst FROM nd
-         |    UNION ALL SELECT d2, d1 FROM nd),
-         |  reach(src, dst) AS (SELECT src, dst FROM edges
-         |    UNION SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src)
-         |SELECT src AS doc_id, least(src, min(dst)) AS class_id
-         |FROM reach GROUP BY src ORDER BY doc_id""".stripMargin,
+      s"""WITH RECURSIVE $dupClassCtes
+         |SELECT doc_id, class_id FROM classes ORDER BY doc_id""".stripMargin,
+    "dedup_keep_best" -> // class labels + quality -> per-doc keep decision
+      s"""WITH RECURSIVE $dupClassCtes,
+         |  q AS ($qualitySelect)
+         |SELECT c.doc_id, c.class_id, q.quality,
+         |  (row_number() OVER (PARTITION BY c.class_id
+         |     ORDER BY q.quality DESC, c.doc_id ASC) = 1) AS keep
+         |FROM classes c JOIN q ON q.doc_id = c.doc_id
+         |ORDER BY c.doc_id""".stripMargin,
     "dup_ngram_coverage" -> // per-doc fraction of shingles shared with other docs
       s"""WITH $shinglesCte,
          |  df AS (SELECT shingle, count(*) AS n_docs FROM sh GROUP BY shingle)

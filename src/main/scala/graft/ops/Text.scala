@@ -889,4 +889,77 @@ object Text {
         round(min(col("quality")), 4).as("lo"),
         round(max(col("quality")), 4).as("hi"))
       .orderBy("bin")
+
+  /** Dedup representative selection: inside each duplicate CLASS
+    * (dupClasses' connected components) keep the highest-quality doc —
+    * the step that turns class labels into the actual filtered corpus.
+    * Rank is a per-class window (quality DESC, doc_id ASC tiebreak —
+    * identical texts tie on quality, the key makes the keep
+    * deterministic); the window partitions on class_id, so at 100 TB
+    * the sort is per-class-sized, never global. Output is the per-doc
+    * decision table (`keep` = survives dedup). */
+  def dedupKeepBest(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("class_id")
+      .orderBy(col("quality").desc, col("doc_id").asc)
+    dupClasses(spark, dir)
+      .join(qualityScore(spark, dir), "doc_id")
+      .withColumn("keep", row_number().over(w) === 1)
+      .select(col("doc_id"), col("class_id"), col("quality"), col("keep"))
+      .orderBy("doc_id")
+  }
+
+  /** C4/Gopher-style document quality FILTERS (Raffel et al. 2020 §2.2,
+    * Rae et al. 2021 A1.1 — heuristics recomputed from their public
+    * descriptions): word-count band, mean-word-length band, boilerplate
+    * markers ("lorem ipsum", code braces), symbol-to-word ratio. All
+    * map-only (one pass over text, no shuffle before the final sort) —
+    * the shape that matters when the corpus is 100 TB and the filter
+    * is the first stage everything else consumes. */
+  def c4Filters(spark: SparkSession, dir: String): DataFrame = {
+    val wc = size(col("t")).cast("double")
+    val meanWl = length(regexp_replace(col("text"), lit(" "), lit(""))).cast("double") / wc
+    val symbols = (regexp_count(col("text"), lit("#")) +
+      regexp_count(col("text"), lit("\\.\\.\\."))).cast("double")
+    tokenized(spark, dir)
+      .select(col("doc_id"),
+        size(col("t")).cast("bigint").as("word_count"),
+        round(meanWl, 4).as("mean_word_len"),
+        lower(col("text")).contains("lorem ipsum").as("has_lorem"),
+        col("text").contains("{").as("has_brace"),
+        round(symbols / wc, 4).as("symbol_ratio"))
+      .withColumn("keep",
+        col("word_count").between(50, 100000) &&
+        col("mean_word_len").between(3.0, 10.0) &&
+        !col("has_lorem") && !col("has_brace") &&
+        col("symbol_ratio") <= 0.1)
+      .orderBy("doc_id")
+  }
+
+  /** Training-mix rebalancing: per-language sampling thresholds that
+    * move the corpus toward a UNIFORM language mix (downsample-only:
+    * over-represented languages get thr < 1e6 ppm, the rest keep
+    * everything). The threshold is pure integer arithmetic
+    * (total*1e6 div (n_langs*n_docs)) — engine-exact, no float mix
+    * math — and the sample itself is the portable DetHash ppm cut, so
+    * the chosen doc_ids are reproducible across engines and runs (the
+    * property a training-data cut must have). Two aggregate-sized
+    * passes + one map-side broadcast filter over the corpus. */
+  def mixWeights(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.DetHash
+    val docs = Tables.documents(spark, dir)
+    val counts = docs.groupBy("lang").agg(count(lit(1)).as("n_docs"))
+    val stats = counts.agg(sum("n_docs").as("total"), count(lit(1)).as("n_langs"))
+    val thr = counts.crossJoin(broadcast(stats))
+      .withColumn("thr_ppm",
+        least(lit(1000000L), expr("total * 1000000 div (n_langs * n_docs)")))
+      .select(col("lang"), col("n_docs"), col("thr_ppm"))
+    val sampled = docs.join(broadcast(thr), "lang")
+      .filter(DetHash.hex60(concat(lit("mix:"), col("doc_id"))) % 1000000 < col("thr_ppm"))
+      .groupBy("lang").agg(count(lit(1)).as("n_sampled"))
+    thr.join(sampled, Seq("lang"), "left")
+      .select(col("lang"), col("n_docs"), col("thr_ppm"),
+        coalesce(col("n_sampled"), lit(0L)).as("n_sampled"))
+      .orderBy("lang")
+  }
 }
