@@ -226,6 +226,13 @@ object SparkEntry {
     "ev_value_delta"   -> (Events.valueDelta _),
     "ev_json_extract"  -> (Events.jsonExtract _),
     "ev_fill_forward"  -> (Events.fillForward _),
+    "cohort_retention" -> (Events.cohortRetention _),
+    "scd2_history"     -> (Events.scd2History _),
+    "ev_gaps"          -> ((s, d) => Events.topGaps(s, d)),
+    "ev_wma"           -> (Events.wma4 _),
+    "zscore_outliers"  -> ((s, d) => Events.zscoreOutliers(s, d)),
+    "fuzzy_neardups"   -> ((s, d) => Text.fuzzyNearDups(s, d)),
+    "bigram_counts"    -> ((s, d) => Text.bigramCounts(s, d)),
     "map_fns"          -> (Events.mapFns _),
     "array_fns"        -> (Text.arrayFns _),
     "tfidf_top"        -> (Text.tfidfTop _),
@@ -656,6 +663,69 @@ object SparkEntry {
         |    AS value_filled,
         |  v IS NULL AS is_gap
         |FROM j ORDER BY user_id, h_us""".stripMargin,
+    "cohort_retention" -> // weekly signup cohorts x weeks-since retention
+      """WITH f AS (SELECT user_id, date_trunc('week', min(CAST(ts AS TIMESTAMP))) AS cw
+        |    FROM events WHERE event_type = 'signup' GROUP BY 1),
+        |  a AS (SELECT DISTINCT user_id, date_trunc('week', CAST(ts AS TIMESTAMP)) AS aw
+        |    FROM events)
+        |SELECT epoch_us(f.cw) AS cohort_week_us,
+        |  CAST(datediff('day', f.cw, a.aw)//7 AS INT) AS offset_weeks,
+        |  count(DISTINCT f.user_id) AS n_users
+        |FROM f JOIN a ON f.user_id = a.user_id WHERE a.aw >= f.cw
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "scd2_history" -> // SCD2 change intervals of event_type per user
+      """WITH e AS (SELECT user_id, event_id, event_type,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),
+        |  l AS (SELECT *, lag(event_type) OVER
+        |    (PARTITION BY user_id ORDER BY us ASC, event_id ASC) AS pt FROM e),
+        |  c AS (SELECT * FROM l WHERE pt IS NULL OR pt <> event_type)
+        |SELECT user_id, event_type AS state, us AS valid_from_us,
+        |  lead(us) OVER (PARTITION BY user_id ORDER BY us ASC, event_id ASC)
+        |    AS valid_to_us
+        |FROM c ORDER BY user_id, valid_from_us""".stripMargin,
+    "ev_gaps" -> // top-20 per-user inactivity gaps corpus-wide
+      """WITH e AS (SELECT user_id, event_id,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),
+        |  g AS (SELECT user_id, event_id, us, us - lag(us) OVER
+        |    (PARTITION BY user_id ORDER BY us ASC, event_id ASC) AS gap_us FROM e)
+        |SELECT user_id, event_id, us, gap_us FROM g WHERE gap_us IS NOT NULL
+        |ORDER BY gap_us DESC, user_id, event_id LIMIT 20""".stripMargin,
+    "ev_wma" -> // recency-weighted moving average, last up-to-4 events
+      """WITH e AS (SELECT event_id, user_id, CAST(value AS DECIMAL(18,2)) AS v,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),
+        |  l AS (SELECT event_id, user_id, v,
+        |    lag(v,1) OVER w AS v1, lag(v,2) OVER w AS v2, lag(v,3) OVER w AS v3
+        |    FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us ASC, event_id ASC))
+        |SELECT event_id, user_id,
+        |  round(CAST(4*v + 3*coalesce(v1,0) + 2*coalesce(v2,0) + coalesce(v3,0)
+        |      AS DOUBLE) /
+        |    (4 + CASE WHEN v1 IS NULL THEN 0 ELSE 3 END
+        |       + CASE WHEN v2 IS NULL THEN 0 ELSE 2 END
+        |       + CASE WHEN v3 IS NULL THEN 0 ELSE 1 END), 6) AS wma4
+        |FROM l ORDER BY event_id""".stripMargin,
+    "zscore_outliers" -> // per-type z-score outliers, exact-moment stats
+      """WITH e AS (SELECT event_id, event_type,
+        |    CAST(value AS DECIMAL(18,2)) AS v FROM events),
+        |  s AS (SELECT event_type, count(*) AS n, CAST(sum(v) AS DOUBLE) AS sv,
+        |    CAST(sum(v*v) AS DOUBLE) AS sv2 FROM e GROUP BY 1),
+        |  m AS (SELECT event_type, sv/n AS mean,
+        |    sqrt(sv2/n - (sv/n)*(sv/n)) AS std FROM s)
+        |SELECT event_id, e.event_type, round((CAST(v AS DOUBLE) - mean)/std, 6) AS z
+        |FROM e JOIN m ON e.event_type = m.event_type
+        |WHERE abs(round((CAST(v AS DOUBLE) - mean)/std, 6)) > 3
+        |ORDER BY event_id""".stripMargin,
+    "fuzzy_neardups" -> // edit-distance near-dups, (lang, length-bucket) blocked
+      """WITH d AS (SELECT doc_id, lang, n_chars//10 AS b, substr(text,1,80) AS p
+        |    FROM documents)
+        |SELECT a.doc_id AS doc_a, c.doc_id AS doc_b, levenshtein(a.p, c.p) AS dist
+        |FROM d a JOIN d c ON a.lang = c.lang AND a.b = c.b AND a.doc_id < c.doc_id
+        |WHERE levenshtein(a.p, c.p) <= 20 ORDER BY doc_a, doc_b""".stripMargin,
+    "bigram_counts" -> // top-30 corpus bigrams, lexicographic tie-break
+      """WITH d AS (SELECT string_split(text,' ') AS t FROM documents),
+        |  b AS (SELECT t[i] AS w1, t[i+1] AS w2 FROM d,
+        |    LATERAL (SELECT unnest(generate_series(1, len(t)-1)) AS i))
+        |SELECT w1, w2, count(*) AS c FROM b GROUP BY 1, 2
+        |ORDER BY c DESC, w1, w2 LIMIT 30""".stripMargin,
     "topk_per_group" ->
       """SELECT o_orderpriority, rn, o_orderkey, o_totalprice FROM (
         |  SELECT o_orderpriority, o_orderkey, o_totalprice,

@@ -206,4 +206,109 @@ object Events {
         col("v").isNull.as("is_gap"))
       .orderBy("user_id", "h_us")
   }
+
+  /** Weekly cohort retention: cohort = week of the user's first
+    * `signup` event, then for each (cohort week, weeks-since-cohort)
+    * offset, how many distinct cohort users were active (any event).
+    * Two aggregate passes (first-signup per user, distinct
+    * user-weeks) then a join on user_id — the classic product-
+    * analytics query, with the activity side pre-collapsed to
+    * user × week BEFORE the join so the join input is bounded by
+    * users × calendar weeks, not raw event volume. */
+  def cohortRetention(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val cohort = ev.filter(col("event_type") === "signup")
+      .groupBy("user_id").agg(date_trunc("week", min(col("ts"))).as("cw"))
+    val active = ev.select(col("user_id"), date_trunc("week", col("ts")).as("aw")).distinct()
+    cohort.join(active, Seq("user_id"))
+      .filter(col("aw") >= col("cw"))
+      .groupBy(unix_micros(col("cw")).as("cohort_week_us"),
+        expr("datediff(aw, cw) div 7").cast("int").as("offset_weeks"))
+      .agg(countDistinct(col("user_id")).as("n_users"))
+      .orderBy("cohort_week_us", "offset_weeks")
+  }
+
+  /** SCD type-2 history compression: collapse each user's event_type
+    * stream into change intervals [valid_from, valid_to) — the
+    * dimension-history build step of a warehouse load. Lag marks
+    * change rows; lead over the SURVIVING change rows closes each
+    * interval (NULL = current). Both windows share the (user_id)
+    * partitioning and sort, and the filter between them preserves
+    * order, so the whole op is ONE exchange + one sort. */
+  def scd2History(spark: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy(col("us").asc, col("event_id").asc)
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"))
+      .withColumn("pt", lag(col("event_type"), 1).over(byUser))
+      .filter(col("pt").isNull || col("pt") =!= col("event_type"))
+      .withColumn("valid_to_us", lead(col("us"), 1).over(byUser))
+      .select(col("user_id"), col("event_type").as("state"),
+        col("us").as("valid_from_us"), col("valid_to_us"))
+      .orderBy("user_id", "valid_from_us")
+  }
+
+  /** Gaps-and-islands tail: the k largest per-user inactivity gaps
+    * corpus-wide (data-freshness / outage forensics). The per-user lag
+    * is one exchange; the global top-k compiles to
+    * TakeOrderedAndProject (per-partition heads, driver merges k
+    * rows) — no single-partition sort at any scale. */
+  def topGaps(spark: SparkSession, dir: String, k: Int = 20): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy(col("us").asc, col("event_id").asc)
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"))
+      .withColumn("gap_us", col("us") - lag(col("us"), 1).over(byUser))
+      .filter(col("gap_us").isNotNull)
+      .orderBy(col("gap_us").desc, col("user_id").asc, col("event_id").asc)
+      .limit(k)
+      .select(col("user_id"), col("event_id"), col("us"), col("gap_us"))
+  }
+
+  /** Recency-weighted moving average (weights 4,3,2,1 over the last
+    * up-to-4 events per user) — time-series smoothing with exact
+    * arithmetic: values are DECIMAL(18,2), weights integers, so the
+    * numerator is engine-exact; the single double division + round
+    * happens once at the edge (IEEE division is correctly rounded, so
+    * the oracle replays it bit-for-bit). Explicit lag terms instead of
+    * a collect_list-over-window: 3 lags in ONE window pass, no
+    * per-row array materialization. */
+  def wma4(spark: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy(col("us").asc, col("event_id").asc)
+    Tables.events(spark, dir)
+      .select(col("event_id"), col("user_id"),
+        col("value").cast("decimal(18,2)").as("v"), unix_micros(col("ts")).as("us"))
+      .withColumn("v1", lag(col("v"), 1).over(byUser))
+      .withColumn("v2", lag(col("v"), 2).over(byUser))
+      .withColumn("v3", lag(col("v"), 3).over(byUser))
+      .select(col("event_id"), col("user_id"),
+        round((lit(4) * col("v") + lit(3) * coalesce(col("v1"), lit(0))
+             + lit(2) * coalesce(col("v2"), lit(0)) + coalesce(col("v3"), lit(0)))
+            .cast("double")
+          / (lit(4) + when(col("v1").isNull, 0).otherwise(3)
+                    + when(col("v2").isNull, 0).otherwise(2)
+                    + when(col("v3").isNull, 0).otherwise(1)),
+          6).as("wma4"))
+      .orderBy("event_id")
+  }
+
+  /** Per-type z-score outliers (|z| > 3 after rounding — the filter
+    * applies to the ROUNDED z on both engines so the boundary is
+    * identical). Moments are exact decimal sums (order-independent,
+    * map-side combined); mean/std/z are derived in doubles with the
+    * oracle's exact expression shape, so every IEEE op is bit-equal.
+    * The 5-row stats side broadcasts; the corpus never reshuffles. */
+  def zscoreOutliers(spark: SparkSession, dir: String, thresh: Double = 3.0): DataFrame = {
+    val e = Tables.events(spark, dir).select(col("event_id"), col("event_type"),
+      col("value").cast("decimal(18,2)").as("v"))
+    val s = e.groupBy("event_type").agg(count(lit(1)).as("n"),
+      sum(col("v")).cast("double").as("sv"),
+      sum(col("v") * col("v")).cast("double").as("sv2"))
+    val m = s.select(col("event_type"), (col("sv") / col("n")).as("mean"),
+      sqrt(col("sv2") / col("n") - (col("sv") / col("n")) * (col("sv") / col("n"))).as("std"))
+    e.join(broadcast(m), Seq("event_type"))
+      .withColumn("z", round((col("v").cast("double") - col("mean")) / col("std"), 6))
+      .filter(abs(col("z")) > thresh)
+      .select(col("event_id"), col("event_type"), col("z"))
+      .orderBy("event_id")
+  }
 }

@@ -962,4 +962,50 @@ object Text {
         coalesce(col("n_sampled"), lit(0L)).as("n_sampled"))
       .orderBy("lang")
   }
+
+  /** Fuzzy (edit-distance) near-dup detection — the dedup modality
+    * between exact-hash and MinHash: catches small in-place edits
+    * (typo fixes, boilerplate swaps) that shift every shingle window.
+    * Blocked self-join: candidate pairs must share (lang, length
+    * bucket), then `levenshtein` over an 80-char prefix with Spark's
+    * early-exit threshold form (returns -1 above maxDist, so the DP
+    * matrix stops at the band — O(len*maxDist), not O(len^2)).
+    * Scale shape: the join ships (doc_id, 80-char prefix) only, never
+    * the full text, and blocking bounds the quadratic term to bucket
+    * size. On a dirty 100 TB corpus this composes with exactClassMap
+    * exactly like MinHash does (distance 0 within a class ⇒ run over
+    * representatives); for finer blocking add a prefix token to the
+    * key. */
+  def fuzzyNearDups(spark: SparkSession, dir: String, maxDist: Int = 20): DataFrame = {
+    val d = Tables.documents(spark, dir).select(col("doc_id"), col("lang"),
+      expr("n_chars div 10").as("b"), substring(col("text"), 1, 80).as("p"))
+    val a = d.select(col("doc_id").as("doc_a"), col("lang"), col("b"), col("p").as("pa"))
+    val c = d.select(col("doc_id").as("doc_b"), col("lang"), col("b"), col("p").as("pb"))
+    a.join(c, Seq("lang", "b")).filter(col("doc_a") < col("doc_b"))
+      .withColumn("dist", levenshtein(col("pa"), col("pb"), maxDist))
+      .filter(col("dist") >= 0) // threshold form yields -1 above maxDist
+      .select(col("doc_a"), col("doc_b"), col("dist"))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** Corpus bigram counts — the n-gram language-model table (top-k by
+    * frequency). The adjacent-pair expansion stays inside ONE
+    * `transform` over the already-materialized token array (`t`), so
+    * the only shuffle is the final (w1, w2) hash-aggregate with
+    * map-side combine; ties break lexicographically so top-k is
+    * deterministic. At 100 TB the full table is itself large — the
+    * global top-k here is TakeOrdered (per-partition heads, driver
+    * merges k rows); a full LM table build would instead sink the
+    * aggregate without the limit. */
+  def bigramCounts(spark: SparkSession, dir: String, k: Int = 30): DataFrame =
+    tokenized(spark, dir)
+      .select(explode(expr(
+        // [] is 0-based in Spark SQL, so pairing w=t[i] with t[i+1]
+        // over the first size-1 elements enumerates adjacent pairs
+        "transform(slice(t, 1, greatest(size(t)-1, 0)), (w, i) -> named_struct('w1', w, 'w2', t[i+1]))"))
+        .as("bg"))
+      .select(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+      .groupBy("w1", "w2").agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("w1").asc, col("w2").asc)
+      .limit(k)
 }
