@@ -233,6 +233,13 @@ object SparkEntry {
     "zscore_outliers"  -> ((s, d) => Events.zscoreOutliers(s, d)),
     "fuzzy_neardups"   -> ((s, d) => Text.fuzzyNearDups(s, d)),
     "bigram_counts"    -> ((s, d) => Text.bigramCounts(s, d)),
+    "markov_transitions" -> (Events.markovTransitions _),
+    "token_entropy"    -> (Text.tokenEntropy _),
+    "ngram_lm"         -> ((s, d) => Text.ngramLm(s, d)),
+    "weighted_sample"  -> (Text.weightedSample _),
+    "revenue_share"    -> (Relational.revenueShare _),
+    "q7_volume"        -> ((s, d) => Relational.q7Volume(s, d)),
+    "profile_table"    -> ((s, d) => Relational.profileTable(s, d)),
     "map_fns"          -> (Events.mapFns _),
     "array_fns"        -> (Text.arrayFns _),
     "tfidf_top"        -> (Text.tfidfTop _),
@@ -720,6 +727,81 @@ object SparkEntry {
         |SELECT a.doc_id AS doc_a, c.doc_id AS doc_b, levenshtein(a.p, c.p) AS dist
         |FROM d a JOIN d c ON a.lang = c.lang AND a.b = c.b AND a.doc_id < c.doc_id
         |WHERE levenshtein(a.p, c.p) <= 20 ORDER BY doc_a, doc_b""".stripMargin,
+    "markov_transitions" -> // per-user event-type transition matrix
+      """WITH e AS (SELECT user_id, event_id, event_type,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),
+        |  l AS (SELECT event_type AS dst, lag(event_type) OVER
+        |    (PARTITION BY user_id ORDER BY us ASC, event_id ASC) AS src FROM e),
+        |  c AS (SELECT src, dst, count(*) AS n FROM l
+        |    WHERE src IS NOT NULL GROUP BY 1, 2)
+        |SELECT src, dst, n, round(CAST(n AS DOUBLE)
+        |    / CAST(sum(n) OVER (PARTITION BY src) AS DOUBLE), 6) AS p
+        |FROM c ORDER BY src, dst""".stripMargin,
+    "token_entropy" -> // per-doc token Shannon entropy, ascending-token fold
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+        |    FROM documents),
+        |  c AS (SELECT doc_id, w, count(*) AS c FROM tok GROUP BY 1, 2),
+        |  l AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+        |    list(CAST(c AS DOUBLE) * log2(CAST(c AS DOUBLE)) ORDER BY w ASC)
+        |      AS terms
+        |    FROM c GROUP BY 1)
+        |SELECT doc_id, n_tokens,
+        |  round(log2(CAST(n_tokens AS DOUBLE))
+        |    - list_reduce(list_prepend(CAST(0.0 AS DOUBLE), terms),
+        |        (a, b) -> a + b) / CAST(n_tokens AS DOUBLE), 6) AS entropy
+        |FROM l ORDER BY doc_id""".stripMargin,
+    "ngram_lm" -> // add-one-smoothed bigram LM head
+      """WITH d AS (SELECT string_split(text, ' ') AS t FROM documents),
+        |  b AS (SELECT t[i] AS w1, t[i+1] AS w2 FROM d,
+        |    LATERAL (SELECT unnest(generate_series(1, len(t)-1)) AS i)),
+        |  c AS (SELECT w1, w2, count(*) AS c12 FROM b GROUP BY 1, 2),
+        |  v AS (SELECT count(DISTINCT w2) AS v FROM c)
+        |SELECT w1, w2, c12,
+        |  round(CAST(c12 + 1 AS DOUBLE)
+        |    / CAST(sum(c12) OVER (PARTITION BY w1) + v AS DOUBLE), 6)
+        |    AS p_smooth
+        |FROM c, v ORDER BY c12 DESC, w1, w2 LIMIT 30""".stripMargin,
+    "weighted_sample" -> // quality-weighted deterministic Bernoulli keep
+      s"""WITH q AS ($qualitySelect)
+         |SELECT doc_id, quality FROM q
+         |WHERE ${hex60("'wq:' || doc_id")} % 1000000
+         |  < CAST(round(quality * 1000000) AS BIGINT)
+         |ORDER BY doc_id""".stripMargin,
+    "revenue_share" -> // nations above 4% of global revenue (Q11 shape)
+      """WITH r AS (SELECT n_name, sum(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+        |    FROM orders JOIN customer ON o_custkey = c_custkey
+        |    JOIN nation ON c_nationkey = n_nationkey GROUP BY 1),
+        |  t AS (SELECT sum(rev) AS tot FROM r)
+        |SELECT n_name, CAST(round(rev, 2) AS DOUBLE) AS total_revenue,
+        |  round(CAST(rev AS DOUBLE) / CAST(tot AS DOUBLE), 6) AS share
+        |FROM r, t
+        |WHERE round(CAST(rev AS DOUBLE) / CAST(tot AS DOUBLE), 6) > 0.04
+        |ORDER BY n_name""".stripMargin,
+    "q7_volume" -> // TPC-H Q7: two-nation shipping volume by year
+      """WITH s AS (SELECT s_suppkey, n_name AS supp_nation
+        |    FROM supplier JOIN nation ON s_nationkey = n_nationkey),
+        |  c AS (SELECT c_custkey, n_name AS cust_nation
+        |    FROM customer JOIN nation ON c_nationkey = n_nationkey),
+        |  o AS (SELECT o_orderkey, cust_nation
+        |    FROM orders JOIN c ON o_custkey = c_custkey)
+        |SELECT supp_nation, cust_nation,
+        |  CAST(year(l_shipdate) AS INT) AS l_year,
+        |  CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |    (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))), 2)
+        |    AS DOUBLE) AS revenue
+        |FROM lineitem JOIN s ON l_suppkey = s_suppkey
+        |JOIN o ON l_orderkey = o_orderkey
+        |WHERE (supp_nation = 'NATION_12' AND cust_nation = 'NATION_13')
+        |   OR (supp_nation = 'NATION_13' AND cust_nation = 'NATION_12')
+        |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+    "profile_table" -> // schema-driven per-column profiler over orders
+      Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+          "o_orderdate", "o_orderpriority")
+        .map(c => s"""SELECT '$c' AS col_name,
+          |  count(*) FILTER (WHERE $c IS NULL) AS n_null,
+          |  CAST(count(DISTINCT $c) AS BIGINT) AS n_distinct
+          |FROM orders""".stripMargin)
+        .mkString("", " UNION ALL ", " ORDER BY col_name"),
     "bigram_counts" -> // top-30 corpus bigrams, lexicographic tie-break
       """WITH d AS (SELECT string_split(text,' ') AS t FROM documents),
         |  b AS (SELECT t[i] AS w1, t[i+1] AS w2 FROM d,

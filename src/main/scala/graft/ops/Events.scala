@@ -291,6 +291,30 @@ object Events {
       .orderBy("event_id")
   }
 
+  /** First-order Markov transition matrix over each user's event-type
+    * sequence: counts and row-normalized probabilities for every
+    * (src, dst) adjacent pair — the behavioral model behind next-event
+    * prediction and anomaly scoring. One window pass (shuffle on
+    * user_id) produces the pairs; the (src, dst) hash aggregate is
+    * map-side combined down to |types|^2 rows, and the normalizing
+    * row-sum runs as a window over THAT tiny aggregate, so the
+    * second exchange moves ~25 rows regardless of corpus size.
+    * Counts are exact longs; the probability is one correctly-rounded
+    * IEEE division at the edge, so the oracle replays it exactly. */
+  def markovTransitions(spark: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy(col("us").asc, col("event_id").asc)
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"))
+      .withColumn("src", lag(col("event_type"), 1).over(byUser))
+      .filter(col("src").isNotNull)
+      .groupBy(col("src"), col("event_type").as("dst"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("p", round(col("n").cast("double")
+        / sum(col("n")).over(Window.partitionBy("src")).cast("double"), 6))
+      .orderBy("src", "dst")
+  }
+
   /** Per-type z-score outliers (|z| > 3 after rounding — the filter
     * applies to the ROUNDED z on both engines so the boundary is
     * identical). Moments are exact decimal sums (order-independent,

@@ -961,4 +961,85 @@ object Relational {
         month(col("o_orderdate")).cast("int").as("o_month"),
         dayofmonth(col("o_orderdate")).cast("int").as("o_day"))
       .orderBy("o_orderkey")
+
+  /** Revenue share with a global-total scalar subquery (TPC-H Q11's
+    * HAVING-against-a-fraction-of-the-whole shape): nations whose
+    * order revenue exceeds 4% of total. Per-nation revenue and the
+    * grand total are both exact decimal sums (order-independent,
+    * map-side combined); the total is a 1-row broadcast crossJoin, so
+    * the "subquery" costs one extra reduce of the already-aggregated
+    * 25 rows — the fact table is scanned once. The share division is
+    * rounded, so the >0.04 boundary replays identically. */
+  def revenueShare(spark: SparkSession, dir: String): DataFrame = {
+    val rev = Tables.orders(spark, dir)
+      .join(broadcast(Tables.customer(spark, dir)),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(spark, dir)),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy("n_name").agg(sum(money("o_totalprice")).as("rev"))
+    val total = rev.agg(sum(col("rev")).as("tot"))
+    rev.crossJoin(broadcast(total))
+      .withColumn("share",
+        round(col("rev").cast("double") / col("tot").cast("double"), 6))
+      .filter(col("share") > 0.04)
+      .select(col("n_name"),
+        round(col("rev"), 2).cast("double").as("total_revenue"), col("share"))
+      .orderBy("n_name")
+  }
+
+  /** TPC-H Q7 volume-shipping shape: discounted revenue between two
+    * trading nations by ship year, in both directions. The fact-fact
+    * edge (lineitem↔orders) is the only shuffle; supplier/customer/
+    * nation are broadcast, and the nation-pair filter applies BEFORE
+    * the fact-fact join so only the two nations' lineitems reach the
+    * exchange. Revenue is the exact decimal product-sum
+    * (pricing_summary discipline). */
+  def q7Volume(spark: SparkSession, dir: String,
+               // the default pair has suppliers at every corpus SF
+               // (sf0.001 staffs only 10 of the 25 nations)
+               n1: String = "NATION_12", n2: String = "NATION_13"): DataFrame = {
+    val supp = Tables.supplier(spark, dir)
+      .join(broadcast(Tables.nation(spark, dir)),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+    val cust = Tables.customer(spark, dir)
+      .join(broadcast(Tables.nation(spark, dir)),
+        col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("n_name").as("cust_nation"))
+    val ord = Tables.orders(spark, dir)
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .select(col("o_orderkey"), col("cust_nation"))
+    Tables.lineitem(spark, dir)
+      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+      .filter(col("supp_nation").isin(n1, n2))
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .filter((col("supp_nation") === n1 && col("cust_nation") === n2) ||
+              (col("supp_nation") === n2 && col("cust_nation") === n1))
+      .groupBy(col("supp_nation"), col("cust_nation"),
+        year(col("l_shipdate")).cast("int").as("l_year"))
+      .agg(round(sum(money("l_extendedprice")
+          * (lit(1).cast("decimal(18,2)") - money("l_discount"))), 2)
+        .cast("double").as("revenue"))
+      .orderBy("supp_nation", "cust_nation", "l_year")
+  }
+
+  /** Schema-driven column profiler (the data-quality step a copy
+    * pipeline runs before/after a load): per column, NULL count and
+    * exact distinct count, built programmatically from df.schema — the
+    * plan adapts to any table without code changes. All 2·N aggregates
+    * run in ONE pass (Catalyst expands multi-distinct into a single
+    * Expand + aggregate); `stack` pivots the 1-row result into rows.
+    * At 100 TB you'd swap exact distinct for approx_count_distinct
+    * (documented tradeoff) — the profiler shape is identical. */
+  def profileTable(spark: SparkSession, dir: String, table: String = "orders"): DataFrame = {
+    val df = Tables.table(spark, dir, table)
+    val cols = df.columns.toSeq
+    val aggs = cols.flatMap(c => Seq(
+      count(when(col(c).isNull, 1)).as(s"null_$c"),
+      countDistinct(col(c)).as(s"dist_$c")))
+    val stackArgs = cols.map(c => s"'$c', `null_$c`, `dist_$c`").mkString(", ")
+    df.agg(aggs.head, aggs.tail: _*)
+      .selectExpr(s"stack(${cols.size}, $stackArgs) AS (col_name, n_null, n_distinct)")
+      .orderBy("col_name")
+  }
 }

@@ -2,6 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 import graft.core.Tables
 
 /** Text-pipeline operators over `documents` (SURVEY §2b "LLM-pipeline"):
@@ -998,6 +999,16 @@ object Text {
     * merges k rows); a full LM table build would instead sink the
     * aggregate without the limit. */
   def bigramCounts(spark: SparkSession, dir: String, k: Int = 30): DataFrame =
+    bigramPairs(spark, dir)
+      .groupBy("w1", "w2").agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("w1").asc, col("w2").asc)
+      .limit(k)
+
+  /** Adjacent token pairs, one row per bigram occurrence. The pair
+    * expansion stays inside ONE `transform` over the materialized token
+    * array behind a Generate (explode) barrier — no split() inside a
+    * lambda (the CollapseProject trap). */
+  private def bigramPairs(spark: SparkSession, dir: String): DataFrame =
     tokenized(spark, dir)
       .select(explode(expr(
         // [] is 0-based in Spark SQL, so pairing w=t[i] with t[i+1]
@@ -1005,7 +1016,67 @@ object Text {
         "transform(slice(t, 1, greatest(size(t)-1, 0)), (w, i) -> named_struct('w1', w, 'w2', t[i+1]))"))
         .as("bg"))
       .select(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
-      .groupBy("w1", "w2").agg(count(lit(1)).as("c"))
-      .orderBy(col("c").desc, col("w1").asc, col("w2").asc)
+
+  /** Add-one-smoothed bigram language model head: for the top-k
+    * corpus bigrams, P(w2|w1) = (c12+1) / (c(w1·)+V) where c(w1·) is
+    * w1's outgoing-bigram count and V the followed vocabulary size —
+    * the estimator a perplexity-based quality filter scores against.
+    * Everything derives from ONE bigram hash-aggregate (map-side
+    * combined): the denominator row-sum is a window over the aggregate
+    * (bigram-table-sized, not corpus-sized), V is a 1-row broadcast,
+    * and the single rounded IEEE division happens at the edge so the
+    * oracle replays it bit-for-bit. At 100 TB the full LM table would
+    * sink without the limit; the top-k here is TakeOrdered. */
+  def ngramLm(spark: SparkSession, dir: String, k: Int = 30): DataFrame = {
+    val bg = bigramPairs(spark, dir)
+      .groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+    val vocab = bg.agg(countDistinct(col("w2")).as("v"))
+    bg.crossJoin(broadcast(vocab))
+      .withColumn("c1", sum(col("c12")).over(Window.partitionBy("w1")))
+      .select(col("w1"), col("w2"), col("c12"),
+        round((col("c12") + 1).cast("double")
+          / (col("c1") + col("v")).cast("double"), 6).as("p_smooth"))
+      .orderBy(col("c12").desc, col("w1").asc, col("w2").asc)
       .limit(k)
+  }
+
+  /** Per-document token Shannon entropy — the repetition/diversity
+    * quality signal (low entropy = boilerplate or degenerate text;
+    * Gopher-style filters threshold on it). H = log2(n) − Σ c·log2(c)/n
+    * over per-token counts. Float-sum discipline: the Σ folds over the
+    * counts in ASCENDING TOKEN ORDER on both engines (sort_array of
+    * (token, term) structs here, `list(... ORDER BY w)` in the oracle),
+    * so every IEEE addition is replayed in the same sequence. Shape:
+    * explode → (doc, token) hash agg → per-doc collect of the
+    * DISTINCT-token count list (vocabulary-of-one-doc sized, not
+    * doc-length sized) — bounded rows per doc, no corpus-wide state. */
+  def tokenEntropy(spark: SparkSession, dir: String): DataFrame =
+    tokenized(spark, dir)
+      .select(col("doc_id"), explode(col("t")).as("w"))
+      .groupBy("doc_id", "w").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id")
+      .agg(sum(col("c")).as("n_tokens"),
+        sort_array(collect_list(struct(col("w"),
+          (col("c").cast("double") * log2(col("c").cast("double"))).as("term")))).as("lst"))
+      .select(col("doc_id"), col("n_tokens"),
+        round(log2(col("n_tokens").cast("double"))
+          - expr("aggregate(lst, CAST(0.0 AS DOUBLE), (acc, x) -> acc + x.term)")
+            / col("n_tokens").cast("double"), 6).as("entropy"))
+      .orderBy("doc_id")
+
+  /** Quality-weighted (importance) sampling: keep each document with
+    * probability equal to its quality score, decided by a
+    * deterministic per-doc hash draw (DetHash, SQL-replayable) —
+    * upsamples high-quality text the way curation pipelines weight
+    * mixtures, yet is reproducible run-to-run and engine-to-engine.
+    * The rounded 4-decimal quality makes the *1e6 threshold integral,
+    * so the keep boundary is an exact integer compare on both engines.
+    * Map-only over the corpus: no shuffle, no state. */
+  def weightedSample(spark: SparkSession, dir: String): DataFrame =
+    qualityScore(spark, dir)
+      .filter(graft.functions.DetHash.hex60(
+          concat(lit("wq:"), col("doc_id").cast("string"))) % 1000000
+        < round(col("quality") * 1000000).cast("long"))
+      .select(col("doc_id"), col("quality"))
+      .orderBy("doc_id")
 }
