@@ -240,6 +240,10 @@ object SparkEntry {
     "revenue_share"    -> (Relational.revenueShare _),
     "q7_volume"        -> ((s, d) => Relational.q7Volume(s, d)),
     "profile_table"    -> ((s, d) => Relational.profileTable(s, d)),
+    "ev_interpolate"   -> (Events.interpolate _),
+    "skew_report"      -> (Relational.skewReport _),
+    "pagerank_nations" -> ((s, d) => Relational.pagerankNations(s, d)),
+    "split_assign"     -> (Text.splitAssign _),
     "map_fns"          -> (Events.mapFns _),
     "array_fns"        -> (Text.arrayFns _),
     "tfidf_top"        -> (Text.tfidfTop _),
@@ -727,6 +731,78 @@ object SparkEntry {
         |SELECT a.doc_id AS doc_a, c.doc_id AS doc_b, levenshtein(a.p, c.p) AS dist
         |FROM d a JOIN d c ON a.lang = c.lang AND a.b = c.b AND a.doc_id < c.doc_id
         |WHERE levenshtein(a.p, c.p) <= 20 ORDER BY doc_a, doc_b""".stripMargin,
+    "ev_interpolate" -> // hourly spine with linear interpolation of gaps
+      """WITH e AS (SELECT user_id, time_bucket(INTERVAL 1 HOUR, CAST(ts AS TIMESTAMP)) AS h,
+        |    sum(CAST(value AS DECIMAL(18,2))) AS v
+        |  FROM events GROUP BY 1, 2),
+        |  b AS (SELECT user_id, min(h) AS lo, max(h) AS hi FROM e GROUP BY 1),
+        |  spine AS (SELECT user_id, unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS h
+        |    FROM b),
+        |  j AS (SELECT s.user_id, s.h, e.v FROM spine s
+        |    LEFT JOIN e ON s.user_id = e.user_id AND s.h = e.h),
+        |  w AS (SELECT user_id, epoch_us(h) AS h_us, v,
+        |    last_value(v IGNORE NULLS) OVER bw AS pv,
+        |    last_value(CASE WHEN v IS NOT NULL THEN epoch_us(h) END IGNORE NULLS)
+        |      OVER bw AS ph,
+        |    first_value(v IGNORE NULLS) OVER fw AS nv,
+        |    first_value(CASE WHEN v IS NOT NULL THEN epoch_us(h) END IGNORE NULLS)
+        |      OVER fw AS nh
+        |    FROM j WINDOW
+        |      bw AS (PARTITION BY user_id ORDER BY h ASC
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        |      fw AS (PARTITION BY user_id ORDER BY h ASC
+        |        ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+        |SELECT user_id, h_us,
+        |  CASE WHEN v IS NOT NULL THEN CAST(v AS DOUBLE)
+        |    ELSE CAST(pv AS DOUBLE) + (CAST(nv AS DOUBLE) - CAST(pv AS DOUBLE))
+        |      * (CAST(h_us - ph AS DOUBLE) / CAST(nh - ph AS DOUBLE)) END
+        |    AS value_interp,
+        |  v IS NULL AS is_gap
+        |FROM w ORDER BY user_id, h_us""".stripMargin,
+    "skew_report" -> // join-key skew diagnostics over lineitem
+      Seq("l_orderkey", "l_partkey", "l_suppkey")
+        .map(k => s"""SELECT '$k' AS join_key,
+          |  CAST(count(*) AS BIGINT) AS n_keys,
+          |  CAST(max(c) AS BIGINT) AS max_rows,
+          |  round(avg(c), 4) AS avg_rows,
+          |  round(quantile_cont(c, 0.5), 4) AS p50_rows,
+          |  round(quantile_cont(c, 0.99), 4) AS p99_rows,
+          |  round(CAST(max(c) AS DOUBLE) / avg(c), 4) AS skew_ratio
+          |FROM (SELECT $k, count(*) AS c FROM lineitem GROUP BY 1)""".stripMargin)
+        .mkString("", " UNION ALL ", " ORDER BY join_key"),
+    "pagerank_nations" -> { // 5 unrolled PageRank iterations, asc-src fold
+      val step = (i: Int) =>
+        s"""p$i AS (SELECT nn.nation,
+           |    CAST(0.15 AS DOUBLE)/cnt.n + CAST(0.85 AS DOUBLE)
+           |      * coalesce(t.s, CAST(0.0 AS DOUBLE)) AS pr
+           |  FROM nn CROSS JOIN cnt LEFT JOIN (
+           |    SELECT dst, list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+           |        list(pr * wnorm ORDER BY src ASC)), (a, b) -> a + b) AS s
+           |    FROM e JOIN p${i - 1} ON e.src = p${i - 1}.nation GROUP BY dst) t
+           |  ON nn.nation = t.dst)""".stripMargin
+      s"""WITH s AS (SELECT s_suppkey, n_name AS src
+         |    FROM supplier JOIN nation ON s_nationkey = n_nationkey),
+         |  c AS (SELECT c_custkey, n_name AS dst
+         |    FROM customer JOIN nation ON c_nationkey = n_nationkey),
+         |  o AS (SELECT o_orderkey, dst
+         |    FROM orders JOIN c ON o_custkey = c_custkey),
+         |  e0 AS (SELECT src, dst, count(*) AS c FROM lineitem
+         |    JOIN s ON l_suppkey = s_suppkey JOIN o ON l_orderkey = o_orderkey
+         |    WHERE src <> dst GROUP BY 1, 2),
+         |  e AS (SELECT src, dst, CAST(c AS DOUBLE)
+         |      / CAST(sum(c) OVER (PARTITION BY src) AS DOUBLE) AS wnorm FROM e0),
+         |  nn AS (SELECT n_name AS nation FROM nation),
+         |  cnt AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nation),
+         |  p0 AS (SELECT nation, CAST(1.0 AS DOUBLE)/cnt.n AS pr FROM nn CROSS JOIN cnt),
+         |  ${(1 to 5).map(step).mkString(",\n  ")}
+         |SELECT nation, round(pr, 8) AS pr FROM p5 ORDER BY nation""".stripMargin
+    },
+    "split_assign" -> // deterministic 90/5/5 train/val/test split summary
+      s"""SELECT CASE WHEN ${hex60("'split:' || doc_id")} % 100 < 90 THEN 'train'
+         |    WHEN ${hex60("'split:' || doc_id")} % 100 < 95 THEN 'val'
+         |    ELSE 'test' END AS split,
+         |  count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars
+         |FROM documents GROUP BY 1 ORDER BY split""".stripMargin,
     "markov_transitions" -> // per-user event-type transition matrix
       """WITH e AS (SELECT user_id, event_id, event_type,
         |    epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),

@@ -291,6 +291,50 @@ object Events {
       .orderBy("event_id")
   }
 
+  /** Linear interpolation on the hourly spine — the resampling step
+    * between LOCF (fillForward) and model-ready time series: interior
+    * gaps take prev + (next−prev)·frac over the observed neighbors.
+    * Two IGNORE-NULLS window passes (backward carry + forward carry)
+    * over the same user-partitioned sort — one exchange total; spine
+    * endpoints are observed hours, so every gap has both neighbors.
+    * The interpolation arithmetic is one shared expression shape in
+    * both engines (exact decimal neighbors, double frac) and is NOT
+    * rounded at the edge: +,-,*,/ are correctly-rounded IEEE ops on
+    * identical operands, so the raw doubles are bit-equal — whereas
+    * fixed-decimal rounding is the one op whose tie handling differs
+    * between engines (2-decimal deltas x rational fracs land on exact
+    * decimal halves constantly; observed 65.4046875 flipping at the
+    * 6th decimal). */
+  def interpolate(spark: SparkSession, dir: String): DataFrame = {
+    val hourly = Tables.events(spark, dir)
+      .groupBy(col("user_id"), date_trunc("hour", col("ts")).as("h"))
+      .agg(sum(col("value").cast("decimal(18,2)")).as("v"))
+    val spine = hourly.groupBy("user_id")
+      .agg(min("h").as("lo"), max("h").as("hi"))
+      .select(col("user_id"),
+        explode(sequence(col("lo"), col("hi"), expr("INTERVAL 1 HOUR"))).as("h"))
+    val back = Window.partitionBy("user_id").orderBy("h")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val fwd = Window.partitionBy("user_id").orderBy("h")
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val hUs = unix_micros(col("h"))
+    spine.join(hourly, Seq("user_id", "h"), "left")
+      .select(col("user_id"), hUs.as("h_us"), col("v"),
+        last(col("v"), ignoreNulls = true).over(back).as("pv"),
+        last(when(col("v").isNotNull, hUs), ignoreNulls = true).over(back).as("ph"),
+        first(col("v"), ignoreNulls = true).over(fwd).as("nv"),
+        first(when(col("v").isNotNull, hUs), ignoreNulls = true).over(fwd).as("nh"))
+      .select(col("user_id"), col("h_us"),
+        when(col("v").isNotNull, col("v").cast("double"))
+          .otherwise(col("pv").cast("double")
+            + (col("nv").cast("double") - col("pv").cast("double"))
+              * ((col("h_us") - col("ph")).cast("double")
+                 / (col("nh") - col("ph")).cast("double")))
+          .as("value_interp"),
+        col("v").isNull.as("is_gap"))
+      .orderBy("user_id", "h_us")
+  }
+
   /** First-order Markov transition matrix over each user's event-type
     * sequence: counts and row-normalized probabilities for every
     * (src, dst) adjacent pair — the behavioral model behind next-event

@@ -1023,6 +1023,79 @@ object Relational {
       .orderBy("supp_nation", "cust_nation", "l_year")
   }
 
+  /** Join-key skew diagnostics — the report you read BEFORE choosing
+    * salting / AQE skew-join thresholds: per candidate key, cardinality,
+    * per-key row-count distribution (max/avg/p50/p99) and the
+    * max-over-avg skew ratio. Each key costs one hash aggregate of
+    * (key)->count (map-side combined) plus a percentile reduce over the
+    * per-key counts — the heavy fact table is never re-shuffled per
+    * statistic. At 100 TB this runs on a sample or the counts sketch;
+    * the report shape is identical. */
+  def skewReport(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    def stats(key: String): DataFrame =
+      li.groupBy(col(key)).agg(count(lit(1)).as("c"))
+        .agg(lit(key).as("join_key"),
+          count(lit(1)).as("n_keys"),
+          max(col("c")).as("max_rows"),
+          round(avg(col("c")), 4).as("avg_rows"),
+          // exact percentile (interpolating — DuckDB quantile_cont twin);
+          // the 100 TB swap is approx_percentile, noted above
+          expr("round(percentile(c, 0.5), 4)").as("p50_rows"),
+          expr("round(percentile(c, 0.99), 4)").as("p99_rows"),
+          round(max(col("c")).cast("double")
+            / avg(col("c")), 4).as("skew_ratio"))
+    stats("l_orderkey").unionAll(stats("l_partkey")).unionAll(stats("l_suppkey"))
+      .orderBy("join_key")
+  }
+
+  /** PageRank over the nation→nation trade graph (edges weighted by
+    * lineitem volume between supplier and customer nations) — the
+    * iterative-graph-algorithm-as-DataFrame-ops pattern: each of the 5
+    * unrolled iterations is one join of the (tiny, broadcast) rank
+    * vector against the edge list plus a per-destination fold. Float
+    * determinism: incoming contributions fold in ASCENDING SOURCE
+    * order on both engines (sort_array here, list(... ORDER BY) in
+    * the oracle), so every IEEE add replays in sequence. At real graph
+    * scale the same loop runs with the rank vector as a shuffled (not
+    * broadcast) side and checkpoint barriers per iteration — the plan
+    * per iteration is unchanged. */
+  def pagerankNations(spark: SparkSession, dir: String, iters: Int = 5): DataFrame = {
+    val nation = Tables.nation(spark, dir)
+    val supp = Tables.supplier(spark, dir)
+      .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name").as("src"))
+    val cust = Tables.customer(spark, dir)
+      .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("n_name").as("dst"))
+    val ord = Tables.orders(spark, dir)
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .select(col("o_orderkey"), col("dst"))
+    val edges = Tables.lineitem(spark, dir)
+      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .filter(col("src") =!= col("dst"))
+      .groupBy("src", "dst").agg(count(lit(1)).as("c"))
+      .withColumn("wnorm", col("c").cast("double")
+        / sum(col("c")).over(Window.partitionBy("src")).cast("double"))
+      .select("src", "dst", "wnorm")
+    val n = nation.count().toDouble // 25 — node count for the teleport term
+    val nodes = nation.select(col("n_name").as("nation"))
+    var pr = nodes.withColumn("pr", lit(1.0 / n))
+    for (_ <- 1 to iters) {
+      val in = edges.join(broadcast(pr), col("src") === col("nation"))
+        .select(col("dst"), col("src"), (col("pr") * col("wnorm")).as("contrib"))
+        .groupBy("dst")
+        .agg(sort_array(collect_list(struct(col("src"), col("contrib")))).as("l"))
+        .select(col("dst").as("nation"),
+          expr("aggregate(l, CAST(0.0 AS DOUBLE), (acc, x) -> acc + x.contrib)").as("s"))
+      pr = nodes.join(in, Seq("nation"), "left")
+        .select(col("nation"),
+          (lit(0.15 / n) + lit(0.85) * coalesce(col("s"), lit(0.0))).as("pr"))
+    }
+    pr.select(col("nation"), round(col("pr"), 8).as("pr")).orderBy("nation")
+  }
+
   /** Schema-driven column profiler (the data-quality step a copy
     * pipeline runs before/after a load): per column, NULL count and
     * exact distinct count, built programmatically from df.schema — the

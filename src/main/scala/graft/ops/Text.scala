@@ -1064,6 +1064,24 @@ object Text {
             / col("n_tokens").cast("double"), 6).as("entropy"))
       .orderBy("doc_id")
 
+  /** Deterministic train/val/test split (90/5/5 by content-independent
+    * doc-id hash) — the reproducible-partition step every training
+    * pipeline needs: membership is a pure function of doc_id, so
+    * re-runs, engines, and incremental appends all agree, and no split
+    * ever sees another's documents. Map-only assign + one tiny
+    * summary aggregate. */
+  def splitAssign(spark: SparkSession, dir: String): DataFrame = {
+    val bucket = graft.functions.DetHash.hex60(
+      concat(lit("split:"), col("doc_id").cast("string"))) % 100
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("n_chars"),
+        when(bucket < 90, "train").when(bucket < 95, "val")
+          .otherwise("test").as("split"))
+      .groupBy("split")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("total_chars"))
+      .orderBy("split")
+  }
+
   /** Quality-weighted (importance) sampling: keep each document with
     * probability equal to its quality score, decided by a
     * deterministic per-doc hash draw (DetHash, SQL-replayable) —
