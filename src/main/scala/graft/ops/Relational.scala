@@ -1071,7 +1071,12 @@ object Relational {
     val ord = Tables.orders(spark, dir)
       .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
       .select(col("o_orderkey"), col("dst"))
-    val edges = Tables.lineitem(spark, dir)
+    // Parquet barrier: without it every unrolled iteration's lineage
+    // re-runs the full lineitem edge-build join (observed: the fact
+    // scan appeared 5x in the plan). The edge list is built ONCE;
+    // the loop only ever re-joins the tiny materialized edge table.
+    val edgePath = s"${graft.core.TempDirs.stable(s"pagerank:$dir")}/edges"
+    Tables.lineitem(spark, dir)
       .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
       .join(ord, col("l_orderkey") === col("o_orderkey"))
       .filter(col("src") =!= col("dst"))
@@ -1079,8 +1084,10 @@ object Relational {
       .withColumn("wnorm", col("c").cast("double")
         / sum(col("c")).over(Window.partitionBy("src")).cast("double"))
       .select("src", "dst", "wnorm")
+      .write.mode("overwrite").parquet(edgePath)
+    val edges = spark.read.parquet(edgePath)
     val n = nation.count().toDouble // 25 — node count for the teleport term
-    val nodes = nation.select(col("n_name").as("nation"))
+    val nodes = nation.select(col("n_name").as("nation")).localCheckpoint()
     var pr = nodes.withColumn("pr", lit(1.0 / n))
     for (_ <- 1 to iters) {
       val in = edges.join(broadcast(pr), col("src") === col("nation"))
@@ -1089,9 +1096,15 @@ object Relational {
         .agg(sort_array(collect_list(struct(col("src"), col("contrib")))).as("l"))
         .select(col("dst").as("nation"),
           expr("aggregate(l, CAST(0.0 AS DOUBLE), (acc, x) -> acc + x.contrib)").as("s"))
+      // Superstep barrier (the Pregel pattern): materialize each
+      // iteration's rank vector, or iteration k's lineage replays
+      // iterations 1..k-1 and the plan grows quadratically. On a
+      // billion-node graph this same line is a reliable checkpoint to
+      // the shared filesystem; the loop body is unchanged.
       pr = nodes.join(in, Seq("nation"), "left")
         .select(col("nation"),
           (lit(0.15 / n) + lit(0.85) * coalesce(col("s"), lit(0.0))).as("pr"))
+        .localCheckpoint()
     }
     pr.select(col("nation"), round(col("pr"), 8).as("pr")).orderBy("nation")
   }
