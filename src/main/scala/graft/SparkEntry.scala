@@ -236,6 +236,7 @@ object SparkEntry {
     "markov_transitions" -> (Events.markovTransitions _),
     "token_entropy"    -> (Text.tokenEntropy _),
     "ngram_lm"         -> ((s, d) => Text.ngramLm(s, d)),
+    "lm_score"         -> (Text.lmScore _),
     "weighted_sample"  -> (Text.weightedSample _),
     "revenue_share"    -> (Relational.revenueShare _),
     "q7_volume"        -> ((s, d) => Relational.q7Volume(s, d)),
@@ -803,6 +804,23 @@ object SparkEntry {
          |    ELSE 'test' END AS split,
          |  count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars
          |FROM documents GROUP BY 1 ORDER BY split""".stripMargin,
+    "lm_score" -> // per-doc mean bigram log2-prob (perplexity filter)
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |  b AS (SELECT doc_id, i, t[i] AS w1, t[i+1] AS w2 FROM d,
+        |    LATERAL (SELECT unnest(generate_series(1, len(t)-1)) AS i)),
+        |  c AS (SELECT w1, w2, count(*) AS c12 FROM b GROUP BY 1, 2),
+        |  v AS (SELECT count(DISTINCT w2) AS v FROM c),
+        |  pr AS (SELECT w1, w2, CAST(c12 + 1 AS DOUBLE)
+        |      / CAST(sum(c12) OVER (PARTITION BY w1) + v AS DOUBLE) AS p
+        |    FROM c, v),
+        |  j AS (SELECT b.doc_id, b.i, round(log2(pr.p), 6) AS lp
+        |    FROM b JOIN pr ON b.w1 = pr.w1 AND b.w2 = pr.w2),
+        |  g AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+        |    list(lp ORDER BY i ASC) AS lst FROM j GROUP BY 1)
+        |SELECT doc_id, n_bigrams,
+        |  round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), lst),
+        |      (a, b) -> a + b) / CAST(n_bigrams AS DOUBLE), 6) AS avg_logp
+        |FROM g ORDER BY doc_id""".stripMargin,
     "markov_transitions" -> // per-user event-type transition matrix
       """WITH e AS (SELECT user_id, event_id, event_type,
         |    epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),

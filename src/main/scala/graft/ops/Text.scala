@@ -1040,6 +1040,43 @@ object Text {
       .limit(k)
   }
 
+  /** Perplexity-style LM score: each document's mean log2-probability
+    * of its bigrams under the corpus's own add-one-smoothed bigram LM
+    * (ngramLm's estimator) — THE classic quality filter (perplexity =
+    * 2^-avg_logp; low score = unnatural text). Shape: the bigram
+    * expansion feeds both the LM build (hash agg + window row-sum, LM-
+    * table-sized) and the per-doc scoring join (corpus-bigram-sized
+    * equi-join on (w1,w2) — the LM side is the SMALLER relation and
+    * broadcastable when the vocab fits). Float discipline: p is a
+    * bit-equal correctly-rounded division; log2 is the one
+    * NON-guaranteed-correctly-rounded op in the repo, so each term is
+    * rounded to 6 decimals BEFORE the position-ordered fold (a 1-ulp
+    * log2 disagreement then only matters within 1e-10 of a rounding
+    * tie). */
+  def lmScore(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = tokenized(spark, dir)
+      .select(col("doc_id"), posexplode(expr(
+        "transform(slice(t, 1, greatest(size(t)-1, 0)), (w, i) -> named_struct('w1', w, 'w2', t[i+1]))"))
+        .as(Seq("i", "bg")))
+      .select(col("doc_id"), col("i"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+    val bg = pairs.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+    val vocab = bg.agg(countDistinct(col("w2")).as("v"))
+    val probs = bg.crossJoin(broadcast(vocab))
+      .withColumn("c1", sum(col("c12")).over(Window.partitionBy("w1")))
+      .select(col("w1"), col("w2"),
+        ((col("c12") + 1).cast("double")
+          / (col("c1") + col("v")).cast("double")).as("p"))
+    pairs.join(probs, Seq("w1", "w2"))
+      .select(col("doc_id"), col("i"), round(log2(col("p")), 6).as("lp"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        sort_array(collect_list(struct(col("i"), col("lp")))).as("lst"))
+      .select(col("doc_id"), col("n_bigrams"),
+        round(expr("aggregate(lst, CAST(0.0 AS DOUBLE), (acc, x) -> acc + x.lp)")
+          / col("n_bigrams").cast("double"), 6).as("avg_logp"))
+      .orderBy("doc_id")
+  }
+
   /** Per-document token Shannon entropy — the repetition/diversity
     * quality signal (low entropy = boilerplate or degenerate text;
     * Gopher-style filters threshold on it). H = log2(n) − Σ c·log2(c)/n

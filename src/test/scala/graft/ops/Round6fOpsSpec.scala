@@ -67,6 +67,24 @@ class Round6fOpsSpec extends AnyFunSuite with SparkFixture {
            p2.map(r => (r.getString(0), r.getDouble(1))).toSeq)
   }
 
+  test("lmScore: probabilities bound the score; verbatim duplicates score identically") {
+    val s = Text.lmScore(spark, sf).cache()
+    try {
+      // every bigram prob is < 1, so the mean log2-prob is negative
+      assert(s.filter(col("avg_logp") >= 0.0).isEmpty)
+      // n_bigrams = token count - 1 for every scored doc
+      val toks = graft.core.Tables.documents(spark, sf)
+        .select(col("doc_id"), (size(split(col("text"), " ")) - 1).cast("bigint").as("expect"))
+      assert(s.join(toks, "doc_id").filter(col("n_bigrams") =!= col("expect")).isEmpty)
+      // identical texts (the planted duplicate classes) score identically
+      val fp = graft.core.Tables.documents(spark, sf)
+        .select(col("doc_id"), md5(col("text")).as("fp"))
+      val perFp = s.join(fp, "doc_id").groupBy("fp")
+        .agg(countDistinct(col("avg_logp")).as("k"), count(lit(1)).as("n"))
+      assert(perFp.filter(col("n") > 1 && col("k") =!= 1).isEmpty)
+    } finally s.unpersist()
+  }
+
   test("splitAssign: splits are complete, disjoint, and near 90/5/5") {
     val s = Text.splitAssign(spark, sf).collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
