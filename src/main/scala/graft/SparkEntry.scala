@@ -245,6 +245,7 @@ object SparkEntry {
     "skew_report"      -> (Relational.skewReport _),
     "pagerank_nations" -> ((s, d) => Relational.pagerankNations(s, d)),
     "split_assign"     -> (Text.splitAssign _),
+    "split_drift"      -> (Text.splitDrift _),
     "map_fns"          -> (Events.mapFns _),
     "array_fns"        -> (Text.arrayFns _),
     "tfidf_top"        -> (Text.tfidfTop _),
@@ -804,6 +805,25 @@ object SparkEntry {
          |    ELSE 'test' END AS split,
          |  count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars
          |FROM documents GROUP BY 1 ORDER BY split""".stripMargin,
+    "split_drift" -> // per-lang train-vs-test share drift
+      s"""WITH d AS (SELECT lang,
+         |    CASE WHEN ${hex60("'split:' || doc_id")} % 100 < 90 THEN 'train'
+         |      WHEN ${hex60("'split:' || doc_id")} % 100 < 95 THEN 'val'
+         |      ELSE 'test' END AS split FROM documents),
+         |  c AS (SELECT split, lang, count(*) AS n FROM d GROUP BY 1, 2),
+         |  s AS (SELECT split, lang, n, round(CAST(n AS DOUBLE)
+         |      / CAST(sum(n) OVER (PARTITION BY split) AS DOUBLE), 6) AS share
+         |    FROM c),
+         |  tr AS (SELECT lang, n AS n_train, share AS share_train FROM s
+         |    WHERE split = 'train'),
+         |  te AS (SELECT lang, n AS n_test, share AS share_test FROM s
+         |    WHERE split = 'test')
+         |SELECT coalesce(tr.lang, te.lang) AS lang,
+         |  coalesce(n_train, 0) AS n_train, coalesce(n_test, 0) AS n_test,
+         |  coalesce(share_train, 0.0) AS share_train,
+         |  coalesce(share_test, 0.0) AS share_test,
+         |  round(coalesce(share_train, 0.0) - coalesce(share_test, 0.0), 6) AS delta
+         |FROM tr FULL JOIN te ON tr.lang = te.lang ORDER BY lang""".stripMargin,
     "lm_score" -> // per-doc mean bigram log2-prob (perplexity filter)
       """WITH d AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
         |  b AS (SELECT doc_id, i, t[i] AS w1, t[i+1] AS w2 FROM d,

@@ -1119,6 +1119,38 @@ object Text {
       .orderBy("split")
   }
 
+  /** Split-distribution drift report: per-language document share in
+    * the train vs test split (splitAssign's buckets) with the share
+    * delta — the health check that catches a hash-split accidentally
+    * skewing a stratum. Two tiny aggregates over the map-only split
+    * assignment plus a 5-row full-outer join; shares are single
+    * rounded divisions of exact counts, and the delta subtracts the
+    * two already-rounded shares, so every value replays exactly. */
+  def splitDrift(spark: SparkSession, dir: String): DataFrame = {
+    val bucket = graft.functions.DetHash.hex60(
+      concat(lit("split:"), col("doc_id").cast("string"))) % 100
+    val counts = Tables.documents(spark, dir)
+      .select(col("lang"),
+        when(bucket < 90, "train").when(bucket < 95, "val")
+          .otherwise("test").as("split"))
+      .groupBy("split", "lang").agg(count(lit(1)).as("n"))
+      .withColumn("share", round(col("n").cast("double")
+        / sum(col("n")).over(Window.partitionBy("split")).cast("double"), 6))
+    val tr = counts.filter(col("split") === "train")
+      .select(col("lang"), col("n").as("n_train"), col("share").as("share_train"))
+    val te = counts.filter(col("split") === "test")
+      .select(col("lang"), col("n").as("n_test"), col("share").as("share_test"))
+    tr.join(te, Seq("lang"), "full")
+      .select(col("lang"),
+        coalesce(col("n_train"), lit(0L)).as("n_train"),
+        coalesce(col("n_test"), lit(0L)).as("n_test"),
+        coalesce(col("share_train"), lit(0.0)).as("share_train"),
+        coalesce(col("share_test"), lit(0.0)).as("share_test"),
+        round(coalesce(col("share_train"), lit(0.0))
+          - coalesce(col("share_test"), lit(0.0)), 6).as("delta"))
+      .orderBy("lang")
+  }
+
   /** Quality-weighted (importance) sampling: keep each document with
     * probability equal to its quality score, decided by a
     * deterministic per-doc hash draw (DetHash, SQL-replayable) —

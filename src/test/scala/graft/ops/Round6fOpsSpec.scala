@@ -67,6 +67,22 @@ class Round6fOpsSpec extends AnyFunSuite with SparkFixture {
            p2.map(r => (r.getString(0), r.getDouble(1))).toSeq)
   }
 
+  test("splitDrift: shares normalize per split and counts tie back to splitAssign") {
+    val d = Text.splitDrift(spark, sf).collect()
+    assert(d.nonEmpty)
+    val sumTrain = d.map(_.getDouble(3)).sum
+    val sumTest = d.map(_.getDouble(4)).sum
+    assert(math.abs(sumTrain - 1.0) < 1e-5 && math.abs(sumTest - 1.0) < 1e-5)
+    d.foreach { r =>
+      assert(math.abs(r.getDouble(5) - (r.getDouble(3) - r.getDouble(4))) < 1e-6)
+    }
+    // lang-summed counts equal the split totals from splitAssign
+    val totals = Text.splitAssign(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(d.map(_.getLong(1)).sum == totals("train"))
+    assert(d.map(_.getLong(2)).sum == totals("test"))
+  }
+
   test("lmScore: probabilities bound the score; verbatim duplicates score identically") {
     val s = Text.lmScore(spark, sf).cache()
     try {
