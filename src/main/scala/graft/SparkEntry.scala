@@ -242,6 +242,7 @@ object SparkEntry {
     "q7_volume"        -> ((s, d) => Relational.q7Volume(s, d)),
     "profile_table"    -> ((s, d) => Relational.profileTable(s, d)),
     "ev_interpolate"   -> (Events.interpolate _),
+    "asof_native"      -> (Events.asofNative _),
     "skew_report"      -> (Relational.skewReport _),
     "pagerank_nations" -> ((s, d) => Relational.pagerankNations(s, d)),
     "split_assign"     -> (Text.splitAssign _),
@@ -733,6 +734,17 @@ object SparkEntry {
         |SELECT a.doc_id AS doc_a, c.doc_id AS doc_b, levenshtein(a.p, c.p) AS dist
         |FROM d a JOIN d c ON a.lang = c.lang AND a.b = c.b AND a.doc_id < c.doc_id
         |WHERE levenshtein(a.p, c.p) <= 20 ORDER BY doc_a, doc_b""".stripMargin,
+    "asof_native" -> // native as-of join twin: DuckDB's own ASOF JOIN
+      """WITH p AS (SELECT event_id, user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us
+        |    FROM events WHERE event_type = 'purchase'),
+        |  c AS (SELECT user_id AS c_user, epoch_us(CAST(ts AS TIMESTAMP)) AS click_us,
+        |    CAST(max(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS click_value
+        |    FROM events WHERE event_type = 'click' GROUP BY 1, 2)
+        |SELECT p.event_id, p.user_id, p.ts_us,
+        |  c.click_us AS last_click_us, c.click_value
+        |FROM p ASOF LEFT JOIN c
+        |  ON p.user_id = c.c_user AND p.ts_us >= c.click_us
+        |ORDER BY event_id""".stripMargin,
     "ev_interpolate" -> // hourly spine with linear interpolation of gaps
       """WITH e AS (SELECT user_id, time_bucket(INTERVAL 1 HOUR, CAST(ts AS TIMESTAMP)) AS h,
         |    sum(CAST(value AS DECIMAL(18,2))) AS v

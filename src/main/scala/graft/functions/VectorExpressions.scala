@@ -130,6 +130,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftFunctions.dotProductDescriptor)
     ext.injectOptimizerRule(_ => DotProductRewrite)
+    // whole-operator extension (tier (c)): the native as-of join
+    ext.injectPlannerStrategy(_ => graft.plans.AsofJoinStrategy)
   }
 }
 

@@ -122,6 +122,29 @@ object Events {
       .orderBy("event_id")
   }
 
+  /** Two-table backward as-of join through the NATIVE operator
+    * (graft.plans.AsofJoinPlan/-Exec): purchases pick up the latest
+    * same-user click at-or-before their timestamp, plus its value.
+    * Unlike the union-window formulation (asofPurchaseClick), the
+    * sides stay separate relations co-partitioned on user_id and the
+    * merge is a forward-only cursor — the shape that holds when the
+    * right side is a different (and much larger) table. The click
+    * side pre-dedups per (user, ts) so the attached payload is
+    * deterministic under timestamp ties. */
+  def asofNative(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("ts_us"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .groupBy(col("user_id").as("c_user"), unix_micros(col("ts")).as("click_us"))
+      .agg(max(col("value").cast("decimal(18,2)")).cast("double").as("click_value"))
+    graft.plans.AsofJoin(purchases, clicks,
+        by = ("user_id", "c_user"), ts = ("ts_us", "click_us"))
+      .select(col("event_id"), col("user_id"), col("ts_us"),
+        col("click_us").as("last_click_us"), col("click_value"))
+      .orderBy("event_id")
+  }
+
   /** Analytic window: per-user value delta between consecutive events. */
   def valueDelta(spark: SparkSession, dir: String): DataFrame = {
     val byUser = Window.partitionBy("user_id").orderBy(col("ts").asc, col("event_id").asc)
