@@ -1128,4 +1128,205 @@ object Relational {
       .selectExpr(s"stack(${cols.size}, $stackArgs) AS (col_name, n_null, n_distinct)")
       .orderBy("col_name")
   }
+
+  // ---- TPC-H-shaped composites (adapted to the corpus schema: no
+  // partsupp/shipmode/receiptdate columns — see FIXTURES.md). Each one
+  // exercises a distinct optimizer shape the simpler queries don't.
+
+  private def discPrice: Column =
+    money("l_extendedprice") * (lit(1).cast("decimal(18,2)") - money("l_discount"))
+
+  /** TPC-H Q5 shape (local supplier volume): the 6-way join whose
+    * distinguishing feature is the EXTRA equality between two dims
+    * (customer.nation = supplier.nation) on top of the fact keys. All
+    * dims broadcast; the only shuffle is lineitem x orders on
+    * orderkey, exactly as at 100 TB. */
+  def q5LocalVolume(spark: SparkSession, dir: String): DataFrame = {
+    val euroNations = Tables.nation(spark, dir)
+      .join(broadcast(Tables.region(spark, dir).filter(col("r_name") === "EUROPE")),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey"), col("n_name"))
+    val s = Tables.supplier(spark, dir)
+      .join(broadcast(euroNations), col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("s_nationkey"), col("n_name"))
+    val c = Tables.customer(spark, dir).select("c_custkey", "c_nationkey")
+    val o = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp_ntz") &&
+              col("o_orderdate") <  lit("1998-01-01").cast("timestamp_ntz"))
+      .select("o_orderkey", "o_custkey")
+    Tables.lineitem(spark, dir)
+      .join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(s), col("l_suppkey") === col("s_suppkey") &&
+                          col("c_nationkey") === col("s_nationkey"))
+      .groupBy("n_name")
+      .agg(round(sum(discPrice), 2).cast("double").as("revenue"))
+      .orderBy(col("revenue").desc, col("n_name"))
+  }
+
+  /** TPC-H Q8 shape (national market share): two-level aggregation —
+    * revenue per year first, then the conditional share of one
+    * supplier nation inside it. The share is a conditional-sum /
+    * total-sum ratio computed in ONE aggregate pass (no self-join). */
+  def q8MarketShare(spark: SparkSession, dir: String): DataFrame = {
+    val nation = Tables.nation(spark, dir)
+    val euroCust = Tables.customer(spark, dir)
+      .join(broadcast(nation
+          .join(broadcast(Tables.region(spark, dir).filter(col("r_name") === "EUROPE")),
+            col("n_regionkey") === col("r_regionkey"))
+          .select(col("n_nationkey"))),
+        col("c_nationkey") === col("n_nationkey"))
+      .select("c_custkey")
+    val supp = Tables.supplier(spark, dir)
+      .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+    val o = Tables.orders(spark, dir)
+      .join(broadcast(euroCust), col("o_custkey") === col("c_custkey"))
+      .select(col("o_orderkey"), year(col("o_orderdate")).cast("int").as("o_year"))
+    Tables.lineitem(spark, dir)
+      .join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+      .groupBy("o_year")
+      .agg(round(
+          sum(when(col("supp_nation") === "NATION_8", discPrice)
+            .otherwise(lit(0).cast("decimal(18,2)"))).cast("double")
+          / sum(discPrice).cast("double"), 6).as("mkt_share"))
+      .orderBy("o_year")
+  }
+
+  /** TPC-H Q9 shape (product-type profit): profit is an EXPRESSION of
+    * columns from two joined tables (revenue minus a retail-price cost
+    * proxy — the corpus has no partsupp.ps_supplycost), aggregated by
+    * supplier nation and order year. Part and supplier broadcast; the
+    * fact shuffles once for the orders join. */
+  def q9ProfitProxy(spark: SparkSession, dir: String): DataFrame = {
+    val p = Tables.part(spark, dir).filter(col("p_type") === "ECONOMY")
+      .select("p_partkey", "p_retailprice")
+    val s = Tables.supplier(spark, dir)
+      .join(broadcast(Tables.nation(spark, dir)),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name").as("nation"))
+    val o = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), year(col("o_orderdate")).cast("int").as("o_year"))
+    // revenue minus retail-cost-of-goods — both terms exact decimal
+    // products of two (18,2) operands, so the DuckDB twin reproduces
+    // them bit-for-bit (no mixed-scale precision-cap divergence)
+    val profit = discPrice - money("p_retailprice") * money("l_quantity")
+    Tables.lineitem(spark, dir)
+      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .join(broadcast(s), col("l_suppkey") === col("s_suppkey"))
+      .join(o, col("l_orderkey") === col("o_orderkey"))
+      .groupBy("nation", "o_year")
+      .agg(round(sum(profit), 2).cast("double").as("profit"))
+      .orderBy(col("nation"), col("o_year").desc)
+  }
+
+  /** TPC-H Q14 shape (promo revenue): a single-row conditional ratio —
+    * the whole join aggregates to ONE number, so the final exchange
+    * carries two decimals. Part broadcasts; the date filter pushes to
+    * the fact scan. */
+  def q14PromoShare(spark: SparkSession, dir: String): DataFrame = {
+    val p = Tables.part(spark, dir).select("p_partkey", "p_type")
+    Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp_ntz") &&
+              col("l_shipdate") <  lit("1997-07-01").cast("timestamp_ntz"))
+      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .agg(round(lit(100.0) *
+          sum(when(col("p_type") === "PROMO", discPrice)
+            .otherwise(lit(0).cast("decimal(18,2)"))).cast("double")
+          / sum(discPrice).cast("double"), 4).as("promo_share"))
+  }
+
+  /** TPC-H Q17 shape (small-quantity revenue): the correlated
+    * aggregate subquery (qty < 0.5 * per-part average) written in its
+    * decorrelated form — a per-part aggregate joined back to the fact.
+    * The per-part avg table is fact-derived but part-cardinality, so
+    * it broadcasts; the fact itself never shuffles. */
+  def q17SmallQty(spark: SparkSession, dir: String): DataFrame = {
+    val l = Tables.lineitem(spark, dir)
+    val halfAvg = l.groupBy(col("l_partkey").as("hp_partkey"))
+      .agg((avg(col("l_quantity")) * 0.5).as("half_avg"))
+    val brands = Tables.part(spark, dir)
+      .filter(col("p_brand").isin("Brand#3", "Brand#13", "Brand#21"))
+      .select("p_partkey", "p_brand")
+    l.join(broadcast(brands), col("l_partkey") === col("p_partkey"))
+      .join(broadcast(halfAvg), col("l_partkey") === col("hp_partkey"))
+      .filter(col("l_quantity") < col("half_avg"))
+      .groupBy("p_brand")
+      .agg(round(sum(money("l_extendedprice")), 2).cast("double").as("small_qty_revenue"),
+           count(lit(1)).as("n_lines"))
+      .orderBy("p_brand")
+  }
+
+  /** TPC-H Q19 shape (disjunctive pushdown): an OR-of-ANDs predicate
+    * mixing columns from BOTH join sides. Catalyst extracts the
+    * common p_partkey equi-condition and pushes the per-side
+    * conjuncts below the join (l_quantity bounds reach the fact scan
+    * as PushedFilters); the residual disjunction evaluates post-join
+    * inside whole-stage codegen. */
+  def q19Disjunctive(spark: SparkSession, dir: String): DataFrame = {
+    val l = Tables.lineitem(spark, dir)
+    val p = Tables.part(spark, dir)
+    val cond = col("l_partkey") === col("p_partkey") && (
+      (col("p_brand") === "Brand#12" && col("p_size").between(1, 15) &&
+        col("l_quantity").between(1, 20)) ||
+      (col("p_brand") === "Brand#23" && col("p_size").between(1, 25) &&
+        col("l_quantity").between(10, 30)) ||
+      (col("p_brand") === "Brand#3" && col("p_size").between(1, 35) &&
+        col("l_quantity").between(20, 40)))
+    l.filter(col("l_quantity").between(1, 40))
+      .join(broadcast(p), cond)
+      .agg(round(sum(discPrice), 2).cast("double").as("revenue"),
+           count(lit(1)).as("n_lines"))
+  }
+
+  /** TPC-H Q21 shape (suppliers who kept waiting, adapted to
+    * returnflags): for finished orders, suppliers with a RETURNED line
+    * in a multi-supplier order where NO OTHER supplier's line was
+    * returned — the double-correlated EXISTS + NOT EXISTS against the
+    * same fact. Both correlations become self-joins of lineitem on
+    * orderkey: a left-semi (another supplier exists) and a left-anti
+    * (no other supplier returned). The non-equi suppkey<> conjunct
+    * rides the orderkey equi-join, so both stay shuffle-hash/SMJ on
+    * orderkey — no cartesian anywhere. */
+  def q21Waiting(spark: SparkSession, dir: String): DataFrame = {
+    val l1 = Tables.lineitem(spark, dir)
+      .filter(col("l_returnflag") === "R")
+      .select(col("l_orderkey").as("lo"), col("l_suppkey").as("ls"))
+    val others = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey").as("o2"), col("l_suppkey").as("s2"),
+              col("l_returnflag").as("rf2"))
+    val f = Tables.orders(spark, dir).filter(col("o_orderstatus") === "F")
+      .select(col("o_orderkey"))
+    val s = Tables.supplier(spark, dir).select(col("s_suppkey"), col("s_name"))
+    l1.join(f, col("lo") === col("o_orderkey"), "left_semi")
+      .join(others, col("lo") === col("o2") && col("ls") =!= col("s2"), "left_semi")
+      .join(others.filter(col("rf2") === "R"),
+        col("lo") === col("o2") && col("ls") =!= col("s2"), "left_anti")
+      .join(broadcast(s), col("ls") === col("s_suppkey"))
+      .groupBy("s_name")
+      .agg(count(lit(1)).as("numwait"))
+      .orderBy(col("numwait").desc, col("s_name"))
+      .limit(10)
+  }
+
+  /** TPC-H Q22 shape (cold customers): a scalar aggregate subquery
+    * (global average of positive balances — broadcast as a 1-row
+    * cross join) filtering customers, then a left-anti against their
+    * URGENT orders (every corpus customer has SOME order, so the
+    * classic "no orders at all" variant would be empty). */
+  def q22ColdCall(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+    val avgBal = c.filter(col("c_acctbal") > 0)
+      .agg(avg(col("c_acctbal")).as("avg_bal"))
+    val urgent = Tables.orders(spark, dir)
+      .filter(col("o_orderpriority") === "1-URGENT").select("o_custkey")
+    c.join(broadcast(avgBal))
+      .filter(col("c_acctbal") > col("avg_bal"))
+      .join(urgent, col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("numcust"),
+           round(sum(money("c_acctbal")), 2).cast("double").as("totacctbal"))
+      .orderBy("c_mktsegment")
+  }
 }

@@ -174,6 +174,39 @@ class PlanAuditSpec extends AnyFunSuite with SparkFixture {
       s"spine must equi-join the hourly observations:\n$p")
   }
 
+  test("q19_disjunctive: quantity bound pushes to the fact scan; part broadcasts") {
+    val p = planOf(Relational.q19Disjunctive(spark, sf))
+    assert(p.contains("BroadcastHashJoin"),
+      s"part side must broadcast on the extracted p_partkey equi-key:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"OR-of-ANDs must not defeat the equi-join extraction:\n$p")
+    assert("PushedFilters: \\[[^\\]]*l_quantity".r.findFirstIn(p).isDefined,
+      s"the common l_quantity bound must reach the lineitem scan:\n$p")
+  }
+
+  test("q21_waiting: both self-correlations ride the orderkey equi-join — no cartesian") {
+    val p = planOf(Relational.q21Waiting(spark, sf))
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"suppkey<> must stay a residual on the orderkey join:\n$p")
+  }
+
+  test("q5_local_volume: every dim broadcasts — the only shuffle join is lineitem x orders") {
+    val p = planOf(Relational.q5LocalVolume(spark, sf))
+    assert(p.contains("BroadcastHashJoin"), s"dims must broadcast:\n$p")
+    // customer.nation = supplier.nation is an extra conjunct on the
+    // broadcast probe, never a separate shuffle
+    val smj = "SortMergeJoin".r.findAllIn(p).length
+    val shj = "ShuffledHashJoin".r.findAllIn(p).length
+    assert(smj + shj <= 1, s"expected at most the fact-fact orderkey shuffle join:\n$p")
+  }
+
+  test("q17_small_qty: the per-part average joins back broadcast — fact never shuffles") {
+    val p = planOf(Relational.q17SmallQty(spark, sf))
+    assert(!p.contains("SortMergeJoin"),
+      s"part-cardinality aggregate must broadcast back onto the fact:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("corr_subquery + lateral_topk decorrelate — no per-row nested-loop re-execution") {
     val ps = planOf(Relational.corrSubquery(spark, sf))
     assert(!ps.contains("CartesianProduct") && !ps.contains("BroadcastNestedLoopJoin"),
