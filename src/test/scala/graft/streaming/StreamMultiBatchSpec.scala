@@ -21,8 +21,17 @@ class StreamMultiBatchSpec extends AnyFunSuite with SparkFixture {
     * key's events in event-time order across batches — the documented
     * cross-batch contract. */
   private def splitCorpus(): String = {
-    val raw = spark.read.parquet(s"$sf/events.parquet") // ts stays raw long nanos
-    val mm = raw.agg(min("ts"), max("ts")).collect()(0)
+    // `ts` arrives either as LongType nanos (nanosAsLong sessions) or as
+    // a native timestamp[us] column (current corpus) — same dual-type
+    // dispatch as core/Tables.events. Split on µs since both normalize
+    // losslessly to that grain, and write the RAW rows so each part file
+    // keeps the original schema the streaming source expects.
+    val raw = spark.read.parquet(s"$sf/events.parquet")
+    val tsMicros = raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => expr("ts div 1000")
+      case _ => unix_micros(col("ts").cast("timestamp"))
+    }
+    val mm = raw.agg(min(tsMicros), max(tsMicros)).collect()(0)
     val (lo, hi) = (mm.getLong(0), mm.getLong(1))
     val step = (hi - lo) / 3 + 1
     val corpus = Files.createTempDirectory("graft_mb_").toString
@@ -32,7 +41,7 @@ class StreamMultiBatchSpec extends AnyFunSuite with SparkFixture {
       val b0 = lo + i * step
       val b1 = lo + (i + 1) * step
       val tmp = Files.createTempDirectory(s"graft_mb_part$i").toString
-      raw.filter(col("ts") >= b0 && col("ts") < b1)
+      raw.filter(tsMicros >= b0 && tsMicros < b1)
         .coalesce(1).write.mode("overwrite").parquet(tmp)
       val part = new java.io.File(tmp).listFiles()
         .find(f => f.getName.endsWith(".parquet") && !f.getName.startsWith("_")).get
