@@ -873,10 +873,14 @@ object Relational {
       .select(col("p_partkey"), col("p_brand"))
     val nKeys = math.max(dim.count(), 1L) // dim-sized job; at scale: stats
     val bf = dim.stat.bloomFilter("p_partkey", nKeys, 0.01)
-    val bc = spark.sparkContext.broadcast(bf)
-    val mightContain = udf((k: Long) => bc.value.mightContain(k))
+    val bytes = new java.io.ByteArrayOutputStream()
+    bf.writeTo(bytes)
+    // Catalyst BloomFilterMightContain (codegen'd, same expression
+    // InjectRuntimeFilter plants) instead of a per-row Scala UDF: the
+    // probe stays inside whole-stage codegen on the fact scan.
     val li = Tables.lineitem(spark, dir)
-    li.filter(mightContain(col("l_partkey"))) // sketch prefilter, fact side
+    li.filter(org.apache.spark.sql.graft.Bridge
+        .bloomMightContain(bytes.toByteArray, col("l_partkey"))) // sketch prefilter, fact side
       .join(broadcast(dim), col("l_partkey") === col("p_partkey")) // exact
       .groupBy("p_brand")
       .agg(count(lit(1)).as("n_items"),

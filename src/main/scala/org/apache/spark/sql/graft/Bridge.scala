@@ -12,6 +12,22 @@ object Bridge {
   def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
     classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
 
+  /** Codegen'd Bloom-filter probe: wraps Catalyst's
+    * `BloomFilterMightContain` — the same expression Spark's
+    * InjectRuntimeFilter rule plants — around a serialized
+    * `util.sketch.BloomFilter` literal. Replaces the per-row Scala-UDF
+    * probe idiom (opaque closure, boxing, breaks whole-stage codegen on
+    * the fact-scan hot path). The sketch rides the plan as a Binary
+    * literal, exactly what InjectRuntimeFilter's scalar subquery
+    * materializes into at execution; `key` must be integral (probed via
+    * `mightContainLong`, matching `stat.bloomFilter`'s `putLong`). */
+  def bloomMightContain(filterBytes: Array[Byte], key: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    classic.ExpressionUtils.column(
+      org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+        org.apache.spark.sql.catalyst.expressions.Literal(
+          filterBytes, org.apache.spark.sql.types.BinaryType),
+        classic.ExpressionUtils.expression(key)))
+
   /** Runtime planner-strategy registration for sessions built without
     * `.withExtensions(new GraftExtensions)` (Verify/Bench build plain
     * sessions): `experimental.extraStrategies` is the public hook. */

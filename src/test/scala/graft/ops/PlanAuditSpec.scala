@@ -207,6 +207,24 @@ class PlanAuditSpec extends AnyFunSuite with SparkFixture {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("bloom_prune_join: probe is Catalyst might_contain (codegen), not a ScalaUDF, fact-scan side") {
+    val df = Relational.bloomPruneJoin(spark, sf)
+    val p = planOf(df)
+    assert(p.contains("might_contain"),
+      s"expected the Catalyst BloomFilterMightContain probe:\n$p")
+    assert(!p.contains("UDF") && !p.contains("ScalaUDF"),
+      s"bloom probe regressed to an opaque Scala UDF (no codegen):\n$p")
+    // the prefilter must sit on the fact side BELOW the join: in plan
+    // text the probe appears before (above) the BroadcastHashJoin's
+    // build side would print it — assert it's attached to a Filter
+    // that feeds the join, i.e. might_contain occurs after the join
+    // node in the tree printout (children print below parents)
+    val joinAt = p.indexOf("BroadcastHashJoin")
+    val probeAt = p.indexOf("might_contain")
+    assert(joinAt >= 0 && probeAt > joinAt,
+      s"bloom prefilter must be below the join, on the fact scan side:\n$p")
+  }
+
   test("corr_subquery + lateral_topk decorrelate — no per-row nested-loop re-execution") {
     val ps = planOf(Relational.corrSubquery(spark, sf))
     assert(!ps.contains("CartesianProduct") && !ps.contains("BroadcastNestedLoopJoin"),
