@@ -207,6 +207,57 @@ class PlanAuditSpec extends AnyFunSuite with SparkFixture {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("q7_volume: all dims broadcast — at most the lineitem x orders shuffle join") {
+    val p = planOf(Relational.q7Volume(spark, sf))
+    assert(p.contains("BroadcastHashJoin"), s"supp/cust dims must broadcast:\n$p")
+    val shuffleJoins = "SortMergeJoin".r.findAllIn(p).length +
+      "ShuffledHashJoin".r.findAllIn(p).length
+    assert(shuffleJoins <= 1,
+      s"expected at most the fact-fact orderkey shuffle join, got $shuffleJoins:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("q8_market_share: region-pruned customer set and supplier broadcast — one fact shuffle") {
+    val p = planOf(Relational.q8MarketShare(spark, sf))
+    assert(p.contains("BroadcastHashJoin"), s"dims must broadcast:\n$p")
+    val shuffleJoins = "SortMergeJoin".r.findAllIn(p).length +
+      "ShuffledHashJoin".r.findAllIn(p).length
+    assert(shuffleJoins <= 1,
+      s"expected at most the lineitem x orders shuffle join, got $shuffleJoins:\n$p")
+    // the EUROPE region filter prunes at the region scan
+    assert("PushedFilters: \\[[^\\]]*r_name".r.findFirstIn(p).isDefined,
+      s"region filter not pushed:\n$p")
+  }
+
+  test("q9_profit_proxy: part + supplier broadcast; profit expression stays in codegen") {
+    val p = planOf(Relational.q9ProfitProxy(spark, sf))
+    assert(p.contains("BroadcastHashJoin"), s"part/supplier must broadcast:\n$p")
+    val shuffleJoins = "SortMergeJoin".r.findAllIn(p).length +
+      "ShuffledHashJoin".r.findAllIn(p).length
+    assert(shuffleJoins <= 1,
+      s"only the orders join may shuffle, got $shuffleJoins:\n$p")
+    assert("PushedFilters: \\[[^\\]]*p_type".r.findFirstIn(p).isDefined,
+      s"ECONOMY part filter not pushed:\n$p")
+  }
+
+  test("q14_promo_share: date window pushes to the fact scan; part broadcasts; no shuffle join") {
+    val p = planOf(Relational.q14PromoShare(spark, sf))
+    assert(p.contains("BroadcastHashJoin"), s"part must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      s"single-row ratio must not shuffle-join:\n$p")
+    assert("PushedFilters: \\[[^\\]]*l_shipdate".r.findFirstIn(p).isDefined,
+      s"shipdate window not pushed to the lineitem scan:\n$p")
+  }
+
+  test("q22_cold_call: scalar avg rides a 1-row broadcast; anti-join stays equi — no cartesian") {
+    val p = planOf(Relational.q22ColdCall(spark, sf))
+    assert(!p.contains("CartesianProduct"),
+      s"the 1-row scalar must broadcast, never cartesian:\n$p")
+    assert(p.contains("LeftAnti"), s"expected the URGENT-orders anti-join:\n$p")
+    assert("PushedFilters: \\[[^\\]]*o_orderpriority".r.findFirstIn(p).isDefined,
+      s"URGENT filter not pushed to the orders scan:\n$p")
+  }
+
   test("bloom_prune_join: probe is Catalyst might_contain (codegen), not a ScalaUDF, fact-scan side") {
     val df = Relational.bloomPruneJoin(spark, sf)
     val p = planOf(df)
