@@ -134,7 +134,14 @@ object PgCopySink {
         else conn.unwrap(pgClass.asInstanceOf[Class[java.sql.Connection]])
       val mgr = pgClass.getMethod("getCopyAPI").invoke(pgConn)
       val copyIn = mgr.getClass.getMethod("copyIn", classOf[String], classOf[java.io.Reader])
-      copyIn.invoke(mgr, sql, new PgCopyText.RowReader(rows))
+      // Unwrap reflection's InvocationTargetException so a mid-stream
+      // COPY failure surfaces as the real SQLException — the task retry
+      // / abort decision upstream keys on the actual cause.
+      try copyIn.invoke(mgr, sql, new PgCopyText.RowReader(rows))
+      catch {
+        case e: java.lang.reflect.InvocationTargetException if e.getCause != null =>
+          throw e.getCause
+      }
       ()
     } finally conn.close()
   }
