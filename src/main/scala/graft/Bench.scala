@@ -72,6 +72,19 @@ object Bench {
       val measured = names.filter(best.contains).sorted
       val qs = measured.map(k => "\"" + k + "\":" + fmt(best(k))).mkString("{", ",", "}")
       System.err.println(s"""[bench] full per-query minima: $qs""")
+      // The stdout line is tail-bounded (top-10 only), so the COMPLETE
+      // map also goes to a durable file — per-query regression diffs
+      // across rounds need every timing, not the 10 slowest (ADVICE r6).
+      try {
+        val failedJson = failed.toSeq.sortBy(_._1)
+          .map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }.mkString("{", ",", "}")
+        val full = s"""{"sf":"${sfDir.split("/").last}","nq":${measured.size},""" +
+          s""""queries":$qs,"failed":$failedJson}"""
+        val path = sys.env.getOrElse("SPARK_GRAFT_BENCH_FULL", "bench_full.json")
+        java.nio.file.Files.writeString(java.nio.file.Paths.get(path), full + "\n")
+      } catch { case e: Throwable => // never let the report file kill the stdout line
+        System.err.println(s"[bench] bench_full.json write failed: $e")
+      }
     }
     // If the driver's timeout kills us mid-run (SIGTERM), still emit a
     // parseable line with the minima collected so far.

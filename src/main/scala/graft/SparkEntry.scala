@@ -251,6 +251,9 @@ object SparkEntry {
     "profile_table"    -> ((s, d) => Relational.profileTable(s, d)),
     "ev_interpolate"   -> (Events.interpolate _),
     "asof_native"      -> (Events.asofNative _),
+    "asof_forward"     -> (Events.asofForwardNative _),
+    "asof_nearest"     -> (Events.asofNearestNative _),
+    "asof_tolerance"   -> (Events.asofToleranceNative _),
     "skew_report"      -> (Relational.skewReport _),
     "pagerank_nations" -> ((s, d) => Relational.pagerankNations(s, d)),
     "split_assign"     -> (Text.splitAssign _),
@@ -298,6 +301,7 @@ object SparkEntry {
     "quality_score"    -> (Text.qualityScore _),
     "quality_histogram" -> (Text.qualityHistogram _),
     "c4_filters"       -> (Text.c4Filters _),
+    "training_cut"     -> (Text.trainingCut _),
     "mix_weights"      -> (Text.mixWeights _),
     "busiest_hours"    -> ((s, d) => Events.busiestHours(s, d)),
     // ---- vectors / similarity
@@ -385,6 +389,24 @@ object SparkEntry {
        |    UNION SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
        |  classes AS (SELECT src AS doc_id, least(src, min(dst)) AS class_id
        |    FROM reach GROUP BY src)""".stripMargin
+
+  /** C4/Gopher filter report (shared by c4_filters and training_cut);
+    * keep is computed from the ROUNDED aliased columns. */
+  private val c4Select =
+    """SELECT doc_id,
+      |  CAST(len(string_split(text,' ')) AS BIGINT) AS word_count,
+      |  round(CAST(strlen(replace(text, ' ', '')) AS DOUBLE)
+      |    / len(string_split(text,' ')), 4) AS mean_word_len,
+      |  contains(lower(text), 'lorem ipsum') AS has_lorem,
+      |  contains(text, '{') AS has_brace,
+      |  round((CAST(len(regexp_extract_all(text, '#')) AS DOUBLE)
+      |    + len(regexp_extract_all(text, '\.\.\.')))
+      |    / len(string_split(text,' ')), 4) AS symbol_ratio,
+      |  (word_count BETWEEN 50 AND 100000
+      |   AND mean_word_len BETWEEN 3.0 AND 10.0
+      |   AND NOT has_lorem AND NOT has_brace
+      |   AND symbol_ratio <= 0.1) AS keep
+      |FROM documents""".stripMargin
 
   /** Per-doc quality score (shared by quality_score and
     * dedup_keep_best). */
@@ -753,6 +775,55 @@ object SparkEntry {
         |FROM p ASOF LEFT JOIN c
         |  ON p.user_id = c.c_user AND p.ts_us >= c.click_us
         |ORDER BY event_id""".stripMargin,
+    "asof_forward" -> // forward direction: DuckDB ASOF with <=
+      """WITH p AS (SELECT event_id, user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us
+        |    FROM events WHERE event_type = 'purchase'),
+        |  c AS (SELECT user_id AS c_user, epoch_us(CAST(ts AS TIMESTAMP)) AS click_us,
+        |    CAST(max(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS click_value
+        |    FROM events WHERE event_type = 'click' GROUP BY 1, 2)
+        |SELECT p.event_id, p.user_id, p.ts_us,
+        |  c.click_us AS next_click_us, c.click_value
+        |FROM p ASOF LEFT JOIN c
+        |  ON p.user_id = c.c_user AND p.ts_us <= c.click_us
+        |ORDER BY event_id""".stripMargin,
+    "asof_nearest" -> // nearest = closer of DuckDB's two ASOF directions, tie -> backward
+      """WITH p AS (SELECT event_id, user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us
+        |    FROM events WHERE event_type = 'purchase'),
+        |  c AS (SELECT user_id AS c_user, epoch_us(CAST(ts AS TIMESTAMP)) AS click_us,
+        |    CAST(max(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS click_value
+        |    FROM events WHERE event_type = 'click' GROUP BY 1, 2),
+        |  b AS (SELECT p.event_id, p.user_id, p.ts_us,
+        |      c.click_us AS b_us, c.click_value AS b_val
+        |    FROM p ASOF LEFT JOIN c
+        |      ON p.user_id = c.c_user AND p.ts_us >= c.click_us),
+        |  f AS (SELECT p.event_id AS f_id, c.click_us AS f_us, c.click_value AS f_val
+        |    FROM p ASOF LEFT JOIN c
+        |      ON p.user_id = c.c_user AND p.ts_us <= c.click_us)
+        |SELECT b.event_id, b.user_id, b.ts_us,
+        |  CASE WHEN f_us IS NULL THEN b_us WHEN b_us IS NULL THEN f_us
+        |       WHEN (b.ts_us - b_us) <= (f_us - b.ts_us) THEN b_us ELSE f_us
+        |  END AS near_click_us,
+        |  CASE WHEN f_us IS NULL THEN b_val WHEN b_us IS NULL THEN f_val
+        |       WHEN (b.ts_us - b_us) <= (f_us - b.ts_us) THEN b_val ELSE f_val
+        |  END AS click_value
+        |FROM b JOIN f ON b.event_id = f.f_id
+        |ORDER BY event_id""".stripMargin,
+    "asof_tolerance" -> // backward bounded at 1h: null out a too-far match
+      // (exact: the backward match is the CLOSEST prior click, so if it
+      // exceeds the bound no other prior click can be within it)
+      """WITH p AS (SELECT event_id, user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us
+        |    FROM events WHERE event_type = 'purchase'),
+        |  c AS (SELECT user_id AS c_user, epoch_us(CAST(ts AS TIMESTAMP)) AS click_us,
+        |    CAST(max(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS click_value
+        |    FROM events WHERE event_type = 'click' GROUP BY 1, 2),
+        |  b AS (SELECT p.event_id, p.user_id, p.ts_us,
+        |      c.click_us, c.click_value
+        |    FROM p ASOF LEFT JOIN c
+        |      ON p.user_id = c.c_user AND p.ts_us >= c.click_us)
+        |SELECT event_id, user_id, ts_us,
+        |  CASE WHEN ts_us - click_us <= 3600000000 THEN click_us END AS last_click_us,
+        |  CASE WHEN ts_us - click_us <= 3600000000 THEN click_value END AS click_value
+        |FROM b ORDER BY event_id""".stripMargin,
     "ev_interpolate" -> // hourly spine with linear interpolation of gaps
       """WITH e AS (SELECT user_id, time_bucket(INTERVAL 1 HOUR, CAST(ts AS TIMESTAMP)) AS h,
         |    sum(CAST(value AS DECIMAL(18,2))) AS v
@@ -1622,20 +1693,33 @@ object SparkEntry {
     "quality_score" ->
       s"$qualitySelect ORDER BY doc_id",
     "c4_filters" ->
-      """SELECT doc_id,
-        |  CAST(len(string_split(text,' ')) AS BIGINT) AS word_count,
-        |  round(CAST(strlen(replace(text, ' ', '')) AS DOUBLE)
-        |    / len(string_split(text,' ')), 4) AS mean_word_len,
-        |  contains(lower(text), 'lorem ipsum') AS has_lorem,
-        |  contains(text, '{') AS has_brace,
-        |  round((CAST(len(regexp_extract_all(text, '#')) AS DOUBLE)
-        |    + len(regexp_extract_all(text, '\.\.\.')))
-        |    / len(string_split(text,' ')), 4) AS symbol_ratio,
-        |  (word_count BETWEEN 50 AND 100000
-        |   AND mean_word_len BETWEEN 3.0 AND 10.0
-        |   AND NOT has_lorem AND NOT has_brace
-        |   AND symbol_ratio <= 0.1) AS keep
-        |FROM documents ORDER BY doc_id""".stripMargin,
+      s"$c4Select ORDER BY doc_id",
+    "training_cut" -> // the full curation chain as one manifest
+      s"""WITH RECURSIVE $dupClassCtes,
+         |  q AS ($qualitySelect),
+         |  dd AS (SELECT c.doc_id,
+         |      (row_number() OVER (PARTITION BY c.class_id
+         |         ORDER BY q.quality DESC, c.doc_id ASC) = 1) AS dd_keep
+         |    FROM classes c JOIN q ON q.doc_id = c.doc_id),
+         |  c4 AS (SELECT doc_id, keep AS c4_keep FROM ($c4Select)),
+         |  counts AS (SELECT lang, count(*) AS n_docs FROM documents GROUP BY 1),
+         |  stats AS (SELECT CAST(sum(n_docs) AS BIGINT) AS total,
+         |    count(*) AS n_langs FROM counts),
+         |  thr AS (SELECT lang,
+         |    least(1000000, total * 1000000 // (n_langs * n_docs)) AS thr_ppm
+         |    FROM counts CROSS JOIN stats)
+         |SELECT d.doc_id, d.lang, c4.c4_keep,
+         |  coalesce(dd.dd_keep, TRUE) AS dedup_keep,
+         |  (${hex60("'mix:' || d.doc_id")} % 1000000 < thr.thr_ppm) AS mix_keep,
+         |  CASE WHEN ${hex60("'split:' || d.doc_id")} % 100 < 90 THEN 'train'
+         |       WHEN ${hex60("'split:' || d.doc_id")} % 100 < 95 THEN 'val'
+         |       ELSE 'test' END AS split,
+         |  (c4.c4_keep AND coalesce(dd.dd_keep, TRUE)
+         |   AND (${hex60("'mix:' || d.doc_id")} % 1000000 < thr.thr_ppm)
+         |   AND ${hex60("'split:' || d.doc_id")} % 100 < 90) AS in_cut
+         |FROM documents d JOIN c4 USING (doc_id) LEFT JOIN dd USING (doc_id)
+         |JOIN thr ON d.lang = thr.lang
+         |ORDER BY d.doc_id""".stripMargin,
     "mix_weights" ->
       s"""WITH counts AS (SELECT lang, count(*) AS n_docs FROM documents GROUP BY 1),
          |  stats AS (SELECT CAST(sum(n_docs) AS BIGINT) AS total,

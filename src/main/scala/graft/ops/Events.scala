@@ -145,6 +145,60 @@ object Events {
       .orderBy("event_id")
   }
 
+  /** Shared sides for the native as-of family: purchases (left) and
+    * per-(user, ts) deduplicated clicks (right — deterministic payload
+    * under timestamp ties). */
+  private def asofSides(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val ev = Tables.events(spark, dir)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("ts_us"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .groupBy(col("user_id").as("c_user"), unix_micros(col("ts")).as("click_us"))
+      .agg(max(col("value").cast("decimal(18,2)")).cast("double").as("click_value"))
+    (purchases, clicks)
+  }
+
+  /** Forward as-of through the native operator: each purchase picks up
+    * the EARLIEST same-user click at-or-after its timestamp — the
+    * "next event" direction (DuckDB oracles it as ASOF with <=). */
+  def asofForwardNative(spark: SparkSession, dir: String): DataFrame = {
+    val (purchases, clicks) = asofSides(spark, dir)
+    graft.plans.AsofJoin(purchases, clicks,
+        by = ("user_id", "c_user"), ts = ("ts_us", "click_us"),
+        direction = graft.plans.AsofDirection.Forward)
+      .select(col("event_id"), col("user_id"), col("ts_us"),
+        col("click_us").as("next_click_us"), col("click_value"))
+      .orderBy("event_id")
+  }
+
+  /** Nearest as-of: the click closest in time on EITHER side of the
+    * purchase; equal distances resolve to the earlier (backward) click.
+    * Oracled as the composition of DuckDB's two ASOF directions. */
+  def asofNearestNative(spark: SparkSession, dir: String): DataFrame = {
+    val (purchases, clicks) = asofSides(spark, dir)
+    graft.plans.AsofJoin(purchases, clicks,
+        by = ("user_id", "c_user"), ts = ("ts_us", "click_us"),
+        direction = graft.plans.AsofDirection.Nearest)
+      .select(col("event_id"), col("user_id"), col("ts_us"),
+        col("click_us").as("near_click_us"), col("click_value"))
+      .orderBy("event_id")
+  }
+
+  /** Backward as-of with a tolerance bound: the latest prior click
+    * counts only within 1 hour of the purchase — matches beyond the
+    * bound come back as nulls (a backward match farther than the bound
+    * implies no in-bound prior click exists at all, which is what makes
+    * the post-filtered oracle twin exact). */
+  def asofToleranceNative(spark: SparkSession, dir: String): DataFrame = {
+    val (purchases, clicks) = asofSides(spark, dir)
+    graft.plans.AsofJoin(purchases, clicks,
+        by = ("user_id", "c_user"), ts = ("ts_us", "click_us"),
+        tolerance = Some(3600L * 1000 * 1000)) // 1 hour in µs
+      .select(col("event_id"), col("user_id"), col("ts_us"),
+        col("click_us").as("last_click_us"), col("click_value"))
+      .orderBy("event_id")
+  }
+
   /** Analytic window: per-user value delta between consecutive events. */
   def valueDelta(spark: SparkSession, dir: String): DataFrame = {
     val byUser = Window.partitionBy("user_id").orderBy(col("ts").asc, col("event_id").asc)

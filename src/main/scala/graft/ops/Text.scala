@@ -1166,4 +1166,52 @@ object Text {
         < round(col("quality") * 1000000).cast("long"))
       .select(col("doc_id"), col("quality"))
       .orderBy("doc_id")
+
+  /** End-to-end curation capstone: the per-document TRAINING-CUT
+    * manifest chaining every curation stage in one plan —
+    * C4/Gopher filters (`c4Filters`) AND dedup survivor selection
+    * (`dedupKeepBest` — docs in no duplicate class survive trivially)
+    * AND uniform-mix downsampling (`mixWeights`' ppm threshold) AND
+    * the deterministic 90/5/5 split (`splitAssign`'s bucket); `in_cut`
+    * is the conjunction with split = train. This is the LLM-pipeline
+    * story as ONE declarative plan instead of five reports.
+    *
+    * Scale shape: the manifest is map-only over documents except
+    * (a) the per-lang threshold — aggregate-sized, broadcast back,
+    * (b) the dedup decision — a LEFT join against the (duplicate-
+    * volume-sized) keep-best table, whose expensive upstream
+    * (pairs, label propagation) stays behind dupClasses' parquet
+    * barriers and is computed once, never replayed per stage. Every
+    * gate is a pure function of (doc_id, lang, text), so the manifest
+    * is append-stable: re-running over a grown corpus never flips an
+    * old doc's mix draw or split. */
+  def trainingCut(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.DetHash
+    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("lang"))
+    val c4 = c4Filters(spark, dir).select(col("doc_id"), col("keep").as("c4_keep"))
+    val dd = dedupKeepBest(spark, dir).select(col("doc_id"), col("keep").as("dd_keep"))
+    val counts = Tables.documents(spark, dir)
+      .groupBy("lang").agg(count(lit(1)).as("n_docs"))
+    val stats = counts.agg(sum("n_docs").as("total"), count(lit(1)).as("n_langs"))
+    val thr = counts.crossJoin(broadcast(stats))
+      .withColumn("thr_ppm",
+        least(lit(1000000L), expr("total * 1000000 div (n_langs * n_docs)")))
+      .select(col("lang"), col("thr_ppm"))
+    val bucket = DetHash.hex60(
+      concat(lit("split:"), col("doc_id").cast("string"))) % 100
+    docs
+      .join(c4, "doc_id")
+      .join(dd, Seq("doc_id"), "left")
+      .join(broadcast(thr), "lang")
+      .select(col("doc_id"), col("lang"), col("c4_keep"),
+        coalesce(col("dd_keep"), lit(true)).as("dedup_keep"),
+        (DetHash.hex60(concat(lit("mix:"), col("doc_id"))) % 1000000
+          < col("thr_ppm")).as("mix_keep"),
+        when(bucket < 90, "train").when(bucket < 95, "val")
+          .otherwise("test").as("split"))
+      .withColumn("in_cut",
+        col("c4_keep") && col("dedup_keep") && col("mix_keep") &&
+          col("split") === "train")
+      .orderBy("doc_id")
+  }
 }

@@ -9,10 +9,23 @@ import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Dist
 import org.apache.spark.sql.catalyst.util.TypeUtils
 import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
 
-/** Native backward as-of join — the whole-operator Catalyst extension
-  * (SURVEY §4.2 tier (c)): for each left row, attach the LAST right
-  * row of the same key whose timestamp is <= the left timestamp, or
-  * nulls (left-outer semantics).
+/** As-of join direction. `Backward` attaches the LAST right row at or
+  * before the left timestamp (the classic as-of), `Forward` the FIRST
+  * right row at or after it, `Nearest` whichever of the two is closer
+  * in time (ties resolve backward — the earlier row). */
+object AsofDirection {
+  val Backward = "backward"
+  val Forward = "forward"
+  val Nearest = "nearest"
+  val all: Set[String] = Set(Backward, Forward, Nearest)
+}
+
+/** Native as-of join — the whole-operator Catalyst extension
+  * (SURVEY §4.2 tier (c)): for each left row, attach one right row of
+  * the same key chosen by `direction` relative to the left timestamp,
+  * or nulls (left-outer semantics). `tolerance` (same units as the ts
+  * columns' internal representation — µs for timestamps) bounds the
+  * match distance: a candidate farther than the bound yields nulls.
   *
   * Spark has no as-of join; the composable workaround (union both
   * sides + IGNORE NULLS window, `ops/Events.scala:110`) works but
@@ -22,14 +35,21 @@ import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
   * (co-partitioned like a sort-merge join) and sorts by (key, ts);
   * the exec is then a single forward-only zipPartitions merge — no
   * buffering beyond ONE retained right row, no range-join explosion,
-  * streaming-friendly memory profile at any scale.
+  * streaming-friendly memory profile at any scale. All three
+  * directions keep that bound: `Nearest` retains the one
+  * backward candidate while peeking the (not-yet-consumed) forward
+  * cursor row.
   *
   * Tie semantics: equal right timestamps within a key are taken in
   * sort order, so callers wanting a deterministic payload pre-dedup
-  * the right side per (key, ts) — the declared query does. */
+  * the right side per (key, ts) — the declared queries do. */
 case class AsofJoinPlan(left: LogicalPlan, right: LogicalPlan,
     leftBy: Expression, rightBy: Expression,
-    leftTs: Expression, rightTs: Expression) extends BinaryNode {
+    leftTs: Expression, rightTs: Expression,
+    direction: String = AsofDirection.Backward,
+    tolerance: Option[Long] = None) extends BinaryNode {
+  require(AsofDirection.all(direction), s"asof: unknown direction '$direction'")
+  require(tolerance.forall(_ >= 0), "asof: tolerance must be >= 0")
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
   override protected def withNewChildrenInternal(
@@ -40,8 +60,8 @@ case class AsofJoinPlan(left: LogicalPlan, right: LogicalPlan,
 /** Planner rule: one physical candidate, children planned lazily. */
 object AsofJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsofJoinPlan(l, r, lb, rb, lt, rt) =>
-      AsofJoinExec(planLater(l), planLater(r), lb, rb, lt, rt) :: Nil
+    case AsofJoinPlan(l, r, lb, rb, lt, rt, dir, tol) =>
+      AsofJoinExec(planLater(l), planLater(r), lb, rb, lt, rt, dir, tol) :: Nil
     case _ => Nil
   }
 }
@@ -56,7 +76,8 @@ object AsofJoinStrategy extends SparkStrategy {
   * produce/consume loop; the per-row work is one comparison chain. */
 case class AsofJoinExec(left: SparkPlan, right: SparkPlan,
     leftBy: Expression, rightBy: Expression,
-    leftTs: Expression, rightTs: Expression) extends BinaryExecNode {
+    leftTs: Expression, rightTs: Expression,
+    direction: String, tolerance: Option[Long]) extends BinaryExecNode {
 
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
@@ -77,20 +98,29 @@ case class AsofJoinExec(left: SparkPlan, right: SparkPlan,
     val tsOrd = TypeUtils.getInterpretedOrdering(leftTs.dataType)
     val rightWidth = right.output.size
     val outAttrs = output
+    val dir = direction
+    val tol = tolerance
+    // distance math needs the numeric internal value (Long/Int-backed
+    // types only — validated at construction in AsofJoin.apply)
+    def tsLong(v: Any): Long = v.asInstanceOf[Number].longValue
+    // forward consumes strictly-before rows; backward/nearest also
+    // consume the at-timestamp row into the backward candidate
+    val consumeEq = dir != AsofDirection.Forward
     left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
       val nullRight = new GenericInternalRow(rightWidth)
       val joined = new JoinedRow
       val proj = UnsafeProjection.create(outAttrs, outAttrs)
       var rCur: InternalRow = if (rIter.hasNext) rIter.next() else null
-      var matchKey: Any = null
-      var lastMatch: InternalRow = null
+      var backKey: Any = null
+      var backTs: Any = null
+      var backRow: InternalRow = null
       lIter.map { lRow =>
         val lKey = lByB.eval(lRow)
         val lTs = lTsB.eval(lRow)
         if (lKey == null || lTs == null) proj(joined(lRow, nullRight))
         else {
-          // advance the right cursor past everything at-or-before
-          // (lKey, lTs); remember the newest same-key row seen
+          // advance the right cursor up to the left position; remember
+          // the newest same-key at-or-before row as the backward candidate
           var scan = rCur != null
           while (scan) {
             val rKey = rByB.eval(rCur)
@@ -99,16 +129,35 @@ case class AsofJoinExec(left: SparkPlan, right: SparkPlan,
               rCur = if (rIter.hasNext) rIter.next() else null
             } else {
               val kc = keyOrd.compare(rKey, lKey)
-              if (kc < 0 || (kc == 0 && tsOrd.compare(rTs, lTs) <= 0)) {
-                if (kc == 0) { lastMatch = rCur.copy(); matchKey = rKey }
+              val tc = if (kc == 0) tsOrd.compare(rTs, lTs) else 0
+              if (kc < 0 || (kc == 0 && (tc < 0 || (tc == 0 && consumeEq)))) {
+                if (kc == 0) { backRow = rCur.copy(); backKey = rKey; backTs = rTs }
                 rCur = if (rIter.hasNext) rIter.next() else null
               } else scan = false
             }
             if (rCur == null) scan = false
           }
-          val m =
-            if (lastMatch != null && keyOrd.compare(matchKey, lKey) == 0) lastMatch
-            else nullRight
+          // candidate validity (key match + tolerance bound)
+          val backOk = backRow != null && keyOrd.compare(backKey, lKey) == 0 &&
+            tol.forall(t => tsLong(lTs) - tsLong(backTs) <= t)
+          // the forward candidate is the UNCONSUMED cursor row (first
+          // same-key row after — or at, for direction=forward — lTs)
+          lazy val fKey = if (rCur == null) null else rByB.eval(rCur)
+          lazy val fTs = if (rCur == null) null else rTsB.eval(rCur)
+          val fwdOk = dir != AsofDirection.Backward && rCur != null &&
+            fKey != null && fTs != null && keyOrd.compare(fKey, lKey) == 0 &&
+            tol.forall(t => tsLong(fTs) - tsLong(lTs) <= t)
+          val m = dir match {
+            case AsofDirection.Backward => if (backOk) backRow else nullRight
+            case AsofDirection.Forward => if (fwdOk) rCur else nullRight
+            case _ => // nearest: closer wins; tie -> backward (earlier)
+              if (backOk && fwdOk) {
+                if (tsLong(lTs) - tsLong(backTs) <= tsLong(fTs) - tsLong(lTs)) backRow
+                else rCur
+              } else if (backOk) backRow
+              else if (fwdOk) rCur
+              else nullRight
+          }
           proj(joined(lRow, m))
         }
       }
@@ -126,7 +175,9 @@ case class AsofJoinExec(left: SparkPlan, right: SparkPlan,
   * use (extensions-built sessions already carry it). */
 object AsofJoin {
   def apply(left: DataFrame, right: DataFrame,
-            by: (String, String), ts: (String, String)): DataFrame = {
+            by: (String, String), ts: (String, String),
+            direction: String = AsofDirection.Backward,
+            tolerance: Option[Long] = None): DataFrame = {
     val spark = left.sparkSession
     org.apache.spark.sql.graft.Bridge.ensureStrategy(spark, AsofJoinStrategy)
     def attr(plan: LogicalPlan, name: String, side: String): Attribute =
@@ -134,9 +185,18 @@ object AsofJoin {
         throw new IllegalArgumentException(s"asof: no column '$name' on $side side"))
     val lp = left.queryExecution.analyzed
     val rp = right.queryExecution.analyzed
+    val lt = attr(lp, ts._1, "left")
+    if (direction == AsofDirection.Nearest || tolerance.nonEmpty) {
+      // distance arithmetic requires a Long/Int-backed internal type
+      import org.apache.spark.sql.types._
+      val ok = Set[DataType](LongType, IntegerType, ShortType, ByteType,
+        TimestampType, TimestampNTZType, DateType)
+      require(ok(lt.dataType),
+        s"asof: direction=$direction/tolerance needs an integral or timestamp ts column, got ${lt.dataType}")
+    }
     org.apache.spark.sql.graft.Bridge.ofRows(spark,
       AsofJoinPlan(lp, rp,
         attr(lp, by._1, "left"), attr(rp, by._2, "right"),
-        attr(lp, ts._1, "left"), attr(rp, ts._2, "right")))
+        lt, attr(rp, ts._2, "right"), direction, tolerance))
   }
 }

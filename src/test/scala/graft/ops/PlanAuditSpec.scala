@@ -276,6 +276,19 @@ class PlanAuditSpec extends AnyFunSuite with SparkFixture {
       s"bloom prefilter must be below the join, on the fact scan side:\n$p")
   }
 
+  test("training_cut: composition stays barriered — dedup stage reads its parquet barrier, no cartesian") {
+    val p = planOf(Text.trainingCut(spark, sf))
+    // the dup-classes upstream (shingles -> minhash -> label propagation)
+    // must come in through dupClasses' scratch-parquet barrier, not be
+    // replayed inline in the manifest plan
+    assert(p.contains("graft_scratch_"),
+      s"dedup stage must read the materialization barrier:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"only the 1-row stats broadcast may be non-equi:\n$p")
+    // the per-lang threshold joins back broadcast onto the doc stream
+    assert(p.contains("BroadcastHashJoin"), s"thr must broadcast:\n$p")
+  }
+
   test("corr_subquery + lateral_topk decorrelate — no per-row nested-loop re-execution") {
     val ps = planOf(Relational.corrSubquery(spark, sf))
     assert(!ps.contains("CartesianProduct") && !ps.contains("BroadcastNestedLoopJoin"),

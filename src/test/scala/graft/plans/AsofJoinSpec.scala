@@ -84,4 +84,68 @@ class AsofJoinSpec extends AnyFunSuite with SparkFixture {
         (3L, 5L, None)))       // no key-3 rows at all
     } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
   }
+
+  test("forward / nearest / tolerance directions at high shuffle parallelism") {
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "64")
+    try {
+      import spark.implicits._
+      import graft.plans.AsofDirection._
+      val left = Seq((1L, 10L), (1L, 20L), (2L, 15L), (3L, 5L)).toDF("k", "ts")
+      val right = Seq((1L, 9L, "a"), (1L, 15L, "b"), (2L, 16L, "c"), (9L, 1L, "z"))
+        .toDF("rk", "rts", "v")
+      def run(dir: String, tol: Option[Long] = None) =
+        AsofJoin(left, right, by = ("k", "rk"), ts = ("ts", "rts"),
+            direction = dir, tolerance = tol)
+          .select(col("k"), col("ts"), col("v")).collect()
+          .map(r => (r.getLong(0), r.getLong(1), Option(r.getString(2)))).toSet
+
+      assert(run(Forward) == Set(
+        (1L, 10L, Some("b")),  // first at-or-after 10 is 15
+        (1L, 20L, None),       // nothing after 20 for key 1
+        (2L, 15L, Some("c")),  // 16 >= 15
+        (3L, 5L, None)))
+      assert(run(Nearest) == Set(
+        (1L, 10L, Some("a")),  // |10-9|=1 beats |15-10|=5
+        (1L, 20L, Some("b")),  // only a backward candidate
+        (2L, 15L, Some("c")),  // only a forward candidate
+        (3L, 5L, None)))
+      // backward bounded at 2: the 15<=20 match (distance 5) nulls out
+      assert(run(Backward, tol = Some(2L)) == Set(
+        (1L, 10L, Some("a")),  // distance 1 <= 2
+        (1L, 20L, None),       // distance 5 > 2
+        (2L, 15L, None),
+        (3L, 5L, None)))
+      // forward bounded at 1: 16 is within 1 of 15; 15 is 5 from 10
+      assert(run(Forward, tol = Some(1L)) == Set(
+        (1L, 10L, None),
+        (1L, 20L, None),
+        (2L, 15L, Some("c")),
+        (3L, 5L, None)))
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
+  test("nearest resolves equal distances backward and honors per-direction tie order") {
+    import spark.implicits._
+    import graft.plans.AsofDirection._
+    val left = Seq((1L, 10L)).toDF("k", "ts")
+    // candidates exactly 3 away on each side; plus an at-ts row for a
+    // second scenario
+    val right = Seq((1L, 7L, "early"), (1L, 13L, "late")).toDF("rk", "rts", "v")
+    val near = AsofJoin(left, right, by = ("k", "rk"), ts = ("ts", "rts"),
+        direction = Nearest)
+      .select(col("v")).collect().map(_.getString(0)).toSeq
+    assert(near == Seq("early"), "equal distance must resolve backward (earlier row)")
+    // an exact-timestamp row is distance 0 and wins outright
+    val right2 = Seq((1L, 10L, "at"), (1L, 11L, "after")).toDF("rk", "rts", "v")
+    val near2 = AsofJoin(left, right2, by = ("k", "rk"), ts = ("ts", "rts"),
+        direction = Nearest)
+      .select(col("v")).collect().map(_.getString(0)).toSeq
+    assert(near2 == Seq("at"))
+    // forward includes the at-timestamp row too
+    val fwd = AsofJoin(left, right2, by = ("k", "rk"), ts = ("ts", "rts"),
+        direction = Forward)
+      .select(col("v")).collect().map(_.getString(0)).toSeq
+    assert(fwd == Seq("at"))
+  }
 }
