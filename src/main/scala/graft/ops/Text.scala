@@ -978,14 +978,34 @@ object Text {
     * representatives); for finer blocking add a prefix token to the
     * key. */
   def fuzzyNearDups(spark: SparkSession, dir: String, maxDist: Int = 20): DataFrame = {
-    val d = Tables.documents(spark, dir).select(col("doc_id"), col("lang"),
+    // Exact-dedup composed (round 7, same shape minhash uses): the
+    // banded levenshtein runs over class REPRESENTATIVES only —
+    // verbatim copies are distance 0 and share a rep, their prefixes
+    // (and blocking keys: same text ⇒ same lang/n_chars) are identical,
+    // so rep-level distances transfer member-for-member and the
+    // expansion reproduces the direct form's output exactly. Probe:
+    // 8x-verbatim corpus 50.3 s direct -> rep-composed runs the DP over
+    // 5k distinct contents instead of 40k copies.
+    val docs = Tables.documents(spark, dir)
+    // Class fingerprint includes the BLOCKING KEY (lang, length bucket),
+    // not just text: the corpus contains identical texts with divergent
+    // lang/n_chars metadata, and the declared (blocked) semantics keep
+    // those in separate blocks — a text-only class map would merge them
+    // and emit pairs the direct form never sees.
+    val fps = docs.select(col("doc_id"),
+      md5(concat_ws("\u0001", col("lang"), expr("n_chars div 10"), col("text"))).as("fp"))
+    val reps = fps.groupBy("fp").agg(min(col("doc_id")).as("rep"))
+    val classMap = fps.join(reps, "fp").select(col("doc_id"), col("rep"))
+    val d = repDocsOf(docs, classMap).select(col("doc_id"), col("lang"),
       expr("n_chars div 10").as("b"), substring(col("text"), 1, 80).as("p"))
-    val a = d.select(col("doc_id").as("doc_a"), col("lang"), col("b"), col("p").as("pa"))
-    val c = d.select(col("doc_id").as("doc_b"), col("lang"), col("b"), col("p").as("pb"))
-    a.join(c, Seq("lang", "b")).filter(col("doc_a") < col("doc_b"))
+    val a = d.select(col("doc_id").as("d1"), col("lang"), col("b"), col("p").as("pa"))
+    val c = d.select(col("doc_id").as("d2"), col("lang"), col("b"), col("p").as("pb"))
+    val repPairs = a.join(c, Seq("lang", "b")).filter(col("d1") < col("d2"))
       .withColumn("dist", levenshtein(col("pa"), col("pb"), maxDist))
       .filter(col("dist") >= 0) // threshold form yields -1 above maxDist
-      .select(col("doc_a"), col("doc_b"), col("dist"))
+      .select(col("d1"), col("d2"), col("dist"))
+    expandRepPairs(repPairs, classMap, Seq("dist"), Seq(lit(0)))
+      .select(col("d1").as("doc_a"), col("d2").as("doc_b"), col("dist"))
       .orderBy("doc_a", "doc_b")
   }
 
