@@ -55,6 +55,17 @@ final class FakeCopyManager {
   }
 }
 
+/** Canned pg_catalog rows served by the fake connection's
+  * prepareStatement(Indexes.pgIndexSql) path — keyed by the
+  * (schema, table) bind parameters, shaped exactly like the live
+  * query's result set. */
+object FakePgCatalog {
+  // (index_name, position, column_expr, is_unique, is_primary, where_pred)
+  type Row = (String, Int, String, Boolean, Boolean, Option[String])
+  @volatile var rows: Map[(String, String), Seq[Row]] = Map.empty
+  def reset(): Unit = rows = Map.empty
+}
+
 final class FakePgDriver extends java.sql.Driver {
   override def acceptsURL(url: String): Boolean = url.startsWith("jdbc:fakepg:")
 
@@ -66,6 +77,10 @@ final class FakePgDriver extends java.sql.Driver {
       override def invoke(proxy: Object, m: Method, args: Array[Object]): Object =
         m.getName match {
           case "getCopyAPI" => new FakeCopyManager
+          case "prepareStatement"
+              if args != null && args.length == 1 &&
+                args(0) == graft.core.Indexes.pgIndexSql =>
+            FakePgDriver.preparedCatalogStatement()
           case "close" =>
             if (!isClosed) { isClosed = true; FakePgCopyServer.connectionClosed() }
             null
@@ -95,4 +110,64 @@ final class FakePgDriver extends java.sql.Driver {
     Array.empty[java.sql.DriverPropertyInfo]
   override def getParentLogger: java.util.logging.Logger =
     throw new java.sql.SQLFeatureNotSupportedException()
+}
+
+object FakePgDriver {
+  /** PreparedStatement double for the pg_catalog index query: binds
+    * (schema, table) positionally, executeQuery serves the matching
+    * `FakePgCatalog.rows` through a label-addressed ResultSet — the
+    * exact JDBC surface `Indexes.fromPgCatalog` drives. */
+  private[sources] def preparedCatalogStatement(): Object = {
+    val params = new java.util.concurrent.ConcurrentHashMap[Int, String]()
+    val handler = new InvocationHandler {
+      override def invoke(proxy: Object, m: Method, args: Array[Object]): Object =
+        m.getName match {
+          case "setString" =>
+            params.put(args(0).asInstanceOf[Integer].intValue(), args(1).asInstanceOf[String])
+            null
+          case "executeQuery" =>
+            val key = (params.get(1), params.get(2))
+            catalogResultSet(FakePgCatalog.rows.getOrElse(key, Seq.empty))
+          case "close" => null
+          case "toString" => "FakePgPreparedStatement"
+          case other =>
+            throw new UnsupportedOperationException(
+              s"FakePgPreparedStatement does not fake $other")
+        }
+    }
+    Proxy.newProxyInstance(getClass.getClassLoader,
+      Array[Class[_]](classOf[java.sql.PreparedStatement]), handler)
+  }
+
+  private def catalogResultSet(rows: Seq[FakePgCatalog.Row]): java.sql.ResultSet = {
+    var i = -1
+    val handler = new InvocationHandler {
+      private def cur = rows(i)
+      override def invoke(proxy: Object, m: Method, args: Array[Object]): Object =
+        m.getName match {
+          case "next" =>
+            i += 1
+            java.lang.Boolean.valueOf(i < rows.size)
+          case "getString" => args(0).asInstanceOf[String] match {
+            case "index_name" => cur._1
+            case "column_expr" => cur._3
+            case "where_pred" => cur._6.orNull
+            case other => throw new IllegalArgumentException(s"no column $other")
+          }
+          case "getInt" if args(0) == "position" => Integer.valueOf(cur._2)
+          case "getBoolean" => args(0).asInstanceOf[String] match {
+            case "is_unique" => java.lang.Boolean.valueOf(cur._4)
+            case "is_primary" => java.lang.Boolean.valueOf(cur._5)
+            case other => throw new IllegalArgumentException(s"no bool column $other")
+          }
+          case "close" => null
+          case "toString" => "FakePgResultSet"
+          case other =>
+            throw new UnsupportedOperationException(s"FakePgResultSet does not fake $other")
+        }
+    }
+    Proxy.newProxyInstance(getClass.getClassLoader,
+      Array[Class[_]](classOf[java.sql.ResultSet]), handler)
+      .asInstanceOf[java.sql.ResultSet]
+  }
 }
