@@ -284,6 +284,8 @@ object SparkEntry {
     "dedup_exact"      -> (Text.dedupExact _),
     "dedup_incremental" -> (Text.dedupIncremental _),
     "fingerprint"      -> (Text.fingerprint _),
+    "winnow_fp"        -> (Text.winnowFingerprint _),
+    "winnow_pairs"     -> ((s, d) => Text.winnowPairs(s, d)),
     "jaccard_pairs"    -> ((s, d) => Text.jaccardPairs(s, d)),
     "minhash_candidates" -> ((s, d) => Text.minhashCandidates(s, d)),
     "minhash_bucket_stats" -> ((s, d) => Text.minhashBucketStats(s, d)),
@@ -389,6 +391,27 @@ object SparkEntry {
        |    UNION SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
        |  classes AS (SELECT src AS doc_id, least(src, min(dst)) AS class_id
        |    FROM reach GROUP BY src)""".stripMargin
+
+  /** Winnowing fingerprint CTE chain (shared by winnow_fp and
+    * winnow_pairs): tokens with position -> k=4 grams via window leads
+    * -> DetHash -> w=4 window-min; `wn` carries (doc_id, n_kgrams, rn,
+    * wmin) with full windows selected by `rn <= n_kgrams - 3`. */
+  private def winnowCtes: String =
+    s"""tok AS (SELECT doc_id, g.i AS pos, t[g.i] AS tok
+       |    FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents) d,
+       |    LATERAL (SELECT unnest(generate_series(1, len(t))) AS i) g),
+       |  ld AS (SELECT doc_id, pos, tok,
+       |      lead(tok, 1) OVER w AS l1, lead(tok, 2) OVER w AS l2,
+       |      lead(tok, 3) OVER w AS l3
+       |    FROM tok WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+       |  gr AS (SELECT doc_id, pos,
+       |      ${hex60("tok || ' ' || l1 || ' ' || l2 || ' ' || l3")} AS h
+       |    FROM ld WHERE l3 IS NOT NULL),
+       |  wn AS (SELECT doc_id,
+       |      count(*) OVER (PARTITION BY doc_id) AS n_kgrams,
+       |      row_number() OVER w AS rn,
+       |      min(h) OVER (w ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wmin
+       |    FROM gr WINDOW w AS (PARTITION BY doc_id ORDER BY pos))""".stripMargin
 
   /** C4/Gopher filter report (shared by c4_filters and training_cut);
     * keep is computed from the ROUNDED aliased columns. */
@@ -1594,6 +1617,23 @@ object SparkEntry {
          |FROM shared s JOIN sizes z USING (doc_id)
          |WHERE n_shared >= 5
          |ORDER BY doc_id""".stripMargin,
+    "winnow_fp" -> // winnowing (rolling k=4-gram, w=4 window-min) fingerprints
+      s"""WITH $winnowCtes
+         |SELECT doc_id, CAST(max(n_kgrams) AS BIGINT) AS n_kgrams,
+         |  CAST(count(DISTINCT wmin) AS BIGINT) AS n_fps,
+         |  min(wmin) AS min_fp, max(wmin) AS max_fp
+         |FROM wn WHERE rn <= n_kgrams - 3
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "winnow_pairs" -> // copy detection: pairs sharing >= 2 winnowed fps (df-capped)
+      s"""WITH $winnowCtes,
+         |  fp AS (SELECT DISTINCT doc_id, wmin FROM wn WHERE rn <= n_kgrams - 3),
+         |  df AS (SELECT wmin, count(*) AS nd FROM fp GROUP BY 1),
+         |  keep AS (SELECT fp.doc_id, fp.wmin FROM fp JOIN df USING (wmin)
+         |    WHERE nd <= 100)
+         |SELECT a.doc_id AS d1, b.doc_id AS d2, CAST(count(*) AS BIGINT) AS n_shared
+         |FROM keep a JOIN keep b ON a.wmin = b.wmin AND a.doc_id < b.doc_id
+         |GROUP BY 1, 2 HAVING count(*) >= 2
+         |ORDER BY d1, d2""".stripMargin,
     "stratified_sample" -> // per-language top-50 by md5: reproducible mix cut
       """WITH r AS (SELECT lang, doc_id,
         |    row_number() OVER (PARTITION BY lang ORDER BY md5(text) ASC, doc_id ASC) AS rn

@@ -171,6 +171,67 @@ object Text {
     cross.unionByName(within)
   }
 
+  /** Winnowed (doc_id, fingerprint) set shared by winnowFingerprint /
+    * winnowPairs: rolling k-gram hashes (k=4 word-grams via window
+    * leads — NO token-array reference inside a HOF lambda, the
+    * CollapseProject trap) winnowed to the min hash of each w=4 gram
+    * window — the MOSS/winnowing scheme (Schleimer et al. 2003): any
+    * shared run of >= k+w-1 tokens is guaranteed to share a selected
+    * fingerprint, while only ~2/(w+1) of gram hashes are retained.
+    * One posexplode + per-doc window pass: the sort is per-doc-sized,
+    * the shuffle key is doc_id — scales like sessionization. */
+  private def winnowedGrams(spark: SparkSession, dir: String): DataFrame = {
+    val k = 4
+    val w = 4
+    val byDoc = Window.partitionBy("doc_id").orderBy("pos")
+    tokenized(spark, dir)
+      .select(col("doc_id"), posexplode(col("t")).as(Seq("pos", "tok")))
+      .withColumn("l1", lead(col("tok"), 1).over(byDoc))
+      .withColumn("l2", lead(col("tok"), 2).over(byDoc))
+      .withColumn("l3", lead(col("tok"), 3).over(byDoc))
+      .filter(col("l3").isNotNull) // full k-grams only
+      .withColumn("h", graft.functions.DetHash.hex60(
+        concat_ws(" ", col("tok"), col("l1"), col("l2"), col("l3"))))
+      .withColumn("n_kgrams", count(lit(1)).over(Window.partitionBy("doc_id")))
+      .withColumn("rn", row_number().over(byDoc))
+      .withColumn("wmin", min(col("h")).over(byDoc.rowsBetween(0, w - 1)))
+      .filter(col("rn") <= col("n_kgrams") - (w - 1)) // full windows only
+  }
+
+  /** Rolling-hash document fingerprint summary (winnowing): per doc,
+    * the k-gram count and the distinct selected-fingerprint set's
+    * size/bounds. The hash is DetHash (SQL-replayable), so the whole
+    * scheme — including window-min selection — is oracle-exact. */
+  def winnowFingerprint(spark: SparkSession, dir: String): DataFrame =
+    winnowedGrams(spark, dir)
+      .groupBy("doc_id")
+      .agg(max(col("n_kgrams")).cast("bigint").as("n_kgrams"),
+        countDistinct(col("wmin")).as("n_fps"),
+        min(col("wmin")).as("min_fp"),
+        max(col("wmin")).as("max_fp"))
+      .orderBy("doc_id")
+
+  /** Copy detection over winnowed fingerprints: doc pairs sharing >= 2
+    * selected fingerprints, via the inverted-index equi-join (pairs
+    * meet only on shared fingerprints, never |docs|^2). Fingerprints
+    * held by > 100 docs are dropped first — boilerplate k-grams would
+    * otherwise quadratically explode the join the way hot shingles do
+    * in jaccardPairs; the cap is the winnowing analogue of minhash's
+    * bucket cap (a fingerprint that common identifies nothing). */
+  def winnowPairs(spark: SparkSession, dir: String,
+      minShared: Int = 2, maxDf: Int = 100): DataFrame = {
+    val fp = winnowedGrams(spark, dir).select("doc_id", "wmin").distinct()
+    val keep = fp.join(
+      fp.groupBy("wmin").agg(count(lit(1)).as("nd")).filter(col("nd") <= maxDf),
+      "wmin")
+    keep.select(col("doc_id").as("d1"), col("wmin"))
+      .join(keep.select(col("doc_id").as("d2"), col("wmin")), "wmin")
+      .filter(col("d1") < col("d2"))
+      .groupBy("d1", "d2").agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+      .orderBy("d1", "d2")
+  }
+
   /** Content fingerprint report: md5 + length stats per doc. */
   def fingerprint(spark: SparkSession, dir: String): DataFrame =
     tokenized(spark, dir)

@@ -276,6 +276,13 @@ class PlanAuditSpec extends AnyFunSuite with SparkFixture {
       s"bloom prefilter must be below the join, on the fact scan side:\n$p")
   }
 
+  test("winnow_fp: leads, counts, window-min and the distinct agg reuse ONE doc_id exchange") {
+    val p = planOf(Text.winnowFingerprint(spark, sf))
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(exchanges == 1,
+      s"expected 1 hash exchange (everything partitions on doc_id), got $exchanges:\n$p")
+  }
+
   test("training_cut: composition stays barriered — dedup stage reads its parquet barrier, no cartesian") {
     val p = planOf(Text.trainingCut(spark, sf))
     // the dup-classes upstream (shingles -> minhash -> label propagation)
