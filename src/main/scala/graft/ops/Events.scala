@@ -132,12 +132,7 @@ object Events {
     * side pre-dedups per (user, ts) so the attached payload is
     * deterministic under timestamp ties. */
   def asofNative(spark: SparkSession, dir: String): DataFrame = {
-    val ev = Tables.events(spark, dir)
-    val purchases = ev.filter(col("event_type") === "purchase")
-      .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("ts_us"))
-    val clicks = ev.filter(col("event_type") === "click")
-      .groupBy(col("user_id").as("c_user"), unix_micros(col("ts")).as("click_us"))
-      .agg(max(col("value").cast("decimal(18,2)")).cast("double").as("click_value"))
+    val (purchases, clicks) = asofSides(spark, dir)
     graft.plans.AsofJoin(purchases, clicks,
         by = ("user_id", "c_user"), ts = ("ts_us", "click_us"))
       .select(col("event_id"), col("user_id"), col("ts_us"),
@@ -152,8 +147,16 @@ object Events {
     val ev = Tables.events(spark, dir)
     val purchases = ev.filter(col("event_type") === "purchase")
       .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("ts_us"))
+    // Pre-partition the click side on the JOIN key alone: the dedup
+    // groupBy's (c_user, click_us) clustering requirement is satisfied
+    // by hashpartitioning(c_user) (subset rule), and so is the as-of
+    // exec's ClusteredDistribution(c_user) — one exchange serves both
+    // instead of groupBy-hash(c_user, click_us) + re-shuffle(c_user).
     val clicks = ev.filter(col("event_type") === "click")
-      .groupBy(col("user_id").as("c_user"), unix_micros(col("ts")).as("click_us"))
+      .select(col("user_id").as("c_user"), unix_micros(col("ts")).as("click_us"),
+        col("value"))
+      .repartition(col("c_user"))
+      .groupBy("c_user", "click_us")
       .agg(max(col("value").cast("decimal(18,2)")).cast("double").as("click_value"))
     (purchases, clicks)
   }

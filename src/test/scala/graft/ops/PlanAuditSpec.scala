@@ -276,6 +276,17 @@ class PlanAuditSpec extends AnyFunSuite with SparkFixture {
       s"bloom prefilter must be below the join, on the fact scan side:\n$p")
   }
 
+  test("asof_nearest: one exchange per side — the click dedup reuses the join-key partitioning") {
+    val p = planOf(graft.ops.Events.asofNearestNative(spark, sf))
+    assert(p.contains("AsofJoin"), s"expected the native exec:\n$p")
+    // sides co-partition like SMJ: purchases hash once on user_id; the
+    // click-side groupBy(c_user, click_us) rides the SAME c_user
+    // exchange the as-of needs (subset-satisfaction), so no re-shuffle
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(exchanges == 2,
+      s"expected exactly 2 hash exchanges (one per side), got $exchanges:\n$p")
+  }
+
   test("winnow_fp: leads, counts, window-min and the distinct agg reuse ONE doc_id exchange") {
     val p = planOf(Text.winnowFingerprint(spark, sf))
     val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
