@@ -248,6 +248,9 @@ object SparkEntry {
     "q19_disjunctive"  -> (Relational.q19Disjunctive _),
     "q21_waiting"      -> (Relational.q21Waiting _),
     "q22_cold_call"    -> (Relational.q22ColdCall _),
+    "q6_forecast"      -> (Relational.q6Forecast _),
+    "q13_custdist"     -> (Relational.q13CustDist _),
+    "q20_excess"       -> (Relational.q20Excess _),
     "profile_table"    -> ((s, d) => Relational.profileTable(s, d)),
     "ev_interpolate"   -> (Events.interpolate _),
     "asof_native"      -> (Events.asofNative _),
@@ -1129,6 +1132,39 @@ object SparkEntry {
         |                  WHERE o_custkey = c_custkey
         |                    AND o_orderpriority = '1-URGENT')
         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    "q6_forecast" -> // TPC-H Q6: the pushdown microbenchmark, one-row agg
+      """SELECT CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+        |    * CAST(l_discount AS DECIMAL(18,2))), 2) AS DOUBLE) AS revenue,
+        |  count(*) AS n_lines
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |  AND l_shipdate <  TIMESTAMP '1997-01-01'
+        |  AND l_discount BETWEEN 0.05 AND 0.07
+        |  AND l_quantity < 24""".stripMargin,
+    "q13_custdist" -> // TPC-H Q13: outer-join count histogram (agg of agg)
+      """WITH pc AS (SELECT c_custkey, count(o_custkey) AS c_count
+        |  FROM customer LEFT OUTER JOIN
+        |    (SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT') o
+        |    ON c_custkey = o_custkey
+        |  GROUP BY c_custkey)
+        |SELECT c_count, count(*) AS custdist
+        |FROM pc GROUP BY c_count
+        |ORDER BY custdist DESC, c_count DESC""".stripMargin,
+    "q20_excess" -> // TPC-H Q20 shape: nested semi chain, exact threshold
+      """WITH ps AS (SELECT l_partkey, l_suppkey,
+        |    sum(CAST(l_quantity AS DECIMAL(18,2))) AS sq
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  WHERE p_type = 'ECONOMY'
+        |    AND l_shipdate >= TIMESTAMP '1997-01-01'
+        |    AND l_shipdate <  TIMESTAMP '1998-01-01'
+        |  GROUP BY 1, 2),
+        |  pp AS (SELECT l_partkey, sum(sq) AS total, count(*) AS n
+        |    FROM ps GROUP BY 1)
+        |SELECT s_suppkey, s_name FROM supplier
+        |WHERE s_suppkey IN (SELECT DISTINCT ps.l_suppkey
+        |  FROM ps JOIN pp ON ps.l_partkey = pp.l_partkey
+        |  WHERE ps.sq * 2 * pp.n > pp.total)
+        |ORDER BY s_suppkey""".stripMargin,
     "profile_table" -> // schema-driven per-column profiler over orders
       Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
           "o_orderdate", "o_orderpriority")

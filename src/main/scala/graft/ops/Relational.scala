@@ -1333,4 +1333,70 @@ object Relational {
            round(sum(money("c_acctbal")), 2).cast("double").as("totacctbal"))
       .orderBy("c_mktsegment")
   }
+
+  /** TPC-H Q6 shape (forecast revenue): THE pushdown microbenchmark —
+    * a single-row aggregate whose three conjuncts (date window,
+    * discount band, quantity bound) must ALL reach the parquet scan as
+    * PushedFilters; no join, no shuffle beyond the 1-row final agg.
+    * The plan IS the benchmark: scan → filter → partial agg → exchange
+    * of one row → final agg. */
+  def q6Forecast(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp_ntz") &&
+              col("l_shipdate") <  lit("1997-01-01").cast("timestamp_ntz") &&
+              col("l_discount").between(0.05, 0.07) &&
+              col("l_quantity") < 24)
+      .agg(round(sum(money("l_extendedprice") * money("l_discount")), 2)
+             .cast("double").as("revenue"),
+           count(lit(1)).as("n_lines"))
+
+  /** TPC-H Q13 shape (customer distribution): the LEFT-OUTER join +
+    * TWO-LEVEL aggregation histogram — count orders per customer
+    * (customers with none keep a 0 via the outer join), then count
+    * customers per order-count. The first agg shuffles on c_custkey,
+    * the histogram agg is histogram-cardinality — the canonical
+    * "aggregate of an aggregate" plan. */
+  def q13CustDist(spark: SparkSession, dir: String): DataFrame = {
+    val urgent = Tables.orders(spark, dir)
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_custkey"))
+    Tables.customer(spark, dir).select(col("c_custkey"))
+      .join(urgent, col("c_custkey") === col("o_custkey"), "left_outer")
+      .groupBy("c_custkey")
+      .agg(count(col("o_custkey")).as("c_count")) // count skips outer nulls
+      .groupBy("c_count")
+      .agg(count(lit(1)).as("custdist"))
+      .orderBy(col("custdist").desc, col("c_count").desc)
+  }
+
+  /** TPC-H Q20 shape (excess suppliers): the NESTED SEMI-JOIN chain —
+    * suppliers qualify through a derived fact aggregate (per
+    * (supplier, part) shipped quantity in 1997 exceeding half the
+    * part's average over all suppliers), restricted to ECONOMY parts.
+    * Both derived tables are fact aggregates that join back broadcast;
+    * the supplier dim attaches last via left-semi, so the full
+    * supplier list is never scanned into the join. */
+  def q20Excess(spark: SparkSession, dir: String): DataFrame = {
+    val econ = Tables.part(spark, dir).filter(col("p_type") === "ECONOMY")
+      .select(col("p_partkey"))
+    val li97 = Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp_ntz") &&
+              col("l_shipdate") <  lit("1998-01-01").cast("timestamp_ntz"))
+      .join(broadcast(econ), col("l_partkey") === col("p_partkey"))
+    val perSupp = li97.groupBy("l_partkey", "l_suppkey")
+      .agg(sum(money("l_quantity")).as("sq"))
+    // threshold sq > 0.5 * (total / n) rewritten as 2*sq*n > total:
+    // pure decimal/integer arithmetic, so the boundary is engine-exact
+    // (a double avg would round differently in Spark vs the oracle)
+    val perPart = perSupp.groupBy(col("l_partkey").as("hp"))
+      .agg(sum(col("sq")).as("total"), count(lit(1)).as("n"))
+    val qualified = perSupp
+      .join(broadcast(perPart), col("l_partkey") === col("hp"))
+      .filter(col("sq") * 2 * col("n") > col("total"))
+      .select(col("l_suppkey")).distinct()
+    Tables.supplier(spark, dir)
+      .join(qualified, col("s_suppkey") === col("l_suppkey"), "left_semi")
+      .select(col("s_suppkey"), col("s_name"))
+      .orderBy("s_suppkey")
+  }
 }

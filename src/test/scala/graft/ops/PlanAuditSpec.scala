@@ -276,6 +276,34 @@ class PlanAuditSpec extends AnyFunSuite with SparkFixture {
       s"bloom prefilter must be below the join, on the fact scan side:\n$p")
   }
 
+  test("q6_forecast: all three conjuncts reach the scan — no join, no wide shuffle") {
+    val p = planOf(Relational.q6Forecast(spark, sf))
+    for (c <- Seq("l_shipdate", "l_discount", "l_quantity"))
+      assert(s"PushedFilters: \\[[^\\]]*$c".r.findFirstIn(p).isDefined,
+        s"$c bound not pushed to the lineitem scan:\n$p")
+    assert(!p.contains("Join"), s"Q6 must be join-free:\n$p")
+    assert(p.contains("Exchange SinglePartition"),
+      s"only the 1-row final-agg exchange expected:\n$p")
+  }
+
+  test("q13_custdist: urgent filter pushes to orders; outer join stays equi") {
+    val p = planOf(Relational.q13CustDist(spark, sf))
+    assert("PushedFilters: \\[[^\\]]*o_orderpriority".r.findFirstIn(p).isDefined,
+      s"priority filter not pushed:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("LeftOuter"), s"expected the left-outer count join:\n$p")
+  }
+
+  test("q20_excess: derived aggregates broadcast back; supplier attaches left-semi") {
+    val p = planOf(Relational.q20Excess(spark, sf))
+    assert(p.contains("BroadcastHashJoin"),
+      s"econ part ids + per-part totals must broadcast:\n$p")
+    assert(p.contains("LeftSemi"), s"supplier must attach via left-semi:\n$p")
+    assert("PushedFilters: \\[[^\\]]*l_shipdate".r.findFirstIn(p).isDefined,
+      s"1997 window not pushed to the lineitem scan:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("asof_nearest: one exchange per side — the click dedup reuses the join-key partitioning") {
     val p = planOf(graft.ops.Events.asofNearestNative(spark, sf))
     assert(p.contains("AsofJoin"), s"expected the native exec:\n$p")
