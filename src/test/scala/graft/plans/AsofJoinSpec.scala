@@ -125,6 +125,54 @@ class AsofJoinSpec extends AnyFunSuite with SparkFixture {
     } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
   }
 
+  test("null keys/timestamps: left nulls get null matches, right nulls are skipped, all directions") {
+    import spark.implicits._
+    import graft.plans.AsofDirection._
+    val left = Seq(
+      (Option(1L), Option(10L), "a"),
+      (Option.empty[Long], Option(10L), "nullkey"),
+      (Option(1L), Option.empty[Long], "nullts")
+    ).toDF("k", "ts", "tag")
+    // right side interleaves null-key and null-ts rows around the match
+    val right = Seq(
+      (Option(1L), Option(9L), "m"),
+      (Option.empty[Long], Option(8L), "nk"),
+      (Option(1L), Option.empty[Long], "nt"),
+      (Option(1L), Option(11L), "f")
+    ).toDF("rk", "rts", "v")
+    for (dir <- Seq(Backward, Forward, Nearest)) {
+      val out = AsofJoin(left, right, by = ("k", "rk"), ts = ("ts", "rts"),
+          direction = dir)
+        .select(col("tag"), col("v")).collect()
+        .map(r => (r.getString(0), Option(r.getString(1)))).toMap
+      assert(out("nullkey").isEmpty, s"$dir: null left key must match nothing")
+      assert(out("nullts").isEmpty, s"$dir: null left ts must match nothing")
+      val want = dir match {
+        case Forward => Some("f") // first at-or-after 10 is 11
+        case _ => Some("m")       // backward 9; nearest: dist 1 == 1 ties backward
+      }
+      assert(out("a") == want,
+        s"$dir: expected $want for the real row, got ${out("a")}")
+    }
+  }
+
+  test("empty right side yields all-null matches; empty left yields nothing") {
+    import spark.implicits._
+    import graft.plans.AsofDirection._
+    val left = Seq((1L, 10L)).toDF("k", "ts")
+    val right = Seq.empty[(Long, Long, String)].toDF("rk", "rts", "v")
+    for (dir <- Seq(Backward, Forward, Nearest)) {
+      val out = AsofJoin(left, right, by = ("k", "rk"), ts = ("ts", "rts"),
+          direction = dir).select(col("v")).collect()
+      assert(out.length == 1 && out(0).isNullAt(0), s"$dir: expected one null match")
+    }
+    val none = AsofJoin(right.select(col("rk").as("k"), col("rts").as("ts")),
+        left.select(col("k").as("rk"), col("ts").as("rts")),
+        by = ("k", "rk"), ts = ("ts", "rts"))
+      .collect()
+    assert(none.isEmpty)
+  }
+
   test("nearest resolves equal distances backward and honors per-direction tie order") {
     import spark.implicits._
     import graft.plans.AsofDirection._
