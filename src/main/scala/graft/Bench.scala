@@ -10,8 +10,11 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")
-      // events.parquet carries TIMESTAMP(NANOS) — unreadable without this;
-      // Tables.events normalizes the resulting long-nanos to TimestampType.
+      // Corpus-regen proofing: a TIMESTAMP(NANOS) events.parquet is
+      // unreadable without this flag (it surfaces as LongType nanos,
+      // which Tables.events normalizes). The current corpus is
+      // timestamp[us], where the flag is a documented no-op — see
+      // CorpusContractSpec.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")
       // default 100-entry codegen cache thrashes across 44 query plans

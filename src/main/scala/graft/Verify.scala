@@ -12,8 +12,11 @@ object Verify {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      // events.parquet carries TIMESTAMP(NANOS) — unreadable without this;
-      // Tables.events normalizes the resulting long-nanos to TimestampType.
+      // Corpus-regen proofing: a TIMESTAMP(NANOS) events.parquet is
+      // unreadable without this flag (it surfaces as LongType nanos,
+      // which Tables.events normalizes). The current corpus is
+      // timestamp[us], where the flag is a documented no-op — see
+      // CorpusContractSpec.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       // keep managed tables (ctas) out of the repo and stale-proof
       .config("spark.sql.warehouse.dir",

@@ -16,13 +16,15 @@ object Tables {
   def orders(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "orders")
   def lineitem(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "lineitem")
 
-  /** `events.ts` is parquet TIMESTAMP(NANOS) — illegal for Spark's
-    * vectorized reader; sessions set
-    * `spark.sql.legacy.parquet.nanosAsLong=true` (see Verify/Bench) so
-    * it surfaces as LongType nanos. Normalize here to a UTC
-    * TimestampType via INTEGER division (`div`) — a double-math /1000
-    * would lose precision above 2^53 ns. The corpus is µs-precision
-    * (sub-µs always zero), so this is lossless. */
+  /** `events.ts` has shipped in two forms across corpus regens:
+    * TIMESTAMP(NANOS) — illegal for Spark's vectorized reader, read as
+    * LongType nanos under `spark.sql.legacy.parquet.nanosAsLong=true`
+    * (all sessions set it) — and, since the 2026-08-13 regen, native
+    * timestamp[us] (surfacing as TimestampNTZ; see CorpusContractSpec).
+    * Dispatch on the read-back type: nanos normalize to a timestamp via
+    * INTEGER division (`div` — a double-math /1000 would lose precision
+    * above 2^53 ns; the corpus is µs-grain so this is lossless), any
+    * timestamp flavor just casts. */
   def events(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.types.LongType
