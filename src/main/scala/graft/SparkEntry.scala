@@ -307,6 +307,7 @@ object SparkEntry {
     "quality_histogram" -> (Text.qualityHistogram _),
     "c4_filters"       -> (Text.c4Filters _),
     "training_cut"     -> (Text.trainingCut _),
+    "training_cut_publish" -> (Text.trainingCutPublish _),
     "mix_weights"      -> (Text.mixWeights _),
     "busiest_hours"    -> ((s, d) => Events.busiestHours(s, d)),
     // ---- vectors / similarity
@@ -415,6 +416,34 @@ object SparkEntry {
        |      row_number() OVER w AS rn,
        |      min(h) OVER (w ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wmin
        |    FROM gr WINDOW w AS (PARTITION BY doc_id ORDER BY pos))""".stripMargin
+
+  /** Full curation-chain CTEs ending in `cut` — the per-doc manifest
+    * (shared by training_cut and training_cut_publish). */
+  private def trainingCutCtes: String =
+    s"""WITH RECURSIVE $dupClassCtes,
+       |  q AS ($qualitySelect),
+       |  dd AS (SELECT c.doc_id,
+       |      (row_number() OVER (PARTITION BY c.class_id
+       |         ORDER BY q.quality DESC, c.doc_id ASC) = 1) AS dd_keep
+       |    FROM classes c JOIN q ON q.doc_id = c.doc_id),
+       |  c4 AS (SELECT doc_id, keep AS c4_keep FROM ($c4Select)),
+       |  counts AS (SELECT lang, count(*) AS n_docs FROM documents GROUP BY 1),
+       |  stats AS (SELECT CAST(sum(n_docs) AS BIGINT) AS total,
+       |    count(*) AS n_langs FROM counts),
+       |  thr AS (SELECT lang,
+       |    least(1000000, total * 1000000 // (n_langs * n_docs)) AS thr_ppm
+       |    FROM counts CROSS JOIN stats),
+       |  cut AS (SELECT d.doc_id, d.lang, c4.c4_keep,
+       |    coalesce(dd.dd_keep, TRUE) AS dedup_keep,
+       |    (${hex60("'mix:' || d.doc_id")} % 1000000 < thr.thr_ppm) AS mix_keep,
+       |    CASE WHEN ${hex60("'split:' || d.doc_id")} % 100 < 90 THEN 'train'
+       |         WHEN ${hex60("'split:' || d.doc_id")} % 100 < 95 THEN 'val'
+       |         ELSE 'test' END AS split,
+       |    (c4.c4_keep AND coalesce(dd.dd_keep, TRUE)
+       |     AND (${hex60("'mix:' || d.doc_id")} % 1000000 < thr.thr_ppm)
+       |     AND ${hex60("'split:' || d.doc_id")} % 100 < 90) AS in_cut
+       |  FROM documents d JOIN c4 USING (doc_id) LEFT JOIN dd USING (doc_id)
+       |  JOIN thr ON d.lang = thr.lang)""".stripMargin
 
   /** C4/Gopher filter report (shared by c4_filters and training_cut);
     * keep is computed from the ROUNDED aliased columns. */
@@ -1771,31 +1800,14 @@ object SparkEntry {
     "c4_filters" ->
       s"$c4Select ORDER BY doc_id",
     "training_cut" -> // the full curation chain as one manifest
-      s"""WITH RECURSIVE $dupClassCtes,
-         |  q AS ($qualitySelect),
-         |  dd AS (SELECT c.doc_id,
-         |      (row_number() OVER (PARTITION BY c.class_id
-         |         ORDER BY q.quality DESC, c.doc_id ASC) = 1) AS dd_keep
-         |    FROM classes c JOIN q ON q.doc_id = c.doc_id),
-         |  c4 AS (SELECT doc_id, keep AS c4_keep FROM ($c4Select)),
-         |  counts AS (SELECT lang, count(*) AS n_docs FROM documents GROUP BY 1),
-         |  stats AS (SELECT CAST(sum(n_docs) AS BIGINT) AS total,
-         |    count(*) AS n_langs FROM counts),
-         |  thr AS (SELECT lang,
-         |    least(1000000, total * 1000000 // (n_langs * n_docs)) AS thr_ppm
-         |    FROM counts CROSS JOIN stats)
-         |SELECT d.doc_id, d.lang, c4.c4_keep,
-         |  coalesce(dd.dd_keep, TRUE) AS dedup_keep,
-         |  (${hex60("'mix:' || d.doc_id")} % 1000000 < thr.thr_ppm) AS mix_keep,
-         |  CASE WHEN ${hex60("'split:' || d.doc_id")} % 100 < 90 THEN 'train'
-         |       WHEN ${hex60("'split:' || d.doc_id")} % 100 < 95 THEN 'val'
-         |       ELSE 'test' END AS split,
-         |  (c4.c4_keep AND coalesce(dd.dd_keep, TRUE)
-         |   AND (${hex60("'mix:' || d.doc_id")} % 1000000 < thr.thr_ppm)
-         |   AND ${hex60("'split:' || d.doc_id")} % 100 < 90) AS in_cut
-         |FROM documents d JOIN c4 USING (doc_id) LEFT JOIN dd USING (doc_id)
-         |JOIN thr ON d.lang = thr.lang
-         |ORDER BY d.doc_id""".stripMargin,
+      s"""$trainingCutCtes
+         |SELECT * FROM cut ORDER BY doc_id""".stripMargin,
+    "training_cut_publish" -> // per-lang summary of the PUBLISHED train slice
+      s"""$trainingCutCtes
+         |SELECT lang, count(*) AS n_docs,
+         |  CAST(count(CASE WHEN in_cut THEN 1 END) AS BIGINT) AS n_in_cut
+         |FROM cut WHERE split = 'train'
+         |GROUP BY lang ORDER BY lang""".stripMargin,
     "mix_weights" ->
       s"""WITH counts AS (SELECT lang, count(*) AS n_docs FROM documents GROUP BY 1),
          |  stats AS (SELECT CAST(sum(n_docs) AS BIGINT) AS total,

@@ -232,6 +232,28 @@ object Text {
       .orderBy("d1", "d2")
   }
 
+  /** Publish the training-cut manifest as the artifact a curation run
+    * actually ships: hive-partitioned by (split, lang), so downstream
+    * training jobs read ONLY their slice via directory pruning. The
+    * declared query then reads the PUBLISHED copy back filtered to the
+    * train split (PartitionFilters — plan-audited) and reports the
+    * per-lang cut summary: it verifies the on-disk artifact, not the
+    * in-memory frame. At 100 TB the same write is the final stage of
+    * the curation pipeline; split/lang gives ~15 directories whose
+    * sizes follow the corpus mix — no small-file explosion, and the
+    * train slice is one subtree. */
+  def trainingCutPublish(spark: SparkSession, dir: String): DataFrame = {
+    val out = graft.core.TempDirs.stable(s"cutpub:$dir")
+    trainingCut(spark, dir)
+      .write.mode("overwrite").partitionBy("split", "lang").parquet(out)
+    spark.read.parquet(out)
+      .filter(col("split") === "train") // directory-pruned read-back
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        count(when(col("in_cut"), 1)).as("n_in_cut"))
+      .orderBy("lang")
+  }
+
   /** Content fingerprint report: md5 + length stats per doc. */
   def fingerprint(spark: SparkSession, dir: String): DataFrame =
     tokenized(spark, dir)

@@ -315,6 +315,15 @@ class PlanAuditSpec extends AnyFunSuite with SparkFixture {
       s"expected exactly 2 hash exchanges (one per side), got $exchanges:\n$p")
   }
 
+  test("training_cut_publish: the train read-back is directory-pruned via PartitionFilters") {
+    val p = planOf(Text.trainingCutPublish(spark, sf))
+    assert("PartitionFilters: \\[[^\\]]*split".r.findFirstIn(p).isDefined,
+      s"split=train must prune at the directory level, not post-scan:\n$p")
+    // the manifest artifact is slim — the read-back must not resurrect
+    // any document payload
+    assert(!p.contains("text"), s"published manifest must not carry text:\n$p")
+  }
+
   test("winnow_fp: leads, counts, window-min and the distinct agg reuse ONE doc_id exchange") {
     val p = planOf(Text.winnowFingerprint(spark, sf))
     val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
