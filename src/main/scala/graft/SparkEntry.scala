@@ -308,6 +308,7 @@ object SparkEntry {
     "c4_filters"       -> (Text.c4Filters _),
     "training_cut"     -> (Text.trainingCut _),
     "training_cut_publish" -> (Text.trainingCutPublish _),
+    "ivf_nprobe_sweep" -> ((s, d) => Vector.ivfNprobeSweep(s, d)),
     "mix_weights"      -> (Text.mixWeights _),
     "busiest_hours"    -> ((s, d) => Events.busiestHours(s, d)),
     // ---- vectors / similarity

@@ -296,6 +296,35 @@ object Vector {
       .orderBy("query_id")
   }
 
+  /** The nProbe/recall TRADEOFF CURVE for the trained IVF index — the
+    * operational knob an ANN deployment tunes: probing more lists costs
+    * proportionally more candidate evaluations and buys recall. Trains
+    * ONCE, computes the brute-force ground truth ONCE, then evaluates
+    * each probe width as an aggregate branch of one union plan. At
+    * nProbe = lists the search is exhaustive-with-re-rank, so recall
+    * is exactly 1.0 — the curve's fixed right endpoint (specced).
+    * Declared rows-only like `ivf_trained_recall`: the k-means loop has
+    * no SQL twin. */
+  def ivfNprobeSweep(spark: SparkSession, dir: String, lists: Int = 8,
+                     nQueries: Int = 8, k: Int = 3): DataFrame = {
+    val cents = trainIvfCentroids(spark, dir, lists)
+    val truth = knnBrute(spark, dir, nQueries, k)
+      .select(col("query_id"), col("neighbor_id"))
+    val per = Seq(1, 2, 4, lists).distinct.map { np =>
+      val approx = ivfWith(spark, dir, cents, np, nQueries, k)
+        .select(col("query_id").as("q2"), col("neighbor_id").as("n2"))
+      truth.join(approx,
+          col("query_id") === col("q2") && col("neighbor_id") === col("n2"),
+          "left_semi")
+        .agg(count(lit(1)).as("n_hits"))
+        .select(lit(np).cast("int").as("n_probe"),
+          lit(nQueries).cast("int").as("n_queries"),
+          lit(k).cast("int").as("k"),
+          round(col("n_hits") / lit((nQueries * k).toDouble), 4).as("mean_recall"))
+    }
+    per.reduce(_.unionByName(_)).orderBy("n_probe")
+  }
+
   /** The md5-derived coarse centroids `ivf_cosine` ships with —
     * engine-portable (the DuckDB oracle recomputes them in SQL). */
   private[ops] def pseudoRandomCentroids(lists: Int, dim: Int): Seq[Seq[Double]] = {

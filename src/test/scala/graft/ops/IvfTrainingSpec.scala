@@ -47,4 +47,16 @@ class IvfTrainingSpec extends AnyFunSuite with SparkFixture {
       f"training must BEAT pseudo-random: trained $trnRecall%.3f <= random $rndRecall%.3f")
     assert(trnRecall > 0.4, f"trained recall $trnRecall%.3f implausibly low for 1/8 probed")
   }
+
+  test("nProbe sweep: recall is monotone in probe width and exactly 1.0 at nProbe = lists") {
+    val rows = Vector.ivfNprobeSweep(spark, sf)
+      .collect().map(r => (r.getInt(0), r.getDouble(3))).sortBy(_._1)
+    assert(rows.map(_._1).toSeq == Seq(1, 2, 4, 8))
+    rows.sliding(2).foreach { case Array((pa, ra), (pb, rb)) =>
+      assert(ra <= rb, f"recall must not drop with wider probes: nProbe=$pa $ra%.4f > nProbe=$pb $rb%.4f")
+    }
+    // probing every list is exhaustive search + exact re-rank
+    assert(rows.last._2 == 1.0, f"nProbe=lists must be exact, got ${rows.last._2}%.4f")
+    assert(rows.head._2 > 0.0, "even one probed list must find same-list neighbors")
+  }
 }
