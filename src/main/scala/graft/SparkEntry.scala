@@ -257,6 +257,7 @@ object SparkEntry {
     "asof_forward"     -> (Events.asofForwardNative _),
     "asof_nearest"     -> (Events.asofNearestNative _),
     "asof_tolerance"   -> (Events.asofToleranceNative _),
+    "asof_multikey"    -> (Events.asofMultiKey _),
     "skew_report"      -> (Relational.skewReport _),
     "pagerank_nations" -> ((s, d) => Relational.pagerankNations(s, d)),
     "split_assign"     -> (Text.splitAssign _),
@@ -880,6 +881,21 @@ object SparkEntry {
         |  CASE WHEN ts_us - click_us <= 3600000000 THEN click_us END AS last_click_us,
         |  CASE WHEN ts_us - click_us <= 3600000000 THEN click_value END AS click_value
         |FROM b ORDER BY event_id""".stripMargin,
+    "asof_multikey" -> // composite (user, venue) key: DuckDB ASOF with two equalities
+      """WITH p AS (SELECT event_id, user_id,
+        |    CAST(json_extract_string(props, '$.k') AS BIGINT) % 5 AS venue,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us
+        |    FROM events WHERE event_type = 'purchase'),
+        |  c AS (SELECT user_id AS c_user,
+        |    CAST(json_extract_string(props, '$.k') AS BIGINT) % 5 AS c_venue,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) AS click_us,
+        |    CAST(max(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS click_value
+        |    FROM events WHERE event_type = 'click' GROUP BY 1, 2, 3)
+        |SELECT p.event_id, p.user_id, p.venue, p.ts_us,
+        |  c.click_us AS last_click_us, c.click_value
+        |FROM p ASOF LEFT JOIN c
+        |  ON p.user_id = c.c_user AND p.venue = c.c_venue AND p.ts_us >= c.click_us
+        |ORDER BY event_id""".stripMargin,
     "ev_interpolate" -> // hourly spine with linear interpolation of gaps
       """WITH e AS (SELECT user_id, time_bucket(INTERVAL 1 HOUR, CAST(ts AS TIMESTAMP)) AS h,
         |    sum(CAST(value AS DECIMAL(18,2))) AS v

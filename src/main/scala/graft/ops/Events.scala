@@ -202,6 +202,32 @@ object Events {
       .orderBy("event_id")
   }
 
+  /** Composite-key as-of through the native operator: purchases match
+    * clicks on (user, venue) — venue derived as props.k % 5, the
+    * (entity, venue)-style key real time-series joins use. Exercises
+    * AsofJoinPlan's Seq-key path: lexicographic key compare, composite
+    * ClusteredDistribution (the click dedup's (c_user, c_venue,
+    * click_us) grouping rides the same two-column exchange). */
+  def asofMultiKey(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val venue = get_json_object(col("props"), "$.k").cast("long") % 5
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), venue.as("venue"),
+        unix_micros(col("ts")).as("ts_us"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), venue.as("c_venue"),
+        unix_micros(col("ts")).as("click_us"), col("value"))
+      .repartition(col("c_user"), col("c_venue"))
+      .groupBy("c_user", "c_venue", "click_us")
+      .agg(max(col("value").cast("decimal(18,2)")).cast("double").as("click_value"))
+    graft.plans.AsofJoin.multi(purchases, clicks,
+        by = Seq(("user_id", "c_user"), ("venue", "c_venue")),
+        ts = ("ts_us", "click_us"))
+      .select(col("event_id"), col("user_id"), col("venue"), col("ts_us"),
+        col("click_us").as("last_click_us"), col("click_value"))
+      .orderBy("event_id")
+  }
+
   /** Analytic window: per-user value delta between consecutive events. */
   def valueDelta(spark: SparkSession, dir: String): DataFrame = {
     val byUser = Window.partitionBy("user_id").orderBy(col("ts").asc, col("event_id").asc)

@@ -20,7 +20,17 @@ object Bridge {
     * the fact-scan hot path). The sketch rides the plan as a Binary
     * literal, exactly what InjectRuntimeFilter's scalar subquery
     * materializes into at execution; `key` must be integral (probed via
-    * `mightContainLong`, matching `stat.bloomFilter`'s `putLong`). */
+    * `mightContainLong`, matching `stat.bloomFilter`'s `putLong`).
+    *
+    * SIZE ASSUMPTION: the inline Binary literal ships with the
+    * serialized plan to every task, so this is for DIM-SIZED sketches
+    * (the declared `bloom_prune_join` builds over 25 supplier keys,
+    * ~KBs; up to a few MB is fine — same order as a broadcast hint). A
+    * fact-sized filter (100M+ keys → 100s of MB) must instead ride a
+    * broadcast-backed scalar subquery the way InjectRuntimeFilter
+    * plants it — at that point use Spark's own runtime filtering
+    * (`spark.sql.optimizer.runtime.bloomFilter.enabled`) rather than
+    * this explicit probe. */
   def bloomMightContain(filterBytes: Array[Byte], key: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     classic.ExpressionUtils.column(
       org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(

@@ -173,6 +173,46 @@ class AsofJoinSpec extends AnyFunSuite with SparkFixture {
     assert(none.isEmpty)
   }
 
+  test("composite keys: two-column key partitions and compares lexicographically") {
+    // 64 partitions >> rows so composite keys scatter; a (1, A) left row
+    // must never see a (1, B) right row even when both hash anywhere
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "64")
+    try {
+      import spark.implicits._
+      val left = Seq((1L, "A", 10L), (1L, "B", 10L), (2L, "A", 15L), (1L, "C", 9L))
+        .toDF("k", "g", "ts")
+      val right = Seq(
+        (1L, "A", 9L, "a1"), (1L, "B", 8L, "b1"), (1L, "B", 10L, "b2"),
+        (2L, "A", 16L, "x"), (2L, "B", 1L, "y"))
+        .toDF("rk", "rg", "rts", "v")
+      val out = AsofJoin.multi(left, right,
+          by = Seq(("k", "rk"), ("g", "rg")), ts = ("ts", "rts"))
+        .select(col("k"), col("g"), col("v")).collect()
+        .map(r => ((r.getLong(0), r.getString(1)), Option(r.getString(2)))).toMap
+      assert(out == Map(
+        (1L, "A") -> Some("a1"),  // same (1,A) subkey, 9 <= 10
+        (1L, "B") -> Some("b2"),  // at-ts row beats the earlier b1
+        (2L, "A") -> None,        // (2,A) right row is at 16 > 15
+        (1L, "C") -> None))       // no (1,C) rows; (1,B)/(2,B) must not bleed
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
+  test("construction guards: mismatched by/ts types fail fast, not inside a task") {
+    import spark.implicits._
+    val left = Seq((1L, 10L)).toDF("k", "ts")
+    val rightIntKey = Seq((1, 9L)).toDF("rk", "rts")
+    val e1 = intercept[IllegalArgumentException] {
+      AsofJoin(left, rightIntKey, by = ("k", "rk"), ts = ("ts", "rts"))
+    }
+    assert(e1.getMessage.contains("by-key type mismatch"))
+    val rightIntTs = Seq((1L, 9)).toDF("rk", "rts")
+    val e2 = intercept[IllegalArgumentException] {
+      AsofJoin(left, rightIntTs, by = ("k", "rk"), ts = ("ts", "rts"))
+    }
+    assert(e2.getMessage.contains("ts type mismatch"))
+  }
+
   test("nearest resolves equal distances backward and honors per-direction tie order") {
     import spark.implicits._
     import graft.plans.AsofDirection._
