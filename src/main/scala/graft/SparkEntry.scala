@@ -251,6 +251,12 @@ object SparkEntry {
     "q6_forecast"      -> (Relational.q6Forecast _),
     "q13_custdist"     -> (Relational.q13CustDist _),
     "q20_excess"       -> (Relational.q20Excess _),
+    "q2_min_cost"      -> (Relational.q2MinCost _),
+    "q4_order_priority" -> (Relational.q4OrderPriority _),
+    "q10_returned"     -> (Relational.q10Returned _),
+    "q12_shipmode"     -> (Relational.q12Shipmode _),
+    "q15_top_supplier" -> (Relational.q15TopSupplier _),
+    "q16_supplier_cnt" -> (Relational.q16SupplierCnt _),
     "profile_table"    -> ((s, d) => Relational.profileTable(s, d)),
     "ev_interpolate"   -> (Events.interpolate _),
     "asof_native"      -> (Events.asofNative _),
@@ -1211,6 +1217,80 @@ object SparkEntry {
         |  FROM ps JOIN pp ON ps.l_partkey = pp.l_partkey
         |  WHERE ps.sq * 2 * pp.n > pp.total)
         |ORDER BY s_suppkey""".stripMargin,
+    "q2_min_cost" -> // TPC-H Q2 shape: correlated min-cost subquery, exact decimal min
+      """WITH ps AS (SELECT l_partkey, l_suppkey,
+        |    min(CAST(l_extendedprice AS DECIMAL(18,2))) AS cost
+        |  FROM lineitem GROUP BY 1, 2)
+        |SELECT s_acctbal, s_name, n_name, p_partkey, p_brand,
+        |  CAST(cost AS DOUBLE) AS cost
+        |FROM part, ps, supplier, nation, region
+        |WHERE p_partkey = l_partkey AND s_suppkey = l_suppkey
+        |  AND p_size <= 15 AND p_type = 'LARGE'
+        |  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+        |  AND r_name = 'EUROPE'
+        |  AND cost = (SELECT min(ps2.cost)
+        |    FROM ps ps2, supplier s2, nation n2, region r2
+        |    WHERE ps2.l_partkey = p_partkey AND s2.s_suppkey = ps2.l_suppkey
+        |      AND s2.s_nationkey = n2.n_nationkey AND n2.n_regionkey = r2.r_regionkey
+        |      AND r2.r_name = 'EUROPE')
+        |ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+        |LIMIT 100""".stripMargin,
+    "q4_order_priority" -> // TPC-H Q4 shape: date-bounded EXISTS semi
+      """SELECT o_orderpriority, count(*) AS order_count
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+        |  AND o_orderdate <  TIMESTAMP '1997-04-01'
+        |  AND EXISTS (SELECT 1 FROM lineitem
+        |    WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "q10_returned" -> // TPC-H Q10 shape: returned-item top-k aggregate join
+      """SELECT c_custkey, c_name, c_acctbal, n_name,
+        |  CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |    (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))), 2)
+        |    AS DOUBLE) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |WHERE l_returnflag = 'R'
+        |  AND o_orderdate >= TIMESTAMP '1997-01-01'
+        |  AND o_orderdate <  TIMESTAMP '1997-04-01'
+        |GROUP BY c_custkey, c_name, c_acctbal, n_name
+        |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin,
+    "q12_shipmode" -> // TPC-H Q12 shape: conditional two-class agg per line status
+      """SELECT l_linestatus,
+        |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |    THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        |  AND l_shipdate <  TIMESTAMP '1998-01-01'
+        |GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin,
+    "q15_top_supplier" -> // TPC-H Q15 shape: max over a derived revenue view
+      """WITH revenue AS (SELECT l_suppkey AS supplier_no,
+        |    sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |        (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))
+        |      AS total_revenue
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        |    AND l_shipdate <  TIMESTAMP '1997-04-01'
+        |  GROUP BY l_suppkey)
+        |SELECT s_suppkey, s_name,
+        |  CAST(round(total_revenue, 2) AS DOUBLE) AS total_revenue
+        |FROM supplier JOIN revenue ON s_suppkey = supplier_no
+        |WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
+        |ORDER BY s_suppkey""".stripMargin,
+    "q16_supplier_cnt" -> // TPC-H Q16 shape: NOT-IN anti + count-distinct
+      """WITH ps AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem)
+        |SELECT p_brand, p_type, p_size, count(DISTINCT l_suppkey) AS supplier_cnt
+        |FROM ps JOIN part ON p_partkey = l_partkey
+        |WHERE p_brand <> 'Brand#13' AND p_type <> 'PROMO'
+        |  AND p_size IN (1, 4, 9, 16, 25, 36, 49)
+        |  AND l_suppkey NOT IN
+        |    (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+        |GROUP BY p_brand, p_type, p_size
+        |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin,
     "profile_table" -> // schema-driven per-column profiler over orders
       Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
           "o_orderdate", "o_orderpriority")

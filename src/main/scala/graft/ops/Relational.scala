@@ -1399,4 +1399,151 @@ object Relational {
       .select(col("s_suppkey"), col("s_name"))
       .orderBy("s_suppkey")
   }
+
+  /** TPC-H Q2 shape (min-cost supplier): the CORRELATED min-cost
+    * subquery over a 4-relation chain (supplier → nation → region),
+    * written as the analyst writes it — `cost = (SELECT min ...)` in
+    * the WHERE clause — so Catalyst's decorrelation is what's under
+    * test: the subquery must become a per-part aggregate joined back
+    * on partkey, never a per-row re-execution. The corpus has no
+    * partsupp, so the supply-cost relation derives from the fact:
+    * per-(part, supplier) min extended price — an exact decimal MIN,
+    * so the min-of-min equality is engine-exact. */
+  def q2MinCost(spark: SparkSession, dir: String): DataFrame = {
+    Tables.lineitem(spark, dir).createOrReplaceTempView("graft_q2_lineitem")
+    Tables.part(spark, dir).createOrReplaceTempView("graft_q2_part")
+    Tables.supplier(spark, dir).createOrReplaceTempView("graft_q2_supplier")
+    Tables.nation(spark, dir).createOrReplaceTempView("graft_q2_nation")
+    Tables.region(spark, dir).createOrReplaceTempView("graft_q2_region")
+    spark.sql(
+      """WITH ps AS (SELECT l_partkey, l_suppkey,
+        |    min(CAST(l_extendedprice AS DECIMAL(18,2))) AS cost
+        |  FROM graft_q2_lineitem GROUP BY 1, 2)
+        |SELECT s_acctbal, s_name, n_name, p_partkey, p_brand,
+        |  CAST(cost AS DOUBLE) AS cost
+        |FROM graft_q2_part, ps, graft_q2_supplier, graft_q2_nation, graft_q2_region
+        |WHERE p_partkey = l_partkey AND s_suppkey = l_suppkey
+        |  AND p_size <= 15 AND p_type = 'LARGE'
+        |  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+        |  AND r_name = 'EUROPE'
+        |  AND cost = (SELECT min(ps2.cost)
+        |    FROM ps ps2, graft_q2_supplier s2, graft_q2_nation n2, graft_q2_region r2
+        |    WHERE ps2.l_partkey = p_partkey AND s2.s_suppkey = ps2.l_suppkey
+        |      AND s2.s_nationkey = n2.n_nationkey AND n2.n_regionkey = r2.r_regionkey
+        |      AND r2.r_name = 'EUROPE')
+        |ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+        |LIMIT 100""".stripMargin)
+  }
+
+  /** TPC-H Q4 shape (order priority checking): the date-bounded EXISTS
+    * semi — orders in one quarter having at least one RETURNED line
+    * (the corpus has no l_commitdate/l_receiptdate; the returnflag
+    * predicate keeps the same selective-EXISTS shape). Catalyst must
+    * plan the EXISTS as a left-semi on orderkey with the date window
+    * pushed to the orders scan. */
+  def q4OrderPriority(spark: SparkSession, dir: String): DataFrame = {
+    Tables.orders(spark, dir).createOrReplaceTempView("graft_q4_orders")
+    Tables.lineitem(spark, dir).createOrReplaceTempView("graft_q4_lineitem")
+    spark.sql(
+      """SELECT o_orderpriority, count(*) AS order_count
+        |FROM graft_q4_orders
+        |WHERE o_orderdate >= TIMESTAMP_NTZ '1997-01-01'
+        |  AND o_orderdate <  TIMESTAMP_NTZ '1997-04-01'
+        |  AND EXISTS (SELECT 1 FROM graft_q4_lineitem
+        |    WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)
+  }
+
+  /** TPC-H Q10 shape (returned-item reporting): the top-k AGGREGATE
+    * join — revenue lost to returns per customer in one quarter,
+    * ranked. Returnflag + date filters push to their scans, nation
+    * broadcasts, and the final ORDER BY + LIMIT must plan as
+    * TakeOrderedAndProject over the aggregate (per-partition top-k,
+    * never a global sort of all customers). */
+  def q10Returned(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") >= lit("1997-01-01").cast("timestamp_ntz") &&
+              col("o_orderdate") <  lit("1997-04-01").cast("timestamp_ntz"))
+      .select("o_orderkey", "o_custkey")
+    val c = Tables.customer(spark, dir)
+      .select("c_custkey", "c_name", "c_acctbal", "c_nationkey")
+    val n = Tables.nation(spark, dir).select("n_nationkey", "n_name")
+    Tables.lineitem(spark, dir)
+      .filter(col("l_returnflag") === "R")
+      .join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+      .agg(round(sum(discPrice), 2).cast("double").as("revenue"))
+      .orderBy(col("revenue").desc, col("c_custkey"))
+      .limit(20)
+  }
+
+  /** TPC-H Q12 shape (shipmode priority): the conditional TWO-CLASS
+    * aggregate — per line status (the corpus's shipmode analogue), how
+    * many lines belong to critical-priority orders vs the rest, inside
+    * a one-year ship window. One fact-orders equi-join; the CASE pair
+    * folds into a single aggregate pass (no two-scan union). */
+  def q12Shipmode(spark: SparkSession, dir: String): DataFrame = {
+    val crit = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp_ntz") &&
+              col("l_shipdate") <  lit("1998-01-01").cast("timestamp_ntz"))
+      .select("l_orderkey", "l_linestatus")
+      .join(Tables.orders(spark, dir).select("o_orderkey", "o_orderpriority"),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy("l_linestatus")
+      .agg(sum(when(crit, 1L).otherwise(0L)).as("high_line_count"),
+           sum(when(crit, 0L).otherwise(1L)).as("low_line_count"))
+      .orderBy("l_linestatus")
+  }
+
+  /** TPC-H Q15 shape (top supplier): max over a DERIVED VIEW — the
+    * quarterly per-supplier revenue view, filtered to its own maximum
+    * via an uncorrelated scalar subquery. Exact decimal sums make the
+    * `revenue = max(revenue)` equality engine-exact (a double sum
+    * would tie-break differently per fold order). The view appears
+    * twice (rows + max); the scalar subquery costs ONE extra 1-row
+    * aggregate, not a self-join of the fact. */
+  def q15TopSupplier(spark: SparkSession, dir: String): DataFrame = {
+    Tables.lineitem(spark, dir).createOrReplaceTempView("graft_q15_lineitem")
+    Tables.supplier(spark, dir).createOrReplaceTempView("graft_q15_supplier")
+    spark.sql(
+      """WITH revenue AS (SELECT l_suppkey AS supplier_no,
+        |    sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |        (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))
+        |      AS total_revenue
+        |  FROM graft_q15_lineitem
+        |  WHERE l_shipdate >= TIMESTAMP_NTZ '1997-01-01'
+        |    AND l_shipdate <  TIMESTAMP_NTZ '1997-04-01'
+        |  GROUP BY l_suppkey)
+        |SELECT s_suppkey, s_name,
+        |  CAST(round(total_revenue, 2) AS DOUBLE) AS total_revenue
+        |FROM graft_q15_supplier JOIN revenue ON s_suppkey = supplier_no
+        |WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
+        |ORDER BY s_suppkey""".stripMargin)
+  }
+
+  /** TPC-H Q16 shape (supplier-count per part class): NOT-IN anti +
+    * COUNT DISTINCT — distinct (part, supplier) pairs from the fact
+    * (the corpus's partsupp analogue), excluding suppliers from a
+    * subquery via NOT IN (negative balance stands in for the
+    * complaints predicate), counted distinct per (brand, type, size)
+    * bucket. NOT IN is the null-aware anti join — single-key, so it
+    * must plan as a broadcast hash anti, not a nested loop. */
+  def q16SupplierCnt(spark: SparkSession, dir: String): DataFrame = {
+    Tables.lineitem(spark, dir).createOrReplaceTempView("graft_q16_lineitem")
+    Tables.part(spark, dir).createOrReplaceTempView("graft_q16_part")
+    Tables.supplier(spark, dir).createOrReplaceTempView("graft_q16_supplier")
+    spark.sql(
+      """WITH ps AS (SELECT DISTINCT l_partkey, l_suppkey FROM graft_q16_lineitem)
+        |SELECT p_brand, p_type, p_size, count(DISTINCT l_suppkey) AS supplier_cnt
+        |FROM ps JOIN graft_q16_part ON p_partkey = l_partkey
+        |WHERE p_brand <> 'Brand#13' AND p_type <> 'PROMO'
+        |  AND p_size IN (1, 4, 9, 16, 25, 36, 49)
+        |  AND l_suppkey NOT IN
+        |    (SELECT s_suppkey FROM graft_q16_supplier WHERE s_acctbal < 0)
+        |GROUP BY p_brand, p_type, p_size
+        |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin)
+  }
 }

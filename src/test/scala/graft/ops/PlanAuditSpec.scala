@@ -347,6 +347,63 @@ class PlanAuditSpec extends AnyFunSuite with SparkFixture {
     assert(p.contains("BroadcastHashJoin"), s"thr must broadcast:\n$p")
   }
 
+  test("q2_min_cost: correlated min-cost subquery decorrelates to an aggregate join") {
+    val p = planOf(Relational.q2MinCost(spark, sf))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"the correlated min must decorrelate, never re-execute per row:\n$p")
+    // the decorrelated form is a per-part min aggregate joined back
+    assert(p.contains("HashAggregate"), s"expected the decorrelated min aggregate:\n$p")
+  }
+
+  test("q4_order_priority: EXISTS plans as a left-semi; date window pushes to orders") {
+    val p = planOf(Relational.q4OrderPriority(spark, sf))
+    assert(p.contains("LeftSemi"), s"EXISTS must become a semi join:\n$p")
+    assert("PushedFilters: \\[[^\\]]*o_orderdate".r.findFirstIn(p).isDefined,
+      s"quarter window not pushed to the orders scan:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("q10_returned: top-k is TakeOrderedAndProject; dims broadcast; returnflag pushed") {
+    val p = planOf(Relational.q10Returned(spark, sf))
+    assert(p.contains("TakeOrderedAndProject"),
+      s"ORDER BY + LIMIT over the aggregate must plan per-partition top-k:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"customer/nation must broadcast:\n$p")
+    assert("PushedFilters: \\[[^\\]]*l_returnflag".r.findFirstIn(p).isDefined,
+      s"returnflag not pushed to the fact scan:\n$p")
+  }
+
+  test("q12_shipmode: one aggregate pass for both CASE classes; ship window pushed") {
+    val p = planOf(Relational.q12Shipmode(spark, sf))
+    assert("PushedFilters: \\[[^\\]]*l_shipdate".r.findFirstIn(p).isDefined,
+      s"ship-year window not pushed to the fact scan:\n$p")
+    assert(!p.contains("Union"),
+      s"the two conditional counts must fold into ONE aggregate, not a union of scans:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("q15_top_supplier: the view max is one extra 1-row aggregate, no fact self-join blowup") {
+    val p = planOf(Relational.q15TopSupplier(spark, sf))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"the scalar max subquery must not nested-loop:\n$p")
+    assert("PushedFilters: \\[[^\\]]*l_shipdate".r.findFirstIn(p).isDefined,
+      s"quarter window not pushed to the fact scan:\n$p")
+  }
+
+  test("q16_supplier_cnt: NOT IN plans as a hash anti join, not a nested loop") {
+    val df = Relational.q16SupplierCnt(spark, sf)
+    // the anti join only shows pre-runtime: sf0.001 has ZERO excluded
+    // suppliers, so AQE's empty-relation propagation eliminates the
+    // whole join at execution — itself the right scale behavior. The
+    // contract to pin is the COMPILED shape: a single-key null-aware
+    // hash anti, never a nested loop.
+    val initial = df.queryExecution.sparkPlan.toString
+    assert(initial.contains("LeftAnti"), s"NOT IN must become an anti join:\n$initial")
+    assert(!initial.contains("BroadcastNestedLoopJoin") && !initial.contains("CartesianProduct"),
+      s"single-key null-aware anti must stay a hash join:\n$initial")
+    val p = planOf(df)
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
+  }
+
   test("corr_subquery + lateral_topk decorrelate — no per-row nested-loop re-execution") {
     val ps = planOf(Relational.corrSubquery(spark, sf))
     assert(!ps.contains("CartesianProduct") && !ps.contains("BroadcastNestedLoopJoin"),
