@@ -296,6 +296,7 @@ object SparkEntry {
     "fingerprint"      -> (Text.fingerprint _),
     "winnow_fp"        -> (Text.winnowFingerprint _),
     "winnow_pairs"     -> ((s, d) => Text.winnowPairs(s, d)),
+    "winnow_spans"     -> ((s, d) => Text.winnowSpans(s, d)),
     "jaccard_pairs"    -> ((s, d) => Text.jaccardPairs(s, d)),
     "minhash_candidates" -> ((s, d) => Text.minhashCandidates(s, d)),
     "minhash_bucket_stats" -> ((s, d) => Text.minhashBucketStats(s, d)),
@@ -1796,6 +1797,29 @@ object SparkEntry {
          |FROM keep a JOIN keep b ON a.wmin = b.wmin AND a.doc_id < b.doc_id
          |GROUP BY 1, 2 HAVING count(*) >= 2
          |ORDER BY d1, d2""".stripMargin,
+    "winnow_spans" -> // substring-level duplicated spans (maximal shared runs >= k+w-1)
+      s"""WITH $winnowCtes,
+         |  fp AS (SELECT DISTINCT doc_id, wmin FROM wn WHERE rn <= n_kgrams - 3),
+         |  df AS (SELECT wmin, count(*) AS nd FROM fp GROUP BY 1),
+         |  keep AS (SELECT fp.doc_id, fp.wmin FROM fp JOIN df USING (wmin)
+         |    WHERE nd <= 100),
+         |  cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+         |    FROM keep a JOIN keep b ON a.wmin = b.wmin AND a.doc_id < b.doc_id),
+         |  m AS (SELECT c.d1, c.d2, a.pos AS p1, b.pos AS p2
+         |    FROM cand c
+         |    JOIN gr a ON a.doc_id = c.d1
+         |    JOIN gr b ON b.doc_id = c.d2 AND b.h = a.h),
+         |  runs AS (SELECT d1, d2, p1 - p2 AS diag, p1, p2,
+         |      p1 - row_number() OVER (PARTITION BY d1, d2, p1 - p2 ORDER BY p1)
+         |        AS grp
+         |    FROM m)
+         |SELECT d1 AS doc_a, d2 AS doc_b,
+         |  CAST(min(p1) AS BIGINT) AS a_start, CAST(max(p1) + 3 AS BIGINT) AS a_end,
+         |  CAST(min(p2) AS BIGINT) AS b_start, CAST(max(p2) + 3 AS BIGINT) AS b_end,
+         |  CAST(count(*) + 3 AS BIGINT) AS n_tokens
+         |FROM runs GROUP BY d1, d2, diag, grp
+         |HAVING count(*) >= 4
+         |ORDER BY doc_a, doc_b, a_start, b_start""".stripMargin,
     "stratified_sample" -> // per-language top-50 by md5: reproducible mix cut
       """WITH r AS (SELECT lang, doc_id,
         |    row_number() OVER (PARTITION BY lang ORDER BY md5(text) ASC, doc_id ASC) AS rn

@@ -180,11 +180,12 @@ object Text {
     * fingerprint, while only ~2/(w+1) of gram hashes are retained.
     * One posexplode + per-doc window pass: the sort is per-doc-sized,
     * the shuffle key is doc_id — scales like sessionization. */
-  private def winnowedGrams(spark: SparkSession, dir: String): DataFrame = {
-    val k = 4
-    val w = 4
+  /** Per-position k=4-gram hashes: (doc_id, pos [0-based], h). The
+    * position-level building block winnowing selects from and span
+    * reconstruction joins on. */
+  private def kgramsOf(docs: DataFrame): DataFrame = {
     val byDoc = Window.partitionBy("doc_id").orderBy("pos")
-    tokenized(spark, dir)
+    tokenizedDocs(docs)
       .select(col("doc_id"), posexplode(col("t")).as(Seq("pos", "tok")))
       .withColumn("l1", lead(col("tok"), 1).over(byDoc))
       .withColumn("l2", lead(col("tok"), 2).over(byDoc))
@@ -192,11 +193,21 @@ object Text {
       .filter(col("l3").isNotNull) // full k-grams only
       .withColumn("h", graft.functions.DetHash.hex60(
         concat_ws(" ", col("tok"), col("l1"), col("l2"), col("l3"))))
+      .select("doc_id", "pos", "h")
+  }
+
+  private def winnowedGramsOf(docs: DataFrame): DataFrame = {
+    val w = 4
+    val byDoc = Window.partitionBy("doc_id").orderBy("pos")
+    kgramsOf(docs)
       .withColumn("n_kgrams", count(lit(1)).over(Window.partitionBy("doc_id")))
       .withColumn("rn", row_number().over(byDoc))
       .withColumn("wmin", min(col("h")).over(byDoc.rowsBetween(0, w - 1)))
       .filter(col("rn") <= col("n_kgrams") - (w - 1)) // full windows only
   }
+
+  private def winnowedGrams(spark: SparkSession, dir: String): DataFrame =
+    winnowedGramsOf(Tables.documents(spark, dir))
 
   /** Rolling-hash document fingerprint summary (winnowing): per doc,
     * the k-gram count and the distinct selected-fingerprint set's
@@ -230,6 +241,64 @@ object Text {
       .groupBy("d1", "d2").agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= minShared)
       .orderBy("d1", "d2")
+  }
+
+  /** Substring-level duplicated SPANS (the Lee et al. 2022 "Deduplicating
+    * Training Data Makes Language Models Better" production step):
+    * for candidate pairs, the maximal shared token runs of >= k+w-1
+    * tokens — (doc_a, doc_b, a_start..a_end, b_start..b_end, 1-based
+    * inclusive) — i.e. the exact boilerplate to CUT from surviving
+    * documents, not just a doc-level pair verdict.
+    *
+    * Shape, in three bucketed stages (never |docs|^2, never all grams
+    * self-joined): (1) candidate pairs from the winnowed-fingerprint
+    * inverted index (a shared run >= k+w-1 tokens GUARANTEES a shared
+    * selected fingerprint — Schleimer et al.'s window guarantee — so
+    * one shared fp suffices and no true span pair is missed; fps held
+    * by > maxDf docs are dropped as boilerplate, same cap as
+    * winnowPairs); (2) per-pair matched k-gram positions via two
+    * equi-joins — pair x d1-grams on d1, then on (d2, h) — so the work
+    * is Σ_pairs(|grams|), the same budget any pair-verify stage pays,
+    * with no hot-gram quadratic join; (3) span reconstruction as
+    * gaps-and-islands along match diagonals (p1 - p2 constant,
+    * consecutive p1): a run of n >= w consecutive matched grams is a
+    * shared run of n + k - 1 tokens. Every stage is a window or
+    * equi-join on (pair, diagonal) keys — DuckDB replays the whole
+    * chain, so spans are oracle-exact. */
+  def winnowSpans(spark: SparkSession, dir: String, maxDf: Int = 100): DataFrame =
+    winnowSpansOf(Tables.documents(spark, dir))
+
+  private[ops] def winnowSpansOf(docs: DataFrame, maxDf: Int = 100): DataFrame = {
+    val k = 4
+    val w = 4
+    val fp = winnowedGramsOf(docs).select("doc_id", "wmin").distinct()
+    val keep = fp.join(
+      fp.groupBy("wmin").agg(count(lit(1)).as("nd")).filter(col("nd") <= maxDf),
+      "wmin")
+    val cand = keep.select(col("doc_id").as("d1"), col("wmin"))
+      .join(keep.select(col("doc_id").as("d2"), col("wmin")), "wmin")
+      .filter(col("d1") < col("d2"))
+      .select("d1", "d2").distinct()
+    val g = kgramsOf(docs)
+    val m = cand
+      .join(g.select(col("doc_id").as("d1"), col("pos").as("p1"), col("h")), Seq("d1"))
+      .join(g.select(col("doc_id").as("d2"), col("pos").as("p2"), col("h")),
+        Seq("d2", "h"))
+    val byDiag = Window.partitionBy(col("d1"), col("d2"), col("p1") - col("p2"))
+      .orderBy("p1")
+    m.withColumn("grp", col("p1") - row_number().over(byDiag))
+      .groupBy(col("d1"), col("d2"), (col("p1") - col("p2")).as("diag"), col("grp"))
+      .agg(count(lit(1)).as("ng"),
+        min("p1").as("sp1"), max("p1").as("ep1"),
+        min("p2").as("sp2"), max("p2").as("ep2"))
+      .filter(col("ng") >= w) // run length ng + k - 1 >= k + w - 1
+      .select(col("d1").as("doc_a"), col("d2").as("doc_b"),
+        (col("sp1") + 1).cast("bigint").as("a_start"),
+        (col("ep1") + k).cast("bigint").as("a_end"),
+        (col("sp2") + 1).cast("bigint").as("b_start"),
+        (col("ep2") + k).cast("bigint").as("b_end"),
+        (col("ng") + k - 1).cast("bigint").as("n_tokens"))
+      .orderBy("doc_a", "doc_b", "a_start", "b_start")
   }
 
   /** Publish the training-cut manifest as the artifact a curation run

@@ -54,6 +54,52 @@ class WinnowSpec extends AnyFunSuite with SparkFixture {
       "identical docs share EVERY selected fingerprint")
   }
 
+  private def spans(dir: String): Seq[(Long, Long, Long, Long, Long, Long, Long)] =
+    Text.winnowSpans(spark, dir).collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+       r.getLong(4), r.getLong(5), r.getLong(6))).toSeq
+
+  test("winnowSpans: a planted shared run surfaces with exact 1-based offsets") {
+    val shared = words("common", 12)
+    val dir = corpus(Seq(
+      (1L, s"${words("alpha", 20)} $shared ${words("omega", 20)}"),
+      (2L, s"${words("left", 9)} $shared ${words("right", 14)}"),
+      (3L, words("unrelated", 40))))
+    // doc1 tokens: alpha 1-20, common 21-32, omega 33-52
+    // doc2 tokens: left 1-9, common 10-21, right 22-35
+    assert(spans(dir) == Seq((1L, 2L, 21L, 32L, 10L, 21L, 12L)),
+      "the one shared 12-token run, nothing else")
+  }
+
+  test("winnowSpans: disjoint shared runs split into separate maximal spans") {
+    val s1 = words("one", 8)
+    val s2 = words("two", 9)
+    val dir = corpus(Seq(
+      (1L, s"${words("a", 10)} $s1 ${words("b", 10)} $s2 ${words("c", 5)}"),
+      (2L, s"${words("d", 6)} $s1 ${words("e", 12)} $s2 ${words("f", 3)}")))
+    // doc1: a 1-10, one 11-18, b 19-28, two 29-37, c 38-42
+    // doc2: d 1-6, one 7-14, e 15-26, two 27-35, f 36-38
+    assert(spans(dir) == Seq(
+      (1L, 2L, 11L, 18L, 7L, 14L, 8L),
+      (1L, 2L, 29L, 37L, 27L, 35L, 9L)),
+      "two disjoint runs must become two maximal spans, never merge")
+  }
+
+  test("winnowSpans: a run repeated in ONE doc emits one span per occurrence; short runs emit none") {
+    val s = words("rep", 7) // exactly k+w-1
+    val dir = corpus(Seq(
+      (1L, s"${words("x", 8)} $s ${words("y", 8)}"),
+      (2L, s"$s ${words("z", 10)} $s"),
+      // 6 < k+w-1 shared tokens: below the guarantee, must NOT span
+      (4L, s"${words("p", 10)} ${words("short", 6)}"),
+      (5L, s"${words("q", 10)} ${words("short", 6)}")))
+    // doc1: x 1-8, rep 9-15, y 16-23; doc2: rep 1-7, z 8-17, rep 18-24
+    assert(spans(dir) == Seq(
+      (1L, 2L, 9L, 15L, 1L, 7L, 7L),
+      (1L, 2L, 9L, 15L, 18L, 24L, 7L)),
+      "both occurrences in doc2 must surface; the 6-token overlap must not")
+  }
+
   test("the df cap drops boilerplate fingerprints instead of joining them") {
     // 150 docs all carrying the same boilerplate run (> maxDf=100):
     // with only the boilerplate in common, the capped join yields NO
