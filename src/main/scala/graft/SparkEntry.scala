@@ -297,6 +297,8 @@ object SparkEntry {
     "winnow_fp"        -> (Text.winnowFingerprint _),
     "winnow_pairs"     -> ((s, d) => Text.winnowPairs(s, d)),
     "winnow_spans"     -> ((s, d) => Text.winnowSpans(s, d)),
+    // rows-only by design: the trained k-means loop has no SQL twin
+    "semantic_dedup"   -> ((s, d) => Vector.semanticDedup(s, d)),
     "jaccard_pairs"    -> ((s, d) => Text.jaccardPairs(s, d)),
     "minhash_candidates" -> ((s, d) => Text.minhashCandidates(s, d)),
     "minhash_bucket_stats" -> ((s, d) => Text.minhashBucketStats(s, d)),

@@ -325,6 +325,50 @@ object Vector {
     per.reduce(_.unionByName(_)).orderBy("n_probe")
   }
 
+  /** SemDeDup-style SEMANTIC near-duplicate pairs (Abbas et al. 2023,
+    * arXiv:2303.09540): cluster the corpus with the trained spherical
+    * k-means, then flag same-cluster pairs whose exact cosine clears
+    * the threshold — the embedding-space twin of MinHash that catches
+    * paraphrases sharing no shingles. The cluster assignment IS the
+    * blocking: pair work is Σ_k C(n_k, 2), never corpus², and `lists`
+    * scales with the corpus (the paper runs 50k clusters over LAION;
+    * per-cluster width stays bounded, each cluster's pairs are one
+    * equi-join task — the same bucketed-quadratic contract as
+    * minhash's banded buckets). Declared rows-only like every trained
+    * k-means query (the Lloyd loop has no SQL twin); SemanticDedupSpec
+    * pins planted-parallel recall 1.0 and exact-verify precision
+    * against the unblocked pair set.
+    *
+    * `threshold` defaults to this corpus's near-dup calibration (the
+    * synthetic embeddings top out at cos 0.51; emb_neardups uses the
+    * same 0.4) — on real text embeddings the paper's 0.95 is the
+    * operating point, and only this knob changes. */
+  def semanticDedup(spark: SparkSession, dir: String, lists: Int = 8,
+                    threshold: Double = 0.4, dim: Int = 64,
+                    iters: Int = 5): DataFrame = {
+    val cents = trainIvfCentroids(spark, dir, lists, iters, dim)
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), dbl(col("embedding")).as("emb"))
+      .withColumn("nrm", nNorm(spark)(col("emb")))
+    val dots = array(cents.indices.map(kk =>
+      round(nDot(spark)(col("emb"), typedLit(cents(kk))), 6)): _*)
+    // map-only assignment (argmax, lowest-list tie-break) — same shape
+    // as ivfWith's corpus side
+    val assigned = e
+      .withColumn("list_id", (array_position(dots, array_max(dots)) - 1).cast("int"))
+    val a = assigned.select(col("list_id"), col("vec_id").as("vec_a"),
+      col("emb").as("ea"), col("nrm").as("na"))
+    val b = assigned.select(col("list_id"), col("vec_id").as("vec_b"),
+      col("emb").as("eb"), col("nrm").as("nb"))
+    a.join(b, Seq("list_id"))
+      .filter(col("vec_a") < col("vec_b"))
+      .withColumn("cos",
+        round(nDot(spark)(col("ea"), col("eb")) / (col("na") * col("nb")), 4))
+      .filter(col("cos") >= threshold)
+      .select(col("list_id"), col("vec_a"), col("vec_b"), col("cos"))
+      .orderBy("vec_a", "vec_b")
+  }
+
   /** The md5-derived coarse centroids `ivf_cosine` ships with —
     * engine-portable (the DuckDB oracle recomputes them in SQL). */
   private[ops] def pseudoRandomCentroids(lists: Int, dim: Int): Seq[Seq[Double]] = {

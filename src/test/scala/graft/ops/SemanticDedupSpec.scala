@@ -1,0 +1,68 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkFixture
+
+/** SemDeDup-style semantic dedup (trained-list blocking + exact
+  * within-list cosine): planted-parallel recall, agreement with the
+  * LSH-banded `embNearDups` on the same plant, and exact-verify
+  * precision against the unblocked brute-force pair set. */
+class SemanticDedupSpec extends AnyFunSuite with SparkFixture {
+
+  /** Four disjoint-support directions — cross-group cosine is exactly
+    * 0, within-group (scaled copies) exactly 1. */
+  private def plantedDir(): String = {
+    import spark.implicits._
+    val d = java.nio.file.Files.createTempDirectory("graft_semdedup_").toString
+    def block(b: Int, s: Float) = Array.tabulate(64)(i => if (i / 16 == b) s else 0f)
+    val rows =
+      Seq(0.5f, 1f, 2f, 3f, 5f).zipWithIndex.map { case (s, i) => (i.toLong, block(0, s), 0) } ++
+      Seq(1f, 2f, 4f).zipWithIndex.map { case (s, i) => (10L + i, block(1, s), 1) } ++
+      Seq((20L, block(2, 1f), 2), (21L, block(3, 1f), 3))
+    rows.toDF("vec_id", "embedding", "label")
+      .repartition(3).write.parquet(s"$d/embeddings.parquet")
+    d
+  }
+
+  test("planted parallel vectors: recall 1.0 at the paper's 0.95 — and agreement with embNearDups") {
+    val d = plantedDir()
+    val out = Vector.semanticDedup(spark, d, lists = 2, threshold = 0.95)
+      .collect().map(r => ((r.getLong(1), r.getLong(2)), r.getDouble(3)))
+    val expected =
+      (for (i <- 0L until 5L; j <- i + 1 until 5L) yield (i, j)).toSet ++
+      (for (i <- 10L until 13L; j <- i + 1 until 13L) yield (i, j)).toSet
+    assert(out.map(_._1).toSet == expected,
+      s"every within-direction pair and nothing else; got ${out.map(_._1).toSet}")
+    assert(out.forall(_._2 == 1.0), "parallel vectors must score cos 1.0")
+    // the LSH-banded near-dup path finds the same pairs on this plant
+    // (parallel positive scales share every hyperplane sign)
+    val lsh = Vector.embNearDups(spark, d)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh == expected, s"embNearDups must agree on the plant, got $lsh")
+  }
+
+  test("corpus precision: every flagged pair is a true >= threshold pair with the exact cosine") {
+    val dir = "/root/testdata/sf0.001"
+    val out = Vector.semanticDedup(spark, dir)
+      .collect().map(r => ((r.getLong(1), r.getLong(2)), r.getDouble(3))).toMap
+    // unblocked brute force over the small corpus (id-pairs then exact
+    // cosine — test-only; the operator's whole point is NOT doing this)
+    val e = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"))
+    val a = e.select(col("vec_id").as("vec_a"), col("v").as("va"))
+    val b = e.select(col("vec_id").as("vec_b"), col("v").as("vb"))
+    val brute = a.crossJoin(b).filter(col("vec_a") < col("vec_b"))
+      .withColumn("cos", round(
+        Vector.dot(col("va"), col("vb")) /
+          (sqrt(Vector.dot(col("va"), col("va"))) * sqrt(Vector.dot(col("vb"), col("vb")))), 4))
+      .filter(col("cos") >= 0.4)
+      .select("vec_a", "vec_b", "cos")
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(out.nonEmpty, "the corpus calibration threshold must flag something")
+    out.foreach { case (pair, c) =>
+      assert(brute.get(pair).contains(c),
+        s"$pair flagged with cos $c but brute force says ${brute.get(pair)}")
+    }
+  }
+}
