@@ -311,9 +311,16 @@ object Text {
     * the curation pipeline; split/lang gives ~15 directories whose
     * sizes follow the corpus mix — no small-file explosion, and the
     * train slice is one subtree. */
-  def trainingCutPublish(spark: SparkSession, dir: String): DataFrame = {
-    val out = graft.core.TempDirs.stable(s"cutpub:$dir")
-    trainingCut(spark, dir)
+  def trainingCutPublish(spark: SparkSession, dir: String): DataFrame =
+    publishCut(spark, trainingCut(spark, dir),
+      graft.core.TempDirs.stable(s"cutpub:$dir"))
+
+  /** Ship a manifest frame as the hive-partitioned artifact and verify
+    * the ON-DISK copy: the read-back summary comes from the published
+    * files (train slice directory-pruned), never the in-memory frame.
+    * `tools/Cli pipeline` calls this with its user-facing output dir. */
+  def publishCut(spark: SparkSession, manifest: DataFrame, out: String): DataFrame = {
+    manifest
       .write.mode("overwrite").partitionBy("split", "lang").parquet(out)
     spark.read.parquet(out)
       .filter(col("split") === "train") // directory-pruned read-back
@@ -1051,11 +1058,19 @@ object Text {
     * deterministic); the window partitions on class_id, so at 100 TB
     * the sort is per-class-sized, never global. Output is the per-doc
     * decision table (`keep` = survives dedup). */
-  def dedupKeepBest(spark: SparkSession, dir: String): DataFrame = {
+  def dedupKeepBest(spark: SparkSession, dir: String): DataFrame =
+    dedupKeepBestFrom(spark, dir, dupClasses(spark, dir))
+
+  /** Same decision table over an ALREADY-MATERIALIZED class map — the
+    * one-pass pipeline entry (`tools/Cli pipeline`) materializes
+    * dupClasses to its stage artifact once and feeds it here, so the
+    * expensive pair/label upstream is never replayed per stage. */
+  def dedupKeepBestFrom(spark: SparkSession, dir: String,
+      classes: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy("class_id")
       .orderBy(col("quality").desc, col("doc_id").asc)
-    dupClasses(spark, dir)
+    classes
       .join(qualityScore(spark, dir), "doc_id")
       .withColumn("keep", row_number().over(w) === 1)
       .select(col("doc_id"), col("class_id"), col("quality"), col("keep"))
@@ -1357,11 +1372,18 @@ object Text {
     * gate is a pure function of (doc_id, lang, text), so the manifest
     * is append-stable: re-running over a grown corpus never flips an
     * old doc's mix draw or split. */
-  def trainingCut(spark: SparkSession, dir: String): DataFrame = {
+  def trainingCut(spark: SparkSession, dir: String): DataFrame =
+    trainingCutFrom(spark, dir, dedupKeepBest(spark, dir))
+
+  /** Same manifest over an ALREADY-MATERIALIZED keep-best table (the
+    * one-pass pipeline feeds the stage artifact; every other gate is
+    * map-only or aggregate-sized and costs nothing to recompute). */
+  def trainingCutFrom(spark: SparkSession, dir: String,
+      keepBest: DataFrame): DataFrame = {
     import graft.functions.DetHash
     val docs = Tables.documents(spark, dir).select(col("doc_id"), col("lang"))
     val c4 = c4Filters(spark, dir).select(col("doc_id"), col("keep").as("c4_keep"))
-    val dd = dedupKeepBest(spark, dir).select(col("doc_id"), col("keep").as("dd_keep"))
+    val dd = keepBest.select(col("doc_id"), col("keep").as("dd_keep"))
     val counts = Tables.documents(spark, dir)
       .groupBy("lang").agg(count(lit(1)).as("n_docs"))
     val stats = counts.agg(sum("n_docs").as("total"), count(lit(1)).as("n_langs"))

@@ -188,6 +188,34 @@ class CopyPipelineSpec extends AnyFunSuite with SparkFixture {
     assert(pd.read(spark, "analytics/fs_a").count() == 3)
   }
 
+  test("cli pipeline: one-pass curation DAG — staged artifacts equal the per-query composition") {
+    val sf = "/root/testdata/sf0.001"
+    val out = tmp()
+    val stages = graft.tools.Cli.pipeline(spark, Array("pipeline", sf, out))
+    assert(stages.map(_._1) == Seq("dup_classes", "keep_best", "manifest_publish"),
+      s"three stages in dependency order, got $stages")
+    assert(stages.forall(_._2 > 0), s"every stage must produce rows: $stages")
+    // stage artifacts are the real deliverables
+    for (a <- Seq("dup_classes.parquet", "keep_best.parquet", "training_cut"))
+      assert(new java.io.File(s"$out/$a").exists(), s"missing artifact $a")
+    assert(new java.io.File(s"$out/training_cut/split=train").exists(),
+      "published manifest must be hive-partitioned by split")
+    // the one-pass keep-best equals the per-query composition bit for bit
+    val staged = spark.read.parquet(s"$out/keep_best.parquet")
+      .orderBy("doc_id").collect().toSeq
+    val direct = graft.ops.Text.dedupKeepBest(spark, sf)
+      .collect().toSeq
+    assert(staged == direct, "staged keep_best diverged from dedupKeepBest")
+    // and the published manifest equals the declared capstone's manifest
+    val published = spark.read.parquet(s"$out/training_cut")
+      .select("doc_id", "lang", "split", "in_cut")
+      .orderBy("doc_id").collect().toSeq
+    val capstone = graft.ops.Text.trainingCut(spark, sf)
+      .select("doc_id", "lang", "split", "in_cut")
+      .collect().toSeq
+    assert(published == capstone, "published manifest diverged from trainingCut")
+  }
+
   test("cli: --config resolves named locations; --log appends result lines") {
     val (src, dst) = (tmp(), tmp())
     writeTable(src, "cfg_t")
