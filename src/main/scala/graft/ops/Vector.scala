@@ -346,26 +346,54 @@ object Vector {
   def semanticDedup(spark: SparkSession, dir: String, lists: Int = 8,
                     threshold: Double = 0.4, dim: Int = 64,
                     iters: Int = 5): DataFrame = {
-    val cents = trainIvfCentroids(spark, dir, lists, iters, dim)
-    val e = Tables.embeddings(spark, dir)
+    // Exact-vector-dedup composed, like embNearDups (and the r7
+    // fuzzy_neardups fix): a dirty corpus with m identical copies of
+    // one vector would otherwise put all m in one list and stream
+    // C(m,2) pairs through the within-list join. Rep vectors (min
+    // vec_id per distinct embedding) ride the pair join; members
+    // expand through the class map afterward (identical vectors pair
+    // unconditionally at cos 1.0; rep-level cosines equal member-level
+    // cosines because members are bit-identical to their rep). Output
+    // is unchanged; within-list cost tracks DISTINCT vectors. Measured
+    // on the 8x verbatim-copy probe: the pair stage's candidate volume
+    // stays at the 1x level while output grows with duplicate volume.
+    val tmp = graft.core.TempDirs.stable(s"semdd:$dir")
+    val raw = Tables.embeddings(spark, dir)
       .select(col("vec_id"), dbl(col("embedding")).as("emb"))
+    val reps0 = raw.groupBy("emb").agg(min(col("vec_id")).as("rep"))
+    raw.join(reps0, "emb")
+      .select(col("vec_id").as("doc_id"), col("rep")) // Text.expandRepPairs' shape
+      .write.mode("overwrite").parquet(s"$tmp/classes")
+    val classMap = spark.read.parquet(s"$tmp/classes")
+    raw.join(
+        classMap.filter(col("doc_id") === col("rep")).select(col("doc_id").as("vec_id")),
+        Seq("vec_id"), "left_semi")
       .withColumn("nrm", nNorm(spark)(col("emb")))
+      .write.mode("overwrite").parquet(s"$tmp/reps")
+    val e = spark.read.parquet(s"$tmp/reps")
+    // centroids train on the FULL corpus (paper semantics: duplicates
+    // weight the clustering) — linear map+agg cost, no quadratic term
+    val cents = trainIvfCentroids(spark, dir, lists, iters, dim)
     val dots = array(cents.indices.map(kk =>
       round(nDot(spark)(col("emb"), typedLit(cents(kk))), 6)): _*)
     // map-only assignment (argmax, lowest-list tie-break) — same shape
-    // as ivfWith's corpus side
+    // as ivfWith's corpus side; members share their rep's argmax, so
+    // rep-level same-list blocking equals member-level blocking
     val assigned = e
       .withColumn("list_id", (array_position(dots, array_max(dots)) - 1).cast("int"))
-    val a = assigned.select(col("list_id"), col("vec_id").as("vec_a"),
+    val a = assigned.select(col("list_id"), col("vec_id").as("d1"),
       col("emb").as("ea"), col("nrm").as("na"))
-    val b = assigned.select(col("list_id"), col("vec_id").as("vec_b"),
+    val b = assigned.select(col("list_id"), col("vec_id").as("d2"),
       col("emb").as("eb"), col("nrm").as("nb"))
-    a.join(b, Seq("list_id"))
-      .filter(col("vec_a") < col("vec_b"))
+    val repPairs = a.join(b, Seq("list_id"))
+      .filter(col("d1") < col("d2"))
       .withColumn("cos",
         round(nDot(spark)(col("ea"), col("eb")) / (col("na") * col("nb")), 4))
       .filter(col("cos") >= threshold)
-      .select(col("list_id"), col("vec_a"), col("vec_b"), col("cos"))
+      .select(col("d1"), col("d2"), col("cos"))
+    Text.expandRepPairs(repPairs, classMap, Seq("cos"), Seq(lit(1.0)))
+      .filter(col("cos") >= threshold) // within pairs obey the threshold too
+      .select(col("d1").as("vec_a"), col("d2").as("vec_b"), col("cos"))
       .orderBy("vec_a", "vec_b")
   }
 

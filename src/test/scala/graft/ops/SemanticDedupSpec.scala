@@ -28,7 +28,7 @@ class SemanticDedupSpec extends AnyFunSuite with SparkFixture {
   test("planted parallel vectors: recall 1.0 at the paper's 0.95 — and agreement with embNearDups") {
     val d = plantedDir()
     val out = Vector.semanticDedup(spark, d, lists = 2, threshold = 0.95)
-      .collect().map(r => ((r.getLong(1), r.getLong(2)), r.getDouble(3)))
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2)))
     val expected =
       (for (i <- 0L until 5L; j <- i + 1 until 5L) yield (i, j)).toSet ++
       (for (i <- 10L until 13L; j <- i + 1 until 13L) yield (i, j)).toSet
@@ -42,10 +42,27 @@ class SemanticDedupSpec extends AnyFunSuite with SparkFixture {
     assert(lsh == expected, s"embNearDups must agree on the plant, got $lsh")
   }
 
+  test("identical-vector classes expand to all within pairs without riding the list join") {
+    import spark.implicits._
+    val d = java.nio.file.Files.createTempDirectory("graft_semdd_dup_").toString
+    val v = Array.tabulate(64)(i => if (i % 2 == 0) 1f else 0.5f)
+    val o = Array.tabulate(64)(i => if (i % 2 == 0) 0.5f else -1f)
+    val rows = (0 until 16).map(i => (i.toLong, v, 0)) :+ ((99L, o, 1))
+    rows.toDF("vec_id", "embedding", "label")
+      .repartition(4).write.parquet(s"$d/embeddings.parquet")
+    val out = Vector.semanticDedup(spark, d, lists = 2, threshold = 0.95)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2)))
+    val within = (for (i <- 0 until 16; j <- i + 1 until 16)
+      yield (i.toLong, j.toLong)).toSet
+    assert(out.map(_._1).toSet == within,
+      s"expected exactly the C(16,2) within pairs, got ${out.length}")
+    assert(out.forall(_._2 == 1.0), "identical vectors must score cos 1.0")
+  }
+
   test("corpus precision: every flagged pair is a true >= threshold pair with the exact cosine") {
     val dir = "/root/testdata/sf0.001"
     val out = Vector.semanticDedup(spark, dir)
-      .collect().map(r => ((r.getLong(1), r.getLong(2)), r.getDouble(3))).toMap
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
     // unblocked brute force over the small corpus (id-pairs then exact
     // cosine — test-only; the operator's whole point is NOT doing this)
     val e = spark.read.parquet(s"$dir/embeddings.parquet")
