@@ -643,7 +643,7 @@ object Relational {
     val n = src.count() // parquet footer-stats count, no data scan
     val sorted = src.orderBy(col("o_totalprice").asc, col("o_orderkey").asc)
     val ranked = spark.createDataFrame(
-      sorted.rdd.zipWithIndex.map { case (row, i) => Row.fromSeq(row.toSeq :+ (i + 1L)) },
+      sorted.rdd.zipWithIndex().map { case (row, i) => Row.fromSeq(row.toSeq :+ (i + 1L)) },
       sorted.schema.add("rk", LongType, nullable = false))
     val base = n / 10; val rem = n % 10; val cut = rem * (base + 1)
     ranked.select(col("o_orderkey"),

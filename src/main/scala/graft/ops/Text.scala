@@ -143,17 +143,33 @@ object Text {
       .select(least(col("m1"), col("m2")) +: greatest(col("m1"), col("m2"))
         +: payload.map(col): _*)
       .toDF(outCols: _*)
-    // Within-class pairs, SALTED: a plain self-join on rep lands a class
-    // of m members on ONE join key, so a single task streams all C(m,2)
-    // pairs (AQE cannot split one key). Bucketing members into
-    // G = ceil(sqrt(m)) groups splits the key into G*(G+1)/2
-    // (rep, ga, gb) subkeys of ~(m/G)^2 = m pairs each: the same
-    // (intrinsic) output volume now comes from ~m parallel tasks.
-    // Replication cost is ~G/2 rows per member (sum_m m*sqrt(m) total),
-    // negligible next to the output. Group assignment hashes doc_id, so
-    // the expansion stays deterministic. Each unordered pair surfaces
-    // exactly once: cross-group (ga<gb) pairs match on the one subkey
-    // with the lower group on the a-side; same-group pairs keep da<db.
+    // within-class payload is constant per pair (identical text):
+    // attach the literals to every class and let the salted expansion
+    // carry them
+    val perRep = classMap.select(col("rep")).distinct()
+      .select(col("rep") +: withinVals.zipWithIndex.map {
+        case (c, i) => c.as(s"_wv$i") }: _*)
+    val within = saltedWithinPairs(classMap, perRep).toDF(outCols: _*)
+    cross.unionByName(within)
+  }
+
+  /** All unordered within-class pairs (classes of >= 2 members) joined
+    * to a per-rep payload frame — which may hold several rows per rep
+    * (e.g. one row per self-similarity span); classes absent from
+    * `perRep` emit nothing. SALTED: a plain self-join on rep lands a
+    * class of m members on ONE join key, so a single task streams all
+    * C(m,2) pairs (AQE cannot split one key). Bucketing members into
+    * G = ceil(sqrt(m)) groups splits the key into G*(G+1)/2
+    * (rep, ga, gb) subkeys of ~(m/G)^2 = m pairs each: the same
+    * (intrinsic) output volume now comes from ~m parallel tasks.
+    * Replication cost is ~G/2 rows per member (sum_m m*sqrt(m) total),
+    * negligible next to the output. Group assignment hashes doc_id, so
+    * the expansion stays deterministic. Each unordered pair surfaces
+    * exactly once: cross-group (ga<gb) pairs match on the one subkey
+    * with the lower group on the a-side; same-group pairs keep da<db.
+    * Output: d1 < d2 (member ids) followed by perRep's payload
+    * columns, in order. */
+  private def saltedWithinPairs(classMap: DataFrame, perRep: DataFrame): DataFrame = {
     val sizes = classMap.groupBy("rep").agg(count(lit(1)).as("m"))
       .filter(col("m") >= 2)
     val grouped = classMap.join(sizes, "rep")
@@ -163,12 +179,13 @@ object Text {
       col("g").as("ga"), explode(sequence(col("g"), col("ng") - 1)).as("gb"))
     val bSide = grouped.select(col("rep"), col("doc_id").as("db"),
       explode(sequence(lit(0), col("g"))).as("ga"), col("g").as("gb"))
-    val within = aSide.join(bSide, Seq("rep", "ga", "gb"))
+    val payloadCols = perRep.columns.filter(_ != "rep").map(col).toSeq
+    aSide.join(bSide, Seq("rep", "ga", "gb"))
       .filter(col("ga") < col("gb") || col("da") < col("db"))
-      .select(least(col("da"), col("db")) +: greatest(col("da"), col("db"))
-        +: withinVals: _*)
-      .toDF(outCols: _*)
-    cross.unionByName(within)
+      .select(col("rep"), least(col("da"), col("db")).as("d1"),
+        greatest(col("da"), col("db")).as("d2"))
+      .join(perRep, "rep")
+      .select(col("d1") +: col("d2") +: payloadCols: _*)
   }
 
   /** Winnowed (doc_id, fingerprint) set shared by winnowFingerprint /
@@ -196,11 +213,16 @@ object Text {
       .select("doc_id", "pos", "h")
   }
 
-  private def winnowedGramsOf(docs: DataFrame): DataFrame = {
+  private def winnowedGramsOf(docs: DataFrame): DataFrame =
+    winnowedFromGrams(kgramsOf(docs))
+
+  /** The winnowing window pass over a (doc_id, pos, h) gram frame —
+    * split out so callers holding a gram BARRIER can select
+    * fingerprints without replaying tokenize + posexplode. */
+  private def winnowedFromGrams(g: DataFrame): DataFrame = {
     val w = 4
     val byDoc = Window.partitionBy("doc_id").orderBy("pos")
-    kgramsOf(docs)
-      .withColumn("n_kgrams", count(lit(1)).over(Window.partitionBy("doc_id")))
+    g.withColumn("n_kgrams", count(lit(1)).over(Window.partitionBy("doc_id")))
       .withColumn("rn", row_number().over(byDoc))
       .withColumn("wmin", min(col("h")).over(byDoc.rowsBetween(0, w - 1)))
       .filter(col("rn") <= col("n_kgrams") - (w - 1)) // full windows only
@@ -231,15 +253,47 @@ object Text {
     * bucket cap (a fingerprint that common identifies nothing). */
   def winnowPairs(spark: SparkSession, dir: String,
       minShared: Int = 2, maxDf: Int = 100): DataFrame = {
-    val fp = winnowedGrams(spark, dir).select("doc_id", "wmin").distinct()
-    val keep = fp.join(
-      fp.groupBy("wmin").agg(count(lit(1)).as("nd")).filter(col("nd") <= maxDf),
-      "wmin")
-    keep.select(col("doc_id").as("d1"), col("wmin"))
+    // Exact-dedup composed (the r5 minhash / r7 fuzzy fix, round 8):
+    // identical documents have identical selected-fingerprint sets, so
+    // the inverted-index join runs over ONE representative per class
+    // and pairs expand back through the class map. On a dirty corpus
+    // the candidate join's input tracks distinct contents (a class of
+    // m copies inflated every shared fp's postings list m-fold —
+    // sum(df^2) join work grew ~m^2); output is bit-identical because
+    // the df CAP still counts every copy (each class contributes its
+    // SIZE — fp sets of copies are identical), so boilerplate-drop
+    // decisions don't move when the corpus gets dirtier.
+    val tmp = graft.core.TempDirs.stable(s"winnow_pairs:$dir")
+    val docs = Tables.documents(spark, dir)
+    exactClassMap(docs).write.mode("overwrite").parquet(s"$tmp/classes")
+    val classMap = spark.read.parquet(s"$tmp/classes")
+    // the fp set feeds the df agg, the cap join, both self-join sides
+    // and the within payload — barrier it or each reference replays
+    // tokenize + posexplode + the winnow windows over the reps
+    winnowedGramsOf(repDocsOf(docs, classMap))
+      .select("doc_id", "wmin").distinct()
+      .write.mode("overwrite").parquet(s"$tmp/fps")
+    val fp = spark.read.parquet(s"$tmp/fps")
+    val csize = classMap.groupBy("rep").agg(count(lit(1)).as("m"))
+    val nd = fp.join(csize.withColumnRenamed("rep", "doc_id"), "doc_id")
+      .groupBy("wmin").agg(sum(col("m")).as("nd"))
+    val keep = fp.join(nd.filter(col("nd") <= maxDf), "wmin")
+      .select("doc_id", "wmin")
+    val repPairs = keep.select(col("doc_id").as("d1"), col("wmin"))
       .join(keep.select(col("doc_id").as("d2"), col("wmin")), "wmin")
       .filter(col("d1") < col("d2"))
       .groupBy("d1", "d2").agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= minShared)
+    // copies share exactly their class's surviving fingerprints
+    val withinShared = keep.groupBy("doc_id").agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+      .withColumnRenamed("doc_id", "rep")
+    val m1 = classMap.select(col("rep").as("d1"), col("doc_id").as("m1"))
+    val m2 = classMap.select(col("rep").as("d2"), col("doc_id").as("m2"))
+    val cross = repPairs.join(m1, "d1").join(m2, "d2")
+      .select(least(col("m1"), col("m2")).as("d1"),
+        greatest(col("m1"), col("m2")).as("d2"), col("n_shared"))
+    cross.unionByName(saltedWithinPairs(classMap, withinShared))
       .orderBy("d1", "d2")
   }
 
@@ -266,37 +320,97 @@ object Text {
     * equi-join on (pair, diagonal) keys — DuckDB replays the whole
     * chain, so spans are oracle-exact. */
   def winnowSpans(spark: SparkSession, dir: String, maxDf: Int = 100): DataFrame =
-    winnowSpansOf(Tables.documents(spark, dir))
+    winnowSpansOf(Tables.documents(spark, dir), s"winnow_spans:$dir", maxDf)
 
-  private[ops] def winnowSpansOf(docs: DataFrame, maxDf: Int = 100): DataFrame = {
+  private[ops] def winnowSpansOf(docs: DataFrame, tag: String,
+      maxDf: Int = 100): DataFrame = {
     val k = 4
     val w = 4
-    val fp = winnowedGramsOf(docs).select("doc_id", "wmin").distinct()
-    val keep = fp.join(
-      fp.groupBy("wmin").agg(count(lit(1)).as("nd")).filter(col("nd") <= maxDf),
-      "wmin")
+    // Exact-dedup composed (round 8, same pattern as winnowPairs): the
+    // candidate stage, the per-pair gram joins, and the span windows
+    // all run over ONE representative per identical-text class —
+    // uncomposed, a class of m copies paid C(m,2) full gram joins for
+    // spans every member pair shares verbatim (measured 67 s at the 8x
+    // probe). Copies expand back through the class map afterward:
+    // cross-class pairs inherit the rep pair's spans (offsets swap
+    // sides when member-id order flips the pair's orientation);
+    // within-class pairs — identical contents — inherit the content's
+    // gram SELF-join spans (symmetric, so no swap), computed once per
+    // class. The df cap still counts every copy (classes contribute
+    // their SIZE), so output is bit-identical to the uncomposed form.
+    val spark = docs.sparkSession
+    val tmp = graft.core.TempDirs.stable(tag)
+    exactClassMap(docs).write.mode("overwrite").parquet(s"$tmp/classes")
+    val classMap = spark.read.parquet(s"$tmp/classes")
+    repDocsOf(docs, classMap).write.mode("overwrite").parquet(s"$tmp/reps")
+    val reps = spark.read.parquet(s"$tmp/reps")
+    // rep grams feed both sides of the pair join AND the self-join —
+    // barrier them or each reference replays tokenize + window
+    kgramsOf(reps).write.mode("overwrite").parquet(s"$tmp/grams")
+    val g = spark.read.parquet(s"$tmp/grams")
+    // fps derive from the gram BARRIER (winnowing is a window pass over
+    // (doc_id, pos, h)) and are barriered themselves: they feed the df
+    // agg, the cap join, both candidate sides and the eligibility gate
+    winnowedFromGrams(g).select("doc_id", "wmin").distinct()
+      .write.mode("overwrite").parquet(s"$tmp/fps")
+    val fp = spark.read.parquet(s"$tmp/fps")
+    val csize = classMap.groupBy("rep").agg(count(lit(1)).as("m"))
+    val nd = fp.join(csize.withColumnRenamed("rep", "doc_id"), "doc_id")
+      .groupBy("wmin").agg(sum(col("m")).as("nd"))
+    val keep = fp.join(nd.filter(col("nd") <= maxDf), "wmin")
+      .select("doc_id", "wmin")
     val cand = keep.select(col("doc_id").as("d1"), col("wmin"))
       .join(keep.select(col("doc_id").as("d2"), col("wmin")), "wmin")
       .filter(col("d1") < col("d2"))
       .select("d1", "d2").distinct()
-    val g = kgramsOf(docs)
-    val m = cand
+    // maximal runs of consecutive matched grams along each diagonal
+    // (gaps-and-islands); a run of ng >= w grams is a shared run of
+    // ng + k - 1 >= k + w - 1 tokens
+    def spansOf(m: DataFrame): DataFrame = {
+      val byDiag = Window.partitionBy(col("d1"), col("d2"), col("p1") - col("p2"))
+        .orderBy("p1")
+      m.withColumn("grp", col("p1") - row_number().over(byDiag))
+        .groupBy(col("d1"), col("d2"), (col("p1") - col("p2")).as("diag"), col("grp"))
+        .agg(count(lit(1)).as("ng"),
+          min("p1").as("sp1"), max("p1").as("ep1"),
+          min("p2").as("sp2"), max("p2").as("ep2"))
+        .filter(col("ng") >= w)
+    }
+    val crossM = cand
       .join(g.select(col("doc_id").as("d1"), col("pos").as("p1"), col("h")), Seq("d1"))
       .join(g.select(col("doc_id").as("d2"), col("pos").as("p2"), col("h")),
         Seq("d2", "h"))
-    val byDiag = Window.partitionBy(col("d1"), col("d2"), col("p1") - col("p2"))
-      .orderBy("p1")
-    m.withColumn("grp", col("p1") - row_number().over(byDiag))
-      .groupBy(col("d1"), col("d2"), (col("p1") - col("p2")).as("diag"), col("grp"))
-      .agg(count(lit(1)).as("ng"),
-        min("p1").as("sp1"), max("p1").as("ep1"),
-        min("p2").as("sp2"), max("p2").as("ep2"))
-      .filter(col("ng") >= w) // run length ng + k - 1 >= k + w - 1
-      .select(col("d1").as("doc_a"), col("d2").as("doc_b"),
-        (col("sp1") + 1).cast("bigint").as("a_start"),
-        (col("ep1") + k).cast("bigint").as("a_end"),
-        (col("sp2") + 1).cast("bigint").as("b_start"),
-        (col("ep2") + k).cast("bigint").as("b_end"),
+    val m1 = classMap.select(col("rep").as("d1"), col("doc_id").as("m1"))
+    val m2 = classMap.select(col("rep").as("d2"), col("doc_id").as("m2"))
+    val aFirst = col("m1") < col("m2")
+    val cross = spansOf(crossM).join(m1, "d1").join(m2, "d2")
+      .select(least(col("m1"), col("m2")).as("doc_a"),
+        greatest(col("m1"), col("m2")).as("doc_b"),
+        when(aFirst, col("sp1")).otherwise(col("sp2")).as("sp_a"),
+        when(aFirst, col("ep1")).otherwise(col("ep2")).as("ep_a"),
+        when(aFirst, col("sp2")).otherwise(col("sp1")).as("sp_b"),
+        when(aFirst, col("ep2")).otherwise(col("ep1")).as("ep_b"),
+        col("ng"))
+    // within-class self-spans: only classes holding >= 1 surviving fp
+    // pair at all (the same candidacy gate the uncomposed join applied
+    // to copy pairs)
+    val eligible = keep.select("doc_id").distinct()
+    val sg = g.join(eligible, Seq("doc_id"), "left_semi")
+    val selfJoin = sg.select(col("doc_id"), col("pos").as("p1"), col("h"))
+      .join(sg.select(col("doc_id"), col("pos").as("p2"), col("h")),
+        Seq("doc_id", "h"))
+      .select(col("doc_id").as("d1"), col("doc_id").as("d2"),
+        col("p1"), col("p2"))
+    val perRepSpans = spansOf(selfJoin).select(col("d1").as("rep"),
+      col("sp1"), col("ep1"), col("sp2"), col("ep2"), col("ng"))
+    val within = saltedWithinPairs(classMap, perRepSpans)
+      .toDF("doc_a", "doc_b", "sp_a", "ep_a", "sp_b", "ep_b", "ng")
+    cross.unionByName(within)
+      .select(col("doc_a"), col("doc_b"),
+        (col("sp_a") + 1).cast("bigint").as("a_start"),
+        (col("ep_a") + k).cast("bigint").as("a_end"),
+        (col("sp_b") + 1).cast("bigint").as("b_start"),
+        (col("ep_b") + k).cast("bigint").as("b_end"),
         (col("ng") + k - 1).cast("bigint").as("n_tokens"))
       .orderBy("doc_a", "doc_b", "a_start", "b_start")
   }

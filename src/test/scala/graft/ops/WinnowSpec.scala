@@ -100,6 +100,41 @@ class WinnowSpec extends AnyFunSuite with SparkFixture {
       "both occurrences in doc2 must surface; the 6-token overlap must not")
   }
 
+  test("rep expansion swaps span offsets when member order flips the pair's orientation") {
+    // class {1, 30} (identical content A), doc 20 (content B sharing a
+    // run): the rep pair is (1, 20) with A's offsets on the a-side, but
+    // the expanded pair (20, 30) puts content B first — the a/b offset
+    // columns must swap, and the within pair (1, 30) is the full-doc
+    // self-span with no swap
+    val shared = words("common", 12)
+    val a = s"${words("alpha", 20)} $shared ${words("omega", 20)}" // 52 tokens
+    val b = s"${words("left", 9)} $shared ${words("right", 14)}"
+    val dir = corpus(Seq((1L, a), (20L, b), (30L, a)))
+    // content A: common at 21-32; content B: common at 10-21
+    assert(spans(dir) == Seq(
+      (1L, 20L, 21L, 32L, 10L, 21L, 12L),
+      (1L, 30L, 1L, 52L, 1L, 52L, 52L),
+      (20L, 30L, 10L, 21L, 21L, 32L, 12L)),
+      "expanded pairs must carry orientation-correct offsets")
+  }
+
+  test("the df cap counts COPIES, not distinct contents (dirty-corpus semantics pinned)") {
+    // 51 identical-pair classes (102 docs) all sharing one boilerplate
+    // run: rep-level df is 51, but member-level df is 102 > 100, so the
+    // boilerplate must still be capped away exactly as in the
+    // uncomposed form — cross-class pairs vanish; each class's two
+    // copies still pair through their OWN unique-prefix fingerprints
+    val boiler = words("boiler", 12)
+    val docs = (1L to 51L).flatMap(i =>
+      Seq((i * 2L, s"${words(s"u$i", 10)} $boiler"),
+          (i * 2L + 1L, s"${words(s"u$i", 10)} $boiler")))
+    val dir = corpus(docs)
+    val pairs = Text.winnowPairs(spark, dir, minShared = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == (1L to 51L).map(i => (i * 2L, i * 2L + 1L)).toSet,
+      "exactly the 51 within-class pairs; boilerplate cross pairs capped away")
+  }
+
   test("the df cap drops boilerplate fingerprints instead of joining them") {
     // 150 docs all carrying the same boilerplate run (> maxDf=100):
     // with only the boilerplate in common, the capped join yields NO
