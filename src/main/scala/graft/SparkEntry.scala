@@ -299,6 +299,7 @@ object SparkEntry {
     "winnow_spans"     -> ((s, d) => Text.winnowSpans(s, d)),
     // rows-only by design: the trained k-means loop has no SQL twin
     "semantic_dedup"   -> ((s, d) => Vector.semanticDedup(s, d)),
+    "semantic_decontaminate" -> ((s, d) => Vector.semanticDecontaminate(s, d)),
     "jaccard_pairs"    -> ((s, d) => Text.jaccardPairs(s, d)),
     "minhash_candidates" -> ((s, d) => Text.minhashCandidates(s, d)),
     "minhash_bucket_stats" -> ((s, d) => Text.minhashBucketStats(s, d)),
@@ -2246,6 +2247,28 @@ object SparkEntry {
          |      * sqrt(list_dot_product(b.emb, b.emb))), 4) AS sim
          |    FROM cand JOIN e a ON a.vec_id = cand.d1 JOIN e b ON b.vec_id = cand.d2)
          |SELECT d1, d2, sim FROM p WHERE sim >= 0.4 ORDER BY d1, d2""".stripMargin,
+    "semantic_decontaminate" -> // paraphrase-level eval leakage: LSH candidates vs the bench set, exact cosine verify
+      s"""WITH planes AS (SELECT pj.j AS j, list_transform(generate_series(0,63),
+         |    d -> ((${hex60("'p:' || pj.j || ':' || d")} % 2001) - 1000) / 1000.0) AS p
+         |  FROM generate_series(0,31) pj(j)),
+         |  e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+         |    FROM embeddings),
+         |  bits AS (SELECT vec_id, pl.j // 4 AS band,
+         |    CASE WHEN list_dot_product(e.emb, pl.p) >= 0
+         |      THEN (1::BIGINT << (pl.j % 4)) ELSE 0 END AS bv
+         |    FROM e, planes pl),
+         |  bk AS (SELECT vec_id, band, CAST(sum(bv) AS BIGINT) AS bucket
+         |    FROM bits GROUP BY vec_id, band),
+         |  cand AS (SELECT DISTINCT c.vec_id AS cid, b.vec_id AS bid
+         |    FROM bk c JOIN bk b ON c.band = b.band AND c.bucket = b.bucket
+         |    WHERE c.vec_id >= 100 AND b.vec_id < 100),
+         |  p AS (SELECT cid, bid,
+         |    round(list_dot_product(a.emb, b.emb) / (sqrt(list_dot_product(a.emb, a.emb))
+         |      * sqrt(list_dot_product(b.emb, b.emb))), 4) AS sim
+         |    FROM cand JOIN e a ON a.vec_id = cand.cid JOIN e b ON b.vec_id = cand.bid)
+         |SELECT cid AS vec_id, CAST(count(*) AS BIGINT) AS n_bench_hits,
+         |  max(sim) AS max_sim
+         |FROM p WHERE sim >= 0.4 GROUP BY 1 ORDER BY vec_id""".stripMargin,
     "centroid_norm" ->
       """WITH u AS (SELECT label, g.i AS i, CAST(embedding[g.i] AS DOUBLE) AS x
         |    FROM embeddings, LATERAL (SELECT unnest(generate_series(1, 64)) AS i) g),

@@ -325,6 +325,53 @@ object Vector {
     per.reduce(_.unionByName(_)).orderBy("n_probe")
   }
 
+  /** SEMANTIC DECONTAMINATION — the embedding-space twin of
+    * `Text.decontaminate` (whose n-gram semi-join catches verbatim
+    * leakage): flag corpus documents whose embedding lands too close
+    * (cosine >= threshold) to ANY vector of a benchmark/eval set, the
+    * screen that catches PARAPHRASED eval leakage sharing no shingles.
+    * The benchmark is the same deterministic pseudo-holdout convention
+    * (`vec_id < benchBound` — a real pipeline substitutes its eval
+    * suites' embeddings).
+    *
+    * Scale shape: the bench side is tiny next to the corpus, so BOTH
+    * its band buckets and its vectors ride a broadcast — the corpus is
+    * scanned ONCE, banded map-side (plane literals fold into the
+    * plan), candidate-joined and cosine-verified without ever
+    * shuffling an embedding; the only exchange is the final ids+sim
+    * per-doc aggregate. Candidates come from the same banded
+    * hyperplane LSH as `embNearDups` (a corpus vector must share >= 1
+    * of the 8x4-bit band buckets with some bench vector), so cost
+    * tracks bucket co-occupancy, never |corpus| x |bench| — and the
+    * planes are md5-derived, so DuckDB replays the whole chain and the
+    * result is hash-checked exactly. A pair colliding in several bands
+    * re-verifies per collision (bounded by `bands`); the per-doc agg
+    * counts DISTINCT bench hits, so duplicates never skew the report.
+    * Recall < 1 by construction (banded sketch); identical vectors
+    * always share all bands — verbatim leakage is never missed. */
+  def semanticDecontaminate(spark: SparkSession, dir: String,
+      threshold: Double = 0.4, benchBound: Int = 100,
+      bands: Int = 8, bitsPerBand: Int = 4, dim: Int = 64): DataFrame = {
+    val raw = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), dbl(col("embedding")).as("emb"))
+    val benchBk = broadcast(raw.filter(col("vec_id") < benchBound)
+      .withColumn("bnrm", nNorm(spark)(col("emb")))
+      .select(col("vec_id").as("bid"), col("emb").as("bemb"), col("bnrm"),
+        posexplode(bandCols(spark, bands, bitsPerBand, dim)).as(Seq("band", "bucket"))))
+    raw.filter(col("vec_id") >= benchBound)
+      .withColumn("nrm", nNorm(spark)(col("emb")))
+      .select(col("vec_id"), col("emb"), col("nrm"),
+        posexplode(bandCols(spark, bands, bitsPerBand, dim)).as(Seq("band", "bucket")))
+      .join(benchBk, Seq("band", "bucket"))
+      .withColumn("sim",
+        round(nDot(spark)(col("emb"), col("bemb")) / (col("nrm") * col("bnrm")), 4))
+      .filter(col("sim") >= threshold)
+      .groupBy("vec_id")
+      .agg(countDistinct(col("bid")).as("n_bench_hits"),
+        max(col("sim")).as("max_sim"))
+      .orderBy("vec_id")
+  }
+
   /** SemDeDup-style SEMANTIC near-duplicate pairs (Abbas et al. 2023,
     * arXiv:2303.09540): cluster the corpus with the trained spherical
     * k-means, then flag same-cluster pairs whose exact cosine clears

@@ -138,7 +138,13 @@ object Cli {
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()
       .master(sys.env.getOrElse("SPARK_GRAFT_MASTER", "local[4]"))
-      .config("spark.sql.shuffle.partitions", "4")
+      // shuffle width follows the master's core count unless pinned —
+      // a local[32] pipeline run must not squeeze through 4 partitions
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_SHUFFLE",
+          sys.env.get("SPARK_GRAFT_MASTER")
+            .flatMap("""local\[(\d+)\]""".r.findFirstMatchIn)
+            .map(_.group(1)).getOrElse("4")))
       .config("spark.ui.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()

@@ -83,6 +83,23 @@ class PlanAuditSpec extends AnyFunSuite with SparkFixture {
     assert(!p.contains("CartesianProduct"), s"cartesian in the candidate path:\n$p")
   }
 
+  test("semantic_decontaminate: bench broadcasts; the corpus's only exchange is the final per-doc agg") {
+    val p = planOf(Vector.semanticDecontaminate(spark, sf))
+    assert(p.contains("BroadcastHashJoin"),
+      s"the tiny bench bucket set must broadcast, not shuffle the corpus:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      s"no shuffled join anywhere — the corpus is scanned once map-side:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"candidates must come from the band equi-join, never corpus x bench:\n$p")
+    // exchanges: count(DISTINCT bid) plans two agg phases (dedup on
+    // (vec_id, bid), then the count) plus the output sort — three
+    // shuffles of (vec_id, bid, sim) rows; embeddings never ride one
+    val nEx = "Exchange".r.findAllIn(p).length
+    assert(nEx <= 4, s"expected distinct-agg + sort exchanges only, found $nEx:\n$p")
+    assert(!"Exchange[^\\n]*emb".r.findFirstIn(p).isDefined,
+      s"an embedding column crossed a shuffle:\n$p")
+  }
+
   test("emb_neardups: banded candidates are a subset of exact all-pairs, with planted-dup recall") {
     import org.apache.spark.sql.functions._
     val banded = Vector.embNearDups(spark, sf)
