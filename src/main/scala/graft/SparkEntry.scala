@@ -274,6 +274,7 @@ object SparkEntry {
     // ---- structured streaming (real streaming queries; oracle checks
     //      the streaming RESULT against batch SQL)
     "stream_tumbling"  -> ((s, d) => EventStreams.tumbling(s, d)),
+    "stream_asof"      -> ((s, d) => EventStreams.asofToParquet(s, d)),
     "stream_tumbling_parquet" -> ((s, d) => EventStreams.tumblingToParquet(s, d)),
     "stream_sliding"   -> (EventStreams.sliding _),
     "stream_sessions"  -> ((s, d) => EventStreams.sessionWindows(s, d)),
@@ -832,6 +833,18 @@ object SparkEntry {
         |FROM d a JOIN d c ON a.lang = c.lang AND a.b = c.b AND a.doc_id < c.doc_id
         |WHERE levenshtein(a.p, c.p) <= 20 ORDER BY doc_a, doc_b""".stripMargin,
     "asof_native" -> // native as-of join twin: DuckDB's own ASOF JOIN
+      """WITH p AS (SELECT event_id, user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us
+        |    FROM events WHERE event_type = 'purchase'),
+        |  c AS (SELECT user_id AS c_user, epoch_us(CAST(ts AS TIMESTAMP)) AS click_us,
+        |    CAST(max(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS click_value
+        |    FROM events WHERE event_type = 'click' GROUP BY 1, 2)
+        |SELECT p.event_id, p.user_id, p.ts_us,
+        |  c.click_us AS last_click_us, c.click_value
+        |FROM p ASOF LEFT JOIN c
+        |  ON p.user_id = c.c_user AND p.ts_us >= c.click_us
+        |ORDER BY event_id""".stripMargin,
+    "stream_asof" -> // per-micro-batch native as-of vs the static click table:
+      // batching-invariant, so the sink equals the batch ASOF verbatim
       """WITH p AS (SELECT event_id, user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us
         |    FROM events WHERE event_type = 'purchase'),
         |  c AS (SELECT user_id AS c_user, epoch_us(CAST(ts AS TIMESTAMP)) AS click_us,

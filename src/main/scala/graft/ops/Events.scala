@@ -143,7 +143,7 @@ object Events {
   /** Shared sides for the native as-of family: purchases (left) and
     * per-(user, ts) deduplicated clicks (right — deterministic payload
     * under timestamp ties). */
-  private def asofSides(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
+  private[graft] def asofSides(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
     val ev = Tables.events(spark, dir)
     val purchases = ev.filter(col("event_type") === "purchase")
       .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("ts_us"))

@@ -379,6 +379,60 @@ object EventStreams {
       .orderBy("w_start_us")
   }
 
+  /** STREAMING AS-OF ENRICH: purchases stream in; every micro-batch
+    * rides the NATIVE as-of operator (graft.plans.AsofJoin — the same
+    * custom LogicalPlan/Strategy/SparkPlan the batch family uses)
+    * against the STATIC per-(user, ts) deduplicated click table inside
+    * `foreachBatch`, appending enriched rows to a parquet sink. This is
+    * the standard production shape for "late-arriving facts pick up
+    * the latest reference state at-or-before their event time": the
+    * enrichment is a pure per-row function of the static side, so the
+    * result is BATCHING-INVARIANT — any micro-batch split produces the
+    * same rows (StreamMultiBatchSpec pins it) — and the declared query
+    * shares `asof_native`'s DuckDB ASOF JOIN oracle verbatim. At scale
+    * the static side stays partitioned by user on the executors across
+    * batches; each trigger's as-of cost tracks that batch's purchase
+    * volume, with O(1) merge state per key exactly like batch. */
+  def asofToParquet(spark: SparkSession, dir: String,
+      maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    val (_, clicks) = graft.ops.Events.asofSides(spark, dir)
+    val purchases = eventStream(spark, dir, maxFilesPerTrigger)
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("ts_us"))
+    val base = graft.core.TempDirs.stable(s"stream_pq:$dir")
+    val out = s"$base/asof"
+    val ck = s"$base/asof_ckpt"
+    graft.core.TempDirs.deleteRecursively(new java.io.File(out))
+    graft.core.TempDirs.deleteRecursively(new java.io.File(ck))
+    val outSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("event_id",
+        purchases.schema("event_id").dataType),
+      org.apache.spark.sql.types.StructField("user_id",
+        purchases.schema("user_id").dataType),
+      org.apache.spark.sql.types.StructField("ts_us",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("last_click_us",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("click_value",
+        org.apache.spark.sql.types.DoubleType)))
+    val q = purchases.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+          _: Long) =>
+        graft.plans.AsofJoin(batch.toDF(), clicks,
+            by = ("user_id", "c_user"), ts = ("ts_us", "click_us"))
+          .select(col("event_id"), col("user_id"), col("ts_us"),
+            col("click_us").as("last_click_us"), col("click_value"))
+          .write.mode("append").parquet(out)
+        ()
+      }
+      .option("checkpointLocation", ck)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.read.schema(outSchema).parquet(out)
+      .orderBy("event_id")
+  }
+
   /** PRODUCTION twin of `sessionWindows`: gap-session aggregation in
     * APPEND mode to parquet. A session window's end is its last event
     * + gap, so a session lands in the files exactly when the watermark

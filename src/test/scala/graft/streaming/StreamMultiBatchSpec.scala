@@ -86,6 +86,23 @@ class StreamMultiBatchSpec extends AnyFunSuite with SparkFixture {
     assert(multi.nonEmpty)
   }
 
+  test("asofToParquet over the 3-batch backlog equals the single-batch run") {
+    // the enrichment is a pure per-row function of the static click
+    // table, so ANY micro-batch split must produce the identical sink —
+    // each batch rides the native as-of operator independently
+    val corpus = splitCorpus()
+    def rows(d: org.apache.spark.sql.DataFrame) =
+      d.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3),
+        if (r.isNullAt(4)) -1.0 else r.getDouble(4))).toSeq.sortBy(t => (t._1, t._2))
+    val multi = rows(EventStreams.asofToParquet(spark, corpus, Some(1)))
+    val single = rows(EventStreams.asofToParquet(spark, sf))
+    assert(multi == single,
+      "micro-batch split must not change the as-of enrichment")
+    assert(multi.nonEmpty && multi.exists(_._4 >= 0L),
+      "some purchases must carry a prior click")
+  }
+
   test("leftOuterJoin over the 3-batch backlog equals the single-batch run") {
     // Null emission happens at DIFFERENT times in the two runs (mid-
     // stream evictions as the watermark advances batch-by-batch vs one
