@@ -351,6 +351,25 @@ class PlanAuditSpec extends AnyFunSuite with SparkFixture {
       s"expected 1 hash exchange (everything partitions on doc_id), got $exchanges:\n$p")
   }
 
+  test("winnow_pairs + winnow_spans: heavy stages stay behind barriers — the declared plan replays no tokenize") {
+    // the composed forms materialize classes/fps/grams to scratch
+    // parquet at build time; the RETURNED plan must join those barrier
+    // reads, never re-derive fingerprints from text (a posexplode or a
+    // split() in the plan means a barrier reference regressed to lineage
+    // replay — the multi-reference recompute the round-8 fix removed)
+    for ((name, df) <- Seq(
+        ("winnow_pairs", Text.winnowPairs(spark, sf)),
+        ("winnow_spans", Text.winnowSpans(spark, sf)))) {
+      val p = planOf(df)
+      assert(p.contains("graft_scratch_"),
+        s"$name must read its scratch barriers:\n$p")
+      assert(!p.toLowerCase.contains("posexplode") && !p.contains("split(text"),
+        s"$name replays gram derivation inside the declared plan:\n$p")
+      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+        s"$name pair stage must stay an equi-join:\n$p")
+    }
+  }
+
   test("training_cut: composition stays barriered — dedup stage reads its parquet barrier, no cartesian") {
     val p = planOf(Text.trainingCut(spark, sf))
     // the dup-classes upstream (shingles -> minhash -> label propagation)
