@@ -541,6 +541,64 @@ object Vector {
       .orderBy("query_id", "rnk")
   }
 
+  /** Publish the IVF index as the ON-DISK artifact an ANN serving
+    * tier actually reads (the vector twin of `training_cut_publish`):
+    * corpus assignments — vector, norm, list id — hive-partitioned BY
+    * LIST ID, so a probe touches nProbe/K of the corpus at the
+    * DIRECTORY level, before a single row is read. The declared query
+    * verifies the PUBLISHED copy: queries rank their top-nProbe lists,
+    * the probed list ids become a partition-column filter on the
+    * artifact read-back (plan-audited PartitionFilters — the scan
+    * never lists the other directories), and candidates re-rank by
+    * exact cosine. Same semantics as `ivf_cosine` (the md5-derived
+    * centroids keep the whole chain SQL-replayable), so the published
+    * index is hash-checked against DuckDB end-to-end.
+    *
+    * The probed-list collect is `nQueries x nProbe` ints (bounds
+    * discovery, not data); norms ship IN the artifact so serving never
+    * recomputes them. At 100 TB this layout is the standard IVF
+    * serving shape: K directories whose sizes follow the cluster mix,
+    * each query reading nProbe of them. */
+  def ivfPublish(spark: SparkSession, dir: String, lists: Int = 8,
+                 nProbe: Int = 2, nQueries: Int = 8, k: Int = 3,
+                 dim: Int = 64): DataFrame = {
+    val cents = pseudoRandomCentroids(lists, dim)
+    val out = graft.core.TempDirs.stable(s"ivfpub:$dir")
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), dbl(col("embedding")).as("emb"))
+      .withColumn("nrm", nNorm(spark)(col("emb")))
+    def cdot(kk: Int): Column =
+      round(nDot(spark)(col("emb"), typedLit(cents(kk))), 6)
+    val dots = array(cents.indices.map(cdot): _*)
+    e.withColumn("list_id", (array_position(dots, array_max(dots)) - 1).cast("int"))
+      .write.mode("overwrite").partitionBy("list_id").parquet(out)
+    // probes: the tiny query set ranks all K centroid dots -> top-nProbe
+    val byVec = Window.partitionBy("vec_id").orderBy(col("cdot").desc, col("k").asc)
+    val probes = e.filter(col("vec_id") < nQueries)
+      .select(col("vec_id"), col("emb"), col("nrm"),
+        posexplode(dots).as(Seq("k", "cdot")))
+      .withColumn("crn", row_number().over(byVec))
+      .filter(col("crn") <= nProbe)
+      .select(col("k").cast("int").as("list_id"), col("vec_id").as("query_id"),
+        col("emb").as("qe"), col("nrm").as("qn"))
+    val probedLists = probes.select("list_id").distinct()
+      .collect().map(_.getInt(0)).sorted // nQueries x nProbe ints
+    val idx = spark.read.parquet(out)
+      .filter(col("list_id").isin(probedLists.map(Integer.valueOf): _*))
+      .select(col("list_id"), col("vec_id").as("neighbor_id"),
+        col("emb").as("ce"), col("nrm").as("cn"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("sim").desc, col("neighbor_id").asc)
+    idx.join(broadcast(probes), Seq("list_id"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        round(nDot(spark)(col("qe"), col("ce")) / (col("qn") * col("cn")), 4).as("sim"))
+      .withColumn("rnk", row_number().over(w).cast("bigint"))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("rnk"), col("neighbor_id"), col("sim"))
+      .orderBy("query_id", "rnk")
+  }
+
   /** Per-label centroid norm: aggregates the 64 dims as 64 independent
     * column sums + the row count in ONE hash-agg pass (no array
     * shuffle games, no second scan). */

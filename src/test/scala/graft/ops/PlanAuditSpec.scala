@@ -76,6 +76,29 @@ class PlanAuditSpec extends AnyFunSuite with SparkFixture {
       s"chunking must not shuffle payloads:\n$p")
   }
 
+  test("ivf_publish: the probe prunes the published index at the DIRECTORY level") {
+    val df = Vector.ivfPublish(spark, sf)
+    // not planOf: the static IN prune triggers a (redundant) dynamic-
+    // pruning subquery whose RENDERED inner plan can print
+    // isFinalPlan=false even after execution — planOf's finalization
+    // assert would trip on that cosmetic string, not a real stall
+    df.collect()
+    val s = df.queryExecution.executedPlan.toString
+    val cut = s.indexOf("== Initial Plan ==")
+    val p = if (cut >= 0) s.substring(0, cut) else s
+    assert("PartitionFilters: \\[[^\\]]*list_id".r.findFirstIn(p).isDefined,
+      s"probed lists must prune partitions on the artifact scan, not post-filter:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the tiny probe set must broadcast against the pruned index:\n$p")
+    // published-index semantics == the in-memory ivf_cosine operator
+    val pub = df.collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+    val mem = Vector.ivfCosine(spark, sf).collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+    assert(pub == mem, "the on-disk index must answer exactly like the operator")
+    assert(pub.nonEmpty)
+  }
+
   test("emb_neardups: banded LSH shape — every join an equi-join, corpus never nested-loops") {
     val p = planOf(Vector.embNearDups(spark, sf))
     assert(!p.contains("BroadcastNestedLoopJoin"),
