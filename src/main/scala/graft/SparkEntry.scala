@@ -294,6 +294,7 @@ object SparkEntry {
     // ---- text / dedup
     "dedup_exact"      -> (Text.dedupExact _),
     "dedup_incremental" -> (Text.dedupIncremental _),
+    "dedup_incremental_bloom" -> (Text.dedupIncrementalBloom _),
     "fingerprint"      -> (Text.fingerprint _),
     "winnow_fp"        -> (Text.winnowFingerprint _),
     "winnow_pairs"     -> ((s, d) => Text.winnowPairs(s, d)),
@@ -1771,6 +1772,15 @@ object SparkEntry {
     "dedup_incremental" -> // new shard (odd ids) anti-joined vs existing hashes.
       // NOT EXISTS, not NOT IN: left_anti keeps null-key rows and never
       // nulls out on a null in the subquery — NOT IN does both.
+      """WITH ex AS (SELECT DISTINCT md5(text) AS content_hash
+        |            FROM documents WHERE doc_id % 2 = 0),
+        |  fresh AS (SELECT doc_id, md5(text) AS content_hash
+        |            FROM documents WHERE doc_id % 2 = 1)
+        |SELECT doc_id, content_hash FROM fresh
+        |WHERE NOT EXISTS (SELECT 1 FROM ex WHERE ex.content_hash = fresh.content_hash)
+        |ORDER BY doc_id""".stripMargin,
+    "dedup_incremental_bloom" -> // bloom-gated variant: no false negatives,
+      // hits settled by the exact anti-join — output equals dedup_incremental
       """WITH ex AS (SELECT DISTINCT md5(text) AS content_hash
         |            FROM documents WHERE doc_id % 2 = 0),
         |  fresh AS (SELECT doc_id, md5(text) AS content_hash

@@ -101,6 +101,49 @@ object Text {
       .orderBy("doc_id")
   }
 
+  /** BLOOM-GATED incremental dedup — the pattern LLM ingest pipelines
+    * run daily (a bloom filter over historical content hashes gates
+    * each new shard; e.g. Dolma's deduper is exactly this): fresh rows
+    * whose content hash MISSES the history bloom are DEFINITELY new
+    * and bypass the anti-join entirely — a map-side verdict inside
+    * whole-stage codegen (Catalyst's `BloomFilterMightContain` via the
+    * sql-package bridge, same expression as `bloom_prune_join`); only
+    * bloom HITS (true dups + the ~1% false positives) ride the exact
+    * hash anti-join. Output is IDENTICAL to `dedupIncremental` (blooms
+    * have no false negatives), so the same oracle checks it; what
+    * changes is the shuffle: at a low dup rate almost the whole shard
+    * short-circuits map-side.
+    *
+    * Size assumption (same as Bridge.bloomMightContain): the serialized
+    * sketch rides the plan, so this is for a BOUNDED history window —
+    * a day's shard vs a recent-window bloom (MBs up to ~100M keys).
+    * Full-corpus history at 100 TB instead uses the partitioned
+    * anti-join (`dedupIncremental`) or Spark's broadcast-backed
+    * runtime filter. The bloom key is hex60(text) (long — the probe
+    * expression is integral-only); membership gating on a 60-bit
+    * content hash adds nothing to the false-positive story beyond the
+    * bloom's own epsilon, and the exact md5 anti-join settles hits. */
+  def dedupIncrementalBloom(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.DetHash
+    val docs = Tables.documents(spark, dir)
+    val existing = docs.filter(col("doc_id") % 2 === 0)
+    val existingKeys = existing.select(DetHash.hex60(col("text")).as("k")).distinct()
+    val nKeys = math.max(existingKeys.count(), 1L) // history-sized job; at scale: stats
+    val bf = existingKeys.stat.bloomFilter("k", nKeys, 0.01)
+    val bytes = new java.io.ByteArrayOutputStream()
+    bf.writeTo(bytes)
+    val probe = docs.filter(col("doc_id") % 2 === 1)
+      .select(col("doc_id"), md5(col("text")).as("content_hash"),
+        org.apache.spark.sql.graft.Bridge
+          .bloomMightContain(bytes.toByteArray, DetHash.hex60(col("text"))).as("hit"))
+    val definiteNew = probe.filter(!col("hit")).select("doc_id", "content_hash")
+    val confirmedNew = probe.filter(col("hit"))
+      .join(existing.select(md5(col("text")).as("content_hash")).distinct(),
+        Seq("content_hash"), "left_anti")
+      .select("doc_id", "content_hash")
+    definiteNew.unionByName(confirmedNew).orderBy("doc_id")
+  }
+
   /** doc_id -> exact-duplicate-class representative (min doc_id among
     * docs sharing md5(text)) — the composition step that makes every
     * sketch pipeline below cost O(class size), not O(class size^2), on

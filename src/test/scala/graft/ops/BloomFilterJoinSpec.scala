@@ -41,4 +41,24 @@ class BloomFilterJoinSpec extends AnyFunSuite with SparkFixture {
       v match { case Some(x) => conf.set(k, x); case None => conf.unset(k) }
     }
   }
+
+  test("dedup_incremental_bloom: codegen probe gates the anti-join; output equals the plain anti-join") {
+    val df = Text.dedupIncrementalBloom(spark, sf)
+    df.collect()
+    val s = df.queryExecution.executedPlan.toString
+    val cut = s.indexOf("== Initial Plan ==") // AQE prints both; count final only
+    val p = if (cut >= 0) s.substring(0, cut) else s
+    assert(p.contains("might_contain"), s"expected the explicit bloom probe:\n$p")
+    assert(!p.contains("ScalaUDF"), s"probe must stay codegen'd, not a UDF:\n$p")
+    // exactly one anti-join — only the bloom-HIT branch rides it; the
+    // definite-new branch short-circuits map-side
+    val antis = "LeftAnti".r.findAllIn(p).length
+    assert(antis == 1, s"expected 1 anti-join (hit branch only), got $antis:\n$p")
+    // no false negatives: bit-identical to the exact variant
+    val bloom = df.collect().map(r => (r.getLong(0), r.getString(1))).toSeq.sorted
+    val exact = Text.dedupIncremental(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq.sorted
+    assert(bloom == exact, "bloom gating must never drop a genuinely new row")
+    assert(bloom.nonEmpty)
+  }
 }
