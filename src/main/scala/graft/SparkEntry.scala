@@ -302,6 +302,7 @@ object SparkEntry {
     // rows-only by design: the trained k-means loop has no SQL twin
     "semantic_dedup"   -> ((s, d) => Vector.semanticDedup(s, d)),
     "semantic_decontaminate" -> ((s, d) => Vector.semanticDecontaminate(s, d)),
+    "semantic_decontaminate_exact" -> ((s, d) => Vector.semanticDecontaminateExact(s, d)),
     "jaccard_pairs"    -> ((s, d) => Text.jaccardPairs(s, d)),
     "minhash_candidates" -> ((s, d) => Text.minhashCandidates(s, d)),
     "minhash_bucket_stats" -> ((s, d) => Text.minhashBucketStats(s, d)),
@@ -2294,6 +2295,16 @@ object SparkEntry {
          |      * sqrt(list_dot_product(b.emb, b.emb))), 4) AS sim
          |    FROM cand JOIN e a ON a.vec_id = cand.d1 JOIN e b ON b.vec_id = cand.d2)
          |SELECT d1, d2, sim FROM p WHERE sim >= 0.4 ORDER BY d1, d2""".stripMargin,
+    "semantic_decontaminate_exact" -> // the recall-1.0 brute baseline: every corpus x bench dot
+      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+        |    FROM embeddings),
+        |  p AS (SELECT c.vec_id AS cid, b.vec_id AS bid,
+        |    round(list_dot_product(c.emb, b.emb) / (sqrt(list_dot_product(c.emb, c.emb))
+        |      * sqrt(list_dot_product(b.emb, b.emb))), 4) AS sim
+        |    FROM e c, e b WHERE c.vec_id >= 100 AND b.vec_id < 100)
+        |SELECT cid AS vec_id, CAST(count(*) AS BIGINT) AS n_bench_hits,
+        |  max(sim) AS max_sim
+        |FROM p WHERE sim >= 0.4 GROUP BY 1 ORDER BY vec_id""".stripMargin,
     "semantic_decontaminate" -> // paraphrase-level eval leakage: LSH candidates vs the bench set, exact cosine verify
       s"""WITH planes AS (SELECT pj.j AS j, list_transform(generate_series(0,63),
          |    d -> ((${hex60("'p:' || pj.j || ':' || d")} % 2001) - 1000) / 1000.0) AS p

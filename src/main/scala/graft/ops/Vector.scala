@@ -372,6 +372,34 @@ object Vector {
       .orderBy("vec_id")
   }
 
+  /** EXACT twin of `semanticDecontaminate` — recall 1.0 by
+    * construction: every corpus vector takes the dot against every
+    * bench vector via one broadcast nested loop. For a SMALL bench set
+    * this IS the production shape (|corpus| x |bench| dots, one
+    * map-side pass, corpus never shuffles — same contract as
+    * `Text.decontaminate`'s broadcast semi-join); the banded variant
+    * earns its prefilter only when the eval suite grows to 10k+
+    * vectors. Declared alongside the LSH form the way `knn_brute`
+    * anchors the ANN family: the exact baseline the approximate path
+    * is judged against. */
+  def semanticDecontaminateExact(spark: SparkSession, dir: String,
+      threshold: Double = 0.4, benchBound: Int = 100): DataFrame = {
+    val raw = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), dbl(col("embedding")).as("emb"))
+    val bench = broadcast(raw.filter(col("vec_id") < benchBound)
+      .withColumn("bnrm", nNorm(spark)(col("emb")))
+      .select(col("vec_id").as("bid"), col("emb").as("bemb"), col("bnrm")))
+    raw.filter(col("vec_id") >= benchBound)
+      .withColumn("nrm", nNorm(spark)(col("emb")))
+      .crossJoin(bench)
+      .withColumn("sim",
+        round(nDot(spark)(col("emb"), col("bemb")) / (col("nrm") * col("bnrm")), 4))
+      .filter(col("sim") >= threshold)
+      .groupBy("vec_id")
+      .agg(count(lit(1)).as("n_bench_hits"), max(col("sim")).as("max_sim"))
+      .orderBy("vec_id")
+  }
+
   /** SemDeDup-style SEMANTIC near-duplicate pairs (Abbas et al. 2023,
     * arXiv:2303.09540): cluster the corpus with the trained spherical
     * k-means, then flag same-cluster pairs whose exact cosine clears

@@ -65,4 +65,23 @@ class SemanticDecontaminateSpec extends AnyFunSuite with SparkFixture {
     brute.collect { case (cid, (_, 1.0)) => cid }.foreach(cid =>
       assert(out.contains(cid), s"verbatim-leaked $cid missed"))
   }
+
+  test("banded variant is contained in the exact baseline; values agree where both flag") {
+    val dir = "/root/testdata/sf0.001"
+    val exact = Vector.semanticDecontaminateExact(spark, dir)
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getDouble(2)))).toMap
+    val banded = Vector.semanticDecontaminate(spark, dir)
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getDouble(2)))).toMap
+    assert(banded.keySet.subsetOf(exact.keySet),
+      s"LSH flagged a doc the exact pass didn't: ${banded.keySet -- exact.keySet}")
+    banded.foreach { case (cid, (n, mx)) =>
+      val (en, emx) = exact(cid)
+      assert(n <= en && mx <= emx + 1e-9,
+        s"$cid: banded ($n, $mx) exceeds exact ($en, $emx)")
+    }
+    // the recall-1.0 guarantee on verbatim leakage, against the EXACT run
+    exact.collect { case (cid, (_, 1.0)) => cid }.foreach(cid =>
+      assert(banded.contains(cid), s"verbatim-leaked $cid missed by banding"))
+    assert(exact.size >= banded.size && exact.nonEmpty)
+  }
 }
