@@ -310,6 +310,7 @@ object SparkEntry {
     "dup_classes"      -> ((s, d) => Text.dupClasses(s, d)),
     "dedup_keep_best"  -> ((s, d) => Text.dedupKeepBest(s, d)),
     "dup_ngram_coverage" -> (Text.dupNgramCoverage _),
+    "corpus_overlap"   -> (Text.corpusOverlap _),
     "simhash_candidates" -> ((s, d) => Text.simhashCandidates(s, d)),
     "lang_stats"       -> (Text.langStats _),
     "token_stats"      -> (Text.tokenStats _),
@@ -2169,6 +2170,21 @@ object SparkEntry {
          |  round(count(CASE WHEN n_docs > 1 THEN 1 END) / count(*), 4) AS dup_frac
          |FROM sh s JOIN df USING (shingle)
          |GROUP BY s.doc_id ORDER BY doc_id""".stripMargin,
+    "corpus_overlap" -> // source-pair shared-shingle contamination matrix
+      """WITH ssh AS (
+        |  SELECT DISTINCT d.source,
+        |         t[g.i] || ' ' || t[g.i+1] || ' ' || t[g.i+2] AS shingle
+        |  FROM (SELECT source, string_split(text, ' ') AS t FROM documents) d,
+        |       LATERAL (SELECT unnest(generate_series(1, len(t)-2)) AS i) g
+        |  WHERE len(t) >= 3),
+        |  sizes AS (SELECT source, count(*) AS n FROM ssh GROUP BY source)
+        |SELECT a.source AS src_a, b.source AS src_b, count(*) AS n_shared,
+        |  round(count(*) / least(sa.n, sb.n), 4) AS containment
+        |FROM ssh a JOIN ssh b ON a.shingle = b.shingle AND a.source < b.source
+        |JOIN sizes sa ON sa.source = a.source
+        |JOIN sizes sb ON sb.source = b.source
+        |GROUP BY a.source, b.source, sa.n, sb.n
+        |ORDER BY src_a, src_b""".stripMargin,
     "simhash_candidates" ->
       s"""WITH tok AS (SELECT doc_id, unnest(string_split(text,' ')) AS tok FROM documents),
          |  th AS (SELECT doc_id, ${hex60("tok")} AS h FROM tok),

@@ -810,6 +810,38 @@ object Text {
       .orderBy("doc_id")
   }
 
+  /** Cross-corpus overlap matrix: for every SOURCE pair, the number of
+    * distinct word-3-shingles both corpora contain, plus a containment
+    * ratio (shared / smaller corpus's shingle vocabulary). This is the
+    * inter-source contamination report a mixing decision reads before
+    * re-weighting corpora (exact doc-level duplicates never span
+    * sources in this corpus, so source overlap only exists — and only
+    * matters — at n-gram granularity).
+    *
+    * Scale shape: DISTINCT (source, shingle-hash) is one map-side
+    * combined shuffle over fixed-width longs, and caps every shingle's
+    * postings list at #sources — so the self-join's fan-out is <= S^2
+    * per shingle no matter how boilerplate the shingle (contrast
+    * jaccardPairs, whose doc-level postings grow with corpus size).
+    * The per-pair roll-up collapses map-side; the vocabulary-size join
+    * is S rows, broadcast. Output is C(S,2) rows max. */
+  def corpusOverlap(spark: SparkSession, dir: String): DataFrame = {
+    val ss = tokenizedDocs(Tables.documents(spark, dir))
+      .filter(size(col("t")) >= 3)
+      .select(col("source"), explode(shingleHashes).as("sh"))
+      .distinct()
+    val sizes = ss.groupBy("source").agg(count(lit(1)).as("n"))
+    val a = ss.select(col("sh"), col("source").as("src_a"))
+    val b = ss.select(col("sh"), col("source").as("src_b"))
+    a.join(b, Seq("sh")).filter(col("src_a") < col("src_b"))
+      .groupBy("src_a", "src_b").agg(count(lit(1)).as("n_shared"))
+      .join(broadcast(sizes.select(col("source").as("src_a"), col("n").as("na"))), Seq("src_a"))
+      .join(broadcast(sizes.select(col("source").as("src_b"), col("n").as("nb"))), Seq("src_b"))
+      .select(col("src_a"), col("src_b"), col("n_shared"),
+        round(col("n_shared") / least(col("na"), col("nb")), 4).as("containment"))
+      .orderBy("src_a", "src_b")
+  }
+
   // -------------------------------------------------------------- simhash
 
   /** 60-bit SimHash per doc: per-bit +/-1 majority vote over token
