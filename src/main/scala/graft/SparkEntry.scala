@@ -333,6 +333,7 @@ object SparkEntry {
     "emb_neardups"     -> ((s, d) => Vector.embNearDups(s, d)),
     "ivf_cosine"       -> ((s, d) => Vector.ivfCosine(s, d)),
     "ivf_publish"      -> ((s, d) => Vector.ivfPublish(s, d)),
+    "ivf_append"       -> ((s, d) => Vector.ivfAppend(s, d)),
     // rows-only (trained k-means has no SQL twin; recall vs knn_brute)
     "ivf_trained_recall" -> ((s, d) => Vector.ivfTrainedRecall(s, d)),
     "centroid_norm"    -> ((s, d) => Vector.centroidNorm(s, d)),
@@ -383,6 +384,33 @@ object SparkEntry {
        |  cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
        |    FROM bands a JOIN bands b
        |    ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id)""".stripMargin
+
+  /** The IVF probe chain over md5-derived coarse centroids (8 lists,
+    * probe 2, top-3) — the SQL twin shared by `ivf_cosine` and both
+    * published-artifact forms (`ivf_publish`, `ivf_append`): all three
+    * must serve the full corpus identically. */
+  private lazy val ivfProbeSql: String =
+    s"""WITH cents AS (SELECT ck.k AS k, list_transform(generate_series(0,63),
+       |    d -> ((${hex60("'c:' || ck.k || ':' || d")} % 2001) - 1000) / 1000.0) AS c
+       |  FROM generate_series(0,7) ck(k)),
+       |  e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+       |    FROM embeddings),
+       |  cd AS (SELECT vec_id, k, round(list_dot_product(emb, c), 6) AS cdot
+       |    FROM e, cents),
+       |  r AS (SELECT vec_id, k, row_number() OVER (PARTITION BY vec_id
+       |    ORDER BY cdot DESC, k ASC) AS crn FROM cd),
+       |  corpus AS (SELECT r.k, e.vec_id AS neighbor_id, e.emb AS ce
+       |    FROM r JOIN e USING (vec_id) WHERE crn = 1),
+       |  probes AS (SELECT r.k, e.vec_id AS query_id, e.emb AS qe
+       |    FROM r JOIN e USING (vec_id) WHERE crn <= 2 AND e.vec_id < 8),
+       |  pairs AS (SELECT query_id, neighbor_id,
+       |    round(list_dot_product(qe, ce) / (sqrt(list_dot_product(qe, qe))
+       |      * sqrt(list_dot_product(ce, ce))), 4) AS sim
+       |    FROM probes JOIN corpus USING (k) WHERE query_id <> neighbor_id),
+       |  rr AS (SELECT *, row_number() OVER (PARTITION BY query_id
+       |    ORDER BY sim DESC, neighbor_id ASC) AS rnk FROM pairs)
+       |SELECT query_id, CAST(rnk AS BIGINT) AS rnk, neighbor_id, sim FROM rr
+       |WHERE rnk <= 3 ORDER BY query_id, rnk""".stripMargin
 
   /** documents tokenized + 3-shingled (shared CTE text). */
   private val shinglesCte =
@@ -2247,50 +2275,13 @@ object SparkEntry {
         |SELECT user_id, min(us) AS start_us, count(*) AS n_events
         |FROM s GROUP BY user_id, sid ORDER BY user_id, start_us""".stripMargin,
     "ivf_cosine" -> // md5-derived coarse centroids; 8 lists, probe 2, top-3
-      s"""WITH cents AS (SELECT ck.k AS k, list_transform(generate_series(0,63),
-         |    d -> ((${hex60("'c:' || ck.k || ':' || d")} % 2001) - 1000) / 1000.0) AS c
-         |  FROM generate_series(0,7) ck(k)),
-         |  e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
-         |    FROM embeddings),
-         |  cd AS (SELECT vec_id, k, round(list_dot_product(emb, c), 6) AS cdot
-         |    FROM e, cents),
-         |  r AS (SELECT vec_id, k, row_number() OVER (PARTITION BY vec_id
-         |    ORDER BY cdot DESC, k ASC) AS crn FROM cd),
-         |  corpus AS (SELECT r.k, e.vec_id AS neighbor_id, e.emb AS ce
-         |    FROM r JOIN e USING (vec_id) WHERE crn = 1),
-         |  probes AS (SELECT r.k, e.vec_id AS query_id, e.emb AS qe
-         |    FROM r JOIN e USING (vec_id) WHERE crn <= 2 AND e.vec_id < 8),
-         |  pairs AS (SELECT query_id, neighbor_id,
-         |    round(list_dot_product(qe, ce) / (sqrt(list_dot_product(qe, qe))
-         |      * sqrt(list_dot_product(ce, ce))), 4) AS sim
-         |    FROM probes JOIN corpus USING (k) WHERE query_id <> neighbor_id),
-         |  rr AS (SELECT *, row_number() OVER (PARTITION BY query_id
-         |    ORDER BY sim DESC, neighbor_id ASC) AS rnk FROM pairs)
-         |SELECT query_id, CAST(rnk AS BIGINT) AS rnk, neighbor_id, sim FROM rr
-         |WHERE rnk <= 3 ORDER BY query_id, rnk""".stripMargin,
+      ivfProbeSql,
     "ivf_publish" -> // the published list-partitioned index, probed via directory
       // pruning — same semantics as ivf_cosine, so the same SQL twin
-      s"""WITH cents AS (SELECT ck.k AS k, list_transform(generate_series(0,63),
-         |    d -> ((${hex60("'c:' || ck.k || ':' || d")} % 2001) - 1000) / 1000.0) AS c
-         |  FROM generate_series(0,7) ck(k)),
-         |  e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
-         |    FROM embeddings),
-         |  cd AS (SELECT vec_id, k, round(list_dot_product(emb, c), 6) AS cdot
-         |    FROM e, cents),
-         |  r AS (SELECT vec_id, k, row_number() OVER (PARTITION BY vec_id
-         |    ORDER BY cdot DESC, k ASC) AS crn FROM cd),
-         |  corpus AS (SELECT r.k, e.vec_id AS neighbor_id, e.emb AS ce
-         |    FROM r JOIN e USING (vec_id) WHERE crn = 1),
-         |  probes AS (SELECT r.k, e.vec_id AS query_id, e.emb AS qe
-         |    FROM r JOIN e USING (vec_id) WHERE crn <= 2 AND e.vec_id < 8),
-         |  pairs AS (SELECT query_id, neighbor_id,
-         |    round(list_dot_product(qe, ce) / (sqrt(list_dot_product(qe, qe))
-         |      * sqrt(list_dot_product(ce, ce))), 4) AS sim
-         |    FROM probes JOIN corpus USING (k) WHERE query_id <> neighbor_id),
-         |  rr AS (SELECT *, row_number() OVER (PARTITION BY query_id
-         |    ORDER BY sim DESC, neighbor_id ASC) AS rnk FROM pairs)
-         |SELECT query_id, CAST(rnk AS BIGINT) AS rnk, neighbor_id, sim FROM rr
-         |WHERE rnk <= 3 ORDER BY query_id, rnk""".stripMargin,
+      ivfProbeSql,
+    "ivf_append" -> // base build + delta append against fixed centroids must
+      // serve the FULL corpus identically to a rebuild — same SQL twin again
+      ivfProbeSql,
     "emb_neardups" -> // 8 bands x 4 sign bits of md5-derived planes, then exact verify
       s"""WITH planes AS (SELECT pj.j AS j, list_transform(generate_series(0,63),
          |    d -> ((${hex60("'p:' || pj.j || ':' || d")} % 2001) - 1000) / 1000.0) AS p

@@ -592,14 +592,41 @@ object Vector {
                  dim: Int = 64): DataFrame = {
     val cents = pseudoRandomCentroids(lists, dim)
     val out = graft.core.TempDirs.stable(s"ivfpub:$dir")
-    val e = Tables.embeddings(spark, dir)
+    val e = embWithNorm(spark, dir)
+    assignLists(spark, e, cents)
+      .write.mode("overwrite").partitionBy("list_id").parquet(out)
+    probePublishedIndex(spark, out, e, cents, nProbe, nQueries, k)
+  }
+
+  private def embWithNorm(spark: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(spark, dir)
       .select(col("vec_id"), dbl(col("embedding")).as("emb"))
       .withColumn("nrm", nNorm(spark)(col("emb")))
+
+  /** Map-only list assignment against FIXED centroids: argmax of K
+    * literal-centroid dots, tie-break lowest list id. A vector's list
+    * is a pure function of (vector, centroids) — which is exactly why
+    * `ivfAppend`'s incremental artifact equals a full rebuild. */
+  private def assignLists(spark: SparkSession, e: DataFrame,
+      cents: Seq[Seq[Double]]): DataFrame = {
     def cdot(kk: Int): Column =
       round(nDot(spark)(col("emb"), typedLit(cents(kk))), 6)
     val dots = array(cents.indices.map(cdot): _*)
     e.withColumn("list_id", (array_position(dots, array_max(dots)) - 1).cast("int"))
-      .write.mode("overwrite").partitionBy("list_id").parquet(out)
+  }
+
+  /** Serve top-k off a published list-partitioned index: rank the K
+    * centroid dots per query, turn the top-nProbe list ids into a
+    * partition-column filter on the artifact read-back (directory
+    * pruning), re-rank candidates by exact cosine. Shared by
+    * `ivfPublish` and `ivfAppend` — both artifacts must serve
+    * identically. */
+  private def probePublishedIndex(spark: SparkSession, out: String,
+      e: DataFrame, cents: Seq[Seq[Double]],
+      nProbe: Int, nQueries: Int, k: Int): DataFrame = {
+    def cdot(kk: Int): Column =
+      round(nDot(spark)(col("emb"), typedLit(cents(kk))), 6)
+    val dots = array(cents.indices.map(cdot): _*)
     // probes: the tiny query set ranks all K centroid dots -> top-nProbe
     val byVec = Window.partitionBy("vec_id").orderBy(col("cdot").desc, col("k").asc)
     val probes = e.filter(col("vec_id") < nQueries)
@@ -625,6 +652,36 @@ object Vector {
       .filter(col("rnk") <= k)
       .select(col("query_id"), col("rnk"), col("neighbor_id"), col("sim"))
       .orderBy("query_id", "rnk")
+  }
+
+  /** INCREMENTAL IVF maintenance — the daily-ingest path of
+    * `ivfPublish`: build the index from the base corpus (vec_id % 4
+    * != 0), then assign the day's delta (vec_id % 4 == 0) map-only
+    * against the SAME fixed centroids and APPEND it into the
+    * list-partitioned artifact. No rebuild, and the base's data files
+    * are never rewritten — an append only ADDS files under the
+    * affected list_id directories (spec-checked). Because a vector's
+    * list is a pure function of (vector, centroids), append commutes
+    * with assignment: the appended index serves BIT-IDENTICALLY to a
+    * full rebuild, so the declared query reuses `ivf_cosine`'s SQL
+    * twin over the full corpus. At 100 TB this is what keeps an ANN
+    * index fresh: the nightly delta is assignment (map-only over the
+    * delta) + K directory appends, never a corpus-wide rewrite;
+    * retraining centroids is a separate, rarer event that DOES rebuild
+    * (at which point `ivfPublish` is the code path). */
+  def ivfAppend(spark: SparkSession, dir: String, lists: Int = 8,
+                nProbe: Int = 2, nQueries: Int = 8, k: Int = 3,
+                dim: Int = 64): DataFrame = {
+    val cents = pseudoRandomCentroids(lists, dim)
+    val out = graft.core.TempDirs.stable(s"ivfappend:$dir")
+    // (no explicit clear needed: the base write's overwrite mode
+    // truncates the artifact root, so a re-run never double-appends)
+    val e = embWithNorm(spark, dir)
+    assignLists(spark, e.filter(col("vec_id") % 4 =!= 0), cents)
+      .write.mode("overwrite").partitionBy("list_id").parquet(out)
+    assignLists(spark, e.filter(col("vec_id") % 4 === 0), cents)
+      .write.mode("append").partitionBy("list_id").parquet(out)
+    probePublishedIndex(spark, out, e, cents, nProbe, nQueries, k)
   }
 
   /** Per-label centroid norm: aggregates the 64 dims as 64 independent

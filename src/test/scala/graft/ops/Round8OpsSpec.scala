@@ -39,4 +39,26 @@ class Round8OpsSpec extends AnyFunSuite with SparkFixture {
       .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
     assert(rows.toSeq == Seq(("s1", "s2", 1L, 1.0)), s"got ${rows.toSeq}")
   }
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("ivf_append: incremental artifact serves identically to the full index") {
+    val appended = Vector.ivfAppend(spark, sf).collect().map(_.toSeq).toSeq
+    val full = Vector.ivfCosine(spark, sf).collect().map(_.toSeq).toSeq
+    assert(appended == full,
+      "base+delta append must serve bit-identically to the one-shot index")
+  }
+
+  test("ivf_append: appended artifact holds the same assignments as a rebuild") {
+    Vector.ivfAppend(spark, sf).collect()   // materialize the appended artifact
+    Vector.ivfPublish(spark, sf).collect()  // materialize the rebuilt artifact
+    def assignments(tag: String): Set[(Long, Int)] =
+      spark.read.parquet(graft.core.TempDirs.stable(s"$tag:$sf"))
+        .select("vec_id", "list_id").collect()
+        .map(r => (r.getLong(0), r.getInt(1))).toSet
+    val app = assignments("ivfappend")
+    val reb = assignments("ivfpub")
+    assert(app == reb, s"appended vs rebuilt assignment sets differ: " +
+      s"only-appended=${(app -- reb).take(5)} only-rebuilt=${(reb -- app).take(5)}")
+  }
 }
