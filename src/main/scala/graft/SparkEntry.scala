@@ -141,6 +141,8 @@ object SparkEntry {
     "merge_upsert"     -> (Relational.mergeUpsert _),
     "compact_files"    -> ((s, d) => graft.core.Maintenance.compactFiles(s, d)),
     "zorder_key"       -> ((s, d) => graft.core.Maintenance.zorderKey(s, d)),
+    "snapshot_asof"    -> (graft.core.SnapshotLog.snapshotAsof _),
+    "snapshot_latest"  -> (graft.core.SnapshotLog.snapshotLatest _),
     "schema_report"    -> ((s, d) => Catalog.schemaReport(s, d, "lineitem")),
     "index_report"     -> ((s, _) => graft.core.Indexes.report(s, graft.core.Indexes.tpchIndexes)),
     "namespace_report" -> ((s, d) => Catalog.namespacesDf(s, d)),
@@ -1916,6 +1918,14 @@ object SparkEntry {
          |SELECT d1, d2, round(i / (sa.n + sb.n - i), 4) AS jaccard
          |FROM inter JOIN sizes sa ON sa.doc_id = d1 JOIN sizes sb ON sb.doc_id = d2
          |WHERE round(i / (sa.n + sb.n - i), 4) >= 0.5 ORDER BY d1, d2""".stripMargin,
+    "snapshot_asof" -> // time-travel read of v1 AFTER v2 replaced the table:
+      // matches the plain per-lang count only if commits are isolated
+      """SELECT lang, count(*) AS n_docs FROM documents
+        |GROUP BY lang ORDER BY lang""".stripMargin,
+    "snapshot_latest" -> // head after replace + append: the appended remainder
+      // must restore the full corpus, file-list union, no rewrite
+      """SELECT source, count(*) AS n_docs FROM documents
+        |GROUP BY source ORDER BY source""".stripMargin,
     "lang_stats" ->
       """SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars,
         |  min(n_chars) AS min_chars, max(n_chars) AS max_chars,

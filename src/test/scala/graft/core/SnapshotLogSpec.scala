@@ -1,0 +1,87 @@
+package graft.core
+
+import java.nio.file.{Files, Paths}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkFixture
+
+/** The transaction-log guarantees that make a published artifact safe
+  * to serve while it's being republished: atomic conditional commits,
+  * reader isolation (manifest listing, never directory listing),
+  * time travel, append-without-rewrite, and vacuum. */
+class SnapshotLogSpec extends AnyFunSuite with SparkFixture {
+
+  private def freshTable(): String = {
+    val d = Files.createTempDirectory("graft_snaplog_").toString
+    d
+  }
+
+  private def df(ids: Long*) = {
+    import spark.implicits._
+    ids.map(i => (i, s"p$i")).toDF("id", "payload")
+  }
+
+  private def idsAt(table: String, v: Option[Long] = None): Set[Long] =
+    SnapshotLog.read(spark, table, v).select("id").collect().map(_.getLong(0)).toSet
+
+  test("replace commits are versioned; time travel reads the old snapshot verbatim") {
+    val t = freshTable()
+    assert(SnapshotLog.commit(spark, df(1, 2, 3), t) == 1L)
+    assert(SnapshotLog.commit(spark, df(4, 5), t) == 2L)
+    assert(idsAt(t) == Set(4L, 5L), "head must be v2")
+    assert(idsAt(t, Some(1L)) == Set(1L, 2L, 3L), "v1 must read untouched after v2 replaced it")
+    assert(SnapshotLog.versions(t) == Seq(1L, 2L))
+    assert(SnapshotLog.readManifest(t, 2L).rowCount == 2L)
+  }
+
+  test("append commits extend the previous file list without rewriting any data file") {
+    val t = freshTable()
+    SnapshotLog.commit(spark, df(1, 2), t)
+    val v1Files = SnapshotLog.readManifest(t, 1L).files
+    val v1Bytes = v1Files.map(f => f -> Files.getLastModifiedTime(Paths.get(t, f))).toMap
+    SnapshotLog.commit(spark, df(3), t, append = true)
+    val m2 = SnapshotLog.readManifest(t, 2L)
+    assert(v1Files.toSet.subsetOf(m2.files.toSet), "append must carry every v1 file forward")
+    assert(m2.files.size > v1Files.size, "append must add the staged files")
+    v1Bytes.foreach { case (f, mtime) =>
+      assert(Files.getLastModifiedTime(Paths.get(t, f)) == mtime,
+        s"append rewrote base file $f")
+    }
+    assert(idsAt(t) == Set(1L, 2L, 3L))
+    assert(idsAt(t, Some(1L)) == Set(1L, 2L))
+  }
+
+  test("staged-but-uncommitted files are invisible to readers") {
+    val t = freshTable()
+    SnapshotLog.commit(spark, df(1), t)
+    // a crashed writer: data files staged, no manifest published
+    df(99).write.parquet(s"$t/data/orphan-stage")
+    assert(idsAt(t) == Set(1L), "readers list the log, so orphan files can't leak")
+  }
+
+  test("a lost commit race retries at the next version and drops nothing") {
+    val t = freshTable()
+    SnapshotLog.commit(spark, df(1), t)
+    // another writer claims v2 out from under us
+    val stolen = s"""{"version":2,"append":false,"rowCount":0,"files":[]}"""
+    Files.write(Paths.get(t, "_graft_log", "v2.json"), stolen.getBytes("UTF-8"))
+    val v = SnapshotLog.commit(spark, df(7, 8), t, append = true)
+    assert(v == 3L, "loser must land on the next free version")
+    // the append re-read the head it actually lost to (v2, empty)
+    assert(idsAt(t, Some(3L)) == Set(7L, 8L))
+  }
+
+  test("vacuum deletes only files unreferenced by surviving versions") {
+    val t = freshTable()
+    SnapshotLog.commit(spark, df(1, 2), t)          // v1
+    SnapshotLog.commit(spark, df(3), t)             // v2 (replace: v1 files dead once vacuumed)
+    SnapshotLog.commit(spark, df(4), t, append = true) // v3 = v2 + delta
+    val deleted = SnapshotLog.vacuum(t, keepFrom = 2L)
+    assert(deleted.nonEmpty, "v1's files are unreferenced by v2/v3 and must go")
+    deleted.foreach(f => assert(!Files.exists(Paths.get(t, f))))
+    assert(SnapshotLog.versions(t) == Seq(2L, 3L))
+    assert(idsAt(t, Some(2L)) == Set(3L), "a surviving version still reads after vacuum")
+    assert(idsAt(t) == Set(3L, 4L), "the head still reads after vacuum")
+    intercept[Exception] { idsAt(t, Some(1L)) }
+  }
+}
