@@ -277,6 +277,7 @@ object SparkEntry {
     //      the streaming RESULT against batch SQL)
     "stream_tumbling"  -> ((s, d) => EventStreams.tumbling(s, d)),
     "stream_asof"      -> ((s, d) => EventStreams.asofToParquet(s, d)),
+    "stream_snapshot_ingest" -> ((s, d) => EventStreams.snapshotIngest(s, d)),
     "stream_tumbling_parquet" -> ((s, d) => EventStreams.tumblingToParquet(s, d)),
     "stream_sliding"   -> (EventStreams.sliding _),
     "stream_sessions"  -> ((s, d) => EventStreams.sessionWindows(s, d)),
@@ -877,6 +878,11 @@ object SparkEntry {
         |FROM p ASOF LEFT JOIN c
         |  ON p.user_id = c.c_user AND p.ts_us >= c.click_us
         |ORDER BY event_id""".stripMargin,
+    "stream_snapshot_ingest" -> // micro-batches land as append commits in the
+      // snapshot log; the head is the disjoint union of all batches
+      """SELECT event_type, count(*) AS n_events,
+        |  CAST(round(sum(CAST(value AS DECIMAL(18,2))), 2) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "stream_asof" -> // per-micro-batch native as-of vs the static click table:
       // batching-invariant, so the sink equals the batch ASOF verbatim
       """WITH p AS (SELECT event_id, user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us

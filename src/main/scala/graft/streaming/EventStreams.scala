@@ -433,6 +433,44 @@ object EventStreams {
       .orderBy("event_id")
   }
 
+  /** TRANSACTIONAL streaming ingest through the snapshot log: each
+    * micro-batch lands as ONE append commit in a `SnapshotLog` table
+    * (staged data files -> atomic manifest publish), so a concurrent
+    * reader sees whole batches or nothing — never a half-written
+    * batch, because readers list the LOG, not the data directory. A
+    * batch that crashes mid-write leaves only unreferenced staged
+    * files (invisible; `vacuum` sweeps them), and the checkpoint
+    * replays it. This is the versioned-ingest production shape the
+    * plain parquet-sink twins can't give: every trigger is a
+    * time-travelable version, and downstream jobs pin a version id
+    * instead of racing the writer. The declared query reads the HEAD
+    * and aggregates per event_type; the result is batching-invariant
+    * (append commits are a disjoint union over batches), so the
+    * oracle is the plain batch aggregate over `events`. */
+  def snapshotIngest(spark: SparkSession, dir: String,
+      maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    val table = graft.core.TempDirs.stable(s"snap_ingest:$dir")
+    graft.core.TempDirs.deleteRecursively(new java.io.File(table))
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(table))
+    val ev = eventStream(spark, dir, maxFilesPerTrigger)
+      .select(col("event_id"), col("event_type"), col("value"))
+    val q = ev.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+          _: Long) =>
+        graft.core.SnapshotLog.commit(spark, batch.toDF(), table, append = true)
+        ()
+      }
+      .option("checkpointLocation", ckpt())
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    graft.core.SnapshotLog.read(spark, table)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(col("value").cast("decimal(18,2)")), 2).cast("double").as("sum_value"))
+      .orderBy("event_type")
+  }
+
   /** PRODUCTION twin of `sessionWindows`: gap-session aggregation in
     * APPEND mode to parquet. A session window's end is its last event
     * + gap, so a session lands in the files exactly when the watermark

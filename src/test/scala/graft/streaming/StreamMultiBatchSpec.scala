@@ -103,6 +103,30 @@ class StreamMultiBatchSpec extends AnyFunSuite with SparkFixture {
       "some purchases must carry a prior click")
   }
 
+  test("snapshotIngest lands one append commit per data batch; head equals single-batch") {
+    val corpus = splitCorpus()
+    def rows(d: org.apache.spark.sql.DataFrame) =
+      d.collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq.sorted
+    val multi = rows(EventStreams.snapshotIngest(spark, corpus, Some(1)))
+    // one version per non-empty micro-batch: the 3-file backlog must
+    // have produced >= 3 committed versions in the log
+    val table = graft.core.TempDirs.stable(s"snap_ingest:$corpus")
+    val vs = graft.core.SnapshotLog.versions(table)
+    assert(vs.size >= 3, s"expected >= 3 append commits, log has $vs")
+    // every version's file list is a superset of its predecessor's
+    vs.sliding(2).foreach {
+      case Seq(a, b) =>
+        val fa = graft.core.SnapshotLog.readManifest(table, a).files.toSet
+        val fb = graft.core.SnapshotLog.readManifest(table, b).files.toSet
+        assert(fa.subsetOf(fb), s"append v$b must carry v$a's files forward")
+      case _ => ()
+    }
+    val single = rows(EventStreams.snapshotIngest(spark, sf))
+    assert(multi == single,
+      "append-committed micro-batches must union to the single-batch result")
+    assert(multi.nonEmpty)
+  }
+
   test("leftOuterJoin over the 3-batch backlog equals the single-batch run") {
     // Null emission happens at DIFFERENT times in the two runs (mid-
     // stream evictions as the watermark advances batch-by-batch vs one
