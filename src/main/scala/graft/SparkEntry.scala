@@ -143,6 +143,8 @@ object SparkEntry {
     "zorder_key"       -> ((s, d) => graft.core.Maintenance.zorderKey(s, d)),
     "snapshot_asof"    -> (graft.core.SnapshotLog.snapshotAsof _),
     "snapshot_latest"  -> (graft.core.SnapshotLog.snapshotLatest _),
+    "snapshot_merge"   -> (graft.core.SnapshotLog.snapshotMerge _),
+    "snapshot_partitioned" -> (graft.core.SnapshotLog.snapshotPartitioned _),
     "schema_report"    -> ((s, d) => Catalog.schemaReport(s, d, "lineitem")),
     "index_report"     -> ((s, _) => graft.core.Indexes.report(s, graft.core.Indexes.tpchIndexes)),
     "namespace_report" -> ((s, d) => Catalog.namespacesDf(s, d)),
@@ -1932,6 +1934,24 @@ object SparkEntry {
       // must restore the full corpus, file-list union, no rewrite
       """SELECT source, count(*) AS n_docs FROM documents
         |GROUP BY source ORDER BY source""".stripMargin,
+    "snapshot_merge" -> // copy-on-write upsert: updates replace, inserts land,
+      // untouched rows survive — replayed as anti-join + union
+      """WITH base AS (SELECT o_orderkey, o_orderstatus,
+        |    CAST(o_totalprice AS DECIMAL(18,2)) AS p FROM orders),
+        |  upd AS (SELECT o_orderkey, 'U' AS o_orderstatus,
+        |      CAST(p + 1 AS DECIMAL(18,2)) AS p FROM base WHERE o_orderkey % 10 = 0
+        |    UNION ALL
+        |    SELECT o_orderkey + 500000000, 'N', p FROM base WHERE o_orderkey % 50 = 0),
+        |  merged AS (SELECT * FROM base b
+        |      WHERE NOT EXISTS (SELECT 1 FROM upd u WHERE u.o_orderkey = b.o_orderkey)
+        |    UNION ALL SELECT * FROM upd)
+        |SELECT o_orderstatus, count(*) AS n_orders,
+        |  CAST(round(sum(p), 2) AS DOUBLE) AS total
+        |FROM merged GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "snapshot_partitioned" -> // hive-partitioned commit read back through the
+      // manifest with per-stage basePath: lang must come back as a column
+      """SELECT source, count(*) AS n_docs FROM documents
+        |WHERE lang = 'en' GROUP BY source ORDER BY source""".stripMargin,
     "lang_stats" ->
       """SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars,
         |  min(n_chars) AS min_chars, max(n_chars) AS max_chars,

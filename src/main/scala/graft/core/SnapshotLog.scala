@@ -85,22 +85,31 @@ object SnapshotLog {
 
   /** Stage `df` as immutable data files and commit them as the next
     * version. `append=false` replaces the table's content; `append=true`
-    * extends the previous version's file list. Returns the committed
-    * version number. Concurrency-safe via create-new manifest publish
-    * + retry (bounded; each retry re-reads the head, so an append
-    * never drops a racer's files). */
+    * extends the previous version's file list. `partitionBy` stages a
+    * hive layout under the commit's own directory (manifest paths keep
+    * the `col=value/` segments; `read` restores the partition columns
+    * per stage via basePath, so directory pruning survives
+    * manifest-based listing). Returns the committed version number.
+    * Concurrency-safe via create-new manifest publish + retry
+    * (bounded; each retry re-reads the head, so an append never drops
+    * a racer's files). */
   def commit(spark: SparkSession, df: DataFrame, table: String,
-             append: Boolean = false, maxRetries: Int = 20): Long = {
+             append: Boolean = false, partitionBy: Seq[String] = Seq.empty,
+             maxRetries: Int = 20): Long = {
     Files.createDirectories(logDir(table))
     val stage = java.util.UUID.randomUUID().toString
     val stageDir = Paths.get(table, "data", stage)
-    df.write.mode("overwrite").parquet(stageDir.toString)
+    val writer = df.write.mode("overwrite")
+    (if (partitionBy.nonEmpty) writer.partitionBy(partitionBy: _*) else writer)
+      .parquet(stageDir.toString)
     val staged = {
-      val st = Files.list(stageDir)
+      val st = Files.walk(stageDir)
       try st.iterator().asScala
-        .map(_.getFileName.toString)
-        .filter(n => n.startsWith("part-") && n.endsWith(".parquet"))
-        .map(n => s"data/$stage/$n").toSeq.sorted
+        .filter { p =>
+          val n = p.getFileName.toString
+          n.startsWith("part-") && n.endsWith(".parquet")
+        }
+        .map(p => s"data/$stage/${stageDir.relativize(p)}").toSeq.sorted
       finally st.close()
     }
     require(staged.forall(p => !p.contains("\"") && !p.contains("\\")),
@@ -134,13 +143,50 @@ object SnapshotLog {
   }
 
   /** Snapshot read: the manifest's exact file list, no directory
-    * listing of `data/`. `asOf=None` reads the head. */
+    * listing of `data/`. `asOf=None` reads the head. Files are grouped
+    * by their commit's stage directory and each group reads with that
+    * stage as `basePath`, so hive `col=value/` segments in staged
+    * layouts come back as partition COLUMNS and partition filters
+    * still prune at the directory level — manifest listing costs none
+    * of the pruning a plain partitioned read gets. */
   def read(spark: SparkSession, table: String, asOf: Option[Long] = None): DataFrame = {
     val v = asOf.orElse(latestVersion(table))
       .getOrElse(sys.error(s"no committed version in $table"))
     val m = readManifest(table, v)
     if (m.files.isEmpty) spark.emptyDataFrame
-    else spark.read.parquet(m.files.map(f => s"$table/$f"): _*)
+    else {
+      val byStage = m.files.groupBy(f => f.split("/").take(2).mkString("/")).toSeq.sortBy(_._1)
+      byStage.map { case (stage, fs) =>
+        spark.read.option("basePath", s"$table/$stage")
+          .parquet(fs.map(f => s"$table/$f"): _*)
+      }.reduce(_ unionByName _)
+    }
+  }
+
+  /** OPTIMIZE: rewrite the head's content into `targetFiles` files and
+    * commit the compacted layout as a new REPLACE version. Content is
+    * identical (spec-checked); prior versions keep reading their own
+    * files until `vacuum` retires them — compaction never blocks or
+    * breaks a concurrent reader. The small-files answer for a table
+    * fed by many append commits (e.g. streaming ingest). */
+  def compact(spark: SparkSession, table: String, targetFiles: Int): Long = {
+    val head = read(spark, table)
+    commit(spark, head.repartition(targetFiles), table)
+  }
+
+  /** Copy-on-write MERGE (upsert): rows of the head whose `key` appears
+    * in `updates` are replaced, new keys are inserted, everything else
+    * is carried — committed as one new REPLACE version, so the upsert
+    * is atomic, time-travelable, and never rewrites history. Shape:
+    * one anti-join (head vs the broadcast-sized update set) + union —
+    * at 100 TB the anti-join is the standard CDC-apply plan, and the
+    * runtime bloom on the update keys prunes the head scan. */
+  def merge(spark: SparkSession, table: String, updates: DataFrame,
+            key: String): Long = {
+    val head = read(spark, table)
+    val merged = head.join(updates.select(key).distinct(), Seq(key), "left_anti")
+      .unionByName(updates)
+    commit(spark, merged, table)
   }
 
   /** Delete data files referenced ONLY by versions < `keepFrom` (and
@@ -179,6 +225,60 @@ object SnapshotLog {
     read(spark, table)
       .groupBy("source").agg(count(lit(1)).as("n_docs"))
       .orderBy("source")
+  }
+
+  /** Declared surface for copy-on-write MERGE: v1 = the orders
+    * projection; one merge applies a deterministic CDC batch (keys
+    * % 10 == 0 updated to status 'U' with price+1; keys % 50 == 0
+    * re-inserted under shifted NEW keys with status 'N'); the head
+    * aggregate only matches the oracle's anti-join + union replay if
+    * updates replaced, inserts landed, and untouched rows survived. */
+  def snapshotMerge(spark: SparkSession, dir: String): DataFrame = {
+    val table = freshScratchTable(s"snapmerge:$dir")
+    val base = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_orderstatus"),
+        col("o_totalprice").cast("decimal(18,2)").as("p"))
+    commit(spark, base, table)
+    val updates = base.filter(col("o_orderkey") % 10 === 0)
+      .select(col("o_orderkey"), lit("U").as("o_orderstatus"),
+        (col("p") + 1).cast("decimal(18,2)").as("p"))
+      .unionByName(base.filter(col("o_orderkey") % 50 === 0)
+        .select((col("o_orderkey") + 500000000L).as("o_orderkey"),
+          lit("N").as("o_orderstatus"), col("p")))
+    merge(spark, table, updates, "o_orderkey")
+    read(spark, table)
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n_orders"),
+        round(sum(col("p")), 2).cast("double").as("total"))
+      .orderBy("o_orderstatus")
+  }
+
+  /** Declared surface for PARTITIONED commits: docs committed
+    * hive-partitioned by lang; the filtered read-back must restore
+    * `lang` as a partition column from the manifest's staged layout
+    * (basePath per stage) — the per-source counts only match if no
+    * partition's rows leaked or doubled. Pruning is plan-audited in
+    * SnapshotLogSpec. */
+  def snapshotPartitioned(spark: SparkSession, dir: String): DataFrame = {
+    val table = partitionedDemoTable(spark, dir)
+    read(spark, table).filter(col("lang") === "en")
+      .groupBy("source").agg(count(lit(1)).as("n_docs"))
+      .orderBy("source")
+  }
+
+  private[core] def partitionedDemoTable(spark: SparkSession, dir: String): String = {
+    val table = freshScratchTable(s"snappart:$dir")
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), col("n_chars"), col("lang"))
+    commit(spark, docs, table, partitionBy = Seq("lang"))
+    table
+  }
+
+  private def freshScratchTable(tag: String): String = {
+    val table = TempDirs.stable(tag)
+    TempDirs.deleteRecursively(new java.io.File(table))
+    Files.createDirectories(Paths.get(table))
+    table
   }
 
   /** Build the demo log once per (query-run, corpus): v1 = full

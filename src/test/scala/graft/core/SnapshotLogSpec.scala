@@ -71,6 +71,52 @@ class SnapshotLogSpec extends AnyFunSuite with SparkFixture {
     assert(idsAt(t, Some(3L)) == Set(7L, 8L))
   }
 
+  test("compact rewrites the head into fewer files with identical content") {
+    val t = freshTable()
+    SnapshotLog.commit(spark, df(1, 2).repartition(4), t)
+    SnapshotLog.commit(spark, df(3, 4).repartition(4), t, append = true)
+    val before = SnapshotLog.readManifest(t, 2L).files
+    val v = SnapshotLog.compact(spark, t, targetFiles = 1)
+    assert(v == 3L)
+    val after = SnapshotLog.readManifest(t, 3L).files
+    assert(after.size < before.size, s"compaction must shrink the file list: ${after.size} vs ${before.size}")
+    assert(idsAt(t) == Set(1L, 2L, 3L, 4L), "compaction must not change content")
+    assert(idsAt(t, Some(2L)) == Set(1L, 2L, 3L, 4L), "pre-compaction versions still read")
+  }
+
+  test("merge replaces matched keys, inserts new ones, carries the rest") {
+    import spark.implicits._
+    val t = freshTable()
+    SnapshotLog.commit(spark, df(1, 2, 3), t)
+    val updates = Seq((2L, "updated"), (9L, "inserted")).toDF("id", "payload")
+    val v = SnapshotLog.merge(spark, t, updates, "id")
+    assert(v == 2L)
+    val head = SnapshotLog.read(spark, t).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(head == Map(1L -> "p1", 2L -> "updated", 3L -> "p3", 9L -> "inserted"))
+    // the pre-merge snapshot is intact: copy-on-write, not in-place
+    assert(SnapshotLog.read(spark, t, Some(1L)).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toMap ==
+      Map(1L -> "p1", 2L -> "p2", 3L -> "p3"))
+  }
+
+  test("partitioned commits read back with partition columns and directory pruning") {
+    val sf = "/root/testdata/sf0.001"
+    val t = SnapshotLog.partitionedDemoTable(spark, sf)
+    val filtered = SnapshotLog.read(spark, t).filter(org.apache.spark.sql.functions.col("lang") === "en")
+    // lang came back as a real column with correct values
+    val langs = filtered.select("lang").distinct().collect().map(_.getString(0)).toSet
+    assert(langs == Set("en"))
+    // and the filter prunes DIRECTORIES, not rows: the scan's partition
+    // filters must mention lang
+    val plan = filtered.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("lang"),
+      s"expected a lang partition filter in:\n${plan.take(2000)}")
+    val expected = spark.read.parquet(s"$sf/documents.parquet")
+      .filter(org.apache.spark.sql.functions.col("lang") === "en").count()
+    assert(filtered.count() == expected)
+  }
+
   test("vacuum deletes only files unreferenced by surviving versions") {
     val t = freshTable()
     SnapshotLog.commit(spark, df(1, 2), t)          // v1
