@@ -130,6 +130,19 @@ object Cli {
       rows.foreach(r => System.err.println(s"[pipeline]   train ${r.mkString(" ")}"))
       spark.read.parquet(s"$outDir/training_cut").count()
     }
+    stage("snapshot_commit") {
+      // the transactional face of the publish: every pipeline run lands
+      // as a NEW version of the training-cut log (partitioned by
+      // split/lang like the plain artifact), so downstream training
+      // jobs pin `version=N` instead of racing a republish, and a bad
+      // cut rolls back by reading the previous version
+      val cut = spark.read.parquet(s"$outDir/training_cut")
+      val table = s"$outDir/training_cut_log"
+      val v = graft.core.SnapshotLog.commit(spark, cut, table,
+        partitionBy = Seq("split", "lang"))
+      System.err.println(s"[pipeline]   committed training_cut_log version $v")
+      graft.core.SnapshotLog.read(spark, table).count()
+    }
     val all = timings.result()
     System.err.println(f"[pipeline] total: ${all.map(_._3).sum}%.2f s over ${all.size} stages")
     all

@@ -192,8 +192,9 @@ class CopyPipelineSpec extends AnyFunSuite with SparkFixture {
     val sf = "/root/testdata/sf0.001"
     val out = tmp()
     val stages = graft.tools.Cli.pipeline(spark, Array("pipeline", sf, out))
-    assert(stages.map(_._1) == Seq("dup_classes", "keep_best", "manifest_publish"),
-      s"three stages in dependency order, got $stages")
+    assert(stages.map(_._1) ==
+      Seq("dup_classes", "keep_best", "manifest_publish", "snapshot_commit"),
+      s"four stages in dependency order, got $stages")
     assert(stages.forall(_._2 > 0), s"every stage must produce rows: $stages")
     // stage artifacts are the real deliverables
     for (a <- Seq("dup_classes.parquet", "keep_best.parquet", "training_cut"))
@@ -214,6 +215,17 @@ class CopyPipelineSpec extends AnyFunSuite with SparkFixture {
       .select("doc_id", "lang", "split", "in_cut")
       .collect().toSeq
     assert(published == capstone, "published manifest diverged from trainingCut")
+    // the snapshot-log commit is the same content, versioned: a second
+    // pipeline run must land as version 2 with an identical-content head
+    val table = s"$out/training_cut_log"
+    assert(graft.core.SnapshotLog.versions(table) == Seq(1L))
+    val logged = graft.core.SnapshotLog.read(spark, table)
+      .select("doc_id", "lang", "split", "in_cut")
+      .orderBy("doc_id").collect().toSeq
+    assert(logged == capstone, "snapshot-log head diverged from the published manifest")
+    graft.tools.Cli.pipeline(spark, Array("pipeline", sf, out))
+    assert(graft.core.SnapshotLog.versions(table) == Seq(1L, 2L),
+      "a re-run must commit a NEW version, not clobber v1")
   }
 
   test("cli: --config resolves named locations; --log appends result lines") {
