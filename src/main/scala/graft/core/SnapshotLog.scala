@@ -189,6 +189,48 @@ object SnapshotLog {
     commit(spark, merged, table)
   }
 
+  /** DESCRIBE HISTORY: one row per committed version — version id,
+    * commit kind, row count, file count. Driver-built (the log is
+    * metadata, bounded by version count, never by data size). */
+  def history(spark: SparkSession, table: String): DataFrame = {
+    import spark.implicits._
+    versions(table).map { v =>
+      val m = readManifest(table, v)
+      (m.version, if (m.append) "append" else "replace",
+        m.rowCount, m.files.size.toLong)
+    }.toDF("version", "kind", "row_count", "n_files")
+  }
+
+  /** CHANGE FEED between two versions: the rows added by append
+    * commits in (sinceV, untilV] — exactly the files those manifests
+    * introduced, read directly (no diffing of row sets). Incremental
+    * consumers (downstream training jobs, index maintainers) use this
+    * to process only what's new since the version they last pinned.
+    * Only APPEND commits have a well-defined row-level delta from
+    * metadata alone; a replace commit in the range fails fast rather
+    * than silently returning a wrong delta. */
+  def readChanges(spark: SparkSession, table: String,
+                  sinceV: Long, untilV: Long): DataFrame = {
+    val range = versions(table).filter(v => v > sinceV && v <= untilV)
+    require(range.nonEmpty, s"no versions in ($sinceV, $untilV]")
+    val manifests = range.map(readManifest(table, _))
+    manifests.find(!_.append).foreach(m => sys.error(
+      s"version ${m.version} is a replace commit — its delta is not " +
+        "derivable from the log; re-read the snapshot instead"))
+    val prevFiles =
+      if (sinceV == 0L) Set.empty[String]
+      else readManifest(table, sinceV).files.toSet
+    val newFiles = manifests.flatMap(_.files).distinct.filterNot(prevFiles)
+    if (newFiles.isEmpty) spark.emptyDataFrame
+    else {
+      val byStage = newFiles.groupBy(f => f.split("/").take(2).mkString("/")).toSeq.sortBy(_._1)
+      byStage.map { case (stage, fs) =>
+        spark.read.option("basePath", s"$table/$stage")
+          .parquet(fs.map(f => s"$table/$f"): _*)
+      }.reduce(_ unionByName _)
+    }
+  }
+
   /** Delete data files referenced ONLY by versions < `keepFrom` (and
     * their manifests). Time travel to vacuumed versions dies; every
     * version >= keepFrom still reads. Returns deleted relative paths. */

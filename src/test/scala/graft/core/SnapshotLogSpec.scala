@@ -117,6 +117,38 @@ class SnapshotLogSpec extends AnyFunSuite with SparkFixture {
     assert(filtered.count() == expected)
   }
 
+  test("history lists every version with kind, rows, and file count") {
+    val t = freshTable()
+    SnapshotLog.commit(spark, df(1, 2), t)
+    SnapshotLog.commit(spark, df(3), t, append = true)
+    val h = SnapshotLog.history(spark, t).orderBy("version").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(h.toSeq == Seq((1L, "replace", 2L), (2L, "append", 1L)))
+  }
+
+  test("readChanges returns exactly the rows appended in the version range") {
+    val t = freshTable()
+    SnapshotLog.commit(spark, df(1, 2), t)             // v1
+    SnapshotLog.commit(spark, df(3), t, append = true) // v2
+    SnapshotLog.commit(spark, df(4, 5), t, append = true) // v3
+    def ids(d: org.apache.spark.sql.DataFrame) =
+      d.select("id").collect().map(_.getLong(0)).toSet
+    assert(ids(SnapshotLog.readChanges(spark, t, 1L, 3L)) == Set(3L, 4L, 5L))
+    assert(ids(SnapshotLog.readChanges(spark, t, 2L, 3L)) == Set(4L, 5L))
+    // a replace commit inside the range must fail fast, not return a
+    // silently wrong delta
+    SnapshotLog.commit(spark, df(9), t) // v4: replace
+    intercept[RuntimeException] { SnapshotLog.readChanges(spark, t, 2L, 4L) }
+  }
+
+  test("a corrupt manifest fails loudly, never returns a partial snapshot") {
+    val t = freshTable()
+    SnapshotLog.commit(spark, df(1, 2), t)
+    Files.write(Paths.get(t, "_graft_log", "v1.json"),
+      """{"version":1,"append":false""".getBytes("UTF-8"))
+    intercept[RuntimeException] { SnapshotLog.read(spark, t).collect() }
+  }
+
   test("vacuum deletes only files unreferenced by surviving versions") {
     val t = freshTable()
     SnapshotLog.commit(spark, df(1, 2), t)          // v1
