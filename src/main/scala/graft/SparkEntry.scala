@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{SparkSession, DataFrame}
 import org.apache.spark.sql.functions._
 import graft.core.{Catalog, CopyPipeline, ParquetDir, Tables}
-import graft.ops.{Events, Multimodal, Relational, Text, Vector}
+import graft.ops.{Events, Multimodal, QualityModel, Relational, Text, Vector}
 import graft.sources.Formats
 import graft.streaming.EventStreams
 
@@ -316,6 +316,10 @@ object SparkEntry {
     "dedup_keep_best"  -> ((s, d) => Text.dedupKeepBest(s, d)),
     "dup_ngram_coverage" -> (Text.dupNgramCoverage _),
     "corpus_overlap"   -> (Text.corpusOverlap _),
+    // rows-only by design: the d x d normal-equation solve has no SQL
+    // twin; QualityModelSpec pins solver, recovery, stability, and a
+    // sequential whole-pipeline reference
+    "quality_regression" -> (QualityModel.qualityRegression _),
     "simhash_candidates" -> ((s, d) => Text.simhashCandidates(s, d)),
     "lang_stats"       -> (Text.langStats _),
     "token_stats"      -> (Text.tokenStats _),
