@@ -245,6 +245,30 @@ object SnapshotLog {
     doomed
   }
 
+  /** Sweep ORPHANED stage directories — data files no surviving
+    * manifest references, left behind by writers that crashed between
+    * staging and publishing. Only stages older than `olderThanMs` go
+    * (the grace period protects an IN-FLIGHT writer that has staged
+    * but not yet committed — the same rule as Delta's VACUUM
+    * retention). Returns deleted stage dirs (relative). */
+  def vacuumOrphans(table: String, olderThanMs: Long = 3600000L): Seq[String] = {
+    val dataDir = Paths.get(table, "data")
+    if (!Files.isDirectory(dataDir)) return Seq.empty
+    val referenced = versions(table)
+      .flatMap(readManifest(table, _).files)
+      .map(_.split("/").take(2).mkString("/")).toSet
+    val cutoff = System.currentTimeMillis() - olderThanMs
+    val st = Files.list(dataDir)
+    val stages = try st.iterator().asScala.toSeq finally st.close()
+    stages.filter { p =>
+      !referenced.contains(s"data/${p.getFileName}") &&
+        Files.getLastModifiedTime(p).toMillis < cutoff
+    }.map { p =>
+      TempDirs.deleteRecursively(p.toFile)
+      s"data/${p.getFileName}"
+    }
+  }
+
   // ------------------------------------------------------- declared queries
 
   /** Declared surface for the log's ISOLATION guarantee: commit v1 =

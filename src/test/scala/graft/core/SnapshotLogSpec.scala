@@ -149,6 +149,45 @@ class SnapshotLogSpec extends AnyFunSuite with SparkFixture {
     intercept[RuntimeException] { SnapshotLog.read(spark, t).collect() }
   }
 
+  test("vacuumOrphans sweeps crashed-writer stages but respects the grace period") {
+    val t = freshTable()
+    SnapshotLog.commit(spark, df(1), t)
+    df(99).write.parquet(s"$t/data/orphan-old")
+    df(98).write.parquet(s"$t/data/orphan-fresh")
+    // age one orphan past the cutoff, keep the other inside the grace
+    val old = Paths.get(t, "data", "orphan-old")
+    Files.setLastModifiedTime(old,
+      java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis() - 7200000L))
+    val swept = SnapshotLog.vacuumOrphans(t, olderThanMs = 3600000L)
+    assert(swept == Seq("data/orphan-old"), s"got $swept")
+    assert(!Files.exists(old))
+    assert(Files.exists(Paths.get(t, "data", "orphan-fresh")),
+      "an in-flight writer's stage must survive the sweep")
+    assert(idsAt(t) == Set(1L), "committed data untouched")
+  }
+
+  test("concurrent appenders: every commit lands, no version or file is lost") {
+    import java.util.concurrent.Executors
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration._
+    val t = freshTable()
+    SnapshotLog.commit(spark, df(0), t)
+    val pool = Executors.newFixedThreadPool(4)
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    try {
+      val futs = (1 to 8).map { i =>
+        Future(SnapshotLog.commit(spark, df(100L + i), t, append = true))
+      }
+      val got = Await.result(Future.sequence(futs), 120.seconds)
+      assert(got.sorted == (2L to 9L), s"each appender must land on its own version: $got")
+      // the final head carries every appender's row: nobody's files were
+      // dropped by a lost retry
+      assert(idsAt(t) == (Set(0L) ++ (1 to 8).map(i => 100L + i)),
+        "a racing append dropped rows")
+      assert(SnapshotLog.versions(t) == (1L to 9L))
+    } finally pool.shutdown()
+  }
+
   test("vacuum deletes only files unreferenced by surviving versions") {
     val t = freshTable()
     SnapshotLog.commit(spark, df(1, 2), t)          // v1
