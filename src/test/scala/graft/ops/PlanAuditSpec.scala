@@ -99,6 +99,53 @@ class PlanAuditSpec extends AnyFunSuite with SparkFixture {
     assert(pub.nonEmpty)
   }
 
+  test("ivf_append: the appended artifact probes with the same directory pruning") {
+    val df = Vector.ivfAppend(spark, sf)
+    df.collect()
+    val s = df.queryExecution.executedPlan.toString
+    val cut = s.indexOf("== Initial Plan ==")
+    val p = if (cut >= 0) s.substring(0, cut) else s
+    assert("PartitionFilters: \\[[^\\]]*list_id".r.findFirstIn(p).isDefined,
+      s"append must not cost the probe its partition pruning:\n$p")
+  }
+
+  test("corpus_overlap: the self-join runs over hashes, never text, and after the distinct") {
+    val df = Text.corpusOverlap(spark, sf)
+    val p = planOf(df)
+    // the pair join's inputs are (sh, source) — document text must not
+    // survive past the explode into any exchange
+    assert(!df.schema.fieldNames.contains("text"))
+    val joinIdx = p.indexOf("SortMergeJoin")
+    val hashJoinIdx = p.indexOf("ShuffledHashJoin")
+    assert(joinIdx >= 0 || hashJoinIdx >= 0 || p.contains("BroadcastHashJoin"),
+      s"expected an equi-join on sh:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"the source-pair expansion must meet on shingle equality only:\n$p")
+    // the DISTINCT (partial aggregate before the exchange) is what caps
+    // each shingle's postings at #sources
+    assert(p.contains("HashAggregate"), s"expected the distinct's aggregates:\n$p")
+  }
+
+  test("quality_regression sufficient statistics reduce O(d^2) values, not rows") {
+    import org.apache.spark.sql.functions._
+    val feats = graft.core.Tables.documents(spark, sf)
+      .withColumn("t", split(col("text"), " "))
+      .withColumn("y", col("n_chars").cast("double"))
+    val d = QualityModel.surfaceFeatures
+    val proj = feats.select((d.map(_._2) :+ col("y")).zipWithIndex
+      .map { case (c, i) => c.cast("double").as(s"_c$i") }: _*)
+    val agg = proj.agg(
+      sum((col("_c0") * col("_c1")).cast("decimal(38,12)")).as("s01"),
+      sum((col("_c1") * col("_c2")).cast("decimal(38,12)")).as("s12"))
+    val p = planOf(agg)
+    // partial + final HashAggregate around ONE exchange: rows combine
+    // map-side; only the O(d^2) sums cross the wire
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      s"expected partial+final aggregates:\n$p")
+    assert("Exchange".r.findAllIn(p).size == 1,
+      s"sufficient statistics must shuffle exactly once:\n$p")
+  }
+
   test("emb_neardups: banded LSH shape — every join an equi-join, corpus never nested-loops") {
     val p = planOf(Vector.embNearDups(spark, sf))
     assert(!p.contains("BroadcastNestedLoopJoin"),
