@@ -145,6 +145,7 @@ object SparkEntry {
     "snapshot_latest"  -> (graft.core.SnapshotLog.snapshotLatest _),
     "snapshot_merge"   -> (graft.core.SnapshotLog.snapshotMerge _),
     "snapshot_partitioned" -> (graft.core.SnapshotLog.snapshotPartitioned _),
+    "snapshot_skipping" -> (graft.core.SnapshotLog.snapshotSkipping _),
     "schema_report"    -> ((s, d) => Catalog.schemaReport(s, d, "lineitem")),
     "index_report"     -> ((s, _) => graft.core.Indexes.report(s, graft.core.Indexes.tpchIndexes)),
     "namespace_report" -> ((s, d) => Catalog.namespacesDf(s, d)),
@@ -1956,6 +1957,12 @@ object SparkEntry {
       // manifest with per-stage basePath: lang must come back as a column
       """SELECT source, count(*) AS n_docs FROM documents
         |WHERE lang = 'en' GROUP BY source ORDER BY source""".stripMargin,
+    "snapshot_skipping" -> // manifest min/max file pruning on a range-clustered
+      // table: the pruned read must equal the plain BETWEEN scan
+      """SELECT o_orderstatus, count(*) AS n_orders,
+        |  CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS total
+        |FROM orders WHERE o_totalprice BETWEEN 50000 AND 100000
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
     "lang_stats" ->
       """SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars,
         |  min(n_chars) AS min_chars, max(n_chars) AS max_chars,

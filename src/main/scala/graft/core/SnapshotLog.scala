@@ -39,8 +39,15 @@ import org.apache.spark.sql.functions._
   */
 object SnapshotLog {
 
+  /** `statsCol`/`lo`/`hi`: optional per-file min/max of one numeric
+    * column, aligned index-for-index with `files` (None = no stats for
+    * that file — it is always read). The Iceberg/Delta data-skipping
+    * pattern: file-level pruning from manifest metadata alone. */
   final case class Manifest(version: Long, append: Boolean,
-                            rowCount: Long, files: Seq[String])
+                            rowCount: Long, files: Seq[String],
+                            statsCol: Option[String] = None,
+                            lo: Seq[Option[Double]] = Seq.empty,
+                            hi: Seq[Option[Double]] = Seq.empty)
 
   private def logDir(table: String): Path = Paths.get(table, "_graft_log")
   private def vPath(table: String, v: Long): Path = logDir(table).resolve(s"v$v.json")
@@ -80,7 +87,17 @@ object SnapshotLog {
       .getOrElse(sys.error(s"manifest v$v: missing files")).group(1)
     val fs = if (files.isEmpty) Seq.empty[String]
       else files.split(",").toSeq.map(_.trim.stripPrefix("\"").stripSuffix("\""))
-    Manifest(long("version"), append, long("rowCount"), fs)
+    val statsCol = """"statsCol":"([^"]+)"""".r.findFirstMatchIn(s).map(_.group(1))
+    def bounds(k: String): Seq[Option[Double]] =
+      s"""\"$k\":\\[([^\\]]*)\\]""".r.findFirstMatchIn(s).map(_.group(1)) match {
+        case None | Some("") => Seq.empty
+        case Some(body) => body.split(",").toSeq.map(_.trim).map {
+          case "null" => None
+          case x => Some(x.toDouble)
+        }
+      }
+    Manifest(long("version"), append, long("rowCount"), fs,
+      statsCol, bounds("lo"), bounds("hi"))
   }
 
   /** Stage `df` as immutable data files and commit them as the next
@@ -95,6 +112,7 @@ object SnapshotLog {
     * a racer's files). */
   def commit(spark: SparkSession, df: DataFrame, table: String,
              append: Boolean = false, partitionBy: Seq[String] = Seq.empty,
+             statsFor: Option[String] = None,
              maxRetries: Int = 20): Long = {
     Files.createDirectories(logDir(table))
     val stage = java.util.UUID.randomUUID().toString
@@ -117,14 +135,47 @@ object SnapshotLog {
     val rows =
       if (staged.isEmpty) 0L
       else spark.read.parquet(staged.map(p => s"$table/$p"): _*).count()
+    // per-file min/max of the stats column: ONE aggregate over the
+    // staged files grouped by physical file — manifest-resident data
+    // skipping (Iceberg/Delta pattern), computed once at write time
+    val stagedStats: Map[String, (Double, Double)] = statsFor match {
+      case None => Map.empty
+      case Some(c) if staged.isEmpty => Map.empty
+      case Some(c) =>
+        spark.read.parquet(stageDir.toString)
+          .groupBy(input_file_name().as("_f"))
+          .agg(min(col(c).cast("double")).as("_lo"), max(col(c).cast("double")).as("_hi"))
+          .collect().map { r =>
+            val f = r.getString(0)
+            val marker = s"/data/$stage/"
+            val rel = s"data/$stage/" + f.substring(f.indexOf(marker) + marker.length)
+            rel -> (r.getDouble(1), r.getDouble(2))
+          }.toMap
+    }
     var attempt = 0
     while (true) {
       val v = latestVersion(table).getOrElse(0L) + 1
-      val files =
-        if (!append || v == 1) staged
-        else readManifest(table, v - 1).files ++ staged
+      val prev = if (!append || v == 1) None else Some(readManifest(table, v - 1))
+      val files = prev.map(_.files ++ staged).getOrElse(staged)
+      // stats alignment: carry the previous manifest's per-file bounds
+      // forward when the column matches; a file without bounds is null
+      // (always read — skipping is never allowed to lose rows)
+      val prevBounds: Map[String, (Option[Double], Option[Double])] = prev match {
+        case Some(m) if m.statsCol == statsFor && m.lo.size == m.files.size =>
+          m.files.zip(m.lo.zip(m.hi)).toMap
+        case _ => Map.empty
+      }
+      val statsJson = statsFor.map { c =>
+        val lo = files.map(f => stagedStats.get(f).map(_._1)
+          .orElse(prevBounds.get(f).flatMap(_._1)))
+        val hi = files.map(f => stagedStats.get(f).map(_._2)
+          .orElse(prevBounds.get(f).flatMap(_._2)))
+        def arr(xs: Seq[Option[Double]]): String =
+          xs.map(_.map(_.toString).getOrElse("null")).mkString(",")
+        s""""statsCol":"$c","lo":[${arr(lo)}],"hi":[${arr(hi)}],"""
+      }.getOrElse("")
       val body =
-        s"""{"version":$v,"append":$append,"rowCount":$rows,""" +
+        s"""{"version":$v,"append":$append,"rowCount":$rows,$statsJson""" +
           s""""files":[${files.map(f => "\"" + f + "\"").mkString(",")}]}"""
       val tmp = logDir(table).resolve(s".tmp-$stage-$attempt")
       Files.write(tmp, body.getBytes("UTF-8"))
@@ -153,14 +204,54 @@ object SnapshotLog {
     val v = asOf.orElse(latestVersion(table))
       .getOrElse(sys.error(s"no committed version in $table"))
     val m = readManifest(table, v)
-    if (m.files.isEmpty) spark.emptyDataFrame
+    readFiles(spark, table, m.files)
+  }
+
+  private def readFiles(spark: SparkSession, table: String,
+                        files: Seq[String]): DataFrame =
+    if (files.isEmpty) spark.emptyDataFrame
     else {
-      val byStage = m.files.groupBy(f => f.split("/").take(2).mkString("/")).toSeq.sortBy(_._1)
+      val byStage = files.groupBy(f => f.split("/").take(2).mkString("/")).toSeq.sortBy(_._1)
       byStage.map { case (stage, fs) =>
         spark.read.option("basePath", s"$table/$stage")
           .parquet(fs.map(f => s"$table/$f"): _*)
       }.reduce(_ unionByName _)
     }
+
+  /** Manifest-side file pruning for a range predicate on the stats
+    * column: (kept, skipped). A file keeps when its [lo, hi] overlaps
+    * [qLo, qHi] or it has no bounds — skipping can drop files, never
+    * rows. */
+  def prunedFiles(table: String, qLo: Double, qHi: Double,
+                  asOf: Option[Long] = None): (Seq[String], Seq[String]) = {
+    val v = asOf.orElse(latestVersion(table))
+      .getOrElse(sys.error(s"no committed version in $table"))
+    val m = readManifest(table, v)
+    if (m.statsCol.isEmpty || m.lo.size != m.files.size)
+      (m.files, Seq.empty)
+    else m.files.zipWithIndex.partition { case (_, i) =>
+      (m.lo(i), m.hi(i)) match {
+        case (Some(l), Some(h)) => h >= qLo && l <= qHi
+        case _ => true
+      }
+    } match { case (k, s) => (k.map(_._1), s.map(_._1)) }
+  }
+
+  /** Range read with DATA SKIPPING: open only the manifest-pruned
+    * files, then apply the residual row filter. At 100 TB this is the
+    * second pruning tier after partition directories — a range query
+    * on a range-clustered table touches the few files whose footer
+    * bounds overlap, decided from the MANIFEST alone (zero file
+    * opens for the skipped ones). */
+  def readPruned(spark: SparkSession, table: String, qLo: Double, qHi: Double,
+                 asOf: Option[Long] = None): DataFrame = {
+    val v = asOf.orElse(latestVersion(table))
+      .getOrElse(sys.error(s"no committed version in $table"))
+    val m = readManifest(table, v)
+    val c = m.statsCol.getOrElse(sys.error(s"$table has no stats column"))
+    val (kept, _) = prunedFiles(table, qLo, qHi, Some(v))
+    readFiles(spark, table, kept)
+      .filter(col(c).cast("double") >= qLo && col(c).cast("double") <= qHi)
   }
 
   /** OPTIMIZE: rewrite the head's content into `targetFiles` files and
@@ -330,6 +421,30 @@ object SnapshotLog {
     read(spark, table).filter(col("lang") === "en")
       .groupBy("source").agg(count(lit(1)).as("n_docs"))
       .orderBy("source")
+  }
+
+  /** Declared surface for DATA SKIPPING: orders range-clustered on
+    * o_totalprice and committed with per-file price bounds; the range
+    * read must equal the plain BETWEEN oracle while opening only the
+    * overlapping files (SnapshotLogSpec asserts real skips on this
+    * exact layout). */
+  def snapshotSkipping(spark: SparkSession, dir: String): DataFrame = {
+    val table = skippingDemoTable(spark, dir)
+    readPruned(spark, table, 50000.0, 100000.0)
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n_orders"),
+        round(sum(col("o_totalprice").cast("decimal(18,2)")), 2)
+          .cast("double").as("total"))
+      .orderBy("o_orderstatus")
+  }
+
+  private[core] def skippingDemoTable(spark: SparkSession, dir: String): String = {
+    val table = freshScratchTable(s"snapskip:$dir")
+    val orders = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      .repartitionByRange(8, col("o_totalprice"))
+    commit(spark, orders, table, statsFor = Some("o_totalprice"))
+    table
   }
 
   private[core] def partitionedDemoTable(spark: SparkSession, dir: String): String = {

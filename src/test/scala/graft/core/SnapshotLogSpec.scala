@@ -149,6 +149,45 @@ class SnapshotLogSpec extends AnyFunSuite with SparkFixture {
     intercept[RuntimeException] { SnapshotLog.read(spark, t).collect() }
   }
 
+  test("data skipping: a range read opens only overlapping files and loses no rows") {
+    val sf = "/root/testdata/sf0.001"
+    val t = SnapshotLog.skippingDemoTable(spark, sf)
+    val (kept, skipped) = SnapshotLog.prunedFiles(t, 50000.0, 100000.0)
+    assert(skipped.nonEmpty,
+      s"range-clustered files must let a narrow range skip some: kept=${kept.size} skipped=${skipped.size}")
+    assert(kept.nonEmpty)
+    val pruned = SnapshotLog.readPruned(spark, t, 50000.0, 100000.0)
+      .select("o_orderkey").collect().map(_.getLong(0)).toSet
+    val full = SnapshotLog.read(spark, t)
+      .filter(org.apache.spark.sql.functions.col("o_totalprice").between(50000.0, 100000.0))
+      .select("o_orderkey").collect().map(_.getLong(0)).toSet
+    assert(pruned == full, "skipping dropped or invented rows")
+  }
+
+  test("data skipping: appended files without bounds are always read (never lost)") {
+    import spark.implicits._
+    val t = freshTable()
+    val a = Seq((1L, 10.0), (2L, 20.0)).toDF("id", "v")
+    SnapshotLog.commit(spark, a, t, statsFor = Some("v"))
+    // an append committed WITHOUT stats: its files carry null bounds
+    val b = Seq((3L, 15.0)).toDF("id", "v")
+    SnapshotLog.commit(spark, b, t, append = true, statsFor = Some("v"))
+    val c = Seq((4L, 99.0)).toDF("id", "v")
+    SnapshotLog.commit(spark, c, t, append = true) // no statsFor: bounds lost
+    val m = SnapshotLog.readManifest(t, 3L)
+    // v3 carries no stats at all (statsFor was None on the head commit)
+    assert(m.statsCol.isEmpty)
+    val (kept, skipped) = SnapshotLog.prunedFiles(t, 14.0, 16.0)
+    assert(skipped.isEmpty, "without head stats nothing may be skipped")
+    assert(kept.size == m.files.size)
+    // and the stats-carrying v2 still prunes
+    val (k2, s2) = SnapshotLog.prunedFiles(t, 14.0, 16.0, Some(2L))
+    assert(s2.nonEmpty, "v2's bounds must still skip the non-overlapping files")
+    val rows = SnapshotLog.readPruned(spark, t, 14.0, 16.0, Some(2L))
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(rows == Set(3L))
+  }
+
   test("vacuumOrphans sweeps crashed-writer stages but respects the grace period") {
     val t = freshTable()
     SnapshotLog.commit(spark, df(1), t)
