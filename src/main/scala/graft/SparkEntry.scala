@@ -321,6 +321,7 @@ object SparkEntry {
     // twin; QualityModelSpec pins solver, recovery, stability, and a
     // sequential whole-pipeline reference
     "quality_regression" -> (QualityModel.qualityRegression _),
+    "quality_distill_holdout" -> (QualityModel.qualityDistillHoldout _),
     "simhash_candidates" -> ((s, d) => Text.simhashCandidates(s, d)),
     "lang_stats"       -> (Text.langStats _),
     "token_stats"      -> (Text.tokenStats _),

@@ -108,18 +108,50 @@ object QualityModel {
         / greatest(nTok, lit(1.0))))
   }
 
+  private def featsWithTarget(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .withColumn("t", split(col("text"), " "))
+      .join(Text.tokenEntropy(spark, dir).select(col("doc_id"), col("entropy")), "doc_id")
+
   /** Declared query: coefficient table + fit stats of the distilled
     * quality model. Rows: one per feature (term, value = beta), plus
     * `_n` (docs fitted) and `_r2` (variance explained). */
   def qualityRegression(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val feats = Tables.documents(spark, dir)
-      .withColumn("t", split(col("text"), " "))
-      .join(Text.tokenEntropy(spark, dir).select(col("doc_id"), col("entropy")), "doc_id")
-    val (betas, n, r2) = fit(feats, surfaceFeatures, col("entropy"))
+    val (betas, n, r2) = fit(featsWithTarget(spark, dir), surfaceFeatures, col("entropy"))
     (surfaceFeatures.map(_._1).zip(betas) :+
       ("_n" -> n.toDouble) :+ ("_r2" -> r2))
       .toDF("term", "value")
       .orderBy("term")
+  }
+
+  /** HELD-OUT evaluation of the distilled model — the honest
+    * generalization check a production distillation ships with: fit on
+    * the even-doc_id half, score the UNSEEN odd half map-only
+    * (broadcast betas as plan literals), and report per-lang holdout
+    * error. Per-lang SSE/SST accumulate in DECIMAL like the training
+    * sums, so the report is partition-invariant. Declared rows-only
+    * (the solve). */
+  def qualityDistillHoldout(spark: SparkSession, dir: String): DataFrame = {
+    val all = featsWithTarget(spark, dir)
+    val (betas, _, _) = fit(all.filter(col("doc_id") % 2 === 0),
+      surfaceFeatures, col("entropy"))
+    val pred = surfaceFeatures.map(_._2).zip(betas)
+      .map { case (c, w) => c.cast("double") * lit(w) }.reduce(_ + _)
+    val dec = "decimal(38,12)"
+    val holdout = all.filter(col("doc_id") % 2 === 1)
+      .select(col("lang"), col("entropy").as("y"), pred.as("yhat"))
+    holdout.groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(((col("y") - col("yhat")) * (col("y") - col("yhat"))).cast(dec)).as("sse"),
+        sum(col("y").cast(dec)).as("sy"),
+        sum((col("y") * col("y")).cast(dec)).as("syy"))
+      .select(col("lang"), col("n_docs"),
+        round(sqrt(col("sse").cast("double") / col("n_docs")), 6).as("rmse"),
+        round(lit(1.0) - col("sse").cast("double")
+          / (col("syy").cast("double")
+            - col("sy").cast("double") * col("sy").cast("double") / col("n_docs")), 6)
+          .as("r2"))
+      .orderBy("lang")
   }
 }

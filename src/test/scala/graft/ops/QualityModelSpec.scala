@@ -62,6 +62,21 @@ class QualityModelSpec extends AnyFunSuite with SparkFixture {
       s"decimal sums must make the fit partition-invariant: $fits")
   }
 
+  test("holdout: the model fitted on half the corpus generalizes to the unseen half") {
+    val sf = "/root/testdata/sf0.001"
+    val rows = QualityModel.qualityDistillHoldout(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (lang, n, rmse, r2) =>
+      assert(n > 0 && rmse >= 0, s"$lang: degenerate holdout stats")
+      assert(r2 > 0.3, s"$lang: held-out r2 collapsed to $r2 — the fit memorized, not learned")
+    }
+    // partition-invariance of the report (decimal sums)
+    val again = QualityModel.qualityDistillHoldout(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    assert(rows.toSeq == again.toSeq)
+  }
+
   test("corpus fit agrees with a sequential reference and explains real variance") {
     val sf = "/root/testdata/sf0.001"
     val q = QualityModel.qualityRegression(spark, sf).collect()
