@@ -317,6 +317,7 @@ object SparkEntry {
     "dedup_keep_best"  -> ((s, d) => Text.dedupKeepBest(s, d)),
     "dup_ngram_coverage" -> (Text.dupNgramCoverage _),
     "corpus_overlap"   -> (Text.corpusOverlap _),
+    "vocab_coverage"   -> ((s, d) => Text.vocabCoverage(s, d)),
     // rows-only by design: the d x d normal-equation solve has no SQL
     // twin; QualityModelSpec pins solver, recovery, stability, and a
     // sequential whole-pipeline reference
@@ -2246,6 +2247,15 @@ object SparkEntry {
          |  round(count(CASE WHEN n_docs > 1 THEN 1 END) / count(*), 4) AS dup_frac
          |FROM sh s JOIN df USING (shingle)
          |GROUP BY s.doc_id ORDER BY doc_id""".stripMargin,
+    "vocab_coverage" -> // top-1000 vocab (count desc, token asc) + per-lang OOV
+      """WITH tok AS (SELECT lang, unnest(string_split(text, ' ')) AS w FROM documents),
+        |  v AS (SELECT w FROM (SELECT w, count(*) AS n FROM tok GROUP BY w
+        |         ORDER BY n DESC, w ASC LIMIT 1000)),
+        |  j AS (SELECT tok.lang, tok.w, v.w AS vw FROM tok LEFT JOIN v ON tok.w = v.w)
+        |SELECT lang, count(*) AS n_tokens,
+        |  CAST(count(CASE WHEN vw IS NULL THEN 1 END) AS BIGINT) AS n_oov,
+        |  round(count(CASE WHEN vw IS NULL THEN 1 END) / count(*), 4) AS oov_rate
+        |FROM j GROUP BY lang ORDER BY lang""".stripMargin,
     "corpus_overlap" -> // source-pair shared-shingle contamination matrix
       """WITH ssh AS (
         |  SELECT DISTINCT d.source,

@@ -810,6 +810,28 @@ object Text {
       .orderBy("doc_id")
   }
 
+  /** Tokenizer-fit report: build the corpus's top-`vocabSize` token
+    * vocabulary (count desc, token asc — a deterministic boundary) and
+    * measure per-language out-of-vocabulary rates. This is the check a
+    * tokenizer/vocab decision reads before training: which languages a
+    * fixed vocab shortchanges. Shape: one hash-agg for the counts, a
+    * TakeOrdered of vocabSize rows, then a BROADCAST left join back
+    * over the token stream (map-only; the corpus never shuffles for
+    * the membership test) + one per-lang roll-up. */
+  def vocabCoverage(spark: SparkSession, dir: String, vocabSize: Int = 1000): DataFrame = {
+    val tok = Tables.documents(spark, dir)
+      .select(col("lang"), explode(split(col("text"), " ")).as("w"))
+    val vocab = tok.groupBy("w").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("w").asc).limit(vocabSize)
+      .select(col("w"), lit(1).as("in_v"))
+    tok.join(broadcast(vocab), Seq("w"), "left")
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("in_v").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .withColumn("oov_rate", round(col("n_oov") / col("n_tokens"), 4))
+      .orderBy("lang")
+  }
+
   /** Cross-corpus overlap matrix: for every SOURCE pair, the number of
     * distinct word-3-shingles both corpora contain, plus a containment
     * ratio (shared / smaller corpus's shingle vocabulary). This is the

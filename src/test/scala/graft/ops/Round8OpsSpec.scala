@@ -40,6 +40,17 @@ class Round8OpsSpec extends AnyFunSuite with SparkFixture {
     assert(rows.toSeq == Seq(("s1", "s2", 1L, 1.0)), s"got ${rows.toSeq}")
   }
 
+  test("vocab_coverage: a tiny vocab makes planted rare tokens OOV, common ones covered") {
+    val dir = corpus(Seq(
+      (1L, "hot hot hot hot cold", "s1"),
+      (2L, "hot hot rare1 rare2", "s1"),
+      (3L, "hot cold cold", "s2")))
+    val rows = Text.vocabCoverage(spark, dir, vocabSize = 2).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    // vocab = {hot (7), cold (3)}; OOV = rare1, rare2 (2 of 12 tokens)
+    assert(rows.toSeq == Seq(("en", 12L, 2L, 0.1667)), s"got ${rows.toSeq}")
+  }
+
   private val sf = "/root/testdata/sf0.001"
 
   test("ivf_append: incremental artifact serves identically to the full index") {
