@@ -215,7 +215,13 @@ object SnapshotLog {
       byStage.map { case (stage, fs) =>
         spark.read.option("basePath", s"$table/$stage")
           .parquet(fs.map(f => s"$table/$f"): _*)
-      }.reduce(_ unionByName _)
+      }.reduce(_.unionByName(_, allowMissingColumns = true))
+      // allowMissingColumns: an append commit may carry MORE columns
+      // than the base (schema evolution) — older stages surface null
+      // for the new column instead of failing the union or silently
+      // dropping it (the plain multi-path parquet read without
+      // mergeSchema picks ONE file's schema — exactly the silent-loss
+      // trap the per-stage union avoids)
     }
 
   /** Manifest-side file pruning for a range predicate on the stats

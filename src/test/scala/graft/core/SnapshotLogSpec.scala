@@ -149,6 +149,25 @@ class SnapshotLogSpec extends AnyFunSuite with SparkFixture {
     intercept[RuntimeException] { SnapshotLog.read(spark, t).collect() }
   }
 
+  test("schema evolution: an append with a new column reads back whole, old rows null") {
+    import spark.implicits._
+    val t = freshTable()
+    SnapshotLog.commit(spark, df(1, 2), t)
+    val widened = Seq((3L, "p3", "extra3")).toDF("id", "payload", "note")
+    SnapshotLog.commit(spark, widened, t, append = true)
+    val head = SnapshotLog.read(spark, t)
+    assert(head.schema.fieldNames.toSet == Set("id", "payload", "note"),
+      s"the widened column must survive the union: ${head.schema.fieldNames.toSeq}")
+    val byId = head.collect().map(r =>
+      r.getLong(r.fieldIndex("id")) ->
+        (if (r.isNullAt(r.fieldIndex("note"))) None else Some(r.getString(r.fieldIndex("note"))))
+    ).toMap
+    assert(byId == Map(1L -> None, 2L -> None, 3L -> Some("extra3")))
+    // time travel to the pre-evolution version keeps the narrow schema
+    assert(SnapshotLog.read(spark, t, Some(1L)).schema.fieldNames.toSet ==
+      Set("id", "payload"))
+  }
+
   test("data skipping: a range read opens only overlapping files and loses no rows") {
     val sf = "/root/testdata/sf0.001"
     val t = SnapshotLog.skippingDemoTable(spark, sf)
