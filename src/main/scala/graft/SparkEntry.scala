@@ -146,6 +146,7 @@ object SparkEntry {
     "snapshot_merge"   -> (graft.core.SnapshotLog.snapshotMerge _),
     "snapshot_partitioned" -> (graft.core.SnapshotLog.snapshotPartitioned _),
     "snapshot_skipping" -> (graft.core.SnapshotLog.snapshotSkipping _),
+    "snapshot_changes" -> (graft.core.SnapshotLog.snapshotChanges _),
     "schema_report"    -> ((s, d) => Catalog.schemaReport(s, d, "lineitem")),
     "index_report"     -> ((s, _) => graft.core.Indexes.report(s, graft.core.Indexes.tpchIndexes)),
     "namespace_report" -> ((s, d) => Catalog.namespacesDf(s, d)),
@@ -1959,6 +1960,11 @@ object SparkEntry {
       // manifest with per-stage basePath: lang must come back as a column
       """SELECT source, count(*) AS n_docs FROM documents
         |WHERE lang = 'en' GROUP BY source ORDER BY source""".stripMargin,
+    "snapshot_changes" -> // the change feed over two append commits: exactly
+      // the rows v2-v3 introduced, none from v1, none double-counted
+      """SELECT count(*) AS n_rows,
+        |  CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS total
+        |FROM orders WHERE o_orderkey % 3 <> 0""".stripMargin,
     "snapshot_skipping" -> // manifest min/max file pruning on a range-clustered
       // table: the pruned read must equal the plain BETWEEN scan
       """SELECT o_orderstatus, count(*) AS n_orders,

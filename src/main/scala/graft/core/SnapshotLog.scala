@@ -429,6 +429,24 @@ object SnapshotLog {
       .orderBy("source")
   }
 
+  /** Declared surface for the CHANGE FEED: three deterministic append
+    * commits (orders thirds by key mod), then `readChanges(1, 3)` —
+    * the incremental consumer's read. The aggregate only matches the
+    * oracle's `mod <> 0` replay if the feed returns exactly the rows
+    * versions 2-3 introduced: nothing from v1, nothing double-counted
+    * across the two appends. */
+  def snapshotChanges(spark: SparkSession, dir: String): DataFrame = {
+    val table = freshScratchTable(s"snapchg:$dir")
+    val o = Tables.orders(spark, dir).select(col("o_orderkey"), col("o_totalprice"))
+    commit(spark, o.filter(col("o_orderkey") % 3 === 0), table)
+    commit(spark, o.filter(col("o_orderkey") % 3 === 1), table, append = true)
+    commit(spark, o.filter(col("o_orderkey") % 3 === 2), table, append = true)
+    readChanges(spark, table, 1L, 3L)
+      .agg(count(lit(1)).as("n_rows"),
+        round(sum(col("o_totalprice").cast("decimal(18,2)")), 2)
+          .cast("double").as("total"))
+  }
+
   /** Declared surface for DATA SKIPPING: orders range-clustered on
     * o_totalprice and committed with per-file price bounds; the range
     * read must equal the plain BETWEEN oracle while opening only the
