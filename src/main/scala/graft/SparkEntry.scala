@@ -323,6 +323,9 @@ object SparkEntry {
     // twin; QualityModelSpec pins solver, recovery, stability, and a
     // sequential whole-pipeline reference
     "quality_regression" -> (QualityModel.qualityRegression _),
+    // rows-only by design (trained k-means upstream); the spec demands
+    // equality with a sequential union-find over semantic_dedup's pairs
+    "semantic_dup_classes" -> ((s, d) => Vector.semanticDupClasses(s, d)),
     "quality_distill_holdout" -> (QualityModel.qualityDistillHoldout _),
     "simhash_candidates" -> ((s, d) => Text.simhashCandidates(s, d)),
     "lang_stats"       -> (Text.langStats _),

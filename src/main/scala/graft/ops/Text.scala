@@ -726,10 +726,22 @@ object Text {
     // its min doc_id, min-label over the rep graph equals min-label
     // over the full doc graph; members inherit their rep's label via
     // one final equi-join.
-    val tmp = graft.core.TempDirs.stable(s"cc:$dir")
     val (classMap, repVerified) =
       minhashRepVerified(spark, dir, 0.5, DefaultMaxBucket, s"cc:$dir")
     val pairs = repVerified.select(col("d1"), col("d2"))
+    val repLabels = minLabelPropagation(spark, pairs, s"cc:$dir", maxIter)
+    labelsToClasses(classMap, repLabels)
+      .orderBy("doc_id")
+  }
+
+  /** Min-label propagation (connected components) over an undirected
+    * (d1, d2) pair graph — each round one equi-join + one min-agg,
+    * parquet-barriered per iteration (see the dupClasses comment).
+    * Returns (id, label = component min id). Shared by the text CC
+    * and the semantic (embedding) CC. */
+  private[ops] def minLabelPropagation(spark: SparkSession, pairs: DataFrame,
+      tag: String, maxIter: Int): DataFrame = {
+    val tmp = graft.core.TempDirs.stable(s"lp:$tag")
     val edges = pairs.select(col("d1").as("src"), col("d2").as("dst"))
       .union(pairs.select(col("d2").as("src"), col("d1").as("dst")))
     edges.select(col("src").as("id")).distinct()
@@ -752,10 +764,16 @@ object Text {
         .write.mode("overwrite").parquet(s"$tmp/labels")
       iter += 1
     }
-    val repLabels = spark.read.parquet(s"$tmp/labels")
-    // A duplicate class of >= 2 members is a component even without
-    // cross-class edges (its within pairs are near-dups by identity):
-    // those reps label themselves.
+    spark.read.parquet(s"$tmp/labels")
+  }
+
+  /** Expand rep-level component labels to members: a duplicate class
+    * of >= 2 members is a component even without cross-class edges
+    * (its within pairs are duplicates by identity), so edgeless
+    * multi-member reps label themselves; members inherit their rep's
+    * label via one equi-join. Returns (doc_id, class_id). */
+  private[ops] def labelsToClasses(classMap: DataFrame,
+                                   repLabels: DataFrame): DataFrame = {
     val multiOnly = classMap.groupBy("rep").agg(count(lit(1)).as("m"))
       .filter(col("m") >= 2).select(col("rep").as("id"))
       .join(repLabels, Seq("id"), "left_anti")
@@ -764,7 +782,6 @@ object Text {
       .select(col("id").as("rep"), col("label"))
     classMap.join(allReps, "rep")
       .select(col("doc_id"), col("label").as("class_id"))
-      .orderBy("doc_id")
   }
 
   // ------------------------------------------------------ exact jaccard

@@ -421,6 +421,19 @@ object Vector {
   def semanticDedup(spark: SparkSession, dir: String, lists: Int = 8,
                     threshold: Double = 0.4, dim: Int = 64,
                     iters: Int = 5): DataFrame = {
+    val (classMap, repPairs) = semanticRepPairs(spark, dir, lists, threshold, dim, iters)
+    Text.expandRepPairs(repPairs, classMap, Seq("cos"), Seq(lit(1.0)))
+      .filter(col("cos") >= threshold) // within pairs obey the threshold too
+      .select(col("d1").as("vec_a"), col("d2").as("vec_b"), col("cos"))
+      .orderBy("vec_a", "vec_b")
+  }
+
+  /** The rep-level half of `semanticDedup`: (exact-vector class map,
+    * within-list cosine pairs over class representatives). Shared with
+    * `semanticDupClasses`, which propagates labels over THIS graph —
+    * one node per distinct vector — instead of the expanded one. */
+  private[ops] def semanticRepPairs(spark: SparkSession, dir: String, lists: Int,
+      threshold: Double, dim: Int, iters: Int): (DataFrame, DataFrame) = {
     // Exact-vector-dedup composed, like embNearDups (and the r7
     // fuzzy_neardups fix): a dirty corpus with m identical copies of
     // one vector would otherwise put all m in one list and stream
@@ -466,10 +479,32 @@ object Vector {
         round(nDot(spark)(col("ea"), col("eb")) / (col("na") * col("nb")), 4))
       .filter(col("cos") >= threshold)
       .select(col("d1"), col("d2"), col("cos"))
-    Text.expandRepPairs(repPairs, classMap, Seq("cos"), Seq(lit(1.0)))
-      .filter(col("cos") >= threshold) // within pairs obey the threshold too
-      .select(col("d1").as("vec_a"), col("d2").as("vec_b"), col("cos"))
-      .orderBy("vec_a", "vec_b")
+    (classMap, repPairs)
+  }
+
+  /** SEMANTIC duplicate CLASSES — the embedding twin of `dup_classes`:
+    * connected components over the semantic near-dup graph (SemDeDup's
+    * clustering step: a paraphrase cluster is one class even when its
+    * ends share no direct edge). Min-label propagation runs on the
+    * REP graph (one node per distinct vector, same composition as the
+    * text CC), members inherit through the class map, and classes of
+    * identical copies label themselves even without a cross edge.
+    * Declared rows-only like the rest of the trained-k-means family;
+    * the spec union-finds the collected `semantic_dedup` pairs
+    * sequentially and demands identical classes. */
+  def semanticDupClasses(spark: SparkSession, dir: String, lists: Int = 8,
+                         threshold: Double = 0.4, dim: Int = 64,
+                         iters: Int = 5, maxIter: Int = 20): DataFrame = {
+    val (classMap, repPairs) = semanticRepPairs(spark, dir, lists, threshold, dim, iters)
+    val tmp = graft.core.TempDirs.stable(s"semcc:$dir")
+    // barrier the pair graph: the label loop would otherwise replay
+    // k-means + the within-list join every iteration
+    repPairs.select("d1", "d2").write.mode("overwrite").parquet(s"$tmp/pairs")
+    val pairs = spark.read.parquet(s"$tmp/pairs")
+    val repLabels = Text.minLabelPropagation(spark, pairs, s"semcc:$dir", maxIter)
+    Text.labelsToClasses(classMap, repLabels)
+      .select(col("doc_id").as("vec_id"), col("class_id"))
+      .orderBy("vec_id")
   }
 
   /** The md5-derived coarse centroids `ivf_cosine` ships with —

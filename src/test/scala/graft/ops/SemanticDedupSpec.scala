@@ -82,4 +82,30 @@ class SemanticDedupSpec extends AnyFunSuite with SparkFixture {
         s"$pair flagged with cos $c but brute force says ${brute.get(pair)}")
     }
   }
+
+  test("semantic_dup_classes equals sequential union-find over the declared pairs") {
+    val sf = "/root/testdata/sf0.001"
+    val pairs = Vector.semanticDedup(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.nonEmpty)
+    // sequential union-find with min-id labels — the model the
+    // distributed label propagation must match exactly
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val ids = pairs.flatMap(p => Seq(p._1, p._2)).distinct
+    val expected = ids.map(i => i -> find(i)).toMap
+    val got = Vector.semanticDupClasses(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got == expected,
+      s"classes diverge: only-engine=${(got.toSet -- expected.toSet).take(5)} " +
+        s"only-model=${(expected.toSet -- got.toSet).take(5)}")
+    assert(got.values.toSet.size > 1, "more than one semantic class expected")
+  }
 }
