@@ -326,6 +326,7 @@ object SparkEntry {
     // rows-only by design (trained k-means upstream); the spec demands
     // equality with a sequential union-find over semantic_dedup's pairs
     "semantic_dup_classes" -> ((s, d) => Vector.semanticDupClasses(s, d)),
+    "semantic_keep_best" -> ((s, d) => Vector.semanticKeepBest(s, d)),
     "quality_distill_holdout" -> (QualityModel.qualityDistillHoldout _),
     "simhash_candidates" -> ((s, d) => Text.simhashCandidates(s, d)),
     "lang_stats"       -> (Text.langStats _),

@@ -507,6 +507,38 @@ object Vector {
       .orderBy("vec_id")
   }
 
+  /** SemDeDup's survivor rule (Abbas et al. 2023): within each
+    * semantic duplicate class keep the vector CLOSEST TO THE CLASS
+    * MEAN — the member that best represents the cluster, not an
+    * arbitrary min-id. Shape: one hash-agg builds each class's
+    * centroid as 64 per-dimension DECIMAL sums (exact,
+    * order-independent — the k-means discipline), means round to 6dp,
+    * members join back on class_id and rank by rounded
+    * cosine-to-centroid with a vec_id tie-break. One agg + one join +
+    * one per-class window — the `dedup_keep_best` shape in embedding
+    * space. Declared rows-only (trained-k-means upstream). */
+  def semanticKeepBest(spark: SparkSession, dir: String,
+                       dim: Int = 64): DataFrame = {
+    val classes = semanticDupClasses(spark, dir)
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), dbl(col("embedding")).as("emb"))
+    val member = classes.join(e, "vec_id")
+    val sums = (0 until dim).map(i =>
+      sum(element_at(col("emb"), i + 1).cast("decimal(38,12)")).as(s"s$i")) :+
+      count(lit(1)).as("m")
+    val cents = member.groupBy("class_id").agg(sums.head, sums.tail: _*)
+      .select(col("class_id"), array((0 until dim).map(i =>
+        round((col(s"s$i") / col("m")).cast("double"), 6)): _*).as("ctr"))
+    val w = Window.partitionBy("class_id")
+      .orderBy(col("cos_ctr").desc, col("vec_id").asc)
+    member.join(cents, "class_id")
+      .select(col("vec_id"), col("class_id"),
+        round(nDot(spark)(col("emb"), col("ctr"))
+          / (nNorm(spark)(col("emb")) * nNorm(spark)(col("ctr"))), 4).as("cos_ctr"))
+      .withColumn("keep", row_number().over(w) === 1)
+      .orderBy("vec_id")
+  }
+
   /** The md5-derived coarse centroids `ivf_cosine` ships with —
     * engine-portable (the DuckDB oracle recomputes them in SQL). */
   private[ops] def pseudoRandomCentroids(lists: Int, dim: Int): Seq[Seq[Double]] = {

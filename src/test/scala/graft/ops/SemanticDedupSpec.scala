@@ -108,4 +108,22 @@ class SemanticDedupSpec extends AnyFunSuite with SparkFixture {
         s"only-model=${(expected.toSet -- got.toSet).take(5)}")
     assert(got.values.toSet.size > 1, "more than one semantic class expected")
   }
+
+  test("semantic_keep_best: one survivor per class, and it is the closest to the mean") {
+    val sf = "/root/testdata/sf0.001"
+    val rows = Vector.semanticKeepBest(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getBoolean(3)))
+    assert(rows.nonEmpty)
+    // membership equals semantic_dup_classes exactly
+    val classesOf = Vector.semanticDupClasses(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(rows.map(r => (r._1, r._2)).toMap == classesOf)
+    rows.groupBy(_._2).foreach { case (cid, members) =>
+      val kept = members.filter(_._4)
+      assert(kept.length == 1, s"class $cid: ${kept.length} survivors")
+      val best = members.maxBy(m => (m._3, -m._1)) // rounded cos desc, vec_id asc
+      assert(kept.head._1 == best._1,
+        s"class $cid kept ${kept.head} but the centroid-closest is $best")
+    }
+  }
 }
