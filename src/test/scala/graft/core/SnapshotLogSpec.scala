@@ -141,6 +141,32 @@ class SnapshotLogSpec extends AnyFunSuite with SparkFixture {
     intercept[RuntimeException] { SnapshotLog.readChanges(spark, t, 2L, 4L) }
   }
 
+  test("lifecycle: appends -> compact -> vacuum -> orphan sweep, reads intact throughout") {
+    // the maintenance story end-to-end: a table fed by many small
+    // append commits is compacted, history past the compaction is
+    // retired, crashed-writer litter is swept — and the head answers
+    // identically at every step
+    val t = freshTable()
+    (0 until 5).foreach { i =>
+      SnapshotLog.commit(spark, df(10L * i + 1, 10L * i + 2).repartition(2), t,
+        append = i > 0)
+    }
+    val expect = (0 until 5).flatMap(i => Seq(10L * i + 1, 10L * i + 2)).toSet
+    assert(idsAt(t) == expect)
+    val filesBefore = SnapshotLog.readManifest(t, 5L).files.size
+    val compactedV = SnapshotLog.compact(spark, t, targetFiles = 1) // v6
+    assert(idsAt(t) == expect, "compaction changed the head")
+    assert(SnapshotLog.readManifest(t, compactedV).files.size < filesBefore)
+    df(999).write.parquet(s"$t/data/crashed-writer") // orphan litter
+    val deleted = SnapshotLog.vacuum(t, keepFrom = compactedV)
+    assert(deleted.nonEmpty, "pre-compaction files must be reclaimed")
+    val swept = SnapshotLog.vacuumOrphans(t, olderThanMs = -1000L) // everything is "old"
+    assert(swept.contains("data/crashed-writer"))
+    assert(idsAt(t) == expect, "the head must survive the full maintenance cycle")
+    assert(SnapshotLog.versions(t) == Seq(compactedV))
+    assert(SnapshotLog.history(spark, t).count() == 1L)
+  }
+
   test("a corrupt manifest fails loudly, never returns a partial snapshot") {
     val t = freshTable()
     SnapshotLog.commit(spark, df(1, 2), t)
