@@ -328,6 +328,29 @@ object SnapshotLog {
     }
   }
 
+  /** Polling incremental consumer — the micro-batch pull pattern over
+    * the change feed: returns (new checkpoint version, isResync,
+    * rows). A downstream job persists the returned version as its
+    * checkpoint and calls again later; two consumers at different
+    * versions read independently (the log is immutable). When every
+    * in-range commit is an append, the rows are exactly the delta
+    * (each row delivered once across polls). When a REPLACE commit
+    * lies in range, the delta is undefined — the poll returns the
+    * FULL head snapshot with isResync=true and the consumer must
+    * treat it as a refresh, not an increment (the standard change-feed
+    * restart-point convention). Empty when nothing new. */
+  def pollChanges(spark: SparkSession, table: String,
+                  lastSeen: Long): (Long, Boolean, DataFrame) = {
+    val head = latestVersion(table).getOrElse(lastSeen)
+    if (head <= lastSeen) (lastSeen, false, spark.emptyDataFrame)
+    else {
+      val range = versions(table).filter(v => v > lastSeen && v <= head)
+      if (range.exists(v => !readManifest(table, v).append))
+        (head, true, read(spark, table, Some(head)))
+      else (head, false, readChanges(spark, table, lastSeen, head))
+    }
+  }
+
   /** Delete data files referenced ONLY by versions < `keepFrom` (and
     * their manifests). Time travel to vacuumed versions dies; every
     * version >= keepFrom still reads. Returns deleted relative paths. */

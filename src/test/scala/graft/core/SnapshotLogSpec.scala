@@ -167,6 +167,39 @@ class SnapshotLogSpec extends AnyFunSuite with SparkFixture {
     assert(SnapshotLog.history(spark, t).count() == 1L)
   }
 
+  test("pollChanges: exactly-once deltas across polls; a replace forces a resync") {
+    val t = freshTable()
+    SnapshotLog.commit(spark, df(1), t)
+    var ckpt = 0L
+    var seen = Set.empty[Long]
+    def poll(): Boolean = {
+      val (v, resync, rows) = SnapshotLog.pollChanges(spark, t, ckpt)
+      if (v > ckpt) {
+        val ids = rows.select("id").collect().map(_.getLong(0))
+        if (resync) seen = ids.toSet
+        else {
+          assert(ids.toSet.intersect(seen).isEmpty, s"re-delivered rows: ${ids.toSeq} vs $seen")
+          seen ++= ids
+        }
+        ckpt = v
+      }
+      ckpt == v
+    }
+    poll() // v1 is a replace commit -> initial resync delivers the snapshot
+    assert(seen == Set(1L) && ckpt == 1L)
+    SnapshotLog.commit(spark, df(2), t, append = true)
+    SnapshotLog.commit(spark, df(3), t, append = true)
+    poll() // catches up across BOTH pending appends in one delta pull
+    assert(seen == Set(1L, 2L, 3L) && ckpt == 3L)
+    val (v2, _, rows2) = SnapshotLog.pollChanges(spark, t, ckpt)
+    assert(v2 == ckpt && rows2.columns.isEmpty, "no news must be an empty pull")
+    // a replace mid-stream: the next poll is a RESYNC with the new head
+    SnapshotLog.commit(spark, df(7, 8), t)
+    val (v3, resync3, rows3) = SnapshotLog.pollChanges(spark, t, ckpt)
+    assert(resync3 && v3 == 4L)
+    assert(rows3.select("id").collect().map(_.getLong(0)).toSet == Set(7L, 8L))
+  }
+
   test("a corrupt manifest fails loudly, never returns a partial snapshot") {
     val t = freshTable()
     SnapshotLog.commit(spark, df(1, 2), t)
