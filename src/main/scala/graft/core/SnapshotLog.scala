@@ -39,15 +39,14 @@ import org.apache.spark.sql.functions._
   */
 object SnapshotLog {
 
-  /** `statsCol`/`lo`/`hi`: optional per-file min/max of one numeric
-    * column, aligned index-for-index with `files` (None = no stats for
-    * that file — it is always read). The Iceberg/Delta data-skipping
-    * pattern: file-level pruning from manifest metadata alone. */
+  /** `stats`: per indexed column, (lo, hi) per-file min/max bounds
+    * aligned index-for-index with `files` (None = no bounds for that
+    * file — it is always read). The Iceberg/Delta data-skipping
+    * pattern: file-level pruning from manifest metadata alone, on any
+    * column the writer chose to index. */
   final case class Manifest(version: Long, append: Boolean,
                             rowCount: Long, files: Seq[String],
-                            statsCol: Option[String] = None,
-                            lo: Seq[Option[Double]] = Seq.empty,
-                            hi: Seq[Option[Double]] = Seq.empty)
+                            stats: Map[String, (Seq[Option[Double]], Seq[Option[Double]])] = Map.empty)
 
   private def logDir(table: String): Path = Paths.get(table, "_graft_log")
   private def vPath(table: String, v: Long): Path = logDir(table).resolve(s"v$v.json")
@@ -87,17 +86,21 @@ object SnapshotLog {
       .getOrElse(sys.error(s"manifest v$v: missing files")).group(1)
     val fs = if (files.isEmpty) Seq.empty[String]
       else files.split(",").toSeq.map(_.trim.stripPrefix("\"").stripSuffix("\""))
-    val statsCol = """"statsCol":"([^"]+)"""".r.findFirstMatchIn(s).map(_.group(1))
     def bounds(k: String): Seq[Option[Double]] =
-      s"""\"$k\":\\[([^\\]]*)\\]""".r.findFirstMatchIn(s).map(_.group(1)) match {
+      ("\"" + java.util.regex.Pattern.quote(k) + "\":\\[([^\\]]*)\\]").r
+        .findFirstMatchIn(s).map(_.group(1)) match {
         case None | Some("") => Seq.empty
         case Some(body) => body.split(",").toSeq.map(_.trim).map {
           case "null" => None
           case x => Some(x.toDouble)
         }
       }
-    Manifest(long("version"), append, long("rowCount"), fs,
-      statsCol, bounds("lo"), bounds("hi"))
+    val statsCols = """"statsCols":\[([^\]]*)\]""".r.findFirstMatchIn(s)
+      .map(_.group(1)).filter(_.nonEmpty)
+      .map(_.split(",").toSeq.map(_.trim.stripPrefix("\"").stripSuffix("\"")))
+      .getOrElse(Seq.empty)
+    val stats = statsCols.map(c => c -> (bounds(s"lo:$c"), bounds(s"hi:$c"))).toMap
+    Manifest(long("version"), append, long("rowCount"), fs, stats)
   }
 
   /** Stage `df` as immutable data files and commit them as the next
@@ -112,7 +115,7 @@ object SnapshotLog {
     * a racer's files). */
   def commit(spark: SparkSession, df: DataFrame, table: String,
              append: Boolean = false, partitionBy: Seq[String] = Seq.empty,
-             statsFor: Option[String] = None,
+             statsFor: Seq[String] = Seq.empty,
              maxRetries: Int = 20): Long = {
     Files.createDirectories(logDir(table))
     val stage = java.util.UUID.randomUUID().toString
@@ -135,45 +138,58 @@ object SnapshotLog {
     val rows =
       if (staged.isEmpty) 0L
       else spark.read.parquet(staged.map(p => s"$table/$p"): _*).count()
-    // per-file min/max of the stats column: ONE aggregate over the
+    // per-file min/max of every indexed column: ONE aggregate over the
     // staged files grouped by physical file — manifest-resident data
     // skipping (Iceberg/Delta pattern), computed once at write time
-    val stagedStats: Map[String, (Double, Double)] = statsFor match {
-      case None => Map.empty
-      case Some(c) if staged.isEmpty => Map.empty
-      case Some(c) =>
-        spark.read.parquet(stageDir.toString)
+    val stagedStats: Map[String, Map[String, (Double, Double)]] =
+      if (statsFor.isEmpty || staged.isEmpty) Map.empty
+      else {
+        val aggs = statsFor.flatMap(c => Seq(
+          min(col(c).cast("double")).as(s"lo:$c"),
+          max(col(c).cast("double")).as(s"hi:$c")))
+        val rows = spark.read.parquet(stageDir.toString)
           .groupBy(input_file_name().as("_f"))
-          .agg(min(col(c).cast("double")).as("_lo"), max(col(c).cast("double")).as("_hi"))
-          .collect().map { r =>
+          .agg(aggs.head, aggs.tail: _*)
+          .collect()
+        statsFor.map { c =>
+          c -> rows.map { r =>
             val f = r.getString(0)
             val marker = s"/data/$stage/"
             val rel = s"data/$stage/" + f.substring(f.indexOf(marker) + marker.length)
-            rel -> (r.getDouble(1), r.getDouble(2))
+            rel -> (r.getDouble(r.fieldIndex(s"lo:$c")),
+              r.getDouble(r.fieldIndex(s"hi:$c")))
           }.toMap
-    }
+        }.toMap
+      }
     var attempt = 0
     while (true) {
       val v = latestVersion(table).getOrElse(0L) + 1
       val prev = if (!append || v == 1) None else Some(readManifest(table, v - 1))
       val files = prev.map(_.files ++ staged).getOrElse(staged)
       // stats alignment: carry the previous manifest's per-file bounds
-      // forward when the column matches; a file without bounds is null
-      // (always read — skipping is never allowed to lose rows)
-      val prevBounds: Map[String, (Option[Double], Option[Double])] = prev match {
-        case Some(m) if m.statsCol == statsFor && m.lo.size == m.files.size =>
-          m.files.zip(m.lo.zip(m.hi)).toMap
-        case _ => Map.empty
-      }
-      val statsJson = statsFor.map { c =>
-        val lo = files.map(f => stagedStats.get(f).map(_._1)
-          .orElse(prevBounds.get(f).flatMap(_._1)))
-        val hi = files.map(f => stagedStats.get(f).map(_._2)
-          .orElse(prevBounds.get(f).flatMap(_._2)))
-        def arr(xs: Seq[Option[Double]]): String =
-          xs.map(_.map(_.toString).getOrElse("null")).mkString(",")
-        s""""statsCol":"$c","lo":[${arr(lo)}],"hi":[${arr(hi)}],"""
-      }.getOrElse("")
+      // forward per column; a file without bounds is null (always
+      // read — skipping is never allowed to lose rows)
+      def prevBounds(c: String): Map[String, (Option[Double], Option[Double])] =
+        prev.flatMap(_.stats.get(c)) match {
+          case Some((lo, hi)) if prev.exists(_.files.size == lo.size) =>
+            prev.get.files.zip(lo.zip(hi)).toMap
+          case _ => Map.empty
+        }
+      val statsJson =
+        if (statsFor.isEmpty) ""
+        else {
+          def arr(xs: Seq[Option[Double]]): String =
+            xs.map(_.map(_.toString).getOrElse("null")).mkString(",")
+          val perCol = statsFor.map { c =>
+            val pb = prevBounds(c)
+            val lo = files.map(f => stagedStats.get(c).flatMap(_.get(f)).map(_._1)
+              .orElse(pb.get(f).flatMap(_._1)))
+            val hi = files.map(f => stagedStats.get(c).flatMap(_.get(f)).map(_._2)
+              .orElse(pb.get(f).flatMap(_._2)))
+            s""""lo:$c":[${arr(lo)}],"hi:$c":[${arr(hi)}]"""
+          }.mkString(",")
+          s""""statsCols":[${statsFor.map(c => "\"" + c + "\"").mkString(",")}],$perCol,"""
+        }
       val body =
         s"""{"version":$v,"append":$append,"rowCount":$rows,$statsJson""" +
           s""""files":[${files.map(f => "\"" + f + "\"").mkString(",")}]}"""
@@ -224,38 +240,37 @@ object SnapshotLog {
       // trap the per-stage union avoids)
     }
 
-  /** Manifest-side file pruning for a range predicate on the stats
+  /** Manifest-side file pruning for a range predicate on an indexed
     * column: (kept, skipped). A file keeps when its [lo, hi] overlaps
     * [qLo, qHi] or it has no bounds — skipping can drop files, never
-    * rows. */
-  def prunedFiles(table: String, qLo: Double, qHi: Double,
+    * rows. An un-indexed column prunes nothing (everything kept). */
+  def prunedFiles(table: String, c: String, qLo: Double, qHi: Double,
                   asOf: Option[Long] = None): (Seq[String], Seq[String]) = {
     val v = asOf.orElse(latestVersion(table))
       .getOrElse(sys.error(s"no committed version in $table"))
     val m = readManifest(table, v)
-    if (m.statsCol.isEmpty || m.lo.size != m.files.size)
-      (m.files, Seq.empty)
-    else m.files.zipWithIndex.partition { case (_, i) =>
-      (m.lo(i), m.hi(i)) match {
-        case (Some(l), Some(h)) => h >= qLo && l <= qHi
-        case _ => true
-      }
-    } match { case (k, s) => (k.map(_._1), s.map(_._1)) }
+    m.stats.get(c) match {
+      case Some((lo, hi)) if lo.size == m.files.size =>
+        m.files.zipWithIndex.partition { case (_, i) =>
+          (lo(i), hi(i)) match {
+            case (Some(l), Some(h)) => h >= qLo && l <= qHi
+            case _ => true
+          }
+        } match { case (k, s) => (k.map(_._1), s.map(_._1)) }
+      case _ => (m.files, Seq.empty)
+    }
   }
 
   /** Range read with DATA SKIPPING: open only the manifest-pruned
-    * files, then apply the residual row filter. At 100 TB this is the
-    * second pruning tier after partition directories — a range query
-    * on a range-clustered table touches the few files whose footer
-    * bounds overlap, decided from the MANIFEST alone (zero file
-    * opens for the skipped ones). */
-  def readPruned(spark: SparkSession, table: String, qLo: Double, qHi: Double,
+    * files for column `c`, then apply the residual row filter. At
+    * 100 TB this is the second pruning tier after partition
+    * directories — a range query on a range-clustered table touches
+    * the few files whose footer bounds overlap, decided from the
+    * MANIFEST alone (zero file opens for the skipped ones). */
+  def readPruned(spark: SparkSession, table: String, c: String,
+                 qLo: Double, qHi: Double,
                  asOf: Option[Long] = None): DataFrame = {
-    val v = asOf.orElse(latestVersion(table))
-      .getOrElse(sys.error(s"no committed version in $table"))
-    val m = readManifest(table, v)
-    val c = m.statsCol.getOrElse(sys.error(s"$table has no stats column"))
-    val (kept, _) = prunedFiles(table, qLo, qHi, Some(v))
+    val (kept, _) = prunedFiles(table, c, qLo, qHi, asOf)
     readFiles(spark, table, kept)
       .filter(col(c).cast("double") >= qLo && col(c).cast("double") <= qHi)
   }
@@ -477,7 +492,7 @@ object SnapshotLog {
     * exact layout). */
   def snapshotSkipping(spark: SparkSession, dir: String): DataFrame = {
     val table = skippingDemoTable(spark, dir)
-    readPruned(spark, table, 50000.0, 100000.0)
+    readPruned(spark, table, "o_totalprice", 50000.0, 100000.0)
       .groupBy("o_orderstatus")
       .agg(count(lit(1)).as("n_orders"),
         round(sum(col("o_totalprice").cast("decimal(18,2)")), 2)
@@ -490,7 +505,7 @@ object SnapshotLog {
     val orders = Tables.orders(spark, dir)
       .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
       .repartitionByRange(8, col("o_totalprice"))
-    commit(spark, orders, table, statsFor = Some("o_totalprice"))
+    commit(spark, orders, table, statsFor = Seq("o_totalprice", "o_orderkey"))
     table
   }
 

@@ -230,38 +230,49 @@ class SnapshotLogSpec extends AnyFunSuite with SparkFixture {
   test("data skipping: a range read opens only overlapping files and loses no rows") {
     val sf = "/root/testdata/sf0.001"
     val t = SnapshotLog.skippingDemoTable(spark, sf)
-    val (kept, skipped) = SnapshotLog.prunedFiles(t, 50000.0, 100000.0)
+    val (kept, skipped) = SnapshotLog.prunedFiles(t, "o_totalprice", 50000.0, 100000.0)
     assert(skipped.nonEmpty,
       s"range-clustered files must let a narrow range skip some: kept=${kept.size} skipped=${skipped.size}")
     assert(kept.nonEmpty)
-    val pruned = SnapshotLog.readPruned(spark, t, 50000.0, 100000.0)
+    val pruned = SnapshotLog.readPruned(spark, t, "o_totalprice", 50000.0, 100000.0)
       .select("o_orderkey").collect().map(_.getLong(0)).toSet
     val full = SnapshotLog.read(spark, t)
       .filter(org.apache.spark.sql.functions.col("o_totalprice").between(50000.0, 100000.0))
       .select("o_orderkey").collect().map(_.getLong(0)).toSet
     assert(pruned == full, "skipping dropped or invented rows")
+    // the SECOND indexed column answers range reads through the same
+    // manifest (multi-column stats): result equality again, and an
+    // un-indexed column never prunes
+    val byKey = SnapshotLog.readPruned(spark, t, "o_orderkey", 1.0, 500.0)
+      .select("o_orderkey").collect().map(_.getLong(0)).toSet
+    val byKeyFull = SnapshotLog.read(spark, t)
+      .filter(org.apache.spark.sql.functions.col("o_orderkey").between(1L, 500L))
+      .select("o_orderkey").collect().map(_.getLong(0)).toSet
+    assert(byKey == byKeyFull)
+    val (kAll, sNone) = SnapshotLog.prunedFiles(t, "o_orderstatus", 0.0, 1.0)
+    assert(sNone.isEmpty && kAll.nonEmpty, "an un-indexed column must not prune")
   }
 
   test("data skipping: appended files without bounds are always read (never lost)") {
     import spark.implicits._
     val t = freshTable()
     val a = Seq((1L, 10.0), (2L, 20.0)).toDF("id", "v")
-    SnapshotLog.commit(spark, a, t, statsFor = Some("v"))
+    SnapshotLog.commit(spark, a, t, statsFor = Seq("v"))
     // an append committed WITHOUT stats: its files carry null bounds
     val b = Seq((3L, 15.0)).toDF("id", "v")
-    SnapshotLog.commit(spark, b, t, append = true, statsFor = Some("v"))
+    SnapshotLog.commit(spark, b, t, append = true, statsFor = Seq("v"))
     val c = Seq((4L, 99.0)).toDF("id", "v")
     SnapshotLog.commit(spark, c, t, append = true) // no statsFor: bounds lost
     val m = SnapshotLog.readManifest(t, 3L)
     // v3 carries no stats at all (statsFor was None on the head commit)
-    assert(m.statsCol.isEmpty)
-    val (kept, skipped) = SnapshotLog.prunedFiles(t, 14.0, 16.0)
+    assert(m.stats.isEmpty)
+    val (kept, skipped) = SnapshotLog.prunedFiles(t, "v", 14.0, 16.0)
     assert(skipped.isEmpty, "without head stats nothing may be skipped")
     assert(kept.size == m.files.size)
     // and the stats-carrying v2 still prunes
-    val (k2, s2) = SnapshotLog.prunedFiles(t, 14.0, 16.0, Some(2L))
+    val (k2, s2) = SnapshotLog.prunedFiles(t, "v", 14.0, 16.0, Some(2L))
     assert(s2.nonEmpty, "v2's bounds must still skip the non-overlapping files")
-    val rows = SnapshotLog.readPruned(spark, t, 14.0, 16.0, Some(2L))
+    val rows = SnapshotLog.readPruned(spark, t, "v", 14.0, 16.0, Some(2L))
       .select("id").collect().map(_.getLong(0)).toSet
     assert(rows == Set(3L))
   }
