@@ -275,6 +275,69 @@ object SnapshotLog {
       .filter(col(c).cast("double") >= qLo && col(c).cast("double") <= qHi)
   }
 
+  /** Predicate AST for manifest-level skipping: the boolean shapes a
+    * WHERE clause reduces to. `mightMatch` is the standard three-valued
+    * conservative evaluation over [lo, hi] interval bounds — a file is
+    * skipped only when the predicate PROVABLY matches no row in it;
+    * missing bounds or un-indexed columns always keep. */
+  sealed trait Pred
+  object Pred {
+    final case class Between(c: String, lo: Double, hi: Double) extends Pred
+    final case class Eq(c: String, v: Double) extends Pred
+    final case class In(c: String, vs: Seq[Double]) extends Pred
+    final case class And(ps: Pred*) extends Pred
+    final case class Or(ps: Pred*) extends Pred
+  }
+
+  private def mightMatch(m: Manifest, i: Int, p: Pred): Boolean = {
+    def bounds(c: String): Option[(Double, Double)] =
+      m.stats.get(c).filter(_._1.size == m.files.size)
+        .flatMap { case (lo, hi) => lo(i).zip(hi(i)) }
+    p match {
+      case Pred.Between(c, qLo, qHi) =>
+        bounds(c).forall { case (l, h) => h >= qLo && l <= qHi }
+      case Pred.Eq(c, v) =>
+        bounds(c).forall { case (l, h) => l <= v && v <= h }
+      case Pred.In(c, vs) =>
+        bounds(c).forall { case (l, h) => vs.exists(v => l <= v && v <= h) }
+      case Pred.And(ps @ _*) => ps.forall(mightMatch(m, i, _))
+      case Pred.Or(ps @ _*) => ps.exists(mightMatch(m, i, _))
+    }
+  }
+
+  /** The row-level Column a predicate tree denotes — applied as the
+    * residual filter after file pruning, so pruned and unpruned reads
+    * agree by construction. */
+  private def predColumn(p: Pred): org.apache.spark.sql.Column = p match {
+    case Pred.Between(c, lo, hi) =>
+      col(c).cast("double") >= lo && col(c).cast("double") <= hi
+    case Pred.Eq(c, v) => col(c).cast("double") === v
+    case Pred.In(c, vs) => col(c).cast("double").isin(vs.map(Double.box): _*)
+    case Pred.And(ps @ _*) => ps.map(predColumn).reduce(_ && _)
+    case Pred.Or(ps @ _*) => ps.map(predColumn).reduce(_ || _)
+  }
+
+  /** Predicate-shaped skipping: (kept, skipped) under a boolean tree —
+    * an OR of ranges skips the gap between them, an AND across two
+    * indexed columns prunes with both sets of bounds. */
+  def prunedFilesWhere(table: String, p: Pred,
+                       asOf: Option[Long] = None): (Seq[String], Seq[String]) = {
+    val v = asOf.orElse(latestVersion(table))
+      .getOrElse(sys.error(s"no committed version in $table"))
+    val m = readManifest(table, v)
+    m.files.zipWithIndex.partition { case (_, i) => mightMatch(m, i, p) } match {
+      case (k, s) => (k.map(_._1), s.map(_._1))
+    }
+  }
+
+  /** Read under a predicate tree with manifest skipping + the exact
+    * residual filter. */
+  def readWhere(spark: SparkSession, table: String, p: Pred,
+                asOf: Option[Long] = None): DataFrame = {
+    val (kept, _) = prunedFilesWhere(table, p, asOf)
+    readFiles(spark, table, kept).filter(predColumn(p))
+  }
+
   /** OPTIMIZE: rewrite the head's content into `targetFiles` files and
     * commit the compacted layout as a new REPLACE version. Content is
     * identical (spec-checked); prior versions keep reading their own

@@ -253,6 +253,41 @@ class SnapshotLogSpec extends AnyFunSuite with SparkFixture {
     assert(sNone.isEmpty && kAll.nonEmpty, "an un-indexed column must not prune")
   }
 
+  test("predicate skipping: OR skips the gap, AND composes bounds, results exact") {
+    import SnapshotLog.Pred._
+    val sf = "/root/testdata/sf0.001"
+    val t = SnapshotLog.skippingDemoTable(spark, sf)
+    def ids(d: org.apache.spark.sql.DataFrame) =
+      d.select("o_orderkey").collect().map(_.getLong(0)).toSet
+    // OR of two disjoint narrow ranges: the range-clustered middle files skip
+    val orP = Or(Between("o_totalprice", 0.0, 20000.0),
+      Between("o_totalprice", 300000.0, 1e9))
+    val (kor, sor) = SnapshotLog.prunedFilesWhere(t, orP)
+    assert(sor.nonEmpty, s"the gap between the OR arms must skip files: kept=${kor.size}")
+    val full = SnapshotLog.read(spark, t)
+    assert(ids(SnapshotLog.readWhere(spark, t, orP)) ==
+      ids(full.filter(col("o_totalprice") <= 20000.0 ||
+        col("o_totalprice") >= 300000.0)))
+    // AND across BOTH indexed columns prunes at least as hard as either alone
+    val andP = And(Between("o_totalprice", 0.0, 100000.0),
+      Between("o_orderkey", 0.0, 300.0))
+    val (_, sAnd) = SnapshotLog.prunedFilesWhere(t, andP)
+    val (_, sPrice) = SnapshotLog.prunedFilesWhere(t,
+      Between("o_totalprice", 0.0, 100000.0))
+    assert(sAnd.size >= sPrice.size)
+    assert(ids(SnapshotLog.readWhere(spark, t, andP)) ==
+      ids(full.filter(col("o_totalprice") <= 100000.0 && col("o_orderkey") <= 300L)))
+    // Eq / In shapes stay exact too (conservative on bounds)
+    val someKey = ids(full).min
+    assert(ids(SnapshotLog.readWhere(spark, t, Eq("o_orderkey", someKey.toDouble))) ==
+      Set(someKey))
+    assert(ids(SnapshotLog.readWhere(spark, t,
+      In("o_orderkey", Seq(someKey.toDouble, -1.0)))) == Set(someKey))
+    // a predicate on an un-indexed column never skips
+    val (_, sNone2) = SnapshotLog.prunedFilesWhere(t, Eq("o_orderstatus", 1.0))
+    assert(sNone2.isEmpty)
+  }
+
   test("data skipping: appended files without bounds are always read (never lost)") {
     import spark.implicits._
     val t = freshTable()
