@@ -46,7 +46,8 @@ object SnapshotLog {
     * column the writer chose to index. */
   final case class Manifest(version: Long, append: Boolean,
                             rowCount: Long, files: Seq[String],
-                            stats: Map[String, (Seq[Option[Double]], Seq[Option[Double]])] = Map.empty)
+                            stats: Map[String, (Seq[Option[Double]], Seq[Option[Double]])] = Map.empty,
+                            strStats: Map[String, (Seq[Option[String]], Seq[Option[String]])] = Map.empty)
 
   private def logDir(table: String): Path = Paths.get(table, "_graft_log")
   private def vPath(table: String, v: Long): Path = logDir(table).resolve(s"v$v.json")
@@ -95,12 +96,25 @@ object SnapshotLog {
           case x => Some(x.toDouble)
         }
       }
-    val statsCols = """"statsCols":\[([^\]]*)\]""".r.findFirstMatchIn(s)
-      .map(_.group(1)).filter(_.nonEmpty)
-      .map(_.split(",").toSeq.map(_.trim.stripPrefix("\"").stripSuffix("\"")))
-      .getOrElse(Seq.empty)
-    val stats = statsCols.map(c => c -> (bounds(s"lo:$c"), bounds(s"hi:$c"))).toMap
-    Manifest(long("version"), append, long("rowCount"), fs, stats)
+    def strBounds(k: String): Seq[Option[String]] =
+      ("\"" + java.util.regex.Pattern.quote(k) + "\":\\[([^\\]]*)\\]").r
+        .findFirstMatchIn(s).map(_.group(1)) match {
+        case None | Some("") => Seq.empty
+        case Some(body) => body.split(",").toSeq.map(_.trim).map {
+          case "null" => None
+          case x => Some(x.stripPrefix("\"").stripSuffix("\""))
+        }
+      }
+    def colList(key: String): Seq[String] =
+      (s"""\"$key\":\\[([^\\]]*)\\]""").r.findFirstMatchIn(s)
+        .map(_.group(1)).filter(_.nonEmpty)
+        .map(_.split(",").toSeq.map(_.trim.stripPrefix("\"").stripSuffix("\"")))
+        .getOrElse(Seq.empty)
+    val stats = colList("statsCols")
+      .map(c => c -> (bounds(s"lo:$c"), bounds(s"hi:$c"))).toMap
+    val strStats = colList("statsStrCols")
+      .map(c => c -> (strBounds(s"slo:$c"), strBounds(s"shi:$c"))).toMap
+    Manifest(long("version"), append, long("rowCount"), fs, stats, strStats)
   }
 
   /** Stage `df` as immutable data files and commit them as the next
@@ -140,27 +154,48 @@ object SnapshotLog {
       else spark.read.parquet(staged.map(p => s"$table/$p"): _*).count()
     // per-file min/max of every indexed column: ONE aggregate over the
     // staged files grouped by physical file — manifest-resident data
-    // skipping (Iceberg/Delta pattern), computed once at write time
-    val stagedStats: Map[String, Map[String, (Double, Double)]] =
-      if (statsFor.isEmpty || staged.isEmpty) Map.empty
+    // skipping (Iceberg/Delta pattern), computed once at write time.
+    // String columns get lexicographic bounds (categorical skipping);
+    // everything else goes through double.
+    val (numCols, strCols) =
+      if (statsFor.isEmpty || staged.isEmpty) (Seq.empty[String], Seq.empty[String])
       else {
-        val aggs = statsFor.flatMap(c => Seq(
+        val sch = spark.read.parquet(stageDir.toString).schema
+        statsFor.partition(c =>
+          sch(c).dataType != org.apache.spark.sql.types.StringType)
+      }
+    val (stagedStats, stagedStrStats):
+        (Map[String, Map[String, (Double, Double)]],
+         Map[String, Map[String, (String, String)]]) =
+      if (statsFor.isEmpty || staged.isEmpty) (Map.empty, Map.empty)
+      else {
+        val aggs = numCols.flatMap(c => Seq(
           min(col(c).cast("double")).as(s"lo:$c"),
-          max(col(c).cast("double")).as(s"hi:$c")))
+          max(col(c).cast("double")).as(s"hi:$c"))) ++
+          strCols.flatMap(c => Seq(
+            min(col(c)).as(s"slo:$c"), max(col(c)).as(s"shi:$c")))
         val rows = spark.read.parquet(stageDir.toString)
           .groupBy(input_file_name().as("_f"))
           .agg(aggs.head, aggs.tail: _*)
           .collect()
-        statsFor.map { c =>
-          c -> rows.map { r =>
-            val f = r.getString(0)
-            val marker = s"/data/$stage/"
-            val rel = s"data/$stage/" + f.substring(f.indexOf(marker) + marker.length)
-            rel -> (r.getDouble(r.fieldIndex(s"lo:$c")),
-              r.getDouble(r.fieldIndex(s"hi:$c")))
-          }.toMap
-        }.toMap
+        def relOf(f: String): String = {
+          val marker = s"/data/$stage/"
+          s"data/$stage/" + f.substring(f.indexOf(marker) + marker.length)
+        }
+        (numCols.map { c =>
+          c -> rows.map(r => relOf(r.getString(0)) ->
+            (r.getDouble(r.fieldIndex(s"lo:$c")),
+              r.getDouble(r.fieldIndex(s"hi:$c")))).toMap
+        }.toMap,
+          strCols.map { c =>
+            c -> rows.map(r => relOf(r.getString(0)) ->
+              (r.getString(r.fieldIndex(s"slo:$c")),
+                r.getString(r.fieldIndex(s"shi:$c")))).toMap
+          }.toMap)
       }
+    require(stagedStrStats.values.flatMap(_.values)
+        .forall { case (l, h) => !(l + h).exists(ch => ch == '"' || ch == '\\' || ch == ',') },
+      "string bounds containing quote/backslash/comma would break the manifest encoding")
     var attempt = 0
     while (true) {
       val v = latestVersion(table).getOrElse(0L) + 1
@@ -175,21 +210,37 @@ object SnapshotLog {
             prev.get.files.zip(lo.zip(hi)).toMap
           case _ => Map.empty
         }
-      val statsJson =
-        if (statsFor.isEmpty) ""
-        else {
-          def arr(xs: Seq[Option[Double]]): String =
-            xs.map(_.map(_.toString).getOrElse("null")).mkString(",")
-          val perCol = statsFor.map { c =>
-            val pb = prevBounds(c)
-            val lo = files.map(f => stagedStats.get(c).flatMap(_.get(f)).map(_._1)
-              .orElse(pb.get(f).flatMap(_._1)))
-            val hi = files.map(f => stagedStats.get(c).flatMap(_.get(f)).map(_._2)
-              .orElse(pb.get(f).flatMap(_._2)))
-            s""""lo:$c":[${arr(lo)}],"hi:$c":[${arr(hi)}]"""
-          }.mkString(",")
-          s""""statsCols":[${statsFor.map(c => "\"" + c + "\"").mkString(",")}],$perCol,"""
+      def prevStrBounds(c: String): Map[String, (Option[String], Option[String])] =
+        prev.flatMap(_.strStats.get(c)) match {
+          case Some((lo, hi)) if prev.exists(_.files.size == lo.size) =>
+            prev.get.files.zip(lo.zip(hi)).toMap
+          case _ => Map.empty
         }
+      def colsJson(key: String, cols: Seq[String], perCol: Seq[String]): String =
+        if (cols.isEmpty) ""
+        else s""""$key":[${cols.map(c => "\"" + c + "\"").mkString(",")}],""" +
+          perCol.mkString(",") + ","
+      val numJson = colsJson("statsCols", numCols, numCols.map { c =>
+        def arr(xs: Seq[Option[Double]]): String =
+          xs.map(_.map(_.toString).getOrElse("null")).mkString(",")
+        val pb = prevBounds(c)
+        val lo = files.map(f => stagedStats.get(c).flatMap(_.get(f)).map(_._1)
+          .orElse(pb.get(f).flatMap(_._1)))
+        val hi = files.map(f => stagedStats.get(c).flatMap(_.get(f)).map(_._2)
+          .orElse(pb.get(f).flatMap(_._2)))
+        s""""lo:$c":[${arr(lo)}],"hi:$c":[${arr(hi)}]"""
+      })
+      val strJson = colsJson("statsStrCols", strCols, strCols.map { c =>
+        def arr(xs: Seq[Option[String]]): String =
+          xs.map(_.map(v => "\"" + v + "\"").getOrElse("null")).mkString(",")
+        val pb = prevStrBounds(c)
+        val lo = files.map(f => stagedStrStats.get(c).flatMap(_.get(f)).map(_._1)
+          .orElse(pb.get(f).flatMap(_._1)))
+        val hi = files.map(f => stagedStrStats.get(c).flatMap(_.get(f)).map(_._2)
+          .orElse(pb.get(f).flatMap(_._2)))
+        s""""slo:$c":[${arr(lo)}],"shi:$c":[${arr(hi)}]"""
+      })
+      val statsJson = numJson + strJson
       val body =
         s"""{"version":$v,"append":$append,"rowCount":$rows,$statsJson""" +
           s""""files":[${files.map(f => "\"" + f + "\"").mkString(",")}]}"""
@@ -285,6 +336,8 @@ object SnapshotLog {
     final case class Between(c: String, lo: Double, hi: Double) extends Pred
     final case class Eq(c: String, v: Double) extends Pred
     final case class In(c: String, vs: Seq[Double]) extends Pred
+    final case class StrEq(c: String, v: String) extends Pred
+    final case class StrIn(c: String, vs: Seq[String]) extends Pred
     final case class And(ps: Pred*) extends Pred
     final case class Or(ps: Pred*) extends Pred
   }
@@ -293,6 +346,9 @@ object SnapshotLog {
     def bounds(c: String): Option[(Double, Double)] =
       m.stats.get(c).filter(_._1.size == m.files.size)
         .flatMap { case (lo, hi) => lo(i).zip(hi(i)) }
+    def strBounds(c: String): Option[(String, String)] =
+      m.strStats.get(c).filter(_._1.size == m.files.size)
+        .flatMap { case (lo, hi) => lo(i).zip(hi(i)) }
     p match {
       case Pred.Between(c, qLo, qHi) =>
         bounds(c).forall { case (l, h) => h >= qLo && l <= qHi }
@@ -300,6 +356,10 @@ object SnapshotLog {
         bounds(c).forall { case (l, h) => l <= v && v <= h }
       case Pred.In(c, vs) =>
         bounds(c).forall { case (l, h) => vs.exists(v => l <= v && v <= h) }
+      case Pred.StrEq(c, v) =>
+        strBounds(c).forall { case (l, h) => l <= v && v <= h }
+      case Pred.StrIn(c, vs) =>
+        strBounds(c).forall { case (l, h) => vs.exists(v => l <= v && v <= h) }
       case Pred.And(ps @ _*) => ps.forall(mightMatch(m, i, _))
       case Pred.Or(ps @ _*) => ps.exists(mightMatch(m, i, _))
     }
@@ -313,6 +373,8 @@ object SnapshotLog {
       col(c).cast("double") >= lo && col(c).cast("double") <= hi
     case Pred.Eq(c, v) => col(c).cast("double") === v
     case Pred.In(c, vs) => col(c).cast("double").isin(vs.map(Double.box): _*)
+    case Pred.StrEq(c, v) => col(c) === v
+    case Pred.StrIn(c, vs) => col(c).isin(vs: _*)
     case Pred.And(ps @ _*) => ps.map(predColumn).reduce(_ && _)
     case Pred.Or(ps @ _*) => ps.map(predColumn).reduce(_ || _)
   }

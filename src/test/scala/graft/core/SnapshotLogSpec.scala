@@ -288,6 +288,32 @@ class SnapshotLogSpec extends AnyFunSuite with SparkFixture {
     assert(sNone2.isEmpty)
   }
 
+  test("string stats: lexicographic bounds skip on a categorical column") {
+    import SnapshotLog.Pred._
+    import spark.implicits._
+    val t = freshTable()
+    val docs = Seq.tabulate(60)(i =>
+      (i.toLong, Seq("de", "en", "es", "fr", "zh")(i % 5)))
+      .toDF("id", "lang")
+      .repartitionByRange(5, col("lang")) // cluster by lang -> tight bounds
+    SnapshotLog.commit(spark, docs, t, statsFor = Seq("lang", "id"))
+    val m = SnapshotLog.readManifest(t, 1L)
+    assert(m.strStats.contains("lang") && m.stats.contains("id"),
+      s"string and numeric stats must coexist: ${m.strStats.keySet} / ${m.stats.keySet}")
+    val (kept, skipped) = SnapshotLog.prunedFilesWhere(t, StrEq("lang", "zh"))
+    assert(skipped.nonEmpty, s"lang-clustered files must skip for one lang: kept=${kept.size}")
+    def ids(d: org.apache.spark.sql.DataFrame) =
+      d.select("id").collect().map(_.getLong(0)).toSet
+    assert(ids(SnapshotLog.readWhere(spark, t, StrEq("lang", "zh"))) ==
+      (0 until 60).filter(_ % 5 == 4).map(_.toLong).toSet)
+    assert(ids(SnapshotLog.readWhere(spark, t, StrIn("lang", Seq("de", "zh")))) ==
+      (0 until 60).filter(i => i % 5 == 0 || i % 5 == 4).map(_.toLong).toSet)
+    // composed: string AND numeric bounds prune together, result exact
+    val both = And(StrEq("lang", "en"), Between("id", 0.0, 10.0))
+    assert(ids(SnapshotLog.readWhere(spark, t, both)) ==
+      (0 to 10).filter(_ % 5 == 1).map(_.toLong).toSet)
+  }
+
   test("data skipping: appended files without bounds are always read (never lost)") {
     import spark.implicits._
     val t = freshTable()
