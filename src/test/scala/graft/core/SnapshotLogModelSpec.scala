@@ -1,0 +1,82 @@
+package graft.core
+
+import scala.util.Random
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkFixture
+
+/** Randomized model check of the transaction log: a random sequence of
+  * replace / append / merge / compact / vacuum operations runs against
+  * both the real log and a trivial in-memory model (version -> row
+  * map). After every operation the head must match the model, and at
+  * the end every surviving version must time-travel to exactly the
+  * model's snapshot while vacuumed versions must refuse to read. This
+  * pins the log's algebra — the per-feature specs pin each guarantee
+  * in isolation; this pins their COMPOSITION under interleavings
+  * nobody wrote by hand. */
+class SnapshotLogModelSpec extends AnyFunSuite with SparkFixture {
+
+  private def df(rows: Map[Long, String]) = {
+    import spark.implicits._
+    rows.toSeq.toDF("id", "payload")
+  }
+
+  private def readAll(t: String, v: Option[Long] = None): Map[Long, String] =
+    SnapshotLog.read(spark, t, v).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+
+  test("random op sequences: the log agrees with the model at every step (3 seeds)") {
+    (1 to 3).foreach { seed =>
+      val rnd = new Random(seed)
+      val t = java.nio.file.Files.createTempDirectory("graft_snapmodel_").toString
+      var model = Map.empty[Long, Map[Long, String]] // version -> rows
+      var nextId = 0L
+      def freshRows(n: Int): Map[Long, String] =
+        (1 to n).map { _ => nextId += 1; nextId -> s"v$nextId" }.toMap
+
+      SnapshotLog.commit(spark, df(freshRows(3)), t)
+      model += 1L -> (1 to 3).map(i => i.toLong -> s"v$i").toMap
+      var vacuumedBelow = 1L
+
+      (1 to 9).foreach { _ =>
+        val head = model.keys.max
+        rnd.nextInt(5) match {
+          case 0 => // replace
+            val rows = freshRows(1 + rnd.nextInt(3))
+            val v = SnapshotLog.commit(spark, df(rows), t)
+            model += v -> rows
+          case 1 => // append
+            val rows = freshRows(1 + rnd.nextInt(3))
+            val v = SnapshotLog.commit(spark, df(rows), t, append = true)
+            model += v -> (model(head) ++ rows)
+          case 2 => // merge: update one existing key (if any) + insert one
+            val existing = model(head).keys.toSeq.sorted
+            val upd = (if (existing.nonEmpty)
+              Map(existing(rnd.nextInt(existing.size)) -> "updated")
+            else Map.empty[Long, String]) ++ freshRows(1)
+            val v = SnapshotLog.merge(spark, t, df(upd), "id")
+            model += v -> (model(head) ++ upd)
+          case 3 => // compact: content-preserving new version
+            val v = SnapshotLog.compact(spark, t, targetFiles = 1)
+            model += v -> model(head)
+          case 4 => // vacuum everything older than the head
+            SnapshotLog.vacuum(t, keepFrom = head)
+            model = model.filter(_._1 >= head)
+            vacuumedBelow = math.max(vacuumedBelow, head)
+        }
+        assert(readAll(t) == model(model.keys.max),
+          s"seed=$seed: head diverged from the model after an op")
+      }
+
+      // every surviving version time-travels to the model's snapshot
+      model.keys.toSeq.sorted.foreach { v =>
+        assert(readAll(t, Some(v)) == model(v), s"seed=$seed: v$v diverged")
+      }
+      assert(SnapshotLog.versions(t).toSet == model.keys.toSet,
+        s"seed=$seed: version sets diverged")
+      // vacuumed versions refuse to read rather than resurrecting
+      (1L until vacuumedBelow).filterNot(model.contains).take(2).foreach { v =>
+        intercept[Exception] { readAll(t, Some(v)) }
+      }
+    }
+  }
+}
