@@ -40,8 +40,15 @@ object ProbeCorpus {
     replicate("documents", Seq("doc_id"))
     replicate("embeddings", Seq("vec_id"))
     replicate("events", Seq("event_id", "user_id"))
-    Seq("region", "nation", "customer", "supplier", "part", "orders", "lineitem")
-      .foreach(copyPlain)
+    val withFacts = args.length > 3 && args(3) == "--facts"
+    if (withFacts) {
+      // fact tables replicate with the SAME o_orderkey/l_orderkey shift
+      // so the order-lineitem join stays consistent across copies;
+      // dimension keys are untouched, so dim joins fan out naturally
+      replicate("orders", Seq("o_orderkey"))
+      replicate("lineitem", Seq("l_orderkey"))
+    } else Seq("orders", "lineitem").foreach(copyPlain)
+    Seq("region", "nation", "customer", "supplier", "part").foreach(copyPlain)
     spark.stop()
   }
 }
