@@ -157,21 +157,24 @@ object SnapshotLog {
     // skipping (Iceberg/Delta pattern), computed once at write time.
     // String columns get lexicographic bounds (categorical skipping);
     // everything else goes through double.
-    val (numCols, strCols) =
-      if (statsFor.isEmpty || staged.isEmpty) (Seq.empty[String], Seq.empty[String])
-      else {
-        val sch = spark.read.parquet(stageDir.toString).schema
-        statsFor.partition(c =>
-          sch(c).dataType != org.apache.spark.sql.types.StringType)
-      }
+    val stagedSchema =
+      if (statsFor.isEmpty || staged.isEmpty) None
+      else Some(spark.read.parquet(stageDir.toString).schema)
+    val (numCols, strCols) = stagedSchema match {
+      case None => (Seq.empty[String], Seq.empty[String])
+      case Some(sch) => statsFor.partition(c =>
+        sch(c).dataType != org.apache.spark.sql.types.StringType)
+    }
+    def stageNum(c: String): org.apache.spark.sql.Column =
+      numericView(col(c), stagedSchema.get(c).dataType)
     val (stagedStats, stagedStrStats):
         (Map[String, Map[String, (Double, Double)]],
          Map[String, Map[String, (String, String)]]) =
       if (statsFor.isEmpty || staged.isEmpty) (Map.empty, Map.empty)
       else {
         val aggs = numCols.flatMap(c => Seq(
-          min(col(c).cast("double")).as(s"lo:$c"),
-          max(col(c).cast("double")).as(s"hi:$c"))) ++
+          min(stageNum(c)).as(s"lo:$c"),
+          max(stageNum(c)).as(s"hi:$c"))) ++
           strCols.flatMap(c => Seq(
             min(col(c)).as(s"slo:$c"), max(col(c)).as(s"shi:$c")))
         val rows = spark.read.parquet(stageDir.toString)
@@ -322,8 +325,8 @@ object SnapshotLog {
                  qLo: Double, qHi: Double,
                  asOf: Option[Long] = None): DataFrame = {
     val (kept, _) = prunedFiles(table, c, qLo, qHi, asOf)
-    readFiles(spark, table, kept)
-      .filter(col(c).cast("double") >= qLo && col(c).cast("double") <= qHi)
+    val out = readFiles(spark, table, kept)
+    out.filter(predColumn(out, Pred.Between(c, qLo, qHi)))
   }
 
   /** Predicate AST for manifest-level skipping: the boolean shapes a
@@ -365,18 +368,37 @@ object SnapshotLog {
     }
   }
 
+  /** Numeric view of a column for stats and residual filters: doubles
+    * directly, timestamps (incl. NTZ — not double-castable) as epoch
+    * SECONDS through unix_micros. Session TZ is pinned UTC, so the
+    * NTZ interpretation is deterministic. Predicate values for
+    * timestamp columns are epoch seconds. */
+  private def numericView(c: org.apache.spark.sql.Column,
+                          dt: org.apache.spark.sql.types.DataType): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.types.{TimestampNTZType, TimestampType}
+    dt match {
+      case TimestampType | TimestampNTZType =>
+        unix_micros(c.cast("timestamp")).cast("double") / lit(1e6)
+      case _ => c.cast("double")
+    }
+  }
+
   /** The row-level Column a predicate tree denotes — applied as the
-    * residual filter after file pruning, so pruned and unpruned reads
-    * agree by construction. */
-  private def predColumn(p: Pred): org.apache.spark.sql.Column = p match {
-    case Pred.Between(c, lo, hi) =>
-      col(c).cast("double") >= lo && col(c).cast("double") <= hi
-    case Pred.Eq(c, v) => col(c).cast("double") === v
-    case Pred.In(c, vs) => col(c).cast("double").isin(vs.map(Double.box): _*)
-    case Pred.StrEq(c, v) => col(c) === v
-    case Pred.StrIn(c, vs) => col(c).isin(vs: _*)
-    case Pred.And(ps @ _*) => ps.map(predColumn).reduce(_ && _)
-    case Pred.Or(ps @ _*) => ps.map(predColumn).reduce(_ || _)
+    * residual filter after file pruning (schema-aware, so timestamp
+    * columns compare in the same epoch-second view the stats use),
+    * which makes pruned and unpruned reads agree by construction. */
+  private def predColumn(df: DataFrame, p: Pred): org.apache.spark.sql.Column = {
+    def num(c: String): org.apache.spark.sql.Column =
+      numericView(col(c), df.schema(c).dataType)
+    p match {
+      case Pred.Between(c, lo, hi) => num(c) >= lo && num(c) <= hi
+      case Pred.Eq(c, v) => num(c) === v
+      case Pred.In(c, vs) => num(c).isin(vs.map(Double.box): _*)
+      case Pred.StrEq(c, v) => col(c) === v
+      case Pred.StrIn(c, vs) => col(c).isin(vs: _*)
+      case Pred.And(ps @ _*) => ps.map(predColumn(df, _)).reduce(_ && _)
+      case Pred.Or(ps @ _*) => ps.map(predColumn(df, _)).reduce(_ || _)
+    }
   }
 
   /** Predicate-shaped skipping: (kept, skipped) under a boolean tree —
@@ -397,7 +419,8 @@ object SnapshotLog {
   def readWhere(spark: SparkSession, table: String, p: Pred,
                 asOf: Option[Long] = None): DataFrame = {
     val (kept, _) = prunedFilesWhere(table, p, asOf)
-    readFiles(spark, table, kept).filter(predColumn(p))
+    val out = readFiles(spark, table, kept)
+    out.filter(predColumn(out, p))
   }
 
   /** OPTIMIZE: rewrite the head's content into `targetFiles` files and

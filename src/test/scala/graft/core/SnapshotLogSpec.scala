@@ -288,6 +288,31 @@ class SnapshotLogSpec extends AnyFunSuite with SparkFixture {
     assert(sNone2.isEmpty)
   }
 
+  test("timestamp stats: date-range skipping works through the numeric path") {
+    import SnapshotLog.Pred._
+    val sf = "/root/testdata/sf0.001"
+    val t = freshTable()
+    val orders = spark.read.parquet(s"$sf/orders.parquet")
+      .select(col("o_orderkey"), col("o_orderdate"))
+      .repartitionByRange(6, col("o_orderdate")) // time-cluster -> tight bounds
+    SnapshotLog.commit(spark, orders, t, statsFor = Seq("o_orderdate"))
+    // a timestamp indexes through cast-to-double epoch seconds
+    assert(SnapshotLog.readManifest(t, 1L).stats.contains("o_orderdate"))
+    val full = SnapshotLog.read(spark, t)
+    val mid = full.selectExpr("percentile_approx(unix_micros(cast(o_orderdate as timestamp))/1e6, 0.5)")
+      .head().getDouble(0)
+    val p = Between("o_orderdate", mid, mid + 90L * 86400)
+    val (kept, skipped) = SnapshotLog.prunedFilesWhere(t, p)
+    assert(skipped.nonEmpty, s"time-clustered files must skip outside the window: kept=${kept.size}")
+    val prunedKeys = SnapshotLog.readWhere(spark, t, p)
+      .select("o_orderkey").collect().map(_.getLong(0)).toSet
+    val fullKeys = full
+      .filter((unix_micros(col("o_orderdate").cast("timestamp")).cast("double") / 1e6)
+        .between(mid, mid + 90L * 86400))
+      .select("o_orderkey").collect().map(_.getLong(0)).toSet
+    assert(prunedKeys == fullKeys && prunedKeys.nonEmpty)
+  }
+
   test("string stats: lexicographic bounds skip on a categorical column") {
     import SnapshotLog.Pred._
     import spark.implicits._
