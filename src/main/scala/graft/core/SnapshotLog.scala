@@ -197,8 +197,9 @@ object SnapshotLog {
           }.toMap)
       }
     require(stagedStrStats.values.flatMap(_.values)
-        .forall { case (l, h) => !(l + h).exists(ch => ch == '"' || ch == '\\' || ch == ',') },
-      "string bounds containing quote/backslash/comma would break the manifest encoding")
+        .forall { case (l, h) =>
+          !(l + h).exists(ch => ch == '"' || ch == '\\' || ch == ',' || ch == ']') },
+      "string bounds containing quote/backslash/comma/bracket would break the manifest encoding")
     var attempt = 0
     while (true) {
       val v = latestVersion(table).getOrElse(0L) + 1
