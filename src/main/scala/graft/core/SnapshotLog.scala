@@ -130,6 +130,7 @@ object SnapshotLog {
   def commit(spark: SparkSession, df: DataFrame, table: String,
              append: Boolean = false, partitionBy: Seq[String] = Seq.empty,
              statsFor: Seq[String] = Seq.empty,
+             expectedHead: Option[Long] = None,
              maxRetries: Int = 20): Long = {
     Files.createDirectories(logDir(table))
     val stage = java.util.UUID.randomUUID().toString
@@ -185,24 +186,50 @@ object SnapshotLog {
           val marker = s"/data/$stage/"
           s"data/$stage/" + f.substring(f.indexOf(marker) + marker.length)
         }
+        // an all-null file yields null min/max and a NaN-carrying file
+        // yields NaN bounds — both would make interval tests silently
+        // FALSE and skip files that hold matching rows, so either case
+        // records NO bounds (the file is always read)
         (numCols.map { c =>
-          c -> rows.map(r => relOf(r.getString(0)) ->
-            (r.getDouble(r.fieldIndex(s"lo:$c")),
-              r.getDouble(r.fieldIndex(s"hi:$c")))).toMap
+          c -> rows.flatMap { r =>
+            val (il, ih) = (r.fieldIndex(s"lo:$c"), r.fieldIndex(s"hi:$c"))
+            if (r.isNullAt(il) || r.isNullAt(ih) ||
+                r.getDouble(il).isNaN || r.getDouble(ih).isNaN) None
+            else Some(relOf(r.getString(0)) -> (r.getDouble(il), r.getDouble(ih)))
+          }.toMap
         }.toMap,
           strCols.map { c =>
-            c -> rows.map(r => relOf(r.getString(0)) ->
-              (r.getString(r.fieldIndex(s"slo:$c")),
-                r.getString(r.fieldIndex(s"shi:$c")))).toMap
+            c -> rows.flatMap { r =>
+              val (il, ih) = (r.fieldIndex(s"slo:$c"), r.fieldIndex(s"shi:$c"))
+              if (r.isNullAt(il) || r.isNullAt(ih)) None
+              else Some(relOf(r.getString(0)) -> (r.getString(il), r.getString(ih)))
+            }.toMap
           }.toMap)
       }
+    require(statsFor.forall(_.matches("[A-Za-z0-9_.]+")),
+      s"stats column names must be identifier-like (manifest JSON keys): $statsFor")
+    require(staged.forall(p => !p.contains(",") && !p.contains("]")),
+      // hive partition-path escaping does NOT escape commas/brackets,
+      // and the manifest's files array is comma-split — fail fast
+      // instead of writing a manifest that parses into garbage paths
+      s"staged path would break the manifest files array: $staged")
     require(stagedStrStats.values.flatMap(_.values)
         .forall { case (l, h) =>
           !(l + h).exists(ch => ch == '"' || ch == '\\' || ch == ',' || ch == ']') },
       "string bounds containing quote/backslash/comma/bracket would break the manifest encoding")
     var attempt = 0
     while (true) {
-      val v = latestVersion(table).getOrElse(0L) + 1
+      val cur = latestVersion(table).getOrElse(0L)
+      // read-modify-write commits (merge, compact) pass the head they
+      // DERIVED FROM: if another writer landed in between, publishing
+      // the stale result would silently erase that writer's rows — the
+      // lost update the blind-retry loop is safe against only for
+      // self-contained commits. Fail loudly instead (the caller
+      // re-reads and re-derives), the Delta conflict-detection rule.
+      expectedHead.foreach(e => if (cur != e) sys.error(
+        s"concurrent modification on $table: head moved v$e -> v$cur " +
+          "under a read-modify-write commit; re-derive and retry"))
+      val v = cur + 1
       val prev = if (!append || v == 1) None else Some(readManifest(table, v - 1))
       val files = prev.map(_.files ++ staged).getOrElse(staged)
       // stats alignment: carry the previous manifest's per-file bounds
@@ -353,6 +380,20 @@ object SnapshotLog {
     def strBounds(c: String): Option[(String, String)] =
       m.strStats.get(c).filter(_._1.size == m.files.size)
         .flatMap { case (lo, hi) => lo(i).zip(hi(i)) }
+    // Spark computed the string min/max in UTF-8 BINARY order; Java's
+    // String <= is UTF-16 code-unit order, which disagrees above the
+    // BMP — compare bounds the way they were produced or supplementary
+    // characters mis-skip files
+    def u8Lte(a: String, b: String): Boolean = {
+      val x = a.getBytes("UTF-8"); val y = b.getBytes("UTF-8")
+      var k = 0
+      while (k < x.length && k < y.length) {
+        val c = (x(k) & 0xff) - (y(k) & 0xff)
+        if (c != 0) return c < 0
+        k += 1
+      }
+      x.length <= y.length
+    }
     p match {
       case Pred.Between(c, qLo, qHi) =>
         bounds(c).forall { case (l, h) => h >= qLo && l <= qHi }
@@ -361,9 +402,9 @@ object SnapshotLog {
       case Pred.In(c, vs) =>
         bounds(c).forall { case (l, h) => vs.exists(v => l <= v && v <= h) }
       case Pred.StrEq(c, v) =>
-        strBounds(c).forall { case (l, h) => l <= v && v <= h }
+        strBounds(c).forall { case (l, h) => u8Lte(l, v) && u8Lte(v, h) }
       case Pred.StrIn(c, vs) =>
-        strBounds(c).forall { case (l, h) => vs.exists(v => l <= v && v <= h) }
+        strBounds(c).forall { case (l, h) => vs.exists(v => u8Lte(l, v) && u8Lte(v, h)) }
       case Pred.And(ps @ _*) => ps.forall(mightMatch(m, i, _))
       case Pred.Or(ps @ _*) => ps.exists(mightMatch(m, i, _))
     }
@@ -431,8 +472,9 @@ object SnapshotLog {
     * breaks a concurrent reader. The small-files answer for a table
     * fed by many append commits (e.g. streaming ingest). */
   def compact(spark: SparkSession, table: String, targetFiles: Int): Long = {
-    val head = read(spark, table)
-    commit(spark, head.repartition(targetFiles), table)
+    val headV = latestVersion(table).getOrElse(sys.error(s"no committed version in $table"))
+    commit(spark, read(spark, table, Some(headV)).repartition(targetFiles), table,
+      expectedHead = Some(headV))
   }
 
   /** Copy-on-write MERGE (upsert): rows of the head whose `key` appears
@@ -444,10 +486,11 @@ object SnapshotLog {
     * runtime bloom on the update keys prunes the head scan. */
   def merge(spark: SparkSession, table: String, updates: DataFrame,
             key: String): Long = {
-    val head = read(spark, table)
+    val headV = latestVersion(table).getOrElse(sys.error(s"no committed version in $table"))
+    val head = read(spark, table, Some(headV))
     val merged = head.join(updates.select(key).distinct(), Seq(key), "left_anti")
       .unionByName(updates)
-    commit(spark, merged, table)
+    commit(spark, merged, table, expectedHead = Some(headV))
   }
 
   /** DESCRIBE HISTORY: one row per committed version — version id,
@@ -483,13 +526,9 @@ object SnapshotLog {
       else readManifest(table, sinceV).files.toSet
     val newFiles = manifests.flatMap(_.files).distinct.filterNot(prevFiles)
     if (newFiles.isEmpty) spark.emptyDataFrame
-    else {
-      val byStage = newFiles.groupBy(f => f.split("/").take(2).mkString("/")).toSeq.sortBy(_._1)
-      byStage.map { case (stage, fs) =>
-        spark.read.option("basePath", s"$table/$stage")
-          .parquet(fs.map(f => s"$table/$f"): _*)
-      }.reduce(_ unionByName _)
-    }
+    else readFiles(spark, table, newFiles) // shares the per-stage basePath
+    // union (incl. allowMissingColumns), so the change feed tolerates
+    // the same schema evolution the snapshot read does
   }
 
   /** Polling incremental consumer — the micro-batch pull pattern over

@@ -72,7 +72,8 @@ object QualityModel {
     val xy = (0 until d).map(i =>
       sum((col(s"_c$i") * col(s"_c$d")).cast(dec)).as(s"xy_$i"))
     val yy = sum((col(s"_c$d") * col(s"_c$d")).cast(dec)).as("yy")
-    val aggs = xx ++ xy :+ yy :+ count(lit(1)).as("n")
+    val sy = sum(col(s"_c$d").cast(dec)).as("sy")
+    val aggs = xx ++ xy :+ yy :+ sy :+ count(lit(1)).as("n")
     val row = proj.agg(aggs.head, aggs.tail: _*).head()
     def dbl(name: String): Double =
       row.getDecimal(row.fieldIndex(name)).doubleValue()
@@ -87,8 +88,9 @@ object QualityModel {
       .map { case (c, w) => c.cast("double") * lit(w) }.reduce(_ + _)
     val sse = df.select(sum(((target - pred) * (target - pred)).cast(dec)).as("sse"))
       .head().getDecimal(0).doubleValue()
-    val sy = dbl("xy_0") // feature 0 is the intercept column of ones
-    val sst = dbl("yy") - sy * sy / n
+    // sum(y) is its own aggregate — no reliance on features.head being
+    // an all-ones intercept column
+    val sst = dbl("yy") - dbl("sy") * dbl("sy") / n
     val r2 = if (sst == 0.0) 0.0 else 1.0 - sse / sst
     (betas, n, math.rint(r2 * 1e6) / 1e6)
   }
@@ -148,9 +150,12 @@ object QualityModel {
         sum((col("y") * col("y")).cast(dec)).as("syy"))
       .select(col("lang"), col("n_docs"),
         round(sqrt(col("sse").cast("double") / col("n_docs")), 6).as("rmse"),
-        round(lit(1.0) - col("sse").cast("double")
-          / (col("syy").cast("double")
-            - col("sy").cast("double") * col("sy").cast("double") / col("n_docs")), 6)
+        // nullif guards a degenerate group (constant/singleton holdout:
+        // sst = 0) — report 0.0 like fit() does, never a null row
+        coalesce(round(lit(1.0) - col("sse").cast("double")
+          / nullif(col("syy").cast("double")
+            - col("sy").cast("double") * col("sy").cast("double") / col("n_docs"),
+            lit(0.0)), 6), lit(0.0))
           .as("r2"))
       .orderBy("lang")
   }

@@ -339,6 +339,49 @@ class SnapshotLogSpec extends AnyFunSuite with SparkFixture {
       (0 to 10).filter(_ % 5 == 1).map(_.toLong).toSet)
   }
 
+  test("NaN and all-null stats values record no bounds — the file is always read") {
+    import SnapshotLog.Pred._
+    import spark.implicits._
+    val t = freshTable()
+    val rows = Seq((1L, Some(10.0)), (2L, Some(Double.NaN)), (3L, None))
+      .toDF("id", "v").coalesce(1)
+    SnapshotLog.commit(spark, rows, t, statsFor = Seq("v")) // must not throw
+    val m = SnapshotLog.readManifest(t, 1L)
+    val (lo, hi) = m.stats("v")
+    assert(lo.forall(_.isEmpty) && hi.forall(_.isEmpty),
+      s"NaN/null-tainted file must carry NO bounds, got $lo / $hi")
+    val (kept, skipped) = SnapshotLog.prunedFilesWhere(t, Between("v", 5.0, 15.0))
+    assert(skipped.isEmpty && kept.nonEmpty, "a bounds-less file must never skip")
+    assert(SnapshotLog.readWhere(spark, t, Between("v", 5.0, 15.0))
+      .select("id").collect().map(_.getLong(0)).toSet == Set(1L))
+  }
+
+  test("a read-modify-write commit fails loudly when the head moved underneath it") {
+    val t = freshTable()
+    SnapshotLog.commit(spark, df(1), t)
+    SnapshotLog.commit(spark, df(2), t, append = true) // head is now v2
+    val e = intercept[RuntimeException] {
+      SnapshotLog.commit(spark, df(9), t, expectedHead = Some(1L))
+    }
+    assert(e.getMessage.contains("concurrent modification"))
+    assert(idsAt(t) == Set(1L, 2L), "the stale write must not have landed")
+  }
+
+  test("the change feed tolerates schema evolution like the snapshot read") {
+    import spark.implicits._
+    val t = freshTable()
+    SnapshotLog.commit(spark, df(1), t)
+    SnapshotLog.commit(spark, Seq((2L, "p2", "n2")).toDF("id", "payload", "note"), t,
+      append = true)
+    val changes = SnapshotLog.readChanges(spark, t, 1L, 2L)
+    assert(changes.schema.fieldNames.contains("note"))
+    assert(changes.count() == 1L)
+    // and a MIXED-schema delta range (v2's narrow + v3's wide files)
+    SnapshotLog.commit(spark, df(3), t, append = true)
+    val mixed = SnapshotLog.readChanges(spark, t, 1L, 3L)
+    assert(mixed.schema.fieldNames.contains("note") && mixed.count() == 2L)
+  }
+
   test("data skipping: appended files without bounds are always read (never lost)") {
     import spark.implicits._
     val t = freshTable()
