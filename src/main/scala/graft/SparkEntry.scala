@@ -144,6 +144,7 @@ object SparkEntry {
     "snapshot_asof"    -> (graft.core.SnapshotLog.snapshotAsof _),
     "snapshot_latest"  -> (graft.core.SnapshotLog.snapshotLatest _),
     "snapshot_merge"   -> (graft.core.SnapshotLog.snapshotMerge _),
+    "snapshot_delete"  -> (graft.core.SnapshotLog.snapshotDelete _),
     "snapshot_partitioned" -> (graft.core.SnapshotLog.snapshotPartitioned _),
     "snapshot_skipping" -> (graft.core.SnapshotLog.snapshotSkipping _),
     "snapshot_changes" -> (graft.core.SnapshotLog.snapshotChanges _),
@@ -1960,6 +1961,26 @@ object SparkEntry {
         |SELECT o_orderstatus, count(*) AS n_orders,
         |  CAST(round(sum(p), 2) AS DOUBLE) AS total
         |FROM merged GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "snapshot_delete" -> // CDC apply with DELETES: an I/U/D feed replayed as
+      // one atomic replace commit — deletes remove exactly their keys,
+      // updates replace in place, inserts land, the rest survives
+      """WITH base AS (SELECT o_orderkey, o_orderstatus,
+        |    CAST(o_totalprice AS DECIMAL(18,2)) AS p FROM orders),
+        |  chg AS (SELECT o_orderkey, CAST(NULL AS VARCHAR) AS o_orderstatus,
+        |      CAST(NULL AS DECIMAL(18,2)) AS p, 'D' AS op
+        |      FROM base WHERE o_orderkey % 7 = 0
+        |    UNION ALL
+        |    SELECT o_orderkey, 'U', CAST(p + 1 AS DECIMAL(18,2)), 'U'
+        |      FROM base WHERE o_orderkey % 10 = 0 AND o_orderkey % 7 <> 0
+        |    UNION ALL
+        |    SELECT o_orderkey + 500000000, 'N', p, 'I'
+        |      FROM base WHERE o_orderkey % 50 = 3),
+        |  applied AS (SELECT * FROM base b
+        |      WHERE NOT EXISTS (SELECT 1 FROM chg c WHERE c.o_orderkey = b.o_orderkey)
+        |    UNION ALL SELECT o_orderkey, o_orderstatus, p FROM chg WHERE op <> 'D')
+        |SELECT o_orderstatus, count(*) AS n_orders,
+        |  CAST(round(sum(p), 2) AS DOUBLE) AS total
+        |FROM applied GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
     "snapshot_partitioned" -> // hive-partitioned commit read back through the
       // manifest with per-stage basePath: lang must come back as a column
       """SELECT source, count(*) AS n_docs FROM documents

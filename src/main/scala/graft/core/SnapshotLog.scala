@@ -1,49 +1,99 @@
 package graft.core
 
 import java.nio.file.{Files, Path, Paths}
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+import com.fasterxml.jackson.databind.node.{ArrayNode, ObjectNode}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** A minimal transaction log for published parquet artifacts — the
   * publicly documented lakehouse pattern (Delta Lake, Armbrust et al.
   * VLDB 2020; Apache Iceberg): data files are immutable and
-  * write-once; version N of a table is a manifest
-  * `_graft_log/v{N}.json` listing EXACTLY the data files that make up
-  * the table at N. Two properties carry the 100 TB story:
+  * write-once; version N of a table is a commit record
+  * `_graft_log/v{N}.json` describing what that commit DID. Three
+  * properties carry the 100 TB story:
   *
   *  - **Readers list the LOG, never the data directory.** A snapshot
-  *    read is one tiny manifest fetch + direct opens of the listed
-  *    files. A directory listing at scale is a million-entry walk
-  *    that also SEES half-written files of in-flight jobs; the
-  *    manifest read sees only committed state (readers are isolated
-  *    from writers without locks).
+  *    read resolves the file list from the log + direct opens of the
+  *    listed files. A directory listing at scale is a million-entry
+  *    walk that also SEES half-written files of in-flight jobs; the
+  *    log read sees only committed state (readers are isolated from
+  *    writers without locks).
   *  - **Commits are atomic and conditional.** A writer stages its
   *    files under `data/<uuid>/` (invisible — nothing references
-  *    them), serializes the manifest to a temp name, then publishes
-  *    with CREATE-NEW semantics (hard-link, which fails atomically if
-  *    v{N} already exists). Losing a race means re-reading the new
-  *    head and retrying at N+1 — optimistic concurrency, no
-  *    coordinator. Readers see v{N-1} or v{N}, never a torn state.
+  *    them), serializes the commit record to a temp name, then
+  *    publishes with CREATE-NEW semantics (hard-link, which fails
+  *    atomically if v{N} already exists). Losing a race means
+  *    re-reading the new head and retrying at N+1 — optimistic
+  *    concurrency, no coordinator. Readers see v{N-1} or v{N}, never
+  *    a torn state.
+  *  - **Commit records are DELTAS; checkpoints bound replay.** An
+  *    append record lists only the files IT added (with their row
+  *    counts and column bounds), so a long streaming-ingest chain
+  *    writes O(new files) metadata per commit, not O(table) — the
+  *    full-list-per-commit alternative is O(N²) total bytes over N
+  *    appends. Resolving a snapshot replays records back to the
+  *    nearest base: a `ckpt-v{N}.json` checkpoint (written every
+  *    `checkpointEvery` commits, exactly Delta's `_last_checkpoint`
+  *    pattern) or a replace record (which is a free checkpoint, since
+  *    it redefines the table). Head resolution is O(checkpoint
+  *    interval), independent of table age.
   *
   * A commit either REPLACES the table (snapshot publish — the
-  * transactional form of `hotswap_table`) or APPENDS (the daily
-  * incremental: the new manifest lists the previous version's files
-  * plus the staged ones; no data file is ever rewritten). `vacuum`
-  * deletes data files unreferenced by any version >= a cutoff —
-  * time-travel older than the cutoff dies, the live head never does.
+  * transactional form of the reference's `hotswap_table`,
+  * postgres.rb:93-106) or APPENDS (the daily incremental: no data
+  * file is ever rewritten). `vacuum` deletes data files unreferenced
+  * by any version >= a cutoff — time-travel older than the cutoff
+  * dies, the live head never does (the cutoff is clamped to the head,
+  * and a checkpoint is published at the new base BEFORE old records
+  * die, so every surviving version stays resolvable).
   *
-  * Manifest format: one JSON object (version, append flag, rowCount,
-  * files array of table-relative paths). Staged paths are
-  * uuid/part-file names — no quotes/backslashes — so the strict
-  * regex parse below is exact, with a fail-fast guard at write time.
+  * Records and checkpoints are real JSON (jackson, shipped with
+  * Spark): arbitrary strings in paths and column bounds are escaped
+  * by the serializer, so string skipping stats work on realistic text
+  * (bounds are additionally truncated Iceberg-style to keep the
+  * metadata small — see `truncLower`/`truncUpper`).
   */
 object SnapshotLog {
 
-  /** `stats`: per indexed column, (lo, hi) per-file min/max bounds
-    * aligned index-for-index with `files` (None = no bounds for that
-    * file — it is always read). The Iceberg/Delta data-skipping
-    * pattern: file-level pruning from manifest metadata alone, on any
-    * column the writer chose to index. */
+  /** How often the committer publishes a full-state checkpoint. */
+  val checkpointEvery: Int = 20
+
+  /** Longest string kept in a manifest bound (code points). Iceberg
+    * truncates bounds the same way: a lower bound truncates to a
+    * prefix (still <= every value), an upper bound truncates and
+    * INCREMENTS its last code point (still >= every value). */
+  val maxBoundLen: Int = 64
+
+  /** One immutable data file as the log tracks it: table-relative
+    * path, row count, and optional per-column [lo, hi] bounds — the
+    * Iceberg/Delta data-skipping pattern, file-level pruning from log
+    * metadata alone. A column absent from `num`/`str` has no bounds
+    * for this file (it is always read — skipping may drop files,
+    * never rows). */
+  final case class FileEntry(path: String, rows: Long,
+                             num: Map[String, (Double, Double)] = Map.empty,
+                             str: Map[String, (String, String)] = Map.empty)
+
+  /** What one commit DID: `append=false` redefines the table as
+    * exactly `adds`; `append=true` extends the previous version with
+    * `adds`. `txn` is the idempotent-writer token (appId -> batchId),
+    * Delta's txnAppId/txnVersion rule: a commit whose batchId is <=
+    * the one already recorded for its appId is a no-op replay. */
+  final case class CommitRecord(version: Long, append: Boolean,
+                                adds: Seq[FileEntry],
+                                txn: Option[(String, Long)] = None) {
+    def rows: Long = adds.map(_.rows).sum
+  }
+
+  /** Resolved table state at a version: the exact live file set and
+    * the high-water batchId per idempotent writer. */
+  final case class TableState(version: Long, entries: Seq[FileEntry],
+                              txns: Map[String, Long])
+
+  /** Back-compat aligned-arrays view of a resolved version (what the
+    * pre-checkpoint log exposed): `rowCount` is the rows THIS commit
+    * added, `files`/`stats`/`strStats` the full resolved lists. */
   final case class Manifest(version: Long, append: Boolean,
                             rowCount: Long, files: Seq[String],
                             stats: Map[String, (Seq[Option[Double]], Seq[Option[Double]])] = Map.empty,
@@ -51,6 +101,8 @@ object SnapshotLog {
 
   private def logDir(table: String): Path = Paths.get(table, "_graft_log")
   private def vPath(table: String, v: Long): Path = logDir(table).resolve(s"v$v.json")
+  private def ckptPath(table: String, v: Long): Path =
+    logDir(table).resolve(s"ckpt-v$v.json")
 
   /** Committed versions, ascending (a contiguous range by
     * construction — commit retries fill every slot). */
@@ -76,63 +128,248 @@ object SnapshotLog {
 
   def latestVersion(table: String): Option[Long] = versions(table).lastOption
 
+  // ------------------------------------------------------------- json codec
+
+  private val mapper = new ObjectMapper()
+
+  private def entryToJson(e: FileEntry): ObjectNode = {
+    val o = mapper.createObjectNode()
+    o.put("path", e.path); o.put("rows", e.rows)
+    if (e.num.nonEmpty) {
+      val n = o.putObject("num")
+      e.num.toSeq.sortBy(_._1).foreach { case (c, (lo, hi)) =>
+        val a = n.putArray(c); a.add(lo); a.add(hi)
+      }
+    }
+    if (e.str.nonEmpty) {
+      val s = o.putObject("str")
+      e.str.toSeq.sortBy(_._1).foreach { case (c, (lo, hi)) =>
+        val a = s.putArray(c); a.add(lo); a.add(hi)
+      }
+    }
+    o
+  }
+
+  private def entryFromJson(n: JsonNode): FileEntry = {
+    def bounds(kind: String, f: JsonNode => String): Map[String, (String, String)] =
+      Option(n.get(kind)).map { m =>
+        m.properties().asScala.map { e =>
+          e.getKey -> (f(e.getValue.get(0)), f(e.getValue.get(1)))
+        }.toMap
+      }.getOrElse(Map.empty)
+    FileEntry(
+      n.get("path").asText(), n.get("rows").asLong(),
+      Option(n.get("num")).map { m =>
+        m.properties().asScala.map { e =>
+          e.getKey -> (e.getValue.get(0).asDouble(), e.getValue.get(1).asDouble())
+        }.toMap
+      }.getOrElse(Map.empty),
+      bounds("str", _.asText()))
+  }
+
+  private implicit class JIter(it: java.util.Set[java.util.Map.Entry[String, JsonNode]]) {
+    def asScala: Iterator[java.util.Map.Entry[String, JsonNode]] = {
+      val i = it.iterator()
+      new Iterator[java.util.Map.Entry[String, JsonNode]] {
+        def hasNext: Boolean = i.hasNext
+        def next(): java.util.Map.Entry[String, JsonNode] = i.next()
+      }
+    }
+  }
+
+  private def recordToJson(r: CommitRecord): String = {
+    val o = mapper.createObjectNode()
+    o.put("version", r.version); o.put("append", r.append); o.put("rows", r.rows)
+    r.txn.foreach { case (app, batch) =>
+      val t = o.putObject("txn"); t.put("app", app); t.put("batch", batch)
+    }
+    val a = o.putArray("add")
+    r.adds.foreach(e => a.add(entryToJson(e)))
+    mapper.writeValueAsString(o)
+  }
+
+  /** Test/diagnostic seam: parse-failure counter for O(tail)
+    * head-resolution audits (each record read bumps it once). */
+  private[core] val recordReads = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  /** One commit record. Fails loudly on a missing (vacuumed) or
+    * corrupt record — never a partial snapshot. */
+  def readRecord(table: String, v: Long): CommitRecord = {
+    recordReads.incrementAndGet()
+    val p = vPath(table, v)
+    if (!Files.exists(p)) sys.error(
+      s"version $v of $table has no commit record (vacuumed or never committed)")
+    val n = try mapper.readTree(Files.readAllBytes(p))
+      catch { case e: Exception => sys.error(s"corrupt commit record v$v: ${e.getMessage}") }
+    if (n == null || !n.has("version") || !n.has("append") || !n.has("add"))
+      sys.error(s"corrupt commit record v$v: missing fields")
+    val adds = n.get("add") match {
+      case a: ArrayNode => (0 until a.size()).map(i => entryFromJson(a.get(i)))
+      case _ => sys.error(s"corrupt commit record v$v: add is not an array")
+    }
+    val txn = Option(n.get("txn")).map(t => (t.get("app").asText(), t.get("batch").asLong()))
+    CommitRecord(n.get("version").asLong(), n.get("append").asBoolean(), adds, txn)
+  }
+
+  private def stateToJson(st: TableState): String = {
+    val o = mapper.createObjectNode()
+    o.put("version", st.version)
+    val t = o.putObject("txns")
+    st.txns.toSeq.sortBy(_._1).foreach { case (k, v) => t.put(k, v) }
+    val a = o.putArray("entries")
+    st.entries.foreach(e => a.add(entryToJson(e)))
+    mapper.writeValueAsString(o)
+  }
+
+  private def readCheckpoint(table: String, v: Long): Option[TableState] = {
+    val p = ckptPath(table, v)
+    if (!Files.exists(p)) None
+    else {
+      val n = mapper.readTree(Files.readAllBytes(p))
+      val a = n.get("entries").asInstanceOf[ArrayNode]
+      val txns = Option(n.get("txns")).map(t =>
+        t.properties().asScala.map(e => e.getKey -> e.getValue.asLong()).toMap)
+        .getOrElse(Map.empty[String, Long])
+      Some(TableState(n.get("version").asLong(),
+        (0 until a.size()).map(i => entryFromJson(a.get(i))), txns))
+    }
+  }
+
+  /** Publish a checkpoint (create-new; a racing duplicate is
+    * identical by construction, so losing is a silent no-op). */
+  private def writeCheckpoint(table: String, st: TableState): Unit = {
+    val tmp = logDir(table).resolve(s".ckpt-tmp-${java.util.UUID.randomUUID()}")
+    Files.write(tmp, stateToJson(st).getBytes("UTF-8"))
+    try Files.createLink(ckptPath(table, st.version), tmp)
+    catch { case _: java.nio.file.FileAlreadyExistsException => () }
+    finally Files.deleteIfExists(tmp)
+  }
+
+  // ------------------------------------------------------------ resolution
+
+  private def applyRecord(st: TableState, r: CommitRecord): TableState =
+    TableState(r.version,
+      if (r.append) st.entries ++ r.adds else r.adds,
+      r.txn.fold(st.txns) { case (app, batch) =>
+        st.txns + (app -> math.max(batch, st.txns.getOrElse(app, Long.MinValue)))
+      })
+
+  /** Resolve the full table state at `v`: walk back to the nearest
+    * base (checkpoint, or a replace record — a free checkpoint since
+    * it redefines the table), then replay forward. The walk is
+    * bounded by `checkpointEvery`, so head resolution does not grow
+    * with table age — the property that makes a months-old
+    * streaming-ingest table (thousands of append commits) readable in
+    * O(interval) metadata operations. */
+  def resolve(table: String, v: Long): TableState = {
+    var recs = List.empty[CommitRecord]
+    var base = TableState(0L, Seq.empty, Map.empty)
+    var w = v
+    var done = w < 1
+    while (!done) {
+      readCheckpoint(table, w) match {
+        case Some(st) => base = st; done = true
+        case None =>
+          val r = readRecord(table, w)
+          recs ::= r
+          if (!r.append) done = true else { w -= 1; done = w < 1 }
+      }
+    }
+    recs.foldLeft(base)(applyRecord)
+  }
+
+  private def resolveHead(table: String): Option[TableState] =
+    latestVersion(table).map(resolve(table, _))
+
+  /** The columns the table currently indexes for data skipping: every
+    * column any live file carries bounds for. */
+  def indexedColumns(st: TableState): Seq[String] =
+    (st.entries.flatMap(_.num.keys) ++ st.entries.flatMap(_.str.keys)).distinct.sorted
+
+  /** Back-compat aligned-arrays view of a resolved version. */
   def readManifest(table: String, v: Long): Manifest = {
-    val s = new String(Files.readAllBytes(vPath(table, v)), "UTF-8")
-    def long(k: String): Long =
-      s"""\"$k\":(\\d+)""".r.findFirstMatchIn(s)
-        .getOrElse(sys.error(s"manifest v$v: missing $k")).group(1).toLong
-    val append = """"append":(true|false)""".r.findFirstMatchIn(s)
-      .getOrElse(sys.error(s"manifest v$v: missing append")).group(1).toBoolean
-    val files = """"files":\[([^\]]*)\]""".r.findFirstMatchIn(s)
-      .getOrElse(sys.error(s"manifest v$v: missing files")).group(1)
-    val fs = if (files.isEmpty) Seq.empty[String]
-      else files.split(",").toSeq.map(_.trim.stripPrefix("\"").stripSuffix("\""))
-    def bounds(k: String): Seq[Option[Double]] =
-      ("\"" + java.util.regex.Pattern.quote(k) + "\":\\[([^\\]]*)\\]").r
-        .findFirstMatchIn(s).map(_.group(1)) match {
-        case None | Some("") => Seq.empty
-        case Some(body) => body.split(",").toSeq.map(_.trim).map {
-          case "null" => None
-          case x => Some(x.toDouble)
-        }
+    val rec = readRecord(table, v)
+    val st = resolve(table, v)
+    val numCols = st.entries.flatMap(_.num.keys).distinct
+    val strCols = st.entries.flatMap(_.str.keys).distinct
+    Manifest(v, rec.append, rec.rows, st.entries.map(_.path),
+      numCols.map(c => c -> (st.entries.map(_.num.get(c).map(_._1)),
+        st.entries.map(_.num.get(c).map(_._2)))).toMap,
+      strCols.map(c => c -> (st.entries.map(_.str.get(c).map(_._1)),
+        st.entries.map(_.str.get(c).map(_._2)))).toMap)
+  }
+
+  // ---------------------------------------------------------------- commit
+
+  /** Iceberg-style bound truncation: a LOWER bound may truncate to a
+    * prefix (prefix <= original <= every value). Code-point-safe (no
+    * split surrogate pairs). */
+  private[core] def truncLower(s: String): String =
+    if (s.codePointCount(0, s.length) <= maxBoundLen) s
+    else s.substring(0, s.offsetByCodePoints(0, maxBoundLen))
+
+  /** An UPPER bound truncates then INCREMENTS its last code point so
+    * it stays >= every string sharing the prefix ("aaa…z" -> "aab").
+    * Code-point order equals UTF-8 byte order, the order Spark's
+    * min/max produced, so the incremented bound is valid under the
+    * same comparison `mightMatch` uses. Skips the surrogate gap; if
+    * every code point is already U+10FFFF there is no finite upper
+    * bound — returns None and the file keeps no bound for the column. */
+  private[core] def truncUpper(s: String): Option[String] = {
+    if (s.codePointCount(0, s.length) <= maxBoundLen) return Some(s)
+    var cps = s.codePoints().toArray.take(maxBoundLen)
+    var i = cps.length - 1
+    while (i >= 0) {
+      if (cps(i) < 0x10FFFF) {
+        val next = if (cps(i) + 1 == 0xD800) 0xE000 else cps(i) + 1
+        cps = cps.take(i) :+ next
+        return Some(new String(cps, 0, cps.length))
       }
-    def strBounds(k: String): Seq[Option[String]] =
-      ("\"" + java.util.regex.Pattern.quote(k) + "\":\\[([^\\]]*)\\]").r
-        .findFirstMatchIn(s).map(_.group(1)) match {
-        case None | Some("") => Seq.empty
-        case Some(body) => body.split(",").toSeq.map(_.trim).map {
-          case "null" => None
-          case x => Some(x.stripPrefix("\"").stripSuffix("\""))
-        }
-      }
-    def colList(key: String): Seq[String] =
-      (s"""\"$key\":\\[([^\\]]*)\\]""").r.findFirstMatchIn(s)
-        .map(_.group(1)).filter(_.nonEmpty)
-        .map(_.split(",").toSeq.map(_.trim.stripPrefix("\"").stripSuffix("\"")))
-        .getOrElse(Seq.empty)
-    val stats = colList("statsCols")
-      .map(c => c -> (bounds(s"lo:$c"), bounds(s"hi:$c"))).toMap
-    val strStats = colList("statsStrCols")
-      .map(c => c -> (strBounds(s"slo:$c"), strBounds(s"shi:$c"))).toMap
-    Manifest(long("version"), append, long("rowCount"), fs, stats, strStats)
+      i -= 1 // carry: this position is maxed out, drop it and bump the previous
+    }
+    None
   }
 
   /** Stage `df` as immutable data files and commit them as the next
     * version. `append=false` replaces the table's content; `append=true`
     * extends the previous version's file list. `partitionBy` stages a
-    * hive layout under the commit's own directory (manifest paths keep
+    * hive layout under the commit's own directory (record paths keep
     * the `col=value/` segments; `read` restores the partition columns
-    * per stage via basePath, so directory pruning survives
-    * manifest-based listing). Returns the committed version number.
-    * Concurrency-safe via create-new manifest publish + retry
-    * (bounded; each retry re-reads the head, so an append never drops
-    * a racer's files). */
+    * per stage via basePath, so directory pruning survives log-based
+    * listing). Returns the committed version number.
+    *
+    * Stats: ONE pass over the staged files (`groupBy(input_file_name)`)
+    * yields per-file row counts AND min/max bounds for every indexed
+    * column together — the commit reads its own output exactly once.
+    * On an append, the previously indexed columns are re-computed for
+    * the NEW files automatically (even when `statsFor` is empty), so a
+    * plain streaming append never degrades the table's data skipping;
+    * existing files keep their bounds untouched because bounds live on
+    * the per-file entries, not on a per-commit array.
+    *
+    * `txn` (appId -> batchId) makes the commit idempotent per writer:
+    * if the head already records a batchId >= the given one for that
+    * appId, the commit is a no-op replay and returns the current head
+    * version — Delta's txnAppId/txnVersion rule, what makes
+    * foreachBatch ingest exactly-once across micro-batch replays.
+    *
+    * Concurrency-safe via create-new record publish + retry (bounded;
+    * each retry re-reads the head, so an append never drops a racer's
+    * files). `expectedHead` turns the commit into a conditional
+    * read-modify-write (merge/compact): it fails loudly if the head
+    * moved, instead of silently erasing the racer's rows. */
   def commit(spark: SparkSession, df: DataFrame, table: String,
              append: Boolean = false, partitionBy: Seq[String] = Seq.empty,
              statsFor: Seq[String] = Seq.empty,
              expectedHead: Option[Long] = None,
+             txn: Option[(String, Long)] = None,
              maxRetries: Int = 20): Long = {
     Files.createDirectories(logDir(table))
+    def alreadyApplied(): Option[Long] = txn.flatMap { case (app, batch) =>
+      resolveHead(table).filter(_.txns.get(app).exists(_ >= batch)).map(_.version)
+    }
+    val replayed = alreadyApplied() // replayed batch: skip even the stage write
+    if (replayed.isDefined) return replayed.get
     val stage = java.util.UUID.randomUUID().toString
     val stageDir = Paths.get(table, "data", stage)
     val writer = df.write.mode("overwrite")
@@ -148,138 +385,86 @@ object SnapshotLog {
         .map(p => s"data/$stage/${stageDir.relativize(p)}").toSeq.sorted
       finally st.close()
     }
-    require(staged.forall(p => !p.contains("\"") && !p.contains("\\")),
-      s"staged path would break the manifest encoding: $staged")
-    val rows =
-      if (staged.isEmpty) 0L
-      else spark.read.parquet(staged.map(p => s"$table/$p"): _*).count()
-    // per-file min/max of every indexed column: ONE aggregate over the
-    // staged files grouped by physical file — manifest-resident data
-    // skipping (Iceberg/Delta pattern), computed once at write time.
-    // String columns get lexicographic bounds (categorical skipping);
-    // everything else goes through double.
-    val stagedSchema =
-      if (statsFor.isEmpty || staged.isEmpty) None
-      else Some(spark.read.parquet(stageDir.toString).schema)
-    val (numCols, strCols) = stagedSchema match {
-      case None => (Seq.empty[String], Seq.empty[String])
-      case Some(sch) => statsFor.partition(c =>
-        sch(c).dataType != org.apache.spark.sql.types.StringType)
-    }
-    def stageNum(c: String): org.apache.spark.sql.Column =
-      numericView(col(c), stagedSchema.get(c).dataType)
-    val (stagedStats, stagedStrStats):
-        (Map[String, Map[String, (Double, Double)]],
-         Map[String, Map[String, (String, String)]]) =
-      if (statsFor.isEmpty || staged.isEmpty) (Map.empty, Map.empty)
+    // indexed columns: the explicit ask plus (on append) whatever the
+    // head already indexes, best-effort — an appended file missing a
+    // head column simply records no bounds for it (always read)
+    val carryCols =
+      if (!append) Seq.empty
+      else resolveHead(table).map(indexedColumns).getOrElse(Seq.empty)
+    val adds: Seq[FileEntry] =
+      if (staged.isEmpty) Seq.empty
       else {
-        val aggs = numCols.flatMap(c => Seq(
-          min(stageNum(c)).as(s"lo:$c"),
-          max(stageNum(c)).as(s"hi:$c"))) ++
-          strCols.flatMap(c => Seq(
-            min(col(c)).as(s"slo:$c"), max(col(c)).as(s"shi:$c")))
-        val rows = spark.read.parquet(stageDir.toString)
+        // the writer KNOWS the schema it just wrote — passing it skips
+        // parquet schema inference (a footer-listing job) entirely;
+        // partition columns in a hive layout resolve against it too
+        val stagedDf = spark.read.schema(df.schema).parquet(stageDir.toString)
+        val sch = stagedDf.schema
+        statsFor.foreach(c => require(sch.fieldNames.contains(c),
+          s"statsFor column $c is not in the staged schema ${sch.fieldNames.toSeq}"))
+        val cols = (statsFor ++ carryCols).distinct.filter(sch.fieldNames.contains)
+        val (strCols, numCols) = cols.partition(c =>
+          sch(c).dataType == org.apache.spark.sql.types.StringType)
+        // the ONE staged-data pass: per physical file, row count and
+        // min/max of every indexed column in a single aggregate
+        val aggs = count(lit(1)).as("_rows") +:
+          (numCols.flatMap(c => Seq(
+            min(numericView(col(c), sch(c).dataType)).as(s"lo:$c"),
+            max(numericView(col(c), sch(c).dataType)).as(s"hi:$c"))) ++
+           strCols.flatMap(c => Seq(
+             min(col(c)).as(s"slo:$c"), max(col(c)).as(s"shi:$c"))))
+        val perFile = stagedDf
           .groupBy(input_file_name().as("_f"))
           .agg(aggs.head, aggs.tail: _*)
           .collect()
-        def relOf(f: String): String = {
-          val marker = s"/data/$stage/"
-          s"data/$stage/" + f.substring(f.indexOf(marker) + marker.length)
+        val marker = s"/data/$stage/"
+        val byRel = perFile.map { r =>
+          val f = r.getString(0)
+          (s"data/$stage/" + f.substring(f.indexOf(marker) + marker.length)) -> r
+        }.toMap
+        staged.map { rel =>
+          byRel.get(rel) match {
+            case None => FileEntry(rel, 0L) // zero-row part file: no groups
+            case Some(r) =>
+              // an all-null file yields null min/max and a NaN-carrying
+              // file yields NaN bounds — both would make interval tests
+              // silently FALSE and skip files that hold matching rows,
+              // so either case records NO bounds (the file is always read)
+              val num = numCols.flatMap { c =>
+                val (il, ih) = (r.fieldIndex(s"lo:$c"), r.fieldIndex(s"hi:$c"))
+                if (r.isNullAt(il) || r.isNullAt(ih) ||
+                    r.getDouble(il).isNaN || r.getDouble(ih).isNaN) None
+                else Some(c -> (r.getDouble(il), r.getDouble(ih)))
+              }.toMap
+              val str = strCols.flatMap { c =>
+                val (il, ih) = (r.fieldIndex(s"slo:$c"), r.fieldIndex(s"shi:$c"))
+                if (r.isNullAt(il) || r.isNullAt(ih)) None
+                else truncUpper(r.getString(ih)).map(hi =>
+                  c -> (truncLower(r.getString(il)), hi))
+              }.toMap
+              FileEntry(rel, r.getLong(r.fieldIndex("_rows")), num, str)
+          }
         }
-        // an all-null file yields null min/max and a NaN-carrying file
-        // yields NaN bounds — both would make interval tests silently
-        // FALSE and skip files that hold matching rows, so either case
-        // records NO bounds (the file is always read)
-        (numCols.map { c =>
-          c -> rows.flatMap { r =>
-            val (il, ih) = (r.fieldIndex(s"lo:$c"), r.fieldIndex(s"hi:$c"))
-            if (r.isNullAt(il) || r.isNullAt(ih) ||
-                r.getDouble(il).isNaN || r.getDouble(ih).isNaN) None
-            else Some(relOf(r.getString(0)) -> (r.getDouble(il), r.getDouble(ih)))
-          }.toMap
-        }.toMap,
-          strCols.map { c =>
-            c -> rows.flatMap { r =>
-              val (il, ih) = (r.fieldIndex(s"slo:$c"), r.fieldIndex(s"shi:$c"))
-              if (r.isNullAt(il) || r.isNullAt(ih)) None
-              else Some(relOf(r.getString(0)) -> (r.getString(il), r.getString(ih)))
-            }.toMap
-          }.toMap)
       }
-    require(statsFor.forall(_.matches("[A-Za-z0-9_.]+")),
-      s"stats column names must be identifier-like (manifest JSON keys): $statsFor")
-    require(staged.forall(p => !p.contains(",") && !p.contains("]")),
-      // hive partition-path escaping does NOT escape commas/brackets,
-      // and the manifest's files array is comma-split — fail fast
-      // instead of writing a manifest that parses into garbage paths
-      s"staged path would break the manifest files array: $staged")
-    require(stagedStrStats.values.flatMap(_.values)
-        .forall { case (l, h) =>
-          !(l + h).exists(ch => ch == '"' || ch == '\\' || ch == ',' || ch == ']') },
-      "string bounds containing quote/backslash/comma/bracket would break the manifest encoding")
     var attempt = 0
     while (true) {
       val cur = latestVersion(table).getOrElse(0L)
-      // read-modify-write commits (merge, compact) pass the head they
-      // DERIVED FROM: if another writer landed in between, publishing
-      // the stale result would silently erase that writer's rows — the
-      // lost update the blind-retry loop is safe against only for
-      // self-contained commits. Fail loudly instead (the caller
-      // re-reads and re-derives), the Delta conflict-detection rule.
       expectedHead.foreach(e => if (cur != e) sys.error(
         s"concurrent modification on $table: head moved v$e -> v$cur " +
           "under a read-modify-write commit; re-derive and retry"))
+      // a racer may have applied our txn between the early check and
+      // now — re-check against the head we are about to build on
+      if (attempt > 0) {
+        val raced = alreadyApplied()
+        if (raced.isDefined) return raced.get
+      }
       val v = cur + 1
-      val prev = if (!append || v == 1) None else Some(readManifest(table, v - 1))
-      val files = prev.map(_.files ++ staged).getOrElse(staged)
-      // stats alignment: carry the previous manifest's per-file bounds
-      // forward per column; a file without bounds is null (always
-      // read — skipping is never allowed to lose rows)
-      def prevBounds(c: String): Map[String, (Option[Double], Option[Double])] =
-        prev.flatMap(_.stats.get(c)) match {
-          case Some((lo, hi)) if prev.exists(_.files.size == lo.size) =>
-            prev.get.files.zip(lo.zip(hi)).toMap
-          case _ => Map.empty
-        }
-      def prevStrBounds(c: String): Map[String, (Option[String], Option[String])] =
-        prev.flatMap(_.strStats.get(c)) match {
-          case Some((lo, hi)) if prev.exists(_.files.size == lo.size) =>
-            prev.get.files.zip(lo.zip(hi)).toMap
-          case _ => Map.empty
-        }
-      def colsJson(key: String, cols: Seq[String], perCol: Seq[String]): String =
-        if (cols.isEmpty) ""
-        else s""""$key":[${cols.map(c => "\"" + c + "\"").mkString(",")}],""" +
-          perCol.mkString(",") + ","
-      val numJson = colsJson("statsCols", numCols, numCols.map { c =>
-        def arr(xs: Seq[Option[Double]]): String =
-          xs.map(_.map(_.toString).getOrElse("null")).mkString(",")
-        val pb = prevBounds(c)
-        val lo = files.map(f => stagedStats.get(c).flatMap(_.get(f)).map(_._1)
-          .orElse(pb.get(f).flatMap(_._1)))
-        val hi = files.map(f => stagedStats.get(c).flatMap(_.get(f)).map(_._2)
-          .orElse(pb.get(f).flatMap(_._2)))
-        s""""lo:$c":[${arr(lo)}],"hi:$c":[${arr(hi)}]"""
-      })
-      val strJson = colsJson("statsStrCols", strCols, strCols.map { c =>
-        def arr(xs: Seq[Option[String]]): String =
-          xs.map(_.map(v => "\"" + v + "\"").getOrElse("null")).mkString(",")
-        val pb = prevStrBounds(c)
-        val lo = files.map(f => stagedStrStats.get(c).flatMap(_.get(f)).map(_._1)
-          .orElse(pb.get(f).flatMap(_._1)))
-        val hi = files.map(f => stagedStrStats.get(c).flatMap(_.get(f)).map(_._2)
-          .orElse(pb.get(f).flatMap(_._2)))
-        s""""slo:$c":[${arr(lo)}],"shi:$c":[${arr(hi)}]"""
-      })
-      val statsJson = numJson + strJson
-      val body =
-        s"""{"version":$v,"append":$append,"rowCount":$rows,$statsJson""" +
-          s""""files":[${files.map(f => "\"" + f + "\"").mkString(",")}]}"""
+      val rec = CommitRecord(v, append && v > 1, adds, txn)
       val tmp = logDir(table).resolve(s".tmp-$stage-$attempt")
-      Files.write(tmp, body.getBytes("UTF-8"))
+      Files.write(tmp, recordToJson(rec).getBytes("UTF-8"))
       try {
         Files.createLink(vPath(table, v), tmp) // atomic create-new
         Files.delete(tmp)
+        if (v % checkpointEvery == 0) writeCheckpoint(table, resolve(table, v))
         return v
       } catch {
         case _: java.nio.file.FileAlreadyExistsException =>
@@ -291,18 +476,19 @@ object SnapshotLog {
     -1L // unreachable
   }
 
-  /** Snapshot read: the manifest's exact file list, no directory
-    * listing of `data/`. `asOf=None` reads the head. Files are grouped
-    * by their commit's stage directory and each group reads with that
-    * stage as `basePath`, so hive `col=value/` segments in staged
-    * layouts come back as partition COLUMNS and partition filters
-    * still prune at the directory level — manifest listing costs none
-    * of the pruning a plain partitioned read gets. */
+  // ----------------------------------------------------------------- reads
+
+  /** Snapshot read: the resolved version's exact file list, no
+    * directory listing of `data/`. `asOf=None` reads the head. Files
+    * are grouped by their commit's stage directory and each group
+    * reads with that stage as `basePath`, so hive `col=value/`
+    * segments in staged layouts come back as partition COLUMNS and
+    * partition filters still prune at the directory level — log-based
+    * listing costs none of the pruning a plain partitioned read gets. */
   def read(spark: SparkSession, table: String, asOf: Option[Long] = None): DataFrame = {
     val v = asOf.orElse(latestVersion(table))
       .getOrElse(sys.error(s"no committed version in $table"))
-    val m = readManifest(table, v)
-    readFiles(spark, table, m.files)
+    readFiles(spark, table, resolve(table, v).entries.map(_.path))
   }
 
   private def readFiles(spark: SparkSession, table: String,
@@ -322,43 +508,39 @@ object SnapshotLog {
       // trap the per-stage union avoids)
     }
 
+  /** The table's schema with ZERO rows — what a fully-pruned read
+    * returns. One representative file per stage (cheap: footer reads
+    * only) unioned under the same evolution rules as a real read,
+    * filtered to nothing. */
+  private def emptyLike(spark: SparkSession, table: String,
+                        allFiles: Seq[String]): DataFrame =
+    if (allFiles.isEmpty) spark.emptyDataFrame
+    else readFiles(spark, table,
+      allFiles.groupBy(_.split("/").take(2).mkString("/")).values.map(_.head).toSeq)
+      .filter(lit(false))
+
   /** Manifest-side file pruning for a range predicate on an indexed
     * column: (kept, skipped). A file keeps when its [lo, hi] overlaps
     * [qLo, qHi] or it has no bounds — skipping can drop files, never
     * rows. An un-indexed column prunes nothing (everything kept). */
   def prunedFiles(table: String, c: String, qLo: Double, qHi: Double,
-                  asOf: Option[Long] = None): (Seq[String], Seq[String]) = {
-    val v = asOf.orElse(latestVersion(table))
-      .getOrElse(sys.error(s"no committed version in $table"))
-    val m = readManifest(table, v)
-    m.stats.get(c) match {
-      case Some((lo, hi)) if lo.size == m.files.size =>
-        m.files.zipWithIndex.partition { case (_, i) =>
-          (lo(i), hi(i)) match {
-            case (Some(l), Some(h)) => h >= qLo && l <= qHi
-            case _ => true
-          }
-        } match { case (k, s) => (k.map(_._1), s.map(_._1)) }
-      case _ => (m.files, Seq.empty)
-    }
-  }
+                  asOf: Option[Long] = None): (Seq[String], Seq[String]) =
+    prunedFilesWhere(table, Pred.Between(c, qLo, qHi), asOf)
 
-  /** Range read with DATA SKIPPING: open only the manifest-pruned
-    * files for column `c`, then apply the residual row filter. At
-    * 100 TB this is the second pruning tier after partition
-    * directories — a range query on a range-clustered table touches
-    * the few files whose footer bounds overlap, decided from the
-    * MANIFEST alone (zero file opens for the skipped ones). */
+  /** Range read with DATA SKIPPING: open only the log-pruned files
+    * for column `c`, then apply the residual row filter. At 100 TB
+    * this is the second pruning tier after partition directories — a
+    * range query on a range-clustered table touches the few files
+    * whose bounds overlap, decided from the LOG alone (zero file
+    * opens for the skipped ones). A range that overlaps NO file
+    * returns the table's empty frame (schema intact), not an error. */
   def readPruned(spark: SparkSession, table: String, c: String,
                  qLo: Double, qHi: Double,
-                 asOf: Option[Long] = None): DataFrame = {
-    val (kept, _) = prunedFiles(table, c, qLo, qHi, asOf)
-    val out = readFiles(spark, table, kept)
-    out.filter(predColumn(out, Pred.Between(c, qLo, qHi)))
-  }
+                 asOf: Option[Long] = None): DataFrame =
+    readWhere(spark, table, Pred.Between(c, qLo, qHi), asOf)
 
-  /** Predicate AST for manifest-level skipping: the boolean shapes a
-    * WHERE clause reduces to. `mightMatch` is the standard three-valued
+  /** Predicate AST for log-level skipping: the boolean shapes a WHERE
+    * clause reduces to. `mightMatch` is the standard three-valued
     * conservative evaluation over [lo, hi] interval bounds — a file is
     * skipped only when the predicate PROVABLY matches no row in it;
     * missing bounds or un-indexed columns always keep. */
@@ -373,13 +555,7 @@ object SnapshotLog {
     final case class Or(ps: Pred*) extends Pred
   }
 
-  private def mightMatch(m: Manifest, i: Int, p: Pred): Boolean = {
-    def bounds(c: String): Option[(Double, Double)] =
-      m.stats.get(c).filter(_._1.size == m.files.size)
-        .flatMap { case (lo, hi) => lo(i).zip(hi(i)) }
-    def strBounds(c: String): Option[(String, String)] =
-      m.strStats.get(c).filter(_._1.size == m.files.size)
-        .flatMap { case (lo, hi) => lo(i).zip(hi(i)) }
+  private def mightMatch(e: FileEntry, p: Pred): Boolean = {
     // Spark computed the string min/max in UTF-8 BINARY order; Java's
     // String <= is UTF-16 code-unit order, which disagrees above the
     // BMP — compare bounds the way they were produced or supplementary
@@ -396,17 +572,17 @@ object SnapshotLog {
     }
     p match {
       case Pred.Between(c, qLo, qHi) =>
-        bounds(c).forall { case (l, h) => h >= qLo && l <= qHi }
+        e.num.get(c).forall { case (l, h) => h >= qLo && l <= qHi }
       case Pred.Eq(c, v) =>
-        bounds(c).forall { case (l, h) => l <= v && v <= h }
+        e.num.get(c).forall { case (l, h) => l <= v && v <= h }
       case Pred.In(c, vs) =>
-        bounds(c).forall { case (l, h) => vs.exists(v => l <= v && v <= h) }
+        e.num.get(c).forall { case (l, h) => vs.exists(v => l <= v && v <= h) }
       case Pred.StrEq(c, v) =>
-        strBounds(c).forall { case (l, h) => u8Lte(l, v) && u8Lte(v, h) }
+        e.str.get(c).forall { case (l, h) => u8Lte(l, v) && u8Lte(v, h) }
       case Pred.StrIn(c, vs) =>
-        strBounds(c).forall { case (l, h) => vs.exists(v => u8Lte(l, v) && u8Lte(v, h)) }
-      case Pred.And(ps @ _*) => ps.forall(mightMatch(m, i, _))
-      case Pred.Or(ps @ _*) => ps.exists(mightMatch(m, i, _))
+        e.str.get(c).forall { case (l, h) => vs.exists(v => u8Lte(l, v) && u8Lte(v, h)) }
+      case Pred.And(ps @ _*) => ps.forall(mightMatch(e, _))
+      case Pred.Or(ps @ _*) => ps.exists(mightMatch(e, _))
     }
   }
 
@@ -450,31 +626,58 @@ object SnapshotLog {
                        asOf: Option[Long] = None): (Seq[String], Seq[String]) = {
     val v = asOf.orElse(latestVersion(table))
       .getOrElse(sys.error(s"no committed version in $table"))
-    val m = readManifest(table, v)
-    m.files.zipWithIndex.partition { case (_, i) => mightMatch(m, i, p) } match {
-      case (k, s) => (k.map(_._1), s.map(_._1))
+    val st = resolve(table, v)
+    st.entries.partition(mightMatch(_, p)) match {
+      case (k, s) => (k.map(_.path), s.map(_.path))
     }
   }
 
-  /** Read under a predicate tree with manifest skipping + the exact
-    * residual filter. */
+  /** Read under a predicate tree with log skipping + the exact
+    * residual filter. A predicate overlapping NO file's bounds is a
+    * legitimate 0-row query: it returns an empty frame with the
+    * table's full (evolved) schema rather than failing. */
   def readWhere(spark: SparkSession, table: String, p: Pred,
                 asOf: Option[Long] = None): DataFrame = {
-    val (kept, _) = prunedFilesWhere(table, p, asOf)
-    val out = readFiles(spark, table, kept)
-    out.filter(predColumn(out, p))
+    val v = asOf.orElse(latestVersion(table))
+      .getOrElse(sys.error(s"no committed version in $table"))
+    val st = resolve(table, v)
+    val (kept, _) = st.entries.partition(mightMatch(_, p)) match {
+      case (k, s) => (k.map(_.path), s.map(_.path))
+    }
+    if (kept.isEmpty) emptyLike(spark, table, st.entries.map(_.path))
+    else {
+      val out = readFiles(spark, table, kept)
+      out.filter(predColumn(out, p))
+    }
   }
+
+  // ------------------------------------------------------------ maintenance
 
   /** OPTIMIZE: rewrite the head's content into `targetFiles` files and
     * commit the compacted layout as a new REPLACE version. Content is
     * identical (spec-checked); prior versions keep reading their own
     * files until `vacuum` retires them — compaction never blocks or
     * breaks a concurrent reader. The small-files answer for a table
-    * fed by many append commits (e.g. streaming ingest). */
-  def compact(spark: SparkSession, table: String, targetFiles: Int): Long = {
+    * fed by many append commits (e.g. streaming ingest).
+    *
+    * Stats are PRESERVED: the head's indexed columns are re-computed
+    * for the rewritten files, so OPTIMIZE never silently turns off
+    * data skipping. `clusterBy` additionally range-partitions the
+    * rewrite on the given columns (`repartitionByRange`), so the
+    * post-compaction files carry TIGHT, non-overlapping bounds — the
+    * OPTIMIZE...ZORDER/CLUSTER BY shape: compaction is exactly when
+    * clustering is free, because the data is being rewritten anyway. */
+  def compact(spark: SparkSession, table: String, targetFiles: Int,
+              clusterBy: Seq[String] = Seq.empty): Long = {
     val headV = latestVersion(table).getOrElse(sys.error(s"no committed version in $table"))
-    commit(spark, read(spark, table, Some(headV)).repartition(targetFiles), table,
-      expectedHead = Some(headV))
+    val st = resolve(table, headV)
+    val head = read(spark, table, Some(headV))
+    val laid =
+      if (clusterBy.nonEmpty)
+        head.repartitionByRange(targetFiles, clusterBy.map(col): _*)
+      else head.repartition(targetFiles)
+    commit(spark, laid, table, expectedHead = Some(headV),
+      statsFor = indexedColumns(st).filter(head.columns.contains))
   }
 
   /** Copy-on-write MERGE (upsert): rows of the head whose `key` appears
@@ -483,48 +686,82 @@ object SnapshotLog {
     * is atomic, time-travelable, and never rewrites history. Shape:
     * one anti-join (head vs the broadcast-sized update set) + union —
     * at 100 TB the anti-join is the standard CDC-apply plan, and the
-    * runtime bloom on the update keys prunes the head scan. */
+    * runtime bloom on the update keys prunes the head scan. The head's
+    * indexed columns are re-computed on the rewrite (stats-preserving,
+    * like compact). */
   def merge(spark: SparkSession, table: String, updates: DataFrame,
             key: String): Long = {
     val headV = latestVersion(table).getOrElse(sys.error(s"no committed version in $table"))
+    val st = resolve(table, headV)
     val head = read(spark, table, Some(headV))
     val merged = head.join(updates.select(key).distinct(), Seq(key), "left_anti")
       .unionByName(updates)
-    commit(spark, merged, table, expectedHead = Some(headV))
+    commit(spark, merged, table, expectedHead = Some(headV),
+      statsFor = indexedColumns(st).filter(head.columns.contains))
+  }
+
+  /** CDC APPLY with deletes: `changes` carries `opCol` in
+    * {I, U, D} — Insert and Update rows land (U replaces the head row
+    * with the same key; a same-key I behaves identically, the upsert
+    * convention), D removes the key from the table (its other columns
+    * are ignored). One anti-join on the touched keys + union of the
+    * survivors, committed as a single REPLACE version: the whole
+    * change batch applies atomically or not at all, and the pre-apply
+    * snapshot stays time-travelable. This is the full
+    * insert/update/delete replication shape a CDC feed (Debezium-style
+    * op column) needs; stats re-computed like merge. */
+  def applyChanges(spark: SparkSession, table: String, changes: DataFrame,
+                   key: String, opCol: String = "op"): Long = {
+    val headV = latestVersion(table).getOrElse(sys.error(s"no committed version in $table"))
+    val st = resolve(table, headV)
+    val head = read(spark, table, Some(headV))
+    val touched = changes.select(col(key)).distinct()
+    val upserts = changes.filter(col(opCol) =!= "D").drop(opCol)
+    val applied = head.join(touched, Seq(key), "left_anti")
+      .unionByName(upserts)
+    commit(spark, applied, table, expectedHead = Some(headV),
+      statsFor = indexedColumns(st).filter(head.columns.contains))
   }
 
   /** DESCRIBE HISTORY: one row per committed version — version id,
-    * commit kind, row count, file count. Driver-built (the log is
+    * commit kind, rows THIS commit added, and the total file count at
+    * that version. Driver-built in ONE forward replay (the log is
     * metadata, bounded by version count, never by data size). */
   def history(spark: SparkSession, table: String): DataFrame = {
     import spark.implicits._
-    versions(table).map { v =>
-      val m = readManifest(table, v)
-      (m.version, if (m.append) "append" else "replace",
-        m.rowCount, m.files.size.toLong)
-    }.toDF("version", "kind", "row_count", "n_files")
+    val vs = versions(table)
+    val rows = if (vs.isEmpty) Seq.empty else {
+      var st = resolve(table, vs.head)
+      val first = {
+        val r = readRecord(table, vs.head)
+        (r.version, if (r.append) "append" else "replace", r.rows, st.entries.size.toLong)
+      }
+      first +: vs.tail.map { v =>
+        val r = readRecord(table, v)
+        st = applyRecord(st, r)
+        (r.version, if (r.append) "append" else "replace", r.rows, st.entries.size.toLong)
+      }
+    }
+    rows.toDF("version", "kind", "row_count", "n_files")
   }
 
   /** CHANGE FEED between two versions: the rows added by append
-    * commits in (sinceV, untilV] — exactly the files those manifests
-    * introduced, read directly (no diffing of row sets). Incremental
-    * consumers (downstream training jobs, index maintainers) use this
-    * to process only what's new since the version they last pinned.
-    * Only APPEND commits have a well-defined row-level delta from
-    * metadata alone; a replace commit in the range fails fast rather
-    * than silently returning a wrong delta. */
+    * commits in (sinceV, untilV] — exactly the files those records
+    * introduced, read directly (no diffing of row sets; the delta IS
+    * the record). Incremental consumers (downstream training jobs,
+    * index maintainers) use this to process only what's new since the
+    * version they last pinned. Only APPEND commits have a well-defined
+    * row-level delta from metadata alone; a replace commit in the
+    * range fails fast rather than silently returning a wrong delta. */
   def readChanges(spark: SparkSession, table: String,
                   sinceV: Long, untilV: Long): DataFrame = {
     val range = versions(table).filter(v => v > sinceV && v <= untilV)
     require(range.nonEmpty, s"no versions in ($sinceV, $untilV]")
-    val manifests = range.map(readManifest(table, _))
-    manifests.find(!_.append).foreach(m => sys.error(
-      s"version ${m.version} is a replace commit — its delta is not " +
+    val recs = range.map(readRecord(table, _))
+    recs.find(!_.append).foreach(r => sys.error(
+      s"version ${r.version} is a replace commit — its delta is not " +
         "derivable from the log; re-read the snapshot instead"))
-    val prevFiles =
-      if (sinceV == 0L) Set.empty[String]
-      else readManifest(table, sinceV).files.toSet
-    val newFiles = manifests.flatMap(_.files).distinct.filterNot(prevFiles)
+    val newFiles = recs.flatMap(_.adds.map(_.path))
     if (newFiles.isEmpty) spark.emptyDataFrame
     else readFiles(spark, table, newFiles) // shares the per-stage basePath
     // union (incl. allowMissingColumns), so the change feed tolerates
@@ -548,28 +785,49 @@ object SnapshotLog {
     if (head <= lastSeen) (lastSeen, false, spark.emptyDataFrame)
     else {
       val range = versions(table).filter(v => v > lastSeen && v <= head)
-      if (range.exists(v => !readManifest(table, v).append))
+      if (range.exists(v => !readRecord(table, v).append))
         (head, true, read(spark, table, Some(head)))
       else (head, false, readChanges(spark, table, lastSeen, head))
     }
   }
 
   /** Delete data files referenced ONLY by versions < `keepFrom` (and
-    * their manifests). Time travel to vacuumed versions dies; every
-    * version >= keepFrom still reads. Returns deleted relative paths. */
+    * their commit records). Time travel to vacuumed versions dies;
+    * every version >= keepFrom still reads. The cutoff is CLAMPED to
+    * the head (a keepFrom beyond it can retire all history but never
+    * the live snapshot), and a checkpoint is published at the new
+    * oldest survivor BEFORE its history dies, so delta-record replay
+    * never dead-ends on a vacuumed record. Returns deleted relative
+    * paths. */
   def vacuum(table: String, keepFrom: Long): Seq[String] = {
     val all = versions(table)
-    val (dead, live) = all.partition(_ < keepFrom)
-    val liveFiles = live.flatMap(readManifest(table, _).files).toSet
-    val doomed = dead.flatMap(readManifest(table, _).files).distinct
+    if (all.isEmpty) return Seq.empty
+    val cutoff = math.min(keepFrom, all.last) // the live head never dies
+    val (dead, live) = all.partition(_ < cutoff)
+    if (dead.isEmpty) return Seq.empty
+    // re-base the oldest survivor while its history is still readable
+    val base = resolve(table, live.head)
+    if (readCheckpoint(table, live.head).isEmpty && readRecord(table, live.head).append)
+      writeCheckpoint(table, base)
+    // live files: one forward replay from the new base
+    val liveFiles = live.tail.foldLeft((base, base.entries.map(_.path).toSet)) {
+      case ((st, acc), v) =>
+        val next = applyRecord(st, readRecord(table, v))
+        (next, acc ++ next.entries.map(_.path))
+    }._2
+    // every file ever added (each exactly once, by its adding record)
+    val doomed = dead.flatMap(readRecord(table, _).adds.map(_.path)).distinct
       .filterNot(liveFiles)
     doomed.foreach(f => Files.deleteIfExists(Paths.get(table, f)))
-    dead.foreach(v => Files.deleteIfExists(vPath(table, v)))
+    dead.foreach { v =>
+      Files.deleteIfExists(vPath(table, v))
+      Files.deleteIfExists(ckptPath(table, v))
+    }
     doomed
   }
 
   /** Sweep ORPHANED stage directories — data files no surviving
-    * manifest references, left behind by writers that crashed between
+    * record references, left behind by writers that crashed between
     * staging and publishing. Only stages older than `olderThanMs` go
     * (the grace period protects an IN-FLIGHT writer that has staged
     * but not yet committed — the same rule as Delta's VACUUM
@@ -578,7 +836,7 @@ object SnapshotLog {
     val dataDir = Paths.get(table, "data")
     if (!Files.isDirectory(dataDir)) return Seq.empty
     val referenced = versions(table)
-      .flatMap(readManifest(table, _).files)
+      .flatMap(readRecord(table, _).adds.map(_.path))
       .map(_.split("/").take(2).mkString("/")).toSet
     val cutoff = System.currentTimeMillis() - olderThanMs
     val st = Files.list(dataDir)
@@ -642,9 +900,43 @@ object SnapshotLog {
       .orderBy("o_orderstatus")
   }
 
+  /** Declared surface for CDC APPLY with DELETES: v1 = the orders
+    * projection; one applyChanges batch replays a deterministic
+    * insert/update/delete feed (keys % 7 == 0 DELETED; keys % 10 == 0
+    * and not deleted UPDATED to status 'U' with price+1; keys
+    * % 50 == 3 INSERTED under shifted new keys with status 'N'). The
+    * head aggregate only matches the oracle's replay if deletes
+    * removed exactly their keys, updates replaced in place, inserts
+    * landed, and everything else survived untouched. */
+  def snapshotDelete(spark: SparkSession, dir: String): DataFrame = {
+    val table = freshScratchTable(s"snapdel:$dir")
+    val base = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_orderstatus"),
+        col("o_totalprice").cast("decimal(18,2)").as("p"))
+    commit(spark, base, table)
+    val deletes = base.filter(col("o_orderkey") % 7 === 0)
+      .select(col("o_orderkey"), lit("D").as("op"),
+        lit(null).cast("string").as("o_orderstatus"),
+        lit(null).cast("decimal(18,2)").as("p"))
+    val updates = base.filter(col("o_orderkey") % 10 === 0 && col("o_orderkey") % 7 =!= 0)
+      .select(col("o_orderkey"), lit("U").as("op"),
+        lit("U").as("o_orderstatus"), (col("p") + 1).cast("decimal(18,2)").as("p"))
+    val inserts = base.filter(col("o_orderkey") % 50 === 3)
+      .select((col("o_orderkey") + 500000000L).as("o_orderkey"),
+        lit("I").as("op"), lit("N").as("o_orderstatus"), col("p"))
+    applyChanges(spark, table,
+      deletes.unionByName(updates).unionByName(inserts)
+        .select("o_orderkey", "o_orderstatus", "p", "op"), "o_orderkey")
+    read(spark, table)
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n_orders"),
+        round(sum(col("p")), 2).cast("double").as("total"))
+      .orderBy("o_orderstatus")
+  }
+
   /** Declared surface for PARTITIONED commits: docs committed
     * hive-partitioned by lang; the filtered read-back must restore
-    * `lang` as a partition column from the manifest's staged layout
+    * `lang` as a partition column from the record's staged layout
     * (basePath per stage) — the per-source counts only match if no
     * partition's rows leaked or doubled. Pruning is plan-audited in
     * SnapshotLogSpec. */

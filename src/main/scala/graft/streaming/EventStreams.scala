@@ -437,10 +437,15 @@ object EventStreams {
     * micro-batch lands as ONE append commit in a `SnapshotLog` table
     * (staged data files -> atomic manifest publish), so a concurrent
     * reader sees whole batches or nothing — never a half-written
-    * batch, because readers list the LOG, not the data directory. A
-    * batch that crashes mid-write leaves only unreferenced staged
-    * files (invisible; `vacuum` sweeps them), and the checkpoint
-    * replays it. This is the versioned-ingest production shape the
+    * batch, because readers list the LOG, not the data directory.
+    * Exactly-once across replays: the commit carries the foreachBatch
+    * batchId as a txn token (Delta's txnAppId/txnVersion rule), so
+    * when a crash lands AFTER the commit published but BEFORE the
+    * streaming checkpoint recorded the batch, the replayed batch is a
+    * no-op instead of a duplicate append; a crash BEFORE publish
+    * leaves only unreferenced staged files (invisible; `vacuum`
+    * sweeps them) and the replay commits them fresh. This is the
+    * versioned-ingest production shape the
     * plain parquet-sink twins can't give: every trigger is a
     * time-travelable version, and downstream jobs pin a version id
     * instead of racing the writer. The declared query reads the HEAD
@@ -456,8 +461,9 @@ object EventStreams {
       .select(col("event_id"), col("event_type"), col("value"))
     val q = ev.writeStream
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
-          _: Long) =>
-        graft.core.SnapshotLog.commit(spark, batch.toDF(), table, append = true)
+          batchId: Long) =>
+        graft.core.SnapshotLog.commit(spark, batch.toDF(), table, append = true,
+          txn = Some(("snapshot_ingest", batchId)))
         ()
       }
       .option("checkpointLocation", ckpt())

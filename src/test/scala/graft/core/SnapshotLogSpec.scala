@@ -63,7 +63,7 @@ class SnapshotLogSpec extends AnyFunSuite with SparkFixture {
     val t = freshTable()
     SnapshotLog.commit(spark, df(1), t)
     // another writer claims v2 out from under us
-    val stolen = s"""{"version":2,"append":false,"rowCount":0,"files":[]}"""
+    val stolen = s"""{"version":2,"append":false,"rows":0,"add":[]}"""
     Files.write(Paths.get(t, "_graft_log", "v2.json"), stolen.getBytes("UTF-8"))
     val v = SnapshotLog.commit(spark, df(7, 8), t, append = true)
     assert(v == 3L, "loser must land on the next free version")
@@ -347,9 +347,12 @@ class SnapshotLogSpec extends AnyFunSuite with SparkFixture {
       .toDF("id", "v").coalesce(1)
     SnapshotLog.commit(spark, rows, t, statsFor = Seq("v")) // must not throw
     val m = SnapshotLog.readManifest(t, 1L)
-    val (lo, hi) = m.stats("v")
-    assert(lo.forall(_.isEmpty) && hi.forall(_.isEmpty),
-      s"NaN/null-tainted file must carry NO bounds, got $lo / $hi")
+    // the NaN/null-tainted file records NO v-bounds at all (the log
+    // stores bounds per file entry; an unbounded column is absent)
+    m.stats.get("v").foreach { case (lo, hi) =>
+      assert(lo.forall(_.isEmpty) && hi.forall(_.isEmpty),
+        s"NaN/null-tainted file must carry NO bounds, got $lo / $hi")
+    }
     val (kept, skipped) = SnapshotLog.prunedFilesWhere(t, Between("v", 5.0, 15.0))
     assert(skipped.isEmpty && kept.nonEmpty, "a bounds-less file must never skip")
     assert(SnapshotLog.readWhere(spark, t, Between("v", 5.0, 15.0))
@@ -382,28 +385,33 @@ class SnapshotLogSpec extends AnyFunSuite with SparkFixture {
     assert(mixed.schema.fieldNames.contains("note") && mixed.count() == 2L)
   }
 
-  test("data skipping: appended files without bounds are always read (never lost)") {
+  test("data skipping survives a stats-less append: carried bounds prune, new files join the index") {
     import spark.implicits._
     val t = freshTable()
-    val a = Seq((1L, 10.0), (2L, 20.0)).toDF("id", "v")
+    val a = Seq((1L, 10.0), (2L, 20.0)).toDF("id", "v").coalesce(1)
     SnapshotLog.commit(spark, a, t, statsFor = Seq("v"))
-    // an append committed WITHOUT stats: its files carry null bounds
-    val b = Seq((3L, 15.0)).toDF("id", "v")
+    val b = Seq((3L, 15.0)).toDF("id", "v").coalesce(1)
     SnapshotLog.commit(spark, b, t, append = true, statsFor = Seq("v"))
-    val c = Seq((4L, 99.0)).toDF("id", "v")
-    SnapshotLog.commit(spark, c, t, append = true) // no statsFor: bounds lost
+    // an append committed WITHOUT statsFor: the head's indexed columns
+    // are re-computed for ITS files automatically, and nothing about
+    // the existing files' bounds changes — a plain streaming append
+    // must never silently degrade the table's data skipping
+    val c = Seq((4L, 99.0)).toDF("id", "v").coalesce(1)
+    SnapshotLog.commit(spark, c, t, append = true)
     val m = SnapshotLog.readManifest(t, 3L)
-    // v3 carries no stats at all (statsFor was None on the head commit)
-    assert(m.stats.isEmpty)
+    assert(m.stats.contains("v"), "the v-index must survive the stats-less append")
+    assert(m.stats("v")._1.forall(_.isDefined),
+      "every file (incl. the stats-less append's) must carry carried or recomputed bounds")
     val (kept, skipped) = SnapshotLog.prunedFiles(t, "v", 14.0, 16.0)
-    assert(skipped.isEmpty, "without head stats nothing may be skipped")
-    assert(kept.size == m.files.size)
-    // and the stats-carrying v2 still prunes
-    val (k2, s2) = SnapshotLog.prunedFiles(t, "v", 14.0, 16.0, Some(2L))
-    assert(s2.nonEmpty, "v2's bounds must still skip the non-overlapping files")
-    val rows = SnapshotLog.readPruned(spark, t, "v", 14.0, 16.0, Some(2L))
+    assert(skipped.size == 1 && kept.size == 2,
+      s"files [10,20]/[15,15]/[99,99] vs [14,16]: exactly [99,99] skips, got kept=$kept")
+    val rows = SnapshotLog.readPruned(spark, t, "v", 14.0, 16.0)
       .select("id").collect().map(_.getLong(0)).toSet
     assert(rows == Set(3L))
+    // the stats-carrying v2 snapshot still prunes on its own: a query
+    // at [9,11] keeps only the [10,20] file, skips the [15,15] one
+    val (_, s2) = SnapshotLog.prunedFiles(t, "v", 9.0, 11.0, Some(2L))
+    assert(s2.nonEmpty, "v2's bounds must still skip the non-overlapping files")
   }
 
   test("vacuumOrphans sweeps crashed-writer stages but respects the grace period") {
@@ -443,6 +451,228 @@ class SnapshotLogSpec extends AnyFunSuite with SparkFixture {
         "a racing append dropped rows")
       assert(SnapshotLog.versions(t) == (1L to 9L))
     } finally pool.shutdown()
+  }
+
+  test("a fully-pruned range read returns 0 rows with the table's schema, not an error") {
+    import SnapshotLog.Pred._
+    import spark.implicits._
+    val t = freshTable()
+    SnapshotLog.commit(spark, Seq((1L, 10.0), (2L, 20.0)).toDF("id", "v").coalesce(1),
+      t, statsFor = Seq("v"))
+    // evolution: the empty result must carry the UNION schema
+    SnapshotLog.commit(spark, Seq((3L, 15.0, "n3")).toDF("id", "v", "note").coalesce(1),
+      t, append = true)
+    val out = SnapshotLog.readWhere(spark, t, Between("v", 100.0, 200.0))
+    assert(out.schema.fieldNames.toSet == Set("id", "v", "note"))
+    assert(out.count() == 0L)
+    // an OR of disjoint out-of-range arms prunes everything too
+    val or = Or(Between("v", -5.0, -1.0), Between("v", 500.0, 600.0))
+    val (kept, skipped) = SnapshotLog.prunedFilesWhere(t, or)
+    assert(kept.isEmpty && skipped.nonEmpty)
+    assert(SnapshotLog.readWhere(spark, t, or).count() == 0L)
+    assert(SnapshotLog.readPruned(spark, t, "v", 100.0, 200.0).count() == 0L)
+  }
+
+  test("vacuum clamps its cutoff to the head: the live snapshot never dies") {
+    val t = freshTable()
+    SnapshotLog.commit(spark, df(1, 2), t)
+    SnapshotLog.commit(spark, df(3), t, append = true)
+    // an off-by-one retention computation hands vacuum a cutoff PAST
+    // the head — that may retire all history but never the live table
+    val deleted = SnapshotLog.vacuum(t, keepFrom = 99L)
+    assert(SnapshotLog.versions(t) == Seq(2L), s"only the head survives: ${SnapshotLog.versions(t)}")
+    assert(idsAt(t) == Set(1L, 2L, 3L), "the head still reads after the clamped vacuum")
+    deleted.foreach(f => assert(!Files.exists(Paths.get(t, f))))
+  }
+
+  test("txn commits are idempotent: a replayed batch is a no-op, a newer batch lands") {
+    val t = freshTable()
+    SnapshotLog.commit(spark, df(1), t)
+    val v2 = SnapshotLog.commit(spark, df(2), t, append = true, txn = Some(("ingest", 7L)))
+    assert(v2 == 2L)
+    // the crashed-after-publish replay: same appId+batchId arrives again
+    val replay = SnapshotLog.commit(spark, df(2), t, append = true, txn = Some(("ingest", 7L)))
+    assert(replay == 2L, "a replayed batch must not commit a new version")
+    assert(SnapshotLog.versions(t) == Seq(1L, 2L))
+    assert(SnapshotLog.read(spark, t).count() == 2L, "no duplicate rows from the replay")
+    // an OLDER batch id is also a no-op (out-of-order replay)
+    assert(SnapshotLog.commit(spark, df(99), t, append = true,
+      txn = Some(("ingest", 6L))) == 2L)
+    // the next batch and an unrelated writer both land normally
+    assert(SnapshotLog.commit(spark, df(3), t, append = true, txn = Some(("ingest", 8L))) == 3L)
+    assert(SnapshotLog.commit(spark, df(4), t, append = true, txn = Some(("other", 0L))) == 4L)
+    assert(idsAt(t) == Set(1L, 2L, 3L, 4L))
+  }
+
+  test("commit reads its staged output exactly once: count and bounds share one pass") {
+    import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val l = new SparkListener {
+      override def onJobStart(jobStart: SparkListenerJobStart): Unit = { jobs.incrementAndGet(); () }
+    }
+    spark.sparkContext.addSparkListener(l)
+    try {
+      val t = freshTable()
+      SnapshotLog.commit(spark, df(1, 2, 3).coalesce(1), t, statsFor = Seq("id"))
+      // listener events are async: wait until the count stops moving
+      var last = -1
+      var settle = 0
+      while (jobs.get() != last && settle < 50) {
+        last = jobs.get(); Thread.sleep(150); settle += 1
+      }
+      // one write job + the single per-file stats aggregate (<=2 jobs
+      // under AQE). The pre-r9 shape was write + count + stats = >=4.
+      assert(jobs.get() >= 2 && jobs.get() <= 3,
+        s"commit must touch the staged files once after the write, saw ${jobs.get()} jobs")
+      val m = SnapshotLog.readManifest(t, 1L)
+      assert(m.rowCount == 3L && m.stats.contains("id"),
+        "the single pass must still deliver both row count and bounds")
+    } finally spark.sparkContext.removeSparkListener(l)
+  }
+
+  test("a long append chain resolves its head from the checkpoint, and survives vacuum of its history") {
+    import spark.implicits._
+    val t = freshTable()
+    val n = 45 // crosses two checkpoint boundaries (20, 40)
+    (1 to n).foreach { i =>
+      SnapshotLog.commit(spark, Seq((i.toLong, i.toDouble)).toDF("id", "v").coalesce(1),
+        t, append = i > 1, statsFor = if (i == 1) Seq("v") else Seq.empty)
+    }
+    // the streaming-ingest shape: head resolution must replay only the
+    // records AFTER the newest checkpoint, not the whole chain
+    SnapshotLog.recordReads.set(0L)
+    val st = SnapshotLog.resolve(t, n.toLong)
+    assert(st.entries.size == n)
+    assert(SnapshotLog.recordReads.get() <= SnapshotLog.checkpointEvery + 1,
+      s"head resolution read ${SnapshotLog.recordReads.get()} records for a $n-commit chain — not O(checkpoint)")
+    // the carried column index reached the whole chain (appends carry it)
+    assert(st.entries.forall(_.num.contains("v")))
+    // retire the history; the checkpointed base keeps the head readable
+    SnapshotLog.vacuum(t, keepFrom = n - 1L)
+    assert(SnapshotLog.versions(t) == Seq(n - 1L, n.toLong))
+    assert(SnapshotLog.read(spark, t).count() == n.toLong,
+      "the head must read whole after its append history was vacuumed")
+    val (kept, skipped) = SnapshotLog.prunedFiles(t, "v", 1.0, 3.0)
+    assert(skipped.nonEmpty && kept.nonEmpty, "data skipping survives the vacuum too")
+  }
+
+  test("clustered compaction tightens bounds: the same range query skips more after OPTIMIZE") {
+    import SnapshotLog.Pred._
+    import spark.implicits._
+    val t = freshTable()
+    // round-robin layout: every file spans nearly the full v-range, so
+    // bound-based skipping is useless before clustering
+    val rows = (0 until 200).map(i => (i.toLong, i.toDouble))
+    SnapshotLog.commit(spark, rows.toDF("id", "v").repartition(4), t, statsFor = Seq("v"))
+    val q = Between("v", 0.0, 40.0)
+    val (_, skippedBefore) = SnapshotLog.prunedFilesWhere(t, q)
+    val v2 = SnapshotLog.compact(spark, t, targetFiles = 4, clusterBy = Seq("v"))
+    assert(v2 == 2L)
+    val (_, skippedAfter) = SnapshotLog.prunedFilesWhere(t, q)
+    assert(skippedAfter.size > skippedBefore.size && skippedAfter.nonEmpty,
+      s"range clustering must unlock skipping: before=${skippedBefore.size} after=${skippedAfter.size}")
+    // content identical, and the result of the pruned read is exact
+    assert(SnapshotLog.read(spark, t).select("id").collect().map(_.getLong(0)).toSet ==
+      rows.map(_._1).toSet)
+    assert(SnapshotLog.readWhere(spark, t, q).select("id").collect().map(_.getLong(0)).toSet ==
+      (0 to 40).map(_.toLong).toSet)
+  }
+
+  test("compact and merge preserve the table's stats index (OPTIMIZE never turns off skipping)") {
+    import spark.implicits._
+    val t = freshTable()
+    val rows = (0 until 100).map(i => (i.toLong, i.toDouble))
+    SnapshotLog.commit(spark, rows.toDF("id", "v").repartitionByRange(4, col("v")),
+      t, statsFor = Seq("v", "id"))
+    // merge rewrites the table; the v/id indexes must be re-computed,
+    // not silently dropped (the pre-r9 defect VERDICT r8 flagged)
+    SnapshotLog.merge(spark, t, Seq((5L, 500.0)).toDF("id", "v"), "id")
+    val afterMerge = SnapshotLog.resolve(t, 2L)
+    assert(SnapshotLog.indexedColumns(afterMerge) == Seq("id", "v"),
+      s"merge dropped the stats index: ${SnapshotLog.indexedColumns(afterMerge)}")
+    // compact with clustering restores tight bounds on the merged table
+    SnapshotLog.compact(spark, t, targetFiles = 4, clusterBy = Seq("v"))
+    val afterCompact = SnapshotLog.resolve(t, 3L)
+    assert(SnapshotLog.indexedColumns(afterCompact) == Seq("id", "v"))
+    val (kept, skipped) = SnapshotLog.prunedFiles(t, "v", 0.0, 20.0)
+    assert(skipped.nonEmpty && kept.nonEmpty,
+      "the compacted+merged table must still answer range queries with skipping")
+    val got = SnapshotLog.readPruned(spark, t, "v", 0.0, 20.0)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(got == (0 to 20).map(_.toLong).toSet - 5L)
+  }
+
+  test("applyChanges replays an insert/update/delete feed atomically") {
+    import spark.implicits._
+    val t = freshTable()
+    SnapshotLog.commit(spark, df(1, 2, 3), t)
+    val changes = Seq(
+      (2L, null.asInstanceOf[String], "D"), // delete key 2
+      (3L, "updated", "U"),                 // update key 3 in place
+      (9L, "inserted", "I")                 // brand-new key
+    ).toDF("id", "payload", "op")
+    val v = SnapshotLog.applyChanges(spark, t, changes, "id")
+    assert(v == 2L)
+    val head = SnapshotLog.read(spark, t).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(head == Map(1L -> "p1", 3L -> "updated", 9L -> "inserted"),
+      s"got $head")
+    // pre-apply snapshot intact: the whole batch applied copy-on-write
+    assert(SnapshotLog.read(spark, t, Some(1L)).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toMap ==
+      Map(1L -> "p1", 2L -> "p2", 3L -> "p3"))
+  }
+
+  test("string bounds with quotes, commas and brackets commit fine and prune exactly") {
+    import SnapshotLog.Pred._
+    import spark.implicits._
+    val t = freshTable()
+    // realistic text: every value would have broken the pre-r9
+    // hand-rolled manifest encoding (it hard-failed the commit)
+    val rows = Seq(
+      (1L, """alpha, "quoted" [x]\ tail"""),
+      (2L, """beta, also "tricky"]"""),
+      (3L, "zulu plain")).toDF("id", "s")
+      .repartitionByRange(2, col("s"))
+    SnapshotLog.commit(spark, rows, t, statsFor = Seq("s")) // must not throw
+    val m = SnapshotLog.readManifest(t, 1L)
+    assert(m.strStats.contains("s"))
+    def ids(p: SnapshotLog.Pred): Set[Long] =
+      SnapshotLog.readWhere(spark, t, p).select("id").collect().map(_.getLong(0)).toSet
+    assert(ids(StrEq("s", """beta, also "tricky"]""")) == Set(2L))
+    assert(ids(StrEq("s", "zulu plain")) == Set(3L))
+    val (_, skipped) = SnapshotLog.prunedFilesWhere(t, StrEq("s", "zulu plain"))
+    assert(skipped.nonEmpty, "the a/b-file must skip for a z-query")
+  }
+
+  test("long string bounds truncate Iceberg-style and stay conservative") {
+    import SnapshotLog.Pred._
+    import spark.implicits._
+    // unit shape first: lower truncates to a prefix, upper increments
+    assert(SnapshotLog.truncLower("x" * 100) == "x" * SnapshotLog.maxBoundLen)
+    assert(SnapshotLog.truncUpper("x" * 100).contains("x" * (SnapshotLog.maxBoundLen - 1) + "y"))
+    assert(SnapshotLog.truncUpper("short").contains("short"))
+    // a string of only U+10FFFF has no finite truncated upper bound
+    val maxCp = new String(Character.toChars(0x10FFFF))
+    assert(SnapshotLog.truncUpper(maxCp * (SnapshotLog.maxBoundLen + 1)).isEmpty)
+    val t = freshTable()
+    val longA = "x" * 70 + "a"
+    val longZ = "x" * 70 + "z"
+    SnapshotLog.commit(spark,
+      Seq((1L, longA), (2L, longZ)).toDF("id", "s").coalesce(1),
+      t, statsFor = Seq("s"))
+    val (lo, hi) = SnapshotLog.resolve(t, 1L).entries.head.str("s")
+    assert(lo.length <= SnapshotLog.maxBoundLen && hi.length <= SnapshotLog.maxBoundLen,
+      s"bounds must be truncated: ${lo.length}/${hi.length}")
+    // conservative: a value INSIDE the file's true range still keeps
+    def kept(p: SnapshotLog.Pred): Boolean =
+      SnapshotLog.prunedFilesWhere(t, p)._1.nonEmpty
+    assert(kept(StrEq("s", "x" * 70 + "m")), "truncated bounds must keep in-range probes")
+    assert(!kept(StrEq("s", "zzz")), "an above-range probe still skips")
+    assert(!kept(StrEq("s", "a")), "a below-range probe still skips")
+    // and the residual filter keeps results exact
+    assert(SnapshotLog.readWhere(spark, t, StrEq("s", longA))
+      .select("id").collect().map(_.getLong(0)).toSet == Set(1L))
   }
 
   test("vacuum deletes only files unreferenced by surviving versions") {
