@@ -283,6 +283,7 @@ object SparkEntry {
     "stream_tumbling"  -> ((s, d) => EventStreams.tumbling(s, d)),
     "stream_asof"      -> ((s, d) => EventStreams.asofToParquet(s, d)),
     "stream_snapshot_ingest" -> ((s, d) => EventStreams.snapshotIngest(s, d)),
+    "stream_log_source" -> ((s, d) => EventStreams.logSourceCounts(s, d)),
     "stream_tumbling_parquet" -> ((s, d) => EventStreams.tumblingToParquet(s, d)),
     "stream_sliding"   -> (EventStreams.sliding _),
     "stream_sessions"  -> ((s, d) => EventStreams.sessionWindows(s, d)),
@@ -895,6 +896,13 @@ object SparkEntry {
         |ORDER BY event_id""".stripMargin,
     "stream_snapshot_ingest" -> // micro-batches land as append commits in the
       // snapshot log; the head is the disjoint union of all batches
+      """SELECT event_type, count(*) AS n_events,
+        |  CAST(round(sum(CAST(value AS DECIMAL(18,2))), 2) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "stream_log_source" -> // the DSv2 graft-log MicroBatchStream: offsets are
+      // log versions, each batch reads exactly the files its commits
+      // added — exactly-once across batches, so the capture aggregate
+      // equals the plain batch aggregate over events
       """SELECT event_type, count(*) AS n_events,
         |  CAST(round(sum(CAST(value AS DECIMAL(18,2))), 2) AS DOUBLE) AS sum_value
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,

@@ -477,6 +477,57 @@ object EventStreams {
       .orderBy("event_type")
   }
 
+  /** NATIVE log-backed stream: `readStream.format("graft-log")` — the
+    * DSv2 `MicroBatchStream` whose offsets are snapshot-log versions
+    * (graft.sources.LogStreamSource), consuming the change feed the
+    * way `pollChanges` does but through Structured Streaming's own
+    * offset/checkpoint machinery. The demo table is three
+    * deterministic commits of event thirds (the initial replace + two
+    * appends); the streamed rows are captured append-mode and
+    * aggregated per event_type, so the result is batching-invariant
+    * and the oracle is the plain batch aggregate over `events` —
+    * which only matches if the source delivered every committed row
+    * exactly once across micro-batches. */
+  def logSourceCounts(spark: SparkSession, dir: String,
+      maxVersionsPerTrigger: Option[Int] = None): DataFrame = {
+    val table = logSourceDemoTable(spark, dir)
+    val stream0 = spark.readStream.format("graft-log")
+    val stream = maxVersionsPerTrigger.fold(stream0)(n =>
+      stream0.option("maxVersionsPerTrigger", n.toString))
+    val rows = runAppend(stream.load(table), ckpt())
+    rows.groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(col("value").cast("decimal(18,2)")), 2).cast("double").as("sum_value"))
+      .orderBy("event_type")
+  }
+
+  private[streaming] def logSourceDemoTable(spark: SparkSession, dir: String): String = {
+    val table = graft.core.TempDirs.stable(s"log_source:$dir")
+    graft.core.TempDirs.deleteRecursively(new java.io.File(table))
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(table))
+    val ev = graft.core.Tables.events(spark, dir)
+      .select(col("event_id"), col("event_type"), col("value"))
+    graft.core.SnapshotLog.commit(spark, ev.filter(col("event_id") % 3 === 0), table)
+    graft.core.SnapshotLog.commit(spark, ev.filter(col("event_id") % 3 === 1), table, append = true)
+    graft.core.SnapshotLog.commit(spark, ev.filter(col("event_id") % 3 === 2), table, append = true)
+    table
+  }
+
+  /** Run a SOURCE-only stream (no aggregation) to completion into a
+    * memory sink in Append mode; return the captured rows. */
+  private[streaming] def runAppend(df: DataFrame, checkpointDir: String): DataFrame = {
+    val name = sinkName("graft")
+    val q = df.writeStream
+      .format("memory")
+      .queryName(name)
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", s"$checkpointDir/$name")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    materializeAndDrop(df.sparkSession, name)
+  }
+
   /** PRODUCTION twin of `sessionWindows`: gap-session aggregation in
     * APPEND mode to parquet. A session window's end is its last event
     * + gap, so a session lands in the files exactly when the watermark

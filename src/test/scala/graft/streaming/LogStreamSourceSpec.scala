@@ -1,0 +1,182 @@
+package graft.streaming
+
+import java.nio.file.Files
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkFixture
+import graft.core.SnapshotLog
+
+/** The DSv2 `graft-log` streaming source: offsets are snapshot-log
+  * versions; each micro-batch reads exactly the files its version
+  * range's append commits introduced. These specs pin the streaming
+  * contract — batching invariance, checkpoint resume (exactly-once
+  * across restarts), the replace-commit wall, and type fidelity of
+  * the parquet-hadoop row reader. */
+class LogStreamSourceSpec extends AnyFunSuite with SparkFixture {
+
+  private def freshTable(): String =
+    Files.createTempDirectory("graft_logsrc_").toString
+
+  private def ck(): String =
+    Files.createTempDirectory("graft_logsrc_ck_").toString
+
+  private def df(ids: Long*) = {
+    import spark.implicits._
+    ids.map(i => (i, s"p$i")).toDF("id", "payload")
+  }
+
+  /** Run the source to completion (AvailableNow) into a memory sink;
+    * return (captured rows, number of non-empty micro-batches). */
+  private def drain(table: String, checkpoint: String,
+                    maxVersionsPerTrigger: Option[Int] = None): (DataFrame, Int) = {
+    val name = s"logsrc_${java.util.UUID.randomUUID().toString.replace("-", "").take(10)}"
+    val r0 = spark.readStream.format("graft-log")
+    val r = maxVersionsPerTrigger.fold(r0)(n => r0.option("maxVersionsPerTrigger", n.toString))
+    val q = r.load(table).writeStream
+      .format("memory").queryName(name)
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val batches = q.recentProgress.count(_.numInputRows > 0)
+    val captured = spark.table(name)
+    val out = spark.createDataFrame(
+      java.util.Arrays.asList(captured.collect(): _*), captured.schema)
+    spark.catalog.dropTempView(name)
+    (out, batches)
+  }
+
+  test("3-batch drain equals the single-batch drain and the batch snapshot, bit for bit") {
+    val t = freshTable()
+    SnapshotLog.commit(spark, df(1, 2), t)
+    SnapshotLog.commit(spark, df(3), t, append = true)
+    SnapshotLog.commit(spark, df(4, 5), t, append = true)
+    val (one, nOne) = drain(t, ck())
+    val (three, nThree) = drain(t, ck(), maxVersionsPerTrigger = Some(1))
+    assert(nThree == 3, s"maxVersionsPerTrigger=1 over 3 versions must take 3 batches, took $nThree")
+    assert(nOne <= nThree)
+    def rows(d: DataFrame) = d.collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val batch = rows(SnapshotLog.read(spark, t))
+    assert(rows(one) == batch && rows(three) == batch,
+      "streamed rows must equal the snapshot regardless of batching")
+  }
+
+  /** Restart-capable drain: parquet file sink (the memory sink cannot
+    * recover from a checkpoint). Returns everything the sink has
+    * accumulated ACROSS runs — exactly-once shows up as no duplicates
+    * in the cumulative file-sink content. */
+  private def drainToFiles(table: String, checkpoint: String, outDir: String): Set[Long] = {
+    val q = spark.readStream.format("graft-log").load(table)
+      .writeStream
+      .format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.read.parquet(outDir).select("id").collect().map(_.getLong(0)).toSet
+  }
+
+  test("checkpoint resume: a restarted stream delivers only the versions committed since") {
+    val t = freshTable()
+    val checkpoint = ck()
+    val out = Files.createTempDirectory("graft_logsrc_out_").toString
+    SnapshotLog.commit(spark, df(1, 2), t)
+    SnapshotLog.commit(spark, df(3), t, append = true)
+    assert(drainToFiles(t, checkpoint, out) == Set(1L, 2L, 3L))
+    // writer appends while the stream is down; the SAME checkpoint
+    // resumes at the committed version watermark — the cumulative sink
+    // holds each row exactly once (a re-delivery would duplicate ids)
+    SnapshotLog.commit(spark, df(4, 5), t, append = true)
+    val afterResume = spark.read.parquet({
+      drainToFiles(t, checkpoint, out); out
+    }).groupBy("id").count().collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(afterResume == (1L to 5L).map(_ -> 1L).toMap,
+      s"resume must append exactly the new versions once, got $afterResume")
+    // nothing new -> an empty incremental pull, sink unchanged
+    assert(drainToFiles(t, checkpoint, out) == (1L to 5L).toSet)
+  }
+
+  test("a replace commit mid-stream fails the query instead of double-counting") {
+    val t = freshTable()
+    val checkpoint = ck()
+    val out = Files.createTempDirectory("graft_logsrc_out_").toString
+    SnapshotLog.commit(spark, df(1), t)
+    SnapshotLog.commit(spark, df(2), t, append = true)
+    drainToFiles(t, checkpoint, out)
+    SnapshotLog.commit(spark, df(9), t) // replace: earlier rows are invalid now
+    val e = intercept[Exception] { drainToFiles(t, checkpoint, out) }
+    def msgs(x: Throwable): Seq[String] =
+      if (x == null) Seq.empty else Option(x.getMessage).toSeq ++ msgs(x.getCause)
+    assert(msgs(e).exists(_.contains("replace commit")), s"got: ${msgs(e)}")
+  }
+
+  test("the initial batch may start at the table-creating replace commit") {
+    val t = freshTable()
+    SnapshotLog.commit(spark, df(1, 2), t) // v1 replace = initial snapshot
+    val (rows, _) = drain(t, ck())
+    assert(rows.select("id").collect().map(_.getLong(0)).toSet == Set(1L, 2L))
+  }
+
+  test("row reader type fidelity: decimal, timestamp, date, int, bool, binary round-trip") {
+    import spark.implicits._
+    val t = freshTable()
+    val data = Seq(
+      (1L, 17, BigDecimal("12345.67"), "2024-03-01 10:30:00", "2024-03-01", true, 2.5f, Array[Byte](1, 2)),
+      (2L, -4, BigDecimal("-0.03"), "1999-12-31 23:59:59", "1999-12-31", false, -1.25f, Array[Byte](3)))
+      .toDF("id", "n", "dec", "ts", "d", "b", "f", "bin")
+      .withColumn("dec", col("dec").cast("decimal(18,2)"))
+      .withColumn("ts", col("ts").cast("timestamp"))
+      .withColumn("d", col("d").cast("date"))
+    SnapshotLog.commit(spark, data, t)
+    val (streamed, _) = drain(t, ck())
+    val a = streamed.orderBy("id").collect()
+    val b = SnapshotLog.read(spark, t).orderBy("id").collect()
+    assert(a.length == b.length)
+    a.zip(b).foreach { case (x, y) =>
+      (0 until x.length).foreach { i =>
+        (x.get(i), y.get(i)) match {
+          case (xb: Array[Byte], yb: Array[Byte]) => assert(xb.sameElements(yb))
+          case (xv, yv) => assert(xv == yv, s"col $i: streamed $xv != batch $yv")
+        }
+      }
+    }
+    // a null cell survives too
+    SnapshotLog.commit(spark,
+      Seq((3L, Option.empty[Int])).toDF("id", "n"), t, append = true)
+    val (withNull, _) = drain(t, ck())
+    val r3 = withNull.filter(col("id") === 3L).collect().head
+    assert(r3.isNullAt(r3.fieldIndex("n")))
+  }
+
+  test("schema evolution: files older than a new column stream back with nulls") {
+    import spark.implicits._
+    val t = freshTable()
+    SnapshotLog.commit(spark, df(1), t)
+    SnapshotLog.commit(spark, Seq((2L, "p2", "extra")).toDF("id", "payload", "note"),
+      t, append = true)
+    val (rows, _) = drain(t, ck())
+    assert(rows.schema.fieldNames.toSet == Set("id", "payload", "note"))
+    val byId = rows.collect().map(r => r.getLong(0) ->
+      (if (r.isNullAt(r.fieldIndex("note"))) None else Some(r.getString(r.fieldIndex("note"))))).toMap
+    assert(byId == Map(1L -> None, 2L -> Some("extra")))
+  }
+
+  test("nested schemas and partitioned layouts fail fast with clear errors") {
+    import spark.implicits._
+    val t = freshTable()
+    SnapshotLog.commit(spark, Seq((1L, Seq(1.0, 2.0))).toDF("id", "vec"), t)
+    val e = intercept[Exception] { drain(t, ck()) }
+    def msgs(x: Throwable): Seq[String] =
+      if (x == null) Seq.empty else Option(x.getMessage).toSeq ++ msgs(x.getCause)
+    assert(msgs(e).exists(_.contains("flat schemas")), s"got ${msgs(e)}")
+    val t2 = freshTable()
+    SnapshotLog.commit(spark, Seq((1L, "en"), (2L, "de")).toDF("id", "lang"),
+      t2, partitionBy = Seq("lang"))
+    val e2 = intercept[Exception] { drain(t2, ck()) }
+    assert(msgs(e2).exists(_.contains("hive-partitioned")), s"got ${msgs(e2)}")
+  }
+}
