@@ -680,6 +680,45 @@ object SnapshotLog {
       statsFor = indexedColumns(st).filter(head.columns.contains))
   }
 
+  /** OPTIMIZE ... ZORDER: compact the head into `targetFiles` files
+    * laid out along a Z-curve over TWO numeric columns — each
+    * dimension buckets to `bits` bits over its own [min, max] range
+    * (one pass, fused into the rewrite the compaction performs
+    * anyway), the bucket ids bit-interleave (`Maintenance.zValue`),
+    * and the rewrite range-partitions + sorts on that key. Rows close
+    * in BOTH dimensions land in the same files, so the per-file
+    * bounds the commit records are tight boxes and an AND of range
+    * predicates on the two columns prunes multiplicatively — the
+    * multi-dimensional data-skipping layout a single-column
+    * `clusterBy` cannot give (clustering on x leaves every file
+    * spanning all of y). Both columns join the stats index. */
+  def compactZorder(spark: SparkSession, table: String, targetFiles: Int,
+                    colA: String, colB: String, bits: Int = 10): Long = {
+    val headV = latestVersion(table).getOrElse(sys.error(s"no committed version in $table"))
+    val st = resolve(table, headV)
+    val head = read(spark, table, Some(headV))
+    val ranges = head.agg(
+      min(col(colA).cast("double")), max(col(colA).cast("double")),
+      min(col(colB).cast("double")), max(col(colB).cast("double"))).head()
+    require(!ranges.anyNull, s"z-order needs non-null ranges for $colA/$colB")
+    val (aLo, aHi) = (ranges.getDouble(0), ranges.getDouble(1))
+    val (bLo, bHi) = (ranges.getDouble(2), ranges.getDouble(3))
+    val maxBucket = (1L << bits) - 1
+    def bucket(c: String, lo: Double, hi: Double) =
+      if (hi <= lo) lit(0L)
+      else least(lit(maxBucket), floor(
+        (col(c).cast("double") - lit(lo)) / lit(hi - lo) * lit(maxBucket.toDouble))
+        .cast("bigint"))
+    val z = Maintenance.zValue(bucket(colA, aLo, aHi), bucket(colB, bLo, bHi), bits)
+    val laid = head.withColumn("_graft_z", z)
+      .repartitionByRange(targetFiles, col("_graft_z"))
+      .sortWithinPartitions("_graft_z")
+      .drop("_graft_z")
+    commit(spark, laid, table, expectedHead = Some(headV),
+      statsFor = (indexedColumns(st) ++ Seq(colA, colB)).distinct
+        .filter(head.columns.contains))
+  }
+
   /** Copy-on-write MERGE (upsert): rows of the head whose `key` appears
     * in `updates` are replaced, new keys are inserted, everything else
     * is carried — committed as one new REPLACE version, so the upsert

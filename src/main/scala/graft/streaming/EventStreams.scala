@@ -483,25 +483,30 @@ object EventStreams {
     * way `pollChanges` does but through Structured Streaming's own
     * offset/checkpoint machinery. The demo table is three
     * deterministic commits of event thirds (the initial replace + two
-    * appends); the streamed rows are captured append-mode and
-    * aggregated per event_type, so the result is batching-invariant
-    * and the oracle is the plain batch aggregate over `events` —
-    * which only matches if the source delivered every committed row
-    * exactly once across micro-batches. */
+    * appends); the per-type aggregate runs INSIDE the stream (Complete
+    * mode — running state is one row per event_type, so the capture
+    * is O(types) however large the table: the scale-right shape, vs
+    * capturing raw rows driver-side), so the result is
+    * batching-invariant and the oracle is the plain batch aggregate
+    * over `events` — which only matches if the source delivered every
+    * committed row exactly once across micro-batches. */
   def logSourceCounts(spark: SparkSession, dir: String,
       maxVersionsPerTrigger: Option[Int] = None): DataFrame = {
     val table = logSourceDemoTable(spark, dir)
     val stream0 = spark.readStream.format("graft-log")
     val stream = maxVersionsPerTrigger.fold(stream0)(n =>
       stream0.option("maxVersionsPerTrigger", n.toString))
-    val rows = runAppend(stream.load(table), ckpt())
-    rows.groupBy("event_type")
+    val agg = stream.load(table)
+      .groupBy("event_type")
       .agg(count(lit(1)).as("n_events"),
-        round(sum(col("value").cast("decimal(18,2)")), 2).cast("double").as("sum_value"))
+        sum(col("value").cast("decimal(18,2)")).as("sv"))
+    runComplete(agg, ckpt())
+      .select(col("event_type"), col("n_events"),
+        round(col("sv"), 2).cast("double").as("sum_value"))
       .orderBy("event_type")
   }
 
-  private[streaming] def logSourceDemoTable(spark: SparkSession, dir: String): String = {
+  private[graft] def logSourceDemoTable(spark: SparkSession, dir: String): String = {
     val table = graft.core.TempDirs.stable(s"log_source:$dir")
     graft.core.TempDirs.deleteRecursively(new java.io.File(table))
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(table))
@@ -513,20 +518,6 @@ object EventStreams {
     table
   }
 
-  /** Run a SOURCE-only stream (no aggregation) to completion into a
-    * memory sink in Append mode; return the captured rows. */
-  private[streaming] def runAppend(df: DataFrame, checkpointDir: String): DataFrame = {
-    val name = sinkName("graft")
-    val q = df.writeStream
-      .format("memory")
-      .queryName(name)
-      .outputMode(OutputMode.Append())
-      .option("checkpointLocation", s"$checkpointDir/$name")
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    materializeAndDrop(df.sparkSession, name)
-  }
 
   /** PRODUCTION twin of `sessionWindows`: gap-session aggregation in
     * APPEND mode to parquet. A session window's end is its last event

@@ -602,6 +602,53 @@ class SnapshotLogSpec extends AnyFunSuite with SparkFixture {
     assert(got == (0 to 20).map(_.toLong).toSet - 5L)
   }
 
+  test("z-order compaction prunes multiplicatively on a 2-dim box query") {
+    import SnapshotLog.Pred._
+    import spark.implicits._
+    val t = freshTable()
+    // a 100x100 grid committed round-robin: every file spans the full
+    // range of BOTH dims, so no predicate can skip anything
+    val grid = (0 until 10000).map(i => (i.toLong, (i % 100).toDouble, (i / 100).toDouble))
+    SnapshotLog.commit(spark, grid.toDF("id", "x", "y").repartition(16),
+      t, statsFor = Seq("x", "y"))
+    val box = And(Between("x", 0.0, 24.0), Between("y", 0.0, 24.0)) // a corner quarter^2
+    assert(SnapshotLog.prunedFilesWhere(t, box)._2.isEmpty,
+      "round-robin layout must not skip (the baseline this test exists to beat)")
+    // single-column clustering: x-files are tight in x but span all of y
+    SnapshotLog.compact(spark, t, targetFiles = 16, clusterBy = Seq("x"))
+    val (keptX, _) = SnapshotLog.prunedFilesWhere(t, box)
+    // z-order: files are boxes on the curve, so the corner box keeps
+    // only the files whose 2-dim bounds reach it
+    SnapshotLog.compactZorder(spark, t, targetFiles = 16, "x", "y")
+    val (keptZ, skippedZ) = SnapshotLog.prunedFilesWhere(t, box)
+    assert(skippedZ.nonEmpty && keptZ.size <= keptX.size,
+      s"z-order must prune the 2-dim box at least as hard as x-clustering: z=${keptZ.size} x=${keptX.size} of 16")
+    assert(keptZ.size <= 8,
+      s"a ~6% corner box over 16 z-ordered files must keep a minority, kept ${keptZ.size}")
+    // content and the pruned result stay exact through both rewrites
+    val ids = SnapshotLog.readWhere(spark, t, box).select("id").collect().map(_.getLong(0)).toSet
+    val expect = grid.filter(g => g._2 <= 24.0 && g._3 <= 24.0).map(_._1).toSet
+    assert(ids == expect)
+  }
+
+  test("stats on a hive partition column: the manifest prunes what directories also prune") {
+    import SnapshotLog.Pred._
+    import spark.implicits._
+    val t = freshTable()
+    val docs = Seq.tabulate(60)(i => (i.toLong, Seq("de", "en", "zh")(i % 3)))
+      .toDF("id", "lang")
+    SnapshotLog.commit(spark, docs, t, partitionBy = Seq("lang"), statsFor = Seq("lang"))
+    // the partition column's value comes from the directory name, yet
+    // the per-file bounds land in the manifest like any other column
+    val (kept, skipped) = SnapshotLog.prunedFilesWhere(t, StrEq("lang", "zh"))
+    assert(skipped.nonEmpty && kept.nonEmpty,
+      s"partition-column stats must prune the other langs' files: kept=${kept.size}")
+    assert(kept.forall(_.contains("lang=zh")))
+    assert(SnapshotLog.readWhere(spark, t, StrEq("lang", "zh"))
+      .select("id").collect().map(_.getLong(0)).toSet ==
+      (0 until 60).filter(_ % 3 == 2).map(_.toLong).toSet)
+  }
+
   test("applyChanges replays an insert/update/delete feed atomically") {
     import spark.implicits._
     val t = freshTable()
