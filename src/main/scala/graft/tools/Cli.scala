@@ -148,6 +148,56 @@ object Cli {
     all
   }
 
+  /** Table maintenance — the OPTIMIZE/VACUUM face of the snapshot log
+    * (the operational command a scheduled maintenance job runs against
+    * a table fed by streaming appends):
+    *
+    *   runMain graft.tools.Cli optimize <table> [--target-files N]
+    *       [--cluster-by c1[,c2...]] [--zorder a,b]
+    *       [--vacuum-keep K] [--vacuum-orphans]
+    *
+    * Compacts the head into N files (range-clustered or z-ordered —
+    * both re-index the table's stats columns, so skipping only gets
+    * TIGHTER), then optionally retires history to the last K versions
+    * (`vacuum`, which re-bases on a checkpoint before deleting) and
+    * sweeps crashed-writer stage litter. Every step is itself an
+    * atomic commit: a concurrent reader never blocks and never sees a
+    * half-maintained table. */
+  def optimize(spark: SparkSession, args: Array[String]): Seq[(String, Long)] = {
+    require(args.length >= 2 && args(0) == "optimize",
+      "usage: optimize <table> [--target-files N] [--cluster-by c1[,c2]] " +
+        "[--zorder a,b] [--vacuum-keep K] [--vacuum-orphans]")
+    val table = args(1)
+    val flags = args.drop(2)
+    def flagValue(name: String): Option[String] = flags.sliding(2).collectFirst {
+      case Array(`name`, v) => v
+    }
+    val target = flagValue("--target-files").map(_.toInt).getOrElse(8)
+    val out = Seq.newBuilder[(String, Long)]
+    val v = flagValue("--zorder") match {
+      case Some(zz) =>
+        val Array(a, b) = zz.split(',').map(_.trim)
+        graft.core.SnapshotLog.compactZorder(spark, table, target, a, b)
+      case None =>
+        graft.core.SnapshotLog.compact(spark, table, target,
+          clusterBy = flagValue("--cluster-by")
+            .map(_.split(',').toSeq.map(_.trim)).getOrElse(Seq.empty))
+    }
+    System.err.println(s"[cli] optimize $table: compacted to v$v ($target files)")
+    out += (("compacted_version", v))
+    flagValue("--vacuum-keep").foreach { k =>
+      val deleted = graft.core.SnapshotLog.vacuum(table, keepFrom = v - k.toLong + 1)
+      System.err.println(s"[cli] optimize $table: vacuumed ${deleted.size} files, kept last $k versions")
+      out += (("vacuumed_files", deleted.size.toLong))
+    }
+    if (flags.contains("--vacuum-orphans")) {
+      val swept = graft.core.SnapshotLog.vacuumOrphans(table)
+      System.err.println(s"[cli] optimize $table: swept ${swept.size} orphan stages")
+      out += (("orphan_stages", swept.size.toLong))
+    }
+    out.result()
+  }
+
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()
       .master(sys.env.getOrElse("SPARK_GRAFT_MASTER", "local[4]"))
@@ -169,6 +219,7 @@ object Cli {
       try {
         args.headOption match {
           case Some("pipeline") => pipeline(spark, args)
+          case Some("optimize") => optimize(spark, args)
           case _ => run(spark, args)
         }
         0

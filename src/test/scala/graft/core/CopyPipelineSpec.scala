@@ -228,6 +228,29 @@ class CopyPipelineSpec extends AnyFunSuite with SparkFixture {
       "a re-run must commit a NEW version, not clobber v1")
   }
 
+  test("cli optimize: compact + vacuum + orphan sweep as one maintenance command") {
+    import spark.implicits._
+    val t = java.nio.file.Files.createTempDirectory("graft_cliopt_").toString
+    (0 until 5).foreach { i =>
+      val rows = (0 until 40).map(j => ((40 * i + j).toLong, (40 * i + j).toDouble))
+      graft.core.SnapshotLog.commit(spark, rows.toDF("id", "v").repartition(2),
+        t, append = i > 0, statsFor = if (i == 0) Seq("v") else Seq.empty)
+    }
+    spark.range(1).write.parquet(s"$t/data/crashed-writer") // orphan litter
+    val out = graft.tools.Cli.optimize(spark, Array("optimize", t,
+      "--target-files", "4", "--cluster-by", "v",
+      "--vacuum-keep", "1", "--vacuum-orphans")).toMap
+    assert(out("compacted_version") == 6L)
+    assert(out("vacuumed_files") > 0L, "pre-compaction files must be reclaimed")
+    // the orphan is younger than the default grace period — protected
+    assert(out("orphan_stages") == 0L)
+    assert(graft.core.SnapshotLog.versions(t) == Seq(6L))
+    assert(graft.core.SnapshotLog.read(spark, t).count() == 200L)
+    // the clustered rewrite re-indexed v: range skipping works post-maintenance
+    val (kept, skipped) = graft.core.SnapshotLog.prunedFiles(t, "v", 0.0, 30.0)
+    assert(skipped.nonEmpty && kept.nonEmpty)
+  }
+
   test("cli: --config resolves named locations; --log appends result lines") {
     val (src, dst) = (tmp(), tmp())
     writeTable(src, "cfg_t")

@@ -5,14 +5,17 @@ import org.scalatest.funsuite.AnyFunSuite
 import graft.SparkFixture
 
 /** Randomized model check of the transaction log: a random sequence of
-  * replace / append / merge / compact / vacuum operations runs against
-  * both the real log and a trivial in-memory model (version -> row
-  * map). After every operation the head must match the model, and at
-  * the end every surviving version must time-travel to exactly the
-  * model's snapshot while vacuumed versions must refuse to read. This
-  * pins the log's algebra — the per-feature specs pin each guarantee
-  * in isolation; this pins their COMPOSITION under interleavings
-  * nobody wrote by hand. */
+  * replace / append / merge / CDC-apply / compact (plain + clustered)
+  * / idempotent-txn / vacuum operations runs against both the real log
+  * and a trivial in-memory model (version -> row map). After every
+  * operation the head must match the model, and at the end every
+  * surviving version must time-travel to exactly the model's snapshot
+  * while vacuumed versions must refuse to read. This pins the log's
+  * algebra — the per-feature specs pin each guarantee in isolation;
+  * this pins their COMPOSITION under interleavings nobody wrote by
+  * hand. Seed 3 runs a LONG chain (24 ops) so the sequence crosses a
+  * checkpoint boundary and then vacuums past it — delta-record replay,
+  * checkpoint resolution, and vacuum's re-basing all compose. */
 class SnapshotLogModelSpec extends AnyFunSuite with SparkFixture {
 
   private def df(rows: Map[Long, String]) = {
@@ -30,6 +33,7 @@ class SnapshotLogModelSpec extends AnyFunSuite with SparkFixture {
       val t = java.nio.file.Files.createTempDirectory("graft_snapmodel_").toString
       var model = Map.empty[Long, Map[Long, String]] // version -> rows
       var nextId = 0L
+      var nextBatch = 0L
       def freshRows(n: Int): Map[Long, String] =
         (1 to n).map { _ => nextId += 1; nextId -> s"v$nextId" }.toMap
 
@@ -37,9 +41,10 @@ class SnapshotLogModelSpec extends AnyFunSuite with SparkFixture {
       model += 1L -> (1 to 3).map(i => i.toLong -> s"v$i").toMap
       var vacuumedBelow = 1L
 
-      (1 to 9).foreach { _ =>
+      val nOps = if (seed == 3) 24 else 9 // seed 3 crosses the v20 checkpoint
+      (1 to nOps).foreach { _ =>
         val head = model.keys.max
-        rnd.nextInt(5) match {
+        rnd.nextInt(7) match {
           case 0 => // replace
             val rows = freshRows(1 + rnd.nextInt(3))
             val v = SnapshotLog.commit(spark, df(rows), t)
@@ -55,10 +60,38 @@ class SnapshotLogModelSpec extends AnyFunSuite with SparkFixture {
             else Map.empty[Long, String]) ++ freshRows(1)
             val v = SnapshotLog.merge(spark, t, df(upd), "id")
             model += v -> (model(head) ++ upd)
-          case 3 => // compact: content-preserving new version
-            val v = SnapshotLog.compact(spark, t, targetFiles = 1)
+          case 3 => // compact: content-preserving new version (clustered
+            // half the time — stats-preserving rewrite path)
+            val v =
+              if (rnd.nextBoolean()) SnapshotLog.compact(spark, t, targetFiles = 1)
+              else SnapshotLog.compact(spark, t, targetFiles = 2, clusterBy = Seq("id"))
             model += v -> model(head)
-          case 4 => // vacuum everything older than the head
+          case 4 => // CDC apply: delete one existing key, update another,
+            // insert a fresh one — atomically
+            import spark.implicits._
+            val existing = model(head).keys.toSeq.sorted
+            val delKey = existing.headOption
+            val updKey = existing.drop(1).headOption
+            val ins = freshRows(1)
+            val changes =
+              delKey.map(k => (k, "x", "D")).toSeq ++
+                updKey.map(k => (k, "cdc-upd", "U")).toSeq ++
+                ins.map { case (k, p) => (k, p, "I") }.toSeq
+            val v = SnapshotLog.applyChanges(spark, t,
+              changes.toDF("id", "payload", "op"), "id")
+            model += v -> (model(head) -- delKey ++
+              updKey.map(_ -> "cdc-upd") ++ ins)
+          case 5 => // idempotent txn append + an immediate replay of the
+            // SAME batch: exactly one commit may land
+            nextBatch += 1
+            val rows = freshRows(1)
+            val v = SnapshotLog.commit(spark, df(rows), t, append = true,
+              txn = Some(("model", nextBatch)))
+            val replayed = SnapshotLog.commit(spark, df(rows), t, append = true,
+              txn = Some(("model", nextBatch)))
+            assert(replayed == v, s"seed=$seed: a replayed txn batch must be a no-op")
+            model += v -> (model(head) ++ rows)
+          case 6 => // vacuum everything older than the head
             SnapshotLog.vacuum(t, keepFrom = head)
             model = model.filter(_._1 >= head)
             vacuumedBelow = math.max(vacuumedBelow, head)

@@ -722,6 +722,35 @@ class SnapshotLogSpec extends AnyFunSuite with SparkFixture {
       .select("id").collect().map(_.getLong(0)).toSet == Set(1L))
   }
 
+  test("concurrent appenders racing across the checkpoint boundary all land intact") {
+    import java.util.concurrent.Executors
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration._
+    val t = freshTable()
+    (1 to 17).foreach(i => SnapshotLog.commit(spark, df(i.toLong), t, append = i > 1))
+    val pool = Executors.newFixedThreadPool(4)
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    try {
+      // 8 racers land on v18..v25 — the v20 checkpoint publishes in the
+      // middle of the contention window, and later racers resolve their
+      // carry-forward head THROUGH it
+      val futs = (1 to 8).map { i =>
+        Future(SnapshotLog.commit(spark, df(100L + i), t, append = true))
+      }
+      val got = Await.result(Future.sequence(futs), 120.seconds)
+      assert(got.sorted == (18L to 25L), s"got $got")
+      assert(Files.exists(Paths.get(t, "_graft_log", "ckpt-v20.json")),
+        "the racer that landed v20 must have published the checkpoint")
+      assert(idsAt(t) == ((1 to 17).map(_.toLong) ++ (1 to 8).map(i => 100L + i)).toSet,
+        "a racing append dropped rows across the checkpoint boundary")
+      // and resolution from the checkpoint agrees with full replay
+      SnapshotLog.recordReads.set(0L)
+      assert(SnapshotLog.resolve(t, 25L).entries.size == 25)
+      assert(SnapshotLog.recordReads.get() <= 6,
+        s"head resolution must ride ckpt-v20, read ${SnapshotLog.recordReads.get()} records")
+    } finally pool.shutdown()
+  }
+
   test("vacuum deletes only files unreferenced by surviving versions") {
     val t = freshTable()
     SnapshotLog.commit(spark, df(1, 2), t)          // v1
