@@ -284,6 +284,7 @@ object SparkEntry {
     "stream_asof"      -> ((s, d) => EventStreams.asofToParquet(s, d)),
     "stream_snapshot_ingest" -> ((s, d) => EventStreams.snapshotIngest(s, d)),
     "stream_log_source" -> ((s, d) => EventStreams.logSourceCounts(s, d)),
+    "stream_dedup_ingest" -> ((s, d) => EventStreams.dedupIngest(s, d)),
     "stream_tumbling_parquet" -> ((s, d) => EventStreams.tumblingToParquet(s, d)),
     "stream_sliding"   -> (EventStreams.sliding _),
     "stream_sessions"  -> ((s, d) => EventStreams.sessionWindows(s, d)),
@@ -906,6 +907,17 @@ object SparkEntry {
       """SELECT event_type, count(*) AS n_events,
         |  CAST(round(sum(CAST(value AS DECIMAL(18,2))), 2) AS DOUBLE) AS sum_value
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "stream_dedup_ingest" -> // log source -> exact-dedup gate -> idempotent log
+      // sink: the destination head is the first-arrival exact dedup of
+      // the whole backlog, batching-invariant by the arrival-key
+      // construction, so the oracle replays it as one min-by + join
+      """WITH k AS (SELECT md5(text) AS fp,
+        |    min((doc_id % 3) * 1000000000 + doc_id) AS arr
+        |  FROM documents GROUP BY 1),
+        |  surv AS (SELECT d.lang, d.n_chars FROM documents d
+        |    JOIN k ON (d.doc_id % 3) * 1000000000 + d.doc_id = k.arr)
+        |SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars
+        |FROM surv GROUP BY lang ORDER BY lang""".stripMargin,
     "stream_asof" -> // per-micro-batch native as-of vs the static click table:
       // batching-invariant, so the sink equals the batch ASOF verbatim
       """WITH p AS (SELECT event_id, user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us

@@ -506,6 +506,78 @@ object EventStreams {
       .orderBy("event_type")
   }
 
+  /** STREAMING DEDUP-INGEST — the round-9 pieces composed into the
+    * production crawl-ingest shape: a `graft-log` SOURCE streams the
+    * raw document backlog version by version; each micro-batch passes
+    * a two-tier exact-dedup gate (WITHIN-batch: one winner per
+    * content fingerprint by arrival order; CROSS-batch: anti-join
+    * against the fingerprints already accepted into the destination
+    * log); survivors land as one idempotent append COMMIT per batch
+    * (txn batchId — a replayed batch cannot double-ingest). The
+    * destination head is therefore the exact-dedup of the whole
+    * backlog with first-arrival winners, whatever the batching.
+    *
+    * Batching invariance is by CONSTRUCTION: the within-batch winner
+    * key is the global arrival key (version-class * 1e9 + doc_id),
+    * so one batch or three pick identical winners — which is what
+    * lets the DuckDB oracle replay the whole thing as a single
+    * min-by-arrival + self-join, no streaming required.
+    *
+    * Scale: the gate's probe side is DISTINCT 16-byte fingerprints
+    * (never the text), the anti-join hashes on fp, and the
+    * destination read for the gate is a snapshot-log manifest listing
+    * — at 100 TB this is the standard bloom-prunable ingest gate
+    * (`dedup_incremental_bloom` is the batch twin). */
+  def dedupIngest(spark: SparkSession, dir: String,
+      maxVersionsPerTrigger: Option[Int] = Some(1)): DataFrame = {
+    val src = dedupIngestSourceTable(spark, dir)
+    val dest = graft.core.TempDirs.stable(s"dedup_ingest_dest:$dir")
+    graft.core.TempDirs.deleteRecursively(new java.io.File(dest))
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dest))
+    val stream0 = spark.readStream.format("graft-log")
+    val stream = maxVersionsPerTrigger.fold(stream0)(n =>
+      stream0.option("maxVersionsPerTrigger", n.toString))
+    val q = stream.load(src).writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+          batchId: Long) =>
+        val keyed = batch.toDF()
+          .withColumn("fp", md5(col("text")))
+          .withColumn("arr", (col("doc_id") % 3) * lit(1000000000L) + col("doc_id"))
+        val winners = keyed.join(
+          keyed.groupBy("fp").agg(min(col("arr")).as("arr")),
+          Seq("fp", "arr"), "left_semi")
+        val fresh =
+          if (graft.core.SnapshotLog.latestVersion(dest).isEmpty) winners
+          else winners.join(
+            graft.core.SnapshotLog.read(spark, dest).select("fp"),
+            Seq("fp"), "left_anti")
+        graft.core.SnapshotLog.commit(spark, fresh.drop("arr"), dest,
+          append = true, txn = Some(("dedup_ingest", batchId)))
+        ()
+      }
+      .option("checkpointLocation", ckpt())
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    graft.core.SnapshotLog.read(spark, dest)
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).cast("bigint").as("total_chars"))
+      .orderBy("lang")
+  }
+
+  private[graft] def dedupIngestSourceTable(spark: SparkSession, dir: String): String = {
+    val table = graft.core.TempDirs.stable(s"dedup_ingest_src:$dir")
+    graft.core.TempDirs.deleteRecursively(new java.io.File(table))
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(table))
+    val docs = graft.core.Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text"), col("lang"), col("source"), col("n_chars"))
+    graft.core.SnapshotLog.commit(spark, docs.filter(col("doc_id") % 3 === 0), table)
+    graft.core.SnapshotLog.commit(spark, docs.filter(col("doc_id") % 3 === 1), table, append = true)
+    graft.core.SnapshotLog.commit(spark, docs.filter(col("doc_id") % 3 === 2), table, append = true)
+    table
+  }
+
   private[graft] def logSourceDemoTable(spark: SparkSession, dir: String): String = {
     val table = graft.core.TempDirs.stable(s"log_source:$dir")
     graft.core.TempDirs.deleteRecursively(new java.io.File(table))

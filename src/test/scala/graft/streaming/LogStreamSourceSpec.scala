@@ -165,6 +165,35 @@ class LogStreamSourceSpec extends AnyFunSuite with SparkFixture {
     assert(byId == Map(1L -> None, 2L -> Some("extra")))
   }
 
+  test("dedup-ingest composition: 3-batch == 1-batch == batch dedup, one idempotent commit per batch") {
+    val sf = "/root/testdata/sf0.001"
+    def rows(d: org.apache.spark.sql.DataFrame) =
+      d.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val oneBatch = rows(EventStreams.dedupIngest(spark, sf, maxVersionsPerTrigger = None))
+    val threeBatch = rows(EventStreams.dedupIngest(spark, sf, maxVersionsPerTrigger = Some(1)))
+    assert(threeBatch == oneBatch,
+      "the dedup gate must pick identical winners whatever the batching")
+    // batch-computed expectation: first-arrival winner per content md5
+    import org.apache.spark.sql.functions._
+    val docs = graft.core.Tables.documents(spark, sf)
+      .withColumn("fp", md5(col("text")))
+      .withColumn("arr", (col("doc_id") % 3) * lit(1000000000L) + col("doc_id"))
+    val winners = docs.join(docs.groupBy("fp").agg(min(col("arr")).as("arr")),
+      Seq("fp", "arr"), "left_semi")
+    val expect = rows(winners.groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).cast("bigint").as("total_chars"))
+      .orderBy("lang"))
+    assert(threeBatch == expect)
+    // the LAST run was the 3-batch one: the destination saw one commit
+    // per source version, each carrying its txn batchId (replay-safe)
+    val dest = graft.core.TempDirs.stable(s"dedup_ingest_dest:$sf")
+    val vs = graft.core.SnapshotLog.versions(dest)
+    assert(vs.size == 3, s"3 source versions -> 3 dest commits, got $vs")
+    val st = graft.core.SnapshotLog.resolve(dest, vs.max)
+    assert(st.txns.get("dedup_ingest").contains(2L),
+      s"the txn high-water mark must be batch 2, got ${st.txns}")
+  }
+
   test("nested schemas and partitioned layouts fail fast with clear errors") {
     import spark.implicits._
     val t = freshTable()
