@@ -70,19 +70,28 @@ object SnapshotLog {
     * Iceberg/Delta data-skipping pattern, file-level pruning from log
     * metadata alone. A column absent from `num`/`str` has no bounds
     * for this file (it is always read — skipping may drop files,
-    * never rows). */
+    * never rows). `schema` is the Spark schema JSON of the commit
+    * that wrote the file (recorded once per record, rehydrated per
+    * entry): it lets the reader PLAN without opening any file — all
+    * same-schema flat files collapse into ONE scan with an explicit
+    * schema, so the read plan is O(distinct schemas), not O(commits),
+    * and planning costs zero footer reads. */
   final case class FileEntry(path: String, rows: Long,
                              num: Map[String, (Double, Double)] = Map.empty,
-                             str: Map[String, (String, String)] = Map.empty)
+                             str: Map[String, (String, String)] = Map.empty,
+                             schema: Option[String] = None)
 
   /** What one commit DID: `append=false` redefines the table as
     * exactly `adds`; `append=true` extends the previous version with
     * `adds`. `txn` is the idempotent-writer token (appId -> batchId),
     * Delta's txnAppId/txnVersion rule: a commit whose batchId is <=
-    * the one already recorded for its appId is a no-op replay. */
+    * the one already recorded for its appId is a no-op replay.
+    * `schema` is the committed DataFrame's schema JSON (partition
+    * columns included). */
   final case class CommitRecord(version: Long, append: Boolean,
                                 adds: Seq[FileEntry],
-                                txn: Option[(String, Long)] = None) {
+                                txn: Option[(String, Long)] = None,
+                                schema: Option[String] = None) {
     def rows: Long = adds.map(_.rows).sum
   }
 
@@ -183,6 +192,7 @@ object SnapshotLog {
     r.txn.foreach { case (app, batch) =>
       val t = o.putObject("txn"); t.put("app", app); t.put("batch", batch)
     }
+    r.schema.foreach(s => o.put("schema", s)): Unit
     val a = o.putArray("add")
     r.adds.foreach(e => a.add(entryToJson(e)))
     mapper.writeValueAsString(o)
@@ -208,7 +218,9 @@ object SnapshotLog {
       case _ => sys.error(s"corrupt commit record v$v: add is not an array")
     }
     val txn = Option(n.get("txn")).map(t => (t.get("app").asText(), t.get("batch").asLong()))
-    CommitRecord(n.get("version").asLong(), n.get("append").asBoolean(), adds, txn)
+    val schema = Option(n.get("schema")).map(_.asText())
+    CommitRecord(n.get("version").asLong(), n.get("append").asBoolean(),
+      adds.map(_.copy(schema = schema)), txn, schema)
   }
 
   private def stateToJson(st: TableState): String = {
@@ -216,8 +228,17 @@ object SnapshotLog {
     o.put("version", st.version)
     val t = o.putObject("txns")
     st.txns.toSeq.sortBy(_._1).foreach { case (k, v) => t.put(k, v) }
+    // schemas dedupe into one table; entries reference by index (a
+    // checkpoint over 10k files repeats each schema once, not 10k times)
+    val schemas = st.entries.flatMap(_.schema).distinct
+    val sa = o.putArray("schemas")
+    schemas.foreach(sa.add)
     val a = o.putArray("entries")
-    st.entries.foreach(e => a.add(entryToJson(e)))
+    st.entries.foreach { e =>
+      val en = entryToJson(e)
+      e.schema.foreach(s => en.put("si", schemas.indexOf(s))): Unit
+      a.add(en)
+    }
     mapper.writeValueAsString(o)
   }
 
@@ -227,11 +248,18 @@ object SnapshotLog {
     else {
       val n = mapper.readTree(Files.readAllBytes(p))
       val a = n.get("entries").asInstanceOf[ArrayNode]
+      val schemas = Option(n.get("schemas")).map(s =>
+        (0 until s.size()).map(s.get(_).asText())).getOrElse(Seq.empty)
       val txns = Option(n.get("txns")).map(t =>
         t.properties().asScala.map(e => e.getKey -> e.getValue.asLong()).toMap)
         .getOrElse(Map.empty[String, Long])
       Some(TableState(n.get("version").asLong(),
-        (0 until a.size()).map(i => entryFromJson(a.get(i))), txns))
+        (0 until a.size()).map { i =>
+          val en = a.get(i)
+          val e = entryFromJson(en)
+          Option(en.get("si")).map(si => e.copy(schema = Some(schemas(si.asInt()))))
+            .getOrElse(e)
+        }, txns))
     }
   }
 
@@ -458,7 +486,8 @@ object SnapshotLog {
         if (raced.isDefined) return raced.get
       }
       val v = cur + 1
-      val rec = CommitRecord(v, append && v > 1, adds, txn)
+      val rec = CommitRecord(v, append && v > 1, adds, txn,
+        schema = if (staged.isEmpty) None else Some(df.schema.json))
       val tmp = logDir(table).resolve(s".tmp-$stage-$attempt")
       Files.write(tmp, recordToJson(rec).getBytes("UTF-8"))
       try {
@@ -488,35 +517,62 @@ object SnapshotLog {
   def read(spark: SparkSession, table: String, asOf: Option[Long] = None): DataFrame = {
     val v = asOf.orElse(latestVersion(table))
       .getOrElse(sys.error(s"no committed version in $table"))
-    readFiles(spark, table, resolve(table, v).entries.map(_.path))
+    readFiles(spark, table, resolve(table, v).entries)
   }
 
+  private def stageOf(path: String): String = path.split("/").take(2).mkString("/")
+
+  /** Plan the read of an exact entry list. Flat (unpartitioned) files
+    * whose commits recorded the SAME schema collapse into ONE parquet
+    * scan with that schema given explicitly — the read plan is
+    * O(distinct schemas), not O(commits), and planning opens no file
+    * (a 500-append ingest chain would otherwise build a 500-way union
+    * and read 500 footers just to plan). Hive-partitioned stages keep
+    * a per-stage read (basePath restores the partition columns).
+    * Groups union by NAME with allowMissingColumns: an append commit
+    * may carry MORE columns than the base (schema evolution) — older
+    * groups surface null for the new column instead of failing the
+    * union or silently dropping it (the plain multi-path parquet read
+    * without mergeSchema picks ONE file's schema — exactly the
+    * silent-loss trap the grouped union avoids). */
   private def readFiles(spark: SparkSession, table: String,
-                        files: Seq[String]): DataFrame =
-    if (files.isEmpty) spark.emptyDataFrame
+                        entries: Seq[FileEntry]): DataFrame =
+    if (entries.isEmpty) spark.emptyDataFrame
     else {
-      val byStage = files.groupBy(f => f.split("/").take(2).mkString("/")).toSeq.sortBy(_._1)
-      byStage.map { case (stage, fs) =>
-        spark.read.option("basePath", s"$table/$stage")
-          .parquet(fs.map(f => s"$table/$f"): _*)
-      }.reduce(_.unionByName(_, allowMissingColumns = true))
-      // allowMissingColumns: an append commit may carry MORE columns
-      // than the base (schema evolution) — older stages surface null
-      // for the new column instead of failing the union or silently
-      // dropping it (the plain multi-path parquet read without
-      // mergeSchema picks ONE file's schema — exactly the silent-loss
-      // trap the per-stage union avoids)
+      def schemaOf(sj: String): org.apache.spark.sql.types.StructType =
+        org.apache.spark.sql.types.DataType.fromJson(sj)
+          .asInstanceOf[org.apache.spark.sql.types.StructType]
+      val (part, flat) = entries.partition(
+        _.path.split("/").drop(2).exists(_.contains("=")))
+      val partReads = part.groupBy(e => stageOf(e.path)).toSeq.sortBy(_._1)
+        .map { case (stage, es) =>
+          val r0 = spark.read.option("basePath", s"$table/$stage")
+          val r = es.head.schema.fold(r0)(sj => r0.schema(schemaOf(sj)))
+          r.parquet(es.map(e => s"$table/${e.path}").sorted: _*)
+        }
+      val flatReads = flat.groupBy(_.schema).toSeq
+        .sortBy(_._2.map(_.path).min).flatMap {
+          case (Some(sj), es) =>
+            Seq(spark.read.schema(schemaOf(sj))
+              .parquet(es.map(e => s"$table/${e.path}").sorted: _*))
+          case (None, es) => // schema-less record: per-stage inference
+            es.groupBy(e => stageOf(e.path)).toSeq.sortBy(_._1).map {
+              case (stage, ss) =>
+                spark.read.option("basePath", s"$table/$stage")
+                  .parquet(ss.map(e => s"$table/${e.path}").sorted: _*)
+            }
+        }
+      (partReads ++ flatReads).reduce(_.unionByName(_, allowMissingColumns = true))
     }
 
   /** The table's schema with ZERO rows — what a fully-pruned read
-    * returns. One representative file per stage (cheap: footer reads
-    * only) unioned under the same evolution rules as a real read,
-    * filtered to nothing. */
+    * returns. One representative entry per stage unioned under the
+    * same evolution rules as a real read, filtered to nothing. */
   private def emptyLike(spark: SparkSession, table: String,
-                        allFiles: Seq[String]): DataFrame =
-    if (allFiles.isEmpty) spark.emptyDataFrame
+                        entries: Seq[FileEntry]): DataFrame =
+    if (entries.isEmpty) spark.emptyDataFrame
     else readFiles(spark, table,
-      allFiles.groupBy(_.split("/").take(2).mkString("/")).values.map(_.head).toSeq)
+      entries.groupBy(e => stageOf(e.path)).values.map(_.head).toSeq)
       .filter(lit(false))
 
   /** Manifest-side file pruning for a range predicate on an indexed
@@ -641,10 +697,8 @@ object SnapshotLog {
     val v = asOf.orElse(latestVersion(table))
       .getOrElse(sys.error(s"no committed version in $table"))
     val st = resolve(table, v)
-    val (kept, _) = st.entries.partition(mightMatch(_, p)) match {
-      case (k, s) => (k.map(_.path), s.map(_.path))
-    }
-    if (kept.isEmpty) emptyLike(spark, table, st.entries.map(_.path))
+    val (kept, _) = st.entries.partition(mightMatch(_, p))
+    if (kept.isEmpty) emptyLike(spark, table, st.entries)
     else {
       val out = readFiles(spark, table, kept)
       out.filter(predColumn(out, p))
@@ -800,9 +854,9 @@ object SnapshotLog {
     recs.find(!_.append).foreach(r => sys.error(
       s"version ${r.version} is a replace commit — its delta is not " +
         "derivable from the log; re-read the snapshot instead"))
-    val newFiles = recs.flatMap(_.adds.map(_.path))
-    if (newFiles.isEmpty) spark.emptyDataFrame
-    else readFiles(spark, table, newFiles) // shares the per-stage basePath
+    val newEntries = recs.flatMap(_.adds)
+    if (newEntries.isEmpty) spark.emptyDataFrame
+    else readFiles(spark, table, newEntries) // shares the grouped-scan
     // union (incl. allowMissingColumns), so the change feed tolerates
     // the same schema evolution the snapshot read does
   }

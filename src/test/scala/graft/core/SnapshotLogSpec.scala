@@ -225,6 +225,10 @@ class SnapshotLogSpec extends AnyFunSuite with SparkFixture {
     // time travel to the pre-evolution version keeps the narrow schema
     assert(SnapshotLog.read(spark, t, Some(1L)).schema.fieldNames.toSet ==
       Set("id", "payload"))
+    // two DISTINCT schemas -> exactly two grouped scans, no more
+    val plan = head.queryExecution.executedPlan.toString
+    assert("Scan parquet".r.findAllIn(plan).size == 2,
+      s"evolved table must plan one scan per distinct schema:\n${plan.take(1500)}")
   }
 
   test("data skipping: a range read opens only overlapping files and loses no rows") {
@@ -547,6 +551,12 @@ class SnapshotLogSpec extends AnyFunSuite with SparkFixture {
       s"head resolution read ${SnapshotLog.recordReads.get()} records for a $n-commit chain — not O(checkpoint)")
     // the carried column index reached the whole chain (appends carry it)
     assert(st.entries.forall(_.num.contains("v")))
+    // the READ PLAN is O(distinct schemas), not O(commits): 45 flat
+    // same-schema stages collapse into ONE parquet scan (the recorded
+    // schema makes planning file-open-free too)
+    val plan = SnapshotLog.read(spark, t).queryExecution.executedPlan.toString
+    val scans = "Scan parquet".r.findAllIn(plan).size
+    assert(scans == 1, s"a $n-append same-schema chain must plan ONE scan, planned $scans")
     // retire the history; the checkpointed base keeps the head readable
     SnapshotLog.vacuum(t, keepFrom = n - 1L)
     assert(SnapshotLog.versions(t) == Seq(n - 1L, n.toLong))
