@@ -160,30 +160,15 @@ object SnapshotLog {
   }
 
   private def entryFromJson(n: JsonNode): FileEntry = {
-    def bounds(kind: String, f: JsonNode => String): Map[String, (String, String)] =
+    def bounds[A](kind: String, f: JsonNode => A): Map[String, (A, A)] =
       Option(n.get(kind)).map { m =>
-        m.properties().asScala.map { e =>
+        m.properties().iterator().asScala.map { e =>
           e.getKey -> (f(e.getValue.get(0)), f(e.getValue.get(1)))
         }.toMap
-      }.getOrElse(Map.empty)
+      }.getOrElse(Map.empty[String, (A, A)])
     FileEntry(
       n.get("path").asText(), n.get("rows").asLong(),
-      Option(n.get("num")).map { m =>
-        m.properties().asScala.map { e =>
-          e.getKey -> (e.getValue.get(0).asDouble(), e.getValue.get(1).asDouble())
-        }.toMap
-      }.getOrElse(Map.empty),
-      bounds("str", _.asText()))
-  }
-
-  private implicit class JIter(it: java.util.Set[java.util.Map.Entry[String, JsonNode]]) {
-    def asScala: Iterator[java.util.Map.Entry[String, JsonNode]] = {
-      val i = it.iterator()
-      new Iterator[java.util.Map.Entry[String, JsonNode]] {
-        def hasNext: Boolean = i.hasNext
-        def next(): java.util.Map.Entry[String, JsonNode] = i.next()
-      }
-    }
+      bounds("num", _.asDouble()), bounds("str", _.asText()))
   }
 
   private def recordToJson(r: CommitRecord): String = {
@@ -245,13 +230,13 @@ object SnapshotLog {
   private def readCheckpoint(table: String, v: Long): Option[TableState] = {
     val p = ckptPath(table, v)
     if (!Files.exists(p)) None
-    else {
+    else try {
       val n = mapper.readTree(Files.readAllBytes(p))
       val a = n.get("entries").asInstanceOf[ArrayNode]
       val schemas = Option(n.get("schemas")).map(s =>
         (0 until s.size()).map(s.get(_).asText())).getOrElse(Seq.empty)
       val txns = Option(n.get("txns")).map(t =>
-        t.properties().asScala.map(e => e.getKey -> e.getValue.asLong()).toMap)
+        t.properties().iterator().asScala.map(e => e.getKey -> e.getValue.asLong()).toMap)
         .getOrElse(Map.empty[String, Long])
       Some(TableState(n.get("version").asLong(),
         (0 until a.size()).map { i =>
@@ -260,6 +245,10 @@ object SnapshotLog {
           Option(en.get("si")).map(si => e.copy(schema = Some(schemas(si.asInt()))))
             .getOrElse(e)
         }, txns))
+    } catch {
+      case scala.util.control.NonFatal(e) => sys.error(
+        s"corrupt checkpoint ckpt-v$v of $table: ${e.getMessage} — " +
+          "delete the checkpoint file to fall back to record replay")
     }
   }
 
@@ -283,12 +272,20 @@ object SnapshotLog {
       })
 
   /** Resolve the full table state at `v`: walk back to the nearest
-    * base (checkpoint, or a replace record — a free checkpoint since
-    * it redefines the table), then replay forward. The walk is
-    * bounded by `checkpointEvery`, so head resolution does not grow
-    * with table age — the property that makes a months-old
-    * streaming-ingest table (thousands of append commits) readable in
-    * O(interval) metadata operations. */
+    * CHECKPOINT, then replay forward. The walk is bounded by
+    * `checkpointEvery`, so head resolution does not grow with table
+    * age — the property that makes a months-old streaming-ingest
+    * table (thousands of append commits) readable in O(interval)
+    * metadata operations.
+    *
+    * The walk deliberately does NOT stop at a replace record even
+    * though the FILE list restarts there: txn (appId, batchId)
+    * high-water marks must survive replaces, or a maintenance compact
+    * while an idempotent writer is down would erase its replay
+    * protection and let the restarted writer double-append — Delta
+    * carries SetTransaction actions through checkpoints for exactly
+    * this reason. `applyRecord` resets entries on a replace but
+    * always MERGES txns. */
   def resolve(table: String, v: Long): TableState = {
     var recs = List.empty[CommitRecord]
     var base = TableState(0L, Seq.empty, Map.empty)
@@ -298,9 +295,8 @@ object SnapshotLog {
       readCheckpoint(table, w) match {
         case Some(st) => base = st; done = true
         case None =>
-          val r = readRecord(table, w)
-          recs ::= r
-          if (!r.append) done = true else { w -= 1; done = w < 1 }
+          recs ::= readRecord(table, w)
+          w -= 1; done = w < 1
       }
     }
     recs.foldLeft(base)(applyRecord)
@@ -396,7 +392,15 @@ object SnapshotLog {
     def alreadyApplied(): Option[Long] = txn.flatMap { case (app, batch) =>
       resolveHead(table).filter(_.txns.get(app).exists(_ >= batch)).map(_.version)
     }
-    val replayed = alreadyApplied() // replayed batch: skip even the stage write
+    // ONE head resolution serves both the txn replay check and the
+    // carried stats columns — the ingest hot path pays the
+    // O(checkpoint-interval) metadata replay once per commit
+    val headState: Option[TableState] =
+      if (txn.isDefined || append) resolveHead(table) else None
+    val replayed = txn.flatMap { case (app, batch) => // replayed batch:
+      // skip even the stage write
+      headState.filter(_.txns.get(app).exists(_ >= batch)).map(_.version)
+    }
     if (replayed.isDefined) return replayed.get
     val stage = java.util.UUID.randomUUID().toString
     val stageDir = Paths.get(table, "data", stage)
@@ -418,7 +422,7 @@ object SnapshotLog {
     // head column simply records no bounds for it (always read)
     val carryCols =
       if (!append) Seq.empty
-      else resolveHead(table).map(indexedColumns).getOrElse(Seq.empty)
+      else headState.map(indexedColumns).getOrElse(Seq.empty)
     val adds: Seq[FileEntry] =
       if (staged.isEmpty) Seq.empty
       else {
@@ -660,16 +664,24 @@ object SnapshotLog {
   /** The row-level Column a predicate tree denotes — applied as the
     * residual filter after file pruning (schema-aware, so timestamp
     * columns compare in the same epoch-second view the stats use),
-    * which makes pruned and unpruned reads agree by construction. */
+    * which makes pruned and unpruned reads agree by construction.
+    * A predicate column MISSING from the frame (an evolved column
+    * when every file that carries it was pruned) evaluates as NULL —
+    * the same answer the unpruned read gives for the old rows, where
+    * the evolution union surfaces null and null never satisfies a
+    * comparison. */
   private def predColumn(df: DataFrame, p: Pred): org.apache.spark.sql.Column = {
+    def raw(c: String): org.apache.spark.sql.Column =
+      if (df.columns.contains(c)) col(c) else lit(null)
     def num(c: String): org.apache.spark.sql.Column =
-      numericView(col(c), df.schema(c).dataType)
+      if (df.columns.contains(c)) numericView(col(c), df.schema(c).dataType)
+      else lit(null).cast("double")
     p match {
       case Pred.Between(c, lo, hi) => num(c) >= lo && num(c) <= hi
       case Pred.Eq(c, v) => num(c) === v
       case Pred.In(c, vs) => num(c).isin(vs.map(Double.box): _*)
-      case Pred.StrEq(c, v) => col(c) === v
-      case Pred.StrIn(c, vs) => col(c).isin(vs: _*)
+      case Pred.StrEq(c, v) => raw(c) === v
+      case Pred.StrIn(c, vs) => raw(c).isin(vs: _*)
       case Pred.And(ps @ _*) => ps.map(predColumn(df, _)).reduce(_ && _)
       case Pred.Or(ps @ _*) => ps.map(predColumn(df, _)).reduce(_ || _)
     }
@@ -764,10 +776,14 @@ object SnapshotLog {
         (col(c).cast("double") - lit(lo)) / lit(hi - lo) * lit(maxBucket.toDouble))
         .cast("bigint"))
     val z = Maintenance.zValue(bucket(colA, aLo, aHi), bucket(colB, bLo, bHi), bits)
-    val laid = head.withColumn("_graft_z", z)
-      .repartitionByRange(targetFiles, col("_graft_z"))
-      .sortWithinPartitions("_graft_z")
-      .drop("_graft_z")
+    // collision-proof temp column: a user column literally named
+    // _graft_z must survive the rewrite (content-identical contract)
+    val zc = Iterator.from(0).map(i => s"_graft_z$i")
+      .find(!head.columns.contains(_)).get
+    val laid = head.withColumn(zc, z)
+      .repartitionByRange(targetFiles, col(zc))
+      .sortWithinPartitions(zc)
+      .drop(zc)
     commit(spark, laid, table, expectedHead = Some(headV),
       statsFor = (indexedColumns(st) ++ Seq(colA, colB)).distinct
         .filter(head.columns.contains))
@@ -898,9 +914,13 @@ object SnapshotLog {
     val cutoff = math.min(keepFrom, all.last) // the live head never dies
     val (dead, live) = all.partition(_ < cutoff)
     if (dead.isEmpty) return Seq.empty
-    // re-base the oldest survivor while its history is still readable
+    // re-base the oldest survivor while its history is still readable.
+    // ALWAYS checkpoint (even when its record is a replace): resolution
+    // walks past replaces to accumulate txn high-water marks, so the
+    // base must be a checkpoint or the walk would dead-end on a
+    // deleted record
     val base = resolve(table, live.head)
-    if (readCheckpoint(table, live.head).isEmpty && readRecord(table, live.head).append)
+    if (readCheckpoint(table, live.head).isEmpty)
       writeCheckpoint(table, base)
     // live files: one forward replay from the new base
     val liveFiles = live.tail.foldLeft((base, base.entries.map(_.path).toSet)) {
@@ -928,9 +948,23 @@ object SnapshotLog {
   def vacuumOrphans(table: String, olderThanMs: Long = 3600000L): Seq[String] = {
     val dataDir = Paths.get(table, "data")
     if (!Files.isDirectory(dataDir)) return Seq.empty
-    val referenced = versions(table)
-      .flatMap(readRecord(table, _).adds.map(_.path))
-      .map(_.split("/").take(2).mkString("/")).toSet
+    // referenced = the union of RESOLVED live file sets, NOT the
+    // surviving records' delta adds: after a vacuum re-based the head
+    // on a checkpoint, the head's files are referenced only by that
+    // checkpoint — computing references from record adds alone would
+    // let the orphan sweep destroy the live table (one forward replay
+    // from the oldest survivor covers every surviving version)
+    val vs = versions(table)
+    val referenced =
+      if (vs.isEmpty) Set.empty[String]
+      else {
+        val base = resolve(table, vs.head)
+        vs.tail.foldLeft((base, base.entries.map(e => stageOf(e.path)).toSet)) {
+          case ((st, acc), v) =>
+            val next = applyRecord(st, readRecord(table, v))
+            (next, acc ++ next.entries.map(e => stageOf(e.path)))
+        }._2
+      }
     val cutoff = System.currentTimeMillis() - olderThanMs
     val st = Files.list(dataDir)
     val stages = try st.iterator().asScala.toSeq finally st.close()

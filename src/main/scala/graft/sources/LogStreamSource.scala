@@ -157,6 +157,17 @@ final class LogMicroBatchStream(table: String, schema: StructType,
     val e = end.asInstanceOf[LogOffset].version
     if (e <= s) return Array.empty
     val range = SnapshotLog.versions(table).filter(v => v > s && v <= e)
+    // the batch is EXACTLY the commits (s, e] — if any were vacuumed,
+    // their rows can never be delivered, so fail loudly (the Delta
+    // versions-no-longer-exist rule) instead of silently dropping
+    // them. This also rejects a fresh stream over a table whose
+    // initial history was vacuumed (its head lives only in a
+    // checkpoint; the records alone cannot reproduce the snapshot).
+    val expected = (s + 1) to e
+    if (!range.sameElements(expected)) sys.error(
+      s"versions ${(expected.toSet -- range.toSet).toSeq.sorted.mkString(",")} of $table " +
+        "no longer exist (vacuumed) — the stream cannot deliver their rows; " +
+        "restart from a fresh checkpoint against the current snapshot")
     val recs = range.map(SnapshotLog.readRecord(table, _))
     recs.filter(!_.append).foreach { r =>
       // the initial batch may BEGIN with the table-creating replace

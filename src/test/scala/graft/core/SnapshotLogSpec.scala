@@ -761,6 +761,61 @@ class SnapshotLogSpec extends AnyFunSuite with SparkFixture {
     } finally pool.shutdown()
   }
 
+  test("orphan sweep after a vacuum re-base never touches the live head's files") {
+    // composition bug (r9 review): after vacuum re-bases the head on a
+    // checkpoint, the head's files are referenced only by that
+    // checkpoint — an orphan sweep computing references from the
+    // surviving records' delta adds alone would DELETE the live data
+    val t = freshTable()
+    (1 to 5).foreach(i => SnapshotLog.commit(spark, df(i.toLong), t, append = i > 1))
+    SnapshotLog.vacuum(t, keepFrom = 5L) // head v5 now rests on ckpt-v5
+    assert(SnapshotLog.versions(t) == Seq(5L))
+    val swept = SnapshotLog.vacuumOrphans(t, olderThanMs = -1000L) // everything "old"
+    assert(swept.isEmpty, s"the sweep deleted live stages: $swept")
+    assert(idsAt(t) == (1L to 5L).toSet,
+      "the head must read whole after vacuum + orphan sweep")
+  }
+
+  test("txn replay protection survives a replace commit (maintenance during writer downtime)") {
+    // composition bug (r9 review): an idempotent writer crashes after
+    // its commit published; maintenance compacts (a REPLACE commit)
+    // while it is down; the replayed batch must STILL be a no-op —
+    // txn high-water marks survive replaces (resolution merges txns
+    // straight through them, Delta's SetTransaction-in-checkpoint rule)
+    val t = freshTable()
+    SnapshotLog.commit(spark, df(1), t)
+    val v2 = SnapshotLog.commit(spark, df(2), t, append = true, txn = Some(("w", 7L)))
+    assert(v2 == 2L)
+    val v3 = SnapshotLog.compact(spark, t, targetFiles = 1) // replace
+    assert(v3 == 3L)
+    val replay = SnapshotLog.commit(spark, df(2), t, append = true, txn = Some(("w", 7L)))
+    assert(replay == 3L, "the replayed batch must not land after the compact")
+    assert(SnapshotLog.read(spark, t).count() == 2L, "no duplicate rows")
+    // and the next real batch still lands
+    assert(SnapshotLog.commit(spark, df(3), t, append = true, txn = Some(("w", 8L))) == 4L)
+  }
+
+  test("readWhere on an evolved column stays exact when its carrier files are pruned") {
+    // composition bug (r9 review): predicate on a column only SOME
+    // files carry; bounds prune the carriers, bounds-less old files
+    // stay — the residual filter must evaluate the missing column as
+    // NULL (matching the unpruned union's null fill), not crash
+    import SnapshotLog.Pred._
+    import spark.implicits._
+    val t = freshTable()
+    SnapshotLog.commit(spark, Seq((1L, 10.0)).toDF("id", "v").coalesce(1), t)
+    SnapshotLog.commit(spark,
+      Seq((2L, 20.0, "mmm")).toDF("id", "v", "note").coalesce(1),
+      t, append = true, statsFor = Seq("note"))
+    // 'zzz' is above the only note-carrying file's bounds: that file
+    // prunes, the note-less v1 file keeps -> 0 rows, schema intact
+    val out = SnapshotLog.readWhere(spark, t, StrEq("note", "zzz"))
+    assert(out.count() == 0L)
+    // and an in-range probe still finds its row through the same path
+    assert(SnapshotLog.readWhere(spark, t, StrEq("note", "mmm"))
+      .select("id").collect().map(_.getLong(0)).toSet == Set(2L))
+  }
+
   test("vacuum deletes only files unreferenced by surviving versions") {
     val t = freshTable()
     SnapshotLog.commit(spark, df(1, 2), t)          // v1

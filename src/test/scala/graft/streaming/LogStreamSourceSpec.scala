@@ -194,6 +194,29 @@ class LogStreamSourceSpec extends AnyFunSuite with SparkFixture {
       s"the txn high-water mark must be batch 2, got ${st.txns}")
   }
 
+  test("a vacuumed version gap fails the stream instead of silently losing rows") {
+    val t = freshTable()
+    val checkpoint = ck()
+    val out = Files.createTempDirectory("graft_logsrc_out_").toString
+    SnapshotLog.commit(spark, df(1), t)
+    SnapshotLog.commit(spark, df(2), t, append = true)
+    SnapshotLog.commit(spark, df(3), t, append = true)
+    assert(drainToFiles(t, checkpoint, out) == Set(1L, 2L, 3L))
+    SnapshotLog.commit(spark, df(4), t, append = true)
+    SnapshotLog.commit(spark, df(5), t, append = true)
+    SnapshotLog.vacuum(t, keepFrom = 5L) // v4's record dies; its rows live only in ckpt-v5
+    val e = intercept[Exception] { drainToFiles(t, checkpoint, out) }
+    def msgs(x: Throwable): Seq[String] =
+      if (x == null) Seq.empty else Option(x.getMessage).toSeq ++ msgs(x.getCause)
+    assert(msgs(e).exists(_.contains("no longer exist")), s"got ${msgs(e)}")
+    // a FRESH stream over the vacuumed table also refuses (its initial
+    // snapshot is not reproducible from the surviving records)
+    val e2 = intercept[Exception] {
+      drainToFiles(t, ck(), Files.createTempDirectory("graft_logsrc_out_").toString)
+    }
+    assert(msgs(e2).exists(_.contains("no longer exist")), s"got ${msgs(e2)}")
+  }
+
   test("nested schemas and partitioned layouts fail fast with clear errors") {
     import spark.implicits._
     val t = freshTable()
