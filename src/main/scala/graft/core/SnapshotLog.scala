@@ -187,6 +187,12 @@ object SnapshotLog {
     * head-resolution audits (each record read bumps it once). */
   private[core] val recordReads = new java.util.concurrent.atomic.AtomicLong(0L)
 
+  /** Race-injection seam for specs: runs inside `commit` after the txn
+    * pre-check, before the stage write — the window where a concurrent
+    * duplicate of the same (appId, batchId) can land. No-op in
+    * production. */
+  @volatile private[core] var onStagedHook: () => Unit = () => ()
+
   /** One commit record. Fails loudly on a missing (vacuumed) or
     * corrupt record — never a partial snapshot. */
   def readRecord(table: String, v: Long): CommitRecord = {
@@ -248,7 +254,9 @@ object SnapshotLog {
     } catch {
       case scala.util.control.NonFatal(e) => sys.error(
         s"corrupt checkpoint ckpt-v$v of $table: ${e.getMessage} — " +
-          "delete the checkpoint file to fall back to record replay")
+          "if the commit records below v" + v + " still exist, deleting the " +
+          "checkpoint falls back to record replay; if they were vacuumed, " +
+          "this checkpoint is the only copy of the base state — restore it")
     }
   }
 
@@ -304,6 +312,16 @@ object SnapshotLog {
 
   private def resolveHead(table: String): Option[TableState] =
     latestVersion(table).map(resolve(table, _))
+
+  /** Resolved state at each of `vs` (ascending, typically the
+    * surviving versions): ONE base resolution + forward replay — the
+    * shared accumulation under vacuum, the orphan sweep, and history,
+    * so the replay semantics (incl. txns-through-replaces) live in
+    * exactly one place. */
+  private def statesFrom(table: String, vs: Seq[Long]): Seq[TableState] =
+    if (vs.isEmpty) Seq.empty
+    else vs.tail.scanLeft(resolve(table, vs.head))(
+      (st, v) => applyRecord(st, readRecord(table, v)))
 
   /** The columns the table currently indexes for data skipping: every
     * column any live file carries bounds for. */
@@ -402,6 +420,7 @@ object SnapshotLog {
       headState.filter(_.txns.get(app).exists(_ >= batch)).map(_.version)
     }
     if (replayed.isDefined) return replayed.get
+    onStagedHook()
     val stage = java.util.UUID.randomUUID().toString
     val stageDir = Paths.get(table, "data", stage)
     val writer = df.write.mode("overwrite")
@@ -483,9 +502,14 @@ object SnapshotLog {
       expectedHead.foreach(e => if (cur != e) sys.error(
         s"concurrent modification on $table: head moved v$e -> v$cur " +
           "under a read-modify-write commit; re-derive and retry"))
-      // a racer may have applied our txn between the early check and
-      // now — re-check against the head we are about to build on
-      if (attempt > 0) {
+      // a racer may have applied our txn ANY time after the one head
+      // resolution above — during the (long) stage write included. A
+      // lost link race retries through here, but a racer that landed
+      // BEFORE our first link attempt never causes one, so gate on the
+      // head having MOVED since the version the txn was checked at,
+      // not on attempt count — otherwise a zombie replay that commits
+      // while we stage double-appends on a clean first link.
+      if (txn.isDefined && !headState.map(_.version).contains(cur)) {
         val raced = alreadyApplied()
         if (raced.isDefined) return raced.get
       }
@@ -839,17 +863,9 @@ object SnapshotLog {
   def history(spark: SparkSession, table: String): DataFrame = {
     import spark.implicits._
     val vs = versions(table)
-    val rows = if (vs.isEmpty) Seq.empty else {
-      var st = resolve(table, vs.head)
-      val first = {
-        val r = readRecord(table, vs.head)
-        (r.version, if (r.append) "append" else "replace", r.rows, st.entries.size.toLong)
-      }
-      first +: vs.tail.map { v =>
-        val r = readRecord(table, v)
-        st = applyRecord(st, r)
-        (r.version, if (r.append) "append" else "replace", r.rows, st.entries.size.toLong)
-      }
+    val rows = vs.zip(statesFrom(table, vs)).map { case (v, st) =>
+      val r = readRecord(table, v)
+      (r.version, if (r.append) "append" else "replace", r.rows, st.entries.size.toLong)
     }
     rows.toDF("version", "kind", "row_count", "n_files")
   }
@@ -919,15 +935,11 @@ object SnapshotLog {
     // walks past replaces to accumulate txn high-water marks, so the
     // base must be a checkpoint or the walk would dead-end on a
     // deleted record
-    val base = resolve(table, live.head)
+    val states = statesFrom(table, live)
     if (readCheckpoint(table, live.head).isEmpty)
-      writeCheckpoint(table, base)
+      writeCheckpoint(table, states.head)
     // live files: one forward replay from the new base
-    val liveFiles = live.tail.foldLeft((base, base.entries.map(_.path).toSet)) {
-      case ((st, acc), v) =>
-        val next = applyRecord(st, readRecord(table, v))
-        (next, acc ++ next.entries.map(_.path))
-    }._2
+    val liveFiles = states.flatMap(_.entries.map(_.path)).toSet
     // every file ever added (each exactly once, by its adding record)
     val doomed = dead.flatMap(readRecord(table, _).adds.map(_.path)).distinct
       .filterNot(liveFiles)
@@ -954,17 +966,8 @@ object SnapshotLog {
     // checkpoint — computing references from record adds alone would
     // let the orphan sweep destroy the live table (one forward replay
     // from the oldest survivor covers every surviving version)
-    val vs = versions(table)
-    val referenced =
-      if (vs.isEmpty) Set.empty[String]
-      else {
-        val base = resolve(table, vs.head)
-        vs.tail.foldLeft((base, base.entries.map(e => stageOf(e.path)).toSet)) {
-          case ((st, acc), v) =>
-            val next = applyRecord(st, readRecord(table, v))
-            (next, acc ++ next.entries.map(e => stageOf(e.path)))
-        }._2
-      }
+    val referenced = statesFrom(table, versions(table))
+      .flatMap(_.entries.map(e => stageOf(e.path))).toSet
     val cutoff = System.currentTimeMillis() - olderThanMs
     val st = Files.list(dataDir)
     val stages = try st.iterator().asScala.toSeq finally st.close()

@@ -35,6 +35,13 @@ import graft.core.SnapshotLog
   *    many log versions one micro-batch may cover; the backlog drains
   *    across several batches (bounded per-trigger work, the
   *    maxFilesPerTrigger analogue).
+  *  - `startingVersion` (long): begin the CHANGES-ONLY stream at this
+  *    log version instead of version 1 (Delta's startingVersion
+  *    analogue) — versions before it are never delivered. This is the
+  *    escape hatch for a table whose early history was vacuumed (its
+  *    snapshot lives only in a checkpoint, so a from-the-beginning
+  *    stream is impossible): start at the oldest surviving version's
+  *    successor and treat the stream as incremental-from-there.
   *
   * Semantics notes:
   *  - The INITIAL batch may start with a replace commit (the common
@@ -87,17 +94,19 @@ final class LogStreamTable(table: String, schema: StructType)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new ScanBuilder {
       override def build(): Scan = new LogStreamScan(table, schema,
-        Option(options.get("maxVersionsPerTrigger")).map(_.toLong))
+        Option(options.get("maxVersionsPerTrigger")).map(_.toLong),
+        Option(options.get("startingVersion")).map(_.toLong))
     }
 }
 
 final class LogStreamScan(table: String, schema: StructType,
-                          maxVersionsPerTrigger: Option[Long]) extends Scan {
+                          maxVersionsPerTrigger: Option[Long],
+                          startingVersion: Option[Long]) extends Scan {
   LogStreamScan.requireFlat(schema)
   override def readSchema(): StructType = schema
   override def description(): String = s"graft-log change feed over $table"
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-    new LogMicroBatchStream(table, schema, maxVersionsPerTrigger)
+    new LogMicroBatchStream(table, schema, maxVersionsPerTrigger, startingVersion)
 }
 
 object LogStreamScan {
@@ -117,7 +126,8 @@ final case class LogOffset(version: Long) extends Offset {
 }
 
 final class LogMicroBatchStream(table: String, schema: StructType,
-                                maxVersionsPerTrigger: Option[Long])
+                                maxVersionsPerTrigger: Option[Long],
+                                startingVersion: Option[Long] = None)
     extends MicroBatchStream with SupportsTriggerAvailableNow {
 
   // AvailableNow pins the head ONCE at query start, so the trigger
@@ -129,7 +139,8 @@ final class LogMicroBatchStream(table: String, schema: StructType,
 
   override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
 
-  override def initialOffset(): Offset = LogOffset(0L)
+  override def initialOffset(): Offset =
+    LogOffset(startingVersion.map(_ - 1L).getOrElse(0L))
 
   override def latestOffset(): Offset =
     throw new UnsupportedOperationException(
@@ -166,8 +177,9 @@ final class LogMicroBatchStream(table: String, schema: StructType,
     val expected = (s + 1) to e
     if (!range.sameElements(expected)) sys.error(
       s"versions ${(expected.toSet -- range.toSet).toSeq.sorted.mkString(",")} of $table " +
-        "no longer exist (vacuumed) — the stream cannot deliver their rows; " +
-        "restart from a fresh checkpoint against the current snapshot")
+        "no longer exist (vacuumed) — the stream cannot deliver their rows. " +
+        "To stream the changes still in the log, restart with a fresh " +
+        "checkpoint and .option(\"startingVersion\", <oldest surviving version>)")
     val recs = range.map(SnapshotLog.readRecord(table, _))
     recs.filter(!_.append).foreach { r =>
       // the initial batch may BEGIN with the table-creating replace

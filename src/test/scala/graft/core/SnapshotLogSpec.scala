@@ -508,6 +508,27 @@ class SnapshotLogSpec extends AnyFunSuite with SparkFixture {
     assert(idsAt(t) == Set(1L, 2L, 3L, 4L))
   }
 
+  test("a zombie replay that lands DURING our stage write is still deduplicated") {
+    // TOCTOU window (r9 review): writer A passes the txn pre-check,
+    // then spends a long time in the stage write; a concurrent replay
+    // of the SAME batch commits meanwhile; A's first link attempt
+    // succeeds (no collision -> no retry) — the head-moved gate must
+    // catch it, or batch rows land twice
+    val t = freshTable()
+    SnapshotLog.commit(spark, df(1), t)
+    try {
+      SnapshotLog.onStagedHook = () => {
+        SnapshotLog.onStagedHook = () => () // the inner commit must not recurse
+        SnapshotLog.commit(spark, df(2), t, append = true, txn = Some(("w", 5L)))
+        ()
+      }
+      val v = SnapshotLog.commit(spark, df(2), t, append = true, txn = Some(("w", 5L)))
+      assert(v == 2L, "the outer commit must resolve to the racer's version")
+      assert(SnapshotLog.versions(t) == Seq(1L, 2L), "only ONE commit may land")
+      assert(idsAt(t) == Set(1L, 2L), "no duplicate rows from the zombie replay")
+    } finally SnapshotLog.onStagedHook = () => ()
+  }
+
   test("commit reads its staged output exactly once: count and bounds share one pass") {
     import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}
     val jobs = new java.util.concurrent.atomic.AtomicInteger(0)

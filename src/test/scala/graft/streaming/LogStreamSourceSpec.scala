@@ -215,6 +215,20 @@ class LogStreamSourceSpec extends AnyFunSuite with SparkFixture {
       drainToFiles(t, ck(), Files.createTempDirectory("graft_logsrc_out_").toString)
     }
     assert(msgs(e2).exists(_.contains("no longer exist")), s"got ${msgs(e2)}")
+    // ...and the error's own advice works: startingVersion at the
+    // oldest surviving version streams the changes still in the log
+    val name = s"logsrc_sv_${java.util.UUID.randomUUID().toString.take(8)}"
+    val q = spark.readStream.format("graft-log")
+      .option("startingVersion", SnapshotLog.versions(t).min.toString)
+      .load(t)
+      .writeStream.format("memory").queryName(name)
+      .option("checkpointLocation", ck())
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val got = spark.table(name).select("id").collect().map(_.getLong(0)).toSet
+    spark.catalog.dropTempView(name)
+    assert(got == Set(5L),
+      s"changes-only stream from the oldest survivor must deliver exactly v5's append, got $got")
   }
 
   test("nested schemas and partitioned layouts fail fast with clear errors") {
