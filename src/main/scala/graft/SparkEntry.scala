@@ -148,6 +148,7 @@ object SparkEntry {
     "snapshot_partitioned" -> (graft.core.SnapshotLog.snapshotPartitioned _),
     "snapshot_skipping" -> (graft.core.SnapshotLog.snapshotSkipping _),
     "snapshot_changes" -> (graft.core.SnapshotLog.snapshotChanges _),
+    "snapshot_changes_merge" -> (graft.core.SnapshotLog.snapshotChangesMerge _),
     "schema_report"    -> ((s, d) => Catalog.schemaReport(s, d, "lineitem")),
     "index_report"     -> ((s, _) => graft.core.Indexes.report(s, graft.core.Indexes.tpchIndexes)),
     "namespace_report" -> ((s, d) => Catalog.namespacesDf(s, d)),
@@ -2016,6 +2017,19 @@ object SparkEntry {
         |  CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS total
         |FROM orders WHERE o_totalprice BETWEEN 50000 AND 100000
         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "snapshot_changes_merge" -> // row-level change feed (CDF) spanning a COW
+      // merge: v2's append rows tagged insert + v3's recorded update
+      // batch tagged upsert, nothing from v1, nothing re-delivered
+      """WITH base AS (SELECT o_orderkey,
+        |    CAST(o_totalprice AS DECIMAL(18,2)) AS p FROM orders),
+        |  feed AS (
+        |    SELECT 'insert' AS change_type, p FROM base WHERE o_orderkey % 50 = 1
+        |    UNION ALL
+        |    SELECT 'upsert', CAST(p + 1 AS DECIMAL(18,2))
+        |      FROM base WHERE o_orderkey % 10 = 0)
+        |SELECT change_type, count(*) AS n_rows,
+        |  CAST(round(sum(p), 2) AS DOUBLE) AS total
+        |FROM feed GROUP BY change_type ORDER BY change_type""".stripMargin,
     "lang_stats" ->
       """SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars,
         |  min(n_chars) AS min_chars, max(n_chars) AS max_chars,

@@ -43,10 +43,24 @@ object Maintenance {
     * (10 bits each -> 20-bit value). Pure integer arithmetic, identical
     * in any engine. */
   def zValue(x: Column, y: Column, bits: Int = 10): Column =
-    (0 until bits).map { b =>
-      shiftleft(shiftright(x, b).bitwiseAND(1), 2 * b)
-        .bitwiseOR(shiftleft(shiftright(y, b).bitwiseAND(1), 2 * b + 1))
+    zValueN(Seq(x, y), bits)
+
+  /** N-DIMENSIONAL z-value: round-robin bit-interleave of N bucketed
+    * columns — output bit `b * N + i` is bit `b` of column `i`, the
+    * same layout as the 2-dim form (x at even bits, y at odd).
+    * `N * bits` must fit a long. Rows close in EVERY dimension share
+    * long z-prefixes, so range-partitioning by this key gives each
+    * file a tight N-dim bounding box — the multi-dimensional
+    * data-skipping layout for tables queried on 3-4 dims at once. */
+  def zValueN(cs: Seq[Column], bits: Int = 10): Column = {
+    require(cs.size >= 2 && cs.size * bits <= 62,
+      s"zValueN needs 2..${62 / bits} columns at $bits bits, got ${cs.size}")
+    (0 until bits).flatMap { b =>
+      cs.zipWithIndex.map { case (c, i) =>
+        shiftleft(shiftright(c, b).bitwiseAND(1), b * cs.size + i)
+      }
     }.reduce((a, b) => a.bitwiseOR(b))
+  }
 
   /** Z-order clustering key over orders (customer bucket x day bucket):
     * sorting/range-partitioning by this key co-locates rows close in

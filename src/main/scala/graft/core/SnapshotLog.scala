@@ -59,6 +59,16 @@ object SnapshotLog {
   /** How often the committer publishes a full-state checkpoint. */
   val checkpointEvery: Int = 20
 
+  /** Log format version stamped into every record and checkpoint
+    * (`"fmt"`). Readers accept records up to this version and fail
+    * with an explicit unsupported-format message beyond it — the
+    * Delta/Iceberg protocol-version hook, so future format evolution
+    * is DETECTED instead of surfacing as "corrupt". A record with no
+    * `fmt` field is the fmt-1 (round-9) layout, which this reader
+    * still understands (fmt 2 only ADDS optional fields: `remove`,
+    * `cdc`, `dataChange`). */
+  val formatVersion: Int = 2
+
   /** Longest string kept in a manifest bound (code points). Iceberg
     * truncates bounds the same way: a lower bound truncates to a
     * prefix (still <= every value), an upper bound truncates and
@@ -81,18 +91,36 @@ object SnapshotLog {
                              str: Map[String, (String, String)] = Map.empty,
                              schema: Option[String] = None)
 
-  /** What one commit DID: `append=false` redefines the table as
-    * exactly `adds`; `append=true` extends the previous version with
-    * `adds`. `txn` is the idempotent-writer token (appId -> batchId),
-    * Delta's txnAppId/txnVersion rule: a commit whose batchId is <=
-    * the one already recorded for its appId is a no-op replay.
-    * `schema` is the committed DataFrame's schema JSON (partition
-    * columns included). */
+  /** What one commit DID: `append=false` with empty `removes`
+    * redefines the table as exactly `adds`; `append=true` extends the
+    * previous version with `adds`; non-empty `removes` is a REWRITE —
+    * the previous version minus `removes` plus `adds`, the Delta
+    * add/remove action pair that makes a file-pruned copy-on-write
+    * merge O(touched files) of metadata however large the table.
+    * `txn` is the idempotent-writer token (appId -> batchId), Delta's
+    * txnAppId/txnVersion rule: a commit whose batchId is <= the one
+    * already recorded for its appId is a no-op replay. `schema` is the
+    * committed DataFrame's schema JSON (partition columns included).
+    * `cdc` are optional CHANGE-DATA files (the commit's row-level
+    * delta tagged `_change_type`, Delta's `_change_data` pattern) with
+    * their own `cdcSchema`. `dataChange=false` marks a maintenance
+    * commit (compaction/re-clustering) whose logical content is
+    * IDENTICAL to the previous version — change-feed consumers skip it
+    * instead of failing. */
   final case class CommitRecord(version: Long, append: Boolean,
                                 adds: Seq[FileEntry],
                                 txn: Option[(String, Long)] = None,
-                                schema: Option[String] = None) {
+                                schema: Option[String] = None,
+                                removes: Seq[String] = Seq.empty,
+                                cdc: Seq[FileEntry] = Seq.empty,
+                                cdcSchema: Option[String] = None,
+                                dataChange: Boolean = true) {
     def rows: Long = adds.map(_.rows).sum
+    /** append | replace | rewrite | optimize — what this commit did. */
+    def kind: String =
+      if (!dataChange) "optimize"
+      else if (removes.nonEmpty) "rewrite"
+      else if (append) "append" else "replace"
   }
 
   /** Resolved table state at a version: the exact live file set and
@@ -173,11 +201,22 @@ object SnapshotLog {
 
   private def recordToJson(r: CommitRecord): String = {
     val o = mapper.createObjectNode()
+    o.put("fmt", formatVersion)
     o.put("version", r.version); o.put("append", r.append); o.put("rows", r.rows)
     r.txn.foreach { case (app, batch) =>
       val t = o.putObject("txn"); t.put("app", app); t.put("batch", batch)
     }
     r.schema.foreach(s => o.put("schema", s)): Unit
+    if (!r.dataChange) o.put("dataChange", false): Unit
+    if (r.removes.nonEmpty) {
+      val rm = o.putArray("remove")
+      r.removes.foreach(rm.add)
+    }
+    if (r.cdc.nonEmpty) {
+      val c = o.putArray("cdc")
+      r.cdc.foreach(e => c.add(entryToJson(e)))
+      r.cdcSchema.foreach(s => o.put("cdcSchema", s)): Unit
+    }
     val a = o.putArray("add")
     r.adds.foreach(e => a.add(entryToJson(e)))
     mapper.writeValueAsString(o)
@@ -202,20 +241,44 @@ object SnapshotLog {
       s"version $v of $table has no commit record (vacuumed or never committed)")
     val n = try mapper.readTree(Files.readAllBytes(p))
       catch { case e: Exception => sys.error(s"corrupt commit record v$v: ${e.getMessage}") }
-    if (n == null || !n.has("version") || !n.has("append") || !n.has("add"))
+    if (n == null) sys.error(s"corrupt commit record v$v: not JSON")
+    // format detection BEFORE the corruption check: an old or
+    // newer-than-us record is a version problem, not corruption
+    if (n.has("files")) sys.error(
+      s"commit record v$v uses the pre-delta-record log format " +
+        "(per-commit \"files\" arrays) — written by an older graft. " +
+        "Re-publish the table with the current writer; this reader supports " +
+        s"fmt <= $formatVersion only")
+    val fmt = Option(n.get("fmt")).map(_.asInt()).getOrElse(1)
+    if (fmt > formatVersion) sys.error(
+      s"commit record v$v has fmt=$fmt — written by a NEWER graft than this " +
+        s"reader (supports fmt <= $formatVersion); upgrade the reader")
+    if (!n.has("version") || !n.has("append") || !n.has("add"))
       sys.error(s"corrupt commit record v$v: missing fields")
-    val adds = n.get("add") match {
+    def entriesOf(field: String): Seq[FileEntry] = n.get(field) match {
+      case null => Seq.empty
       case a: ArrayNode => (0 until a.size()).map(i => entryFromJson(a.get(i)))
-      case _ => sys.error(s"corrupt commit record v$v: add is not an array")
+      case _ => sys.error(s"corrupt commit record v$v: $field is not an array")
     }
+    val adds = entriesOf("add")
     val txn = Option(n.get("txn")).map(t => (t.get("app").asText(), t.get("batch").asLong()))
     val schema = Option(n.get("schema")).map(_.asText())
+    val cdcSchema = Option(n.get("cdcSchema")).map(_.asText())
+    val removes = Option(n.get("remove")).map {
+      case a: ArrayNode => (0 until a.size()).map(a.get(_).asText())
+      case _ => sys.error(s"corrupt commit record v$v: remove is not an array")
+    }.getOrElse(Seq.empty[String])
     CommitRecord(n.get("version").asLong(), n.get("append").asBoolean(),
-      adds.map(_.copy(schema = schema)), txn, schema)
+      adds.map(_.copy(schema = schema)), txn, schema,
+      removes = removes,
+      cdc = entriesOf("cdc").map(_.copy(schema = cdcSchema)),
+      cdcSchema = cdcSchema,
+      dataChange = Option(n.get("dataChange")).forall(_.asBoolean()))
   }
 
   private def stateToJson(st: TableState): String = {
     val o = mapper.createObjectNode()
+    o.put("fmt", formatVersion)
     o.put("version", st.version)
     val t = o.putObject("txns")
     st.txns.toSeq.sortBy(_._1).foreach { case (k, v) => t.put(k, v) }
@@ -238,6 +301,10 @@ object SnapshotLog {
     if (!Files.exists(p)) None
     else try {
       val n = mapper.readTree(Files.readAllBytes(p))
+      val fmt = Option(n.get("fmt")).map(_.asInt()).getOrElse(1)
+      if (fmt > formatVersion) sys.error(
+        s"checkpoint ckpt-v$v has fmt=$fmt — written by a NEWER graft than " +
+          s"this reader (supports fmt <= $formatVersion); upgrade the reader")
       val a = n.get("entries").asInstanceOf[ArrayNode]
       val schemas = Option(n.get("schemas")).map(s =>
         (0 until s.size()).map(s.get(_).asText())).getOrElse(Seq.empty)
@@ -272,12 +339,18 @@ object SnapshotLog {
 
   // ------------------------------------------------------------ resolution
 
-  private def applyRecord(st: TableState, r: CommitRecord): TableState =
-    TableState(r.version,
-      if (r.append) st.entries ++ r.adds else r.adds,
+  private def applyRecord(st: TableState, r: CommitRecord): TableState = {
+    val entries =
+      if (r.append) st.entries ++ r.adds
+      else if (r.removes.nonEmpty) { // rewrite: carried = prev minus removes
+        val gone = r.removes.toSet
+        st.entries.filterNot(e => gone(e.path)) ++ r.adds
+      } else r.adds // full replace
+    TableState(r.version, entries,
       r.txn.fold(st.txns) { case (app, batch) =>
         st.txns + (app -> math.max(batch, st.txns.getOrElse(app, Long.MinValue)))
       })
+  }
 
   /** Resolve the full table state at `v`: walk back to the nearest
     * CHECKPOINT, then replay forward. The walk is bounded by
@@ -405,6 +478,7 @@ object SnapshotLog {
              statsFor: Seq[String] = Seq.empty,
              expectedHead: Option[Long] = None,
              txn: Option[(String, Long)] = None,
+             dataChange: Boolean = true,
              maxRetries: Int = 20): Long = {
     Files.createDirectories(logDir(table))
     def alreadyApplied(): Option[Long] = txn.flatMap { case (app, batch) =>
@@ -421,81 +495,16 @@ object SnapshotLog {
     }
     if (replayed.isDefined) return replayed.get
     onStagedHook()
-    val stage = java.util.UUID.randomUUID().toString
-    val stageDir = Paths.get(table, "data", stage)
-    val writer = df.write.mode("overwrite")
-    (if (partitionBy.nonEmpty) writer.partitionBy(partitionBy: _*) else writer)
-      .parquet(stageDir.toString)
-    val staged = {
-      val st = Files.walk(stageDir)
-      try st.iterator().asScala
-        .filter { p =>
-          val n = p.getFileName.toString
-          n.startsWith("part-") && n.endsWith(".parquet")
-        }
-        .map(p => s"data/$stage/${stageDir.relativize(p)}").toSeq.sorted
-      finally st.close()
-    }
     // indexed columns: the explicit ask plus (on append) whatever the
     // head already indexes, best-effort — an appended file missing a
     // head column simply records no bounds for it (always read)
     val carryCols =
       if (!append) Seq.empty
       else headState.map(indexedColumns).getOrElse(Seq.empty)
-    val adds: Seq[FileEntry] =
-      if (staged.isEmpty) Seq.empty
-      else {
-        // the writer KNOWS the schema it just wrote — passing it skips
-        // parquet schema inference (a footer-listing job) entirely;
-        // partition columns in a hive layout resolve against it too
-        val stagedDf = spark.read.schema(df.schema).parquet(stageDir.toString)
-        val sch = stagedDf.schema
-        statsFor.foreach(c => require(sch.fieldNames.contains(c),
-          s"statsFor column $c is not in the staged schema ${sch.fieldNames.toSeq}"))
-        val cols = (statsFor ++ carryCols).distinct.filter(sch.fieldNames.contains)
-        val (strCols, numCols) = cols.partition(c =>
-          sch(c).dataType == org.apache.spark.sql.types.StringType)
-        // the ONE staged-data pass: per physical file, row count and
-        // min/max of every indexed column in a single aggregate
-        val aggs = count(lit(1)).as("_rows") +:
-          (numCols.flatMap(c => Seq(
-            min(numericView(col(c), sch(c).dataType)).as(s"lo:$c"),
-            max(numericView(col(c), sch(c).dataType)).as(s"hi:$c"))) ++
-           strCols.flatMap(c => Seq(
-             min(col(c)).as(s"slo:$c"), max(col(c)).as(s"shi:$c"))))
-        val perFile = stagedDf
-          .groupBy(input_file_name().as("_f"))
-          .agg(aggs.head, aggs.tail: _*)
-          .collect()
-        val marker = s"/data/$stage/"
-        val byRel = perFile.map { r =>
-          val f = r.getString(0)
-          (s"data/$stage/" + f.substring(f.indexOf(marker) + marker.length)) -> r
-        }.toMap
-        staged.map { rel =>
-          byRel.get(rel) match {
-            case None => FileEntry(rel, 0L) // zero-row part file: no groups
-            case Some(r) =>
-              // an all-null file yields null min/max and a NaN-carrying
-              // file yields NaN bounds — both would make interval tests
-              // silently FALSE and skip files that hold matching rows,
-              // so either case records NO bounds (the file is always read)
-              val num = numCols.flatMap { c =>
-                val (il, ih) = (r.fieldIndex(s"lo:$c"), r.fieldIndex(s"hi:$c"))
-                if (r.isNullAt(il) || r.isNullAt(ih) ||
-                    r.getDouble(il).isNaN || r.getDouble(ih).isNaN) None
-                else Some(c -> (r.getDouble(il), r.getDouble(ih)))
-              }.toMap
-              val str = strCols.flatMap { c =>
-                val (il, ih) = (r.fieldIndex(s"slo:$c"), r.fieldIndex(s"shi:$c"))
-                if (r.isNullAt(il) || r.isNullAt(ih)) None
-                else truncUpper(r.getString(ih)).map(hi =>
-                  c -> (truncLower(r.getString(il)), hi))
-              }.toMap
-              FileEntry(rel, r.getLong(r.fieldIndex("_rows")), num, str)
-          }
-        }
-      }
+    statsFor.foreach(c => require(df.schema.fieldNames.contains(c),
+      s"statsFor column $c is not in the staged schema ${df.schema.fieldNames.toSeq}"))
+    val (stage, adds) =
+      stageEntries(spark, df, table, partitionBy, (statsFor ++ carryCols).distinct)
     var attempt = 0
     while (true) {
       val cur = latestVersion(table).getOrElse(0L)
@@ -515,7 +524,8 @@ object SnapshotLog {
       }
       val v = cur + 1
       val rec = CommitRecord(v, append && v > 1, adds, txn,
-        schema = if (staged.isEmpty) None else Some(df.schema.json))
+        schema = if (adds.isEmpty) None else Some(df.schema.json),
+        dataChange = dataChange)
       val tmp = logDir(table).resolve(s".tmp-$stage-$attempt")
       Files.write(tmp, recordToJson(rec).getBytes("UTF-8"))
       try {
@@ -531,6 +541,151 @@ object SnapshotLog {
       }
     }
     -1L // unreachable
+  }
+
+  /** Stage `df` as immutable parquet files under `<table>/<root>/
+    * <uuid>/` and derive their `FileEntry` list — per-file row counts
+    * and min/max bounds for `statsCols` — in ONE pass over the staged
+    * output (`groupBy(input_file_name)`). `root` is "data" for table
+    * content and "cdc" for a rewrite commit's change-data files.
+    * Returns (stage uuid, entries). */
+  private def stageEntries(spark: SparkSession, df: DataFrame, table: String,
+                           partitionBy: Seq[String], statsCols: Seq[String],
+                           root: String = "data"): (String, Seq[FileEntry]) = {
+    val stage = java.util.UUID.randomUUID().toString
+    val stageDir = Paths.get(table, root, stage)
+    val writer = df.write.mode("overwrite")
+    (if (partitionBy.nonEmpty) writer.partitionBy(partitionBy: _*) else writer)
+      .parquet(stageDir.toString)
+    val staged = {
+      val st = Files.walk(stageDir)
+      try st.iterator().asScala
+        .filter { p =>
+          val n = p.getFileName.toString
+          n.startsWith("part-") && n.endsWith(".parquet")
+        }
+        .map(p => s"$root/$stage/${stageDir.relativize(p)}").toSeq.sorted
+      finally st.close()
+    }
+    if (staged.isEmpty) return (stage, Seq.empty)
+    // the writer KNOWS the schema it just wrote — passing it skips
+    // parquet schema inference (a footer-listing job) entirely;
+    // partition columns in a hive layout resolve against it too
+    val stagedDf = spark.read.schema(df.schema).parquet(stageDir.toString)
+    val sch = stagedDf.schema
+    val cols = statsCols.distinct.filter(sch.fieldNames.contains)
+    val (strCols, numCols) = cols.partition(c =>
+      sch(c).dataType == org.apache.spark.sql.types.StringType)
+    // the ONE staged-data pass: per physical file, row count and
+    // min/max of every indexed column in a single aggregate
+    val aggs = count(lit(1)).as("_rows") +:
+      (numCols.flatMap(c => Seq(
+        min(numericView(col(c), sch(c).dataType)).as(s"lo:$c"),
+        max(numericView(col(c), sch(c).dataType)).as(s"hi:$c"))) ++
+       strCols.flatMap(c => Seq(
+         min(col(c)).as(s"slo:$c"), max(col(c)).as(s"shi:$c"))))
+    val perFile = stagedDf
+      .groupBy(input_file_name().as("_f"))
+      .agg(aggs.head, aggs.tail: _*)
+      .collect()
+    val marker = s"/$root/$stage/"
+    val byRel = perFile.map { r =>
+      val f0 = r.getString(0)
+      // input_file_name() is a URI whose path component is %XX-escaped;
+      // the on-disk names Files.walk saw are NOT. Decode before matching
+      // or a hive partition value with a space/%/: silently records a
+      // zero-row entry for a non-empty file
+      val f = try new java.net.URI(f0).getPath catch { case _: Exception => f0 }
+      val i = f.indexOf(marker)
+      if (i < 0) sys.error(
+        s"commit stats pass: aggregate file $f0 does not resolve under $marker — " +
+          "refusing to record wrong per-file stats")
+      (s"$root/$stage/" + f.substring(i + marker.length)) -> r
+    }.toMap
+    val unmatched = byRel.keySet -- staged.toSet
+    if (unmatched.nonEmpty) sys.error(
+      s"commit stats pass: aggregate rows matched no staged file " +
+        s"(${unmatched.take(3).mkString(", ")}) — path decoding disagreed; " +
+        "refusing to record wrong per-file stats")
+    val entries = staged.map { rel =>
+      byRel.get(rel) match {
+        case None => FileEntry(rel, 0L) // zero-row part file: no groups
+        case Some(r) =>
+          // an all-null file yields null min/max and a NaN-carrying
+          // file yields NaN bounds — both would make interval tests
+          // silently FALSE and skip files that hold matching rows,
+          // so either case records NO bounds (the file is always read)
+          val num = numCols.flatMap { c =>
+            val (il, ih) = (r.fieldIndex(s"lo:$c"), r.fieldIndex(s"hi:$c"))
+            if (r.isNullAt(il) || r.isNullAt(ih) ||
+                r.getDouble(il).isNaN || r.getDouble(ih).isNaN) None
+            else Some(c -> (r.getDouble(il), r.getDouble(ih)))
+          }.toMap
+          val str = strCols.flatMap { c =>
+            val (il, ih) = (r.fieldIndex(s"slo:$c"), r.fieldIndex(s"shi:$c"))
+            if (r.isNullAt(il) || r.isNullAt(ih)) None
+            else truncUpper(r.getString(ih)).map(hi =>
+              c -> (truncLower(r.getString(il)), hi))
+          }.toMap
+          FileEntry(rel, r.getLong(r.fieldIndex("_rows")), num, str)
+      }
+    }
+    (stage, entries)
+  }
+
+  /** FILE-PRUNED copy-on-write commit: the next version is (version
+    * `expectedHead`'s entries minus `removePaths`) plus the staged
+    * `df` — the Delta/Iceberg add/remove action pair. Untouched files
+    * are carried BY REFERENCE: never re-listed, never rewritten,
+    * bounds and recorded schema intact — so the record is O(touched +
+    * staged) metadata and the rewrite is O(touched) data however
+    * large the table. A 10-row CDC upsert against a 100 TB table
+    * stages a few files and removes the few whose key bounds
+    * overlapped; the other million entries never appear in the
+    * record. When `removePaths` is empty the commit degenerates to a
+    * plain append (nothing was rewritten — every prior file carries).
+    *
+    * `changeData` optionally stages the commit's ROW-LEVEL delta
+    * (post-image upserts / deleted keys, tagged `_change_type`) under
+    * `cdc/` — Delta's `_change_data` pattern — which is what lets
+    * `readChangeFeed` deliver an incremental delta ACROSS a merge
+    * instead of walling off every downstream consumer.
+    *
+    * Conditional by construction: a rewrite derived from version N is
+    * valid only against N, so the publish is create-new at N+1 and a
+    * lost race is a loud error (re-derive and retry), never a retry
+    * that silently erases the racer. */
+  def commitRewrite(spark: SparkSession, df: DataFrame, table: String,
+                    removePaths: Seq[String], expectedHead: Long,
+                    statsFor: Seq[String] = Seq.empty,
+                    changeData: Option[DataFrame] = None): Long = {
+    Files.createDirectories(logDir(table))
+    val prev = resolve(table, expectedHead)
+    val prevPaths = prev.entries.map(_.path).toSet
+    val missing = removePaths.filterNot(prevPaths)
+    require(missing.isEmpty,
+      s"commitRewrite removes files not live at v$expectedHead: ${missing.take(3)}")
+    val (_, adds) = stageEntries(spark, df, table, Seq.empty, statsFor)
+    val (cdcEntries, cdcSchema) = changeData match {
+      case None => (Seq.empty[FileEntry], None)
+      case Some(cd) =>
+        val (_, es) = stageEntries(spark, cd, table, Seq.empty, Seq.empty, root = "cdc")
+        (es, Some(cd.schema.json))
+    }
+    val v = expectedHead + 1
+    val rec = CommitRecord(v, append = removePaths.isEmpty, adds,
+      schema = if (adds.isEmpty) None else Some(df.schema.json),
+      removes = removePaths, cdc = cdcEntries, cdcSchema = cdcSchema)
+    val tmp = logDir(table).resolve(s".tmp-rw-${java.util.UUID.randomUUID()}")
+    Files.write(tmp, recordToJson(rec).getBytes("UTF-8"))
+    try Files.createLink(vPath(table, v), tmp)
+    catch {
+      case _: java.nio.file.FileAlreadyExistsException => sys.error(
+        s"concurrent modification on $table: head moved past v$expectedHead " +
+          "under a rewrite commit; re-derive and retry")
+    } finally Files.deleteIfExists(tmp)
+    if (v % checkpointEvery == 0) writeCheckpoint(table, resolve(table, v))
+    v
   }
 
   // ----------------------------------------------------------------- reads
@@ -639,21 +794,23 @@ object SnapshotLog {
     final case class Or(ps: Pred*) extends Pred
   }
 
-  private def mightMatch(e: FileEntry, p: Pred): Boolean = {
-    // Spark computed the string min/max in UTF-8 BINARY order; Java's
-    // String <= is UTF-16 code-unit order, which disagrees above the
-    // BMP — compare bounds the way they were produced or supplementary
-    // characters mis-skip files
-    def u8Lte(a: String, b: String): Boolean = {
-      val x = a.getBytes("UTF-8"); val y = b.getBytes("UTF-8")
-      var k = 0
-      while (k < x.length && k < y.length) {
-        val c = (x(k) & 0xff) - (y(k) & 0xff)
-        if (c != 0) return c < 0
-        k += 1
-      }
-      x.length <= y.length
+  /** Spark computed the string min/max in UTF-8 BINARY order; Java's
+    * String compare is UTF-16 code-unit order, which disagrees above
+    * the BMP — compare bounds the way they were produced or
+    * supplementary characters mis-skip files. */
+  private def u8Compare(a: String, b: String): Int = {
+    val x = a.getBytes("UTF-8"); val y = b.getBytes("UTF-8")
+    var k = 0
+    while (k < x.length && k < y.length) {
+      val c = (x(k) & 0xff) - (y(k) & 0xff)
+      if (c != 0) return c
+      k += 1
     }
+    x.length - y.length
+  }
+  private def u8Lte(a: String, b: String): Boolean = u8Compare(a, b) <= 0
+
+  private def mightMatch(e: FileEntry, p: Pred): Boolean = {
     p match {
       case Pred.Between(c, qLo, qHi) =>
         e.num.get(c).forall { case (l, h) => h >= qLo && l <= qHi }
@@ -762,12 +919,52 @@ object SnapshotLog {
     val headV = latestVersion(table).getOrElse(sys.error(s"no committed version in $table"))
     val st = resolve(table, headV)
     val head = read(spark, table, Some(headV))
+    // stats-friendly default: a bare compact CLUSTERS by the table's
+    // indexed columns (dominant-clustering first) instead of hash-
+    // scattering — a plain `repartition(n)` would silently destroy any
+    // existing clustering and leave every file with overlap-everything
+    // bounds. Hash layout only for a stat-less table.
+    val clusterCols =
+      (if (clusterBy.nonEmpty) clusterBy else dominantClusterColumns(st))
+        .filter(head.columns.contains)
     val laid =
-      if (clusterBy.nonEmpty)
-        head.repartitionByRange(targetFiles, clusterBy.map(col): _*)
+      if (clusterCols.nonEmpty)
+        head.repartitionByRange(targetFiles, clusterCols.map(col): _*)
       else head.repartition(targetFiles)
-    commit(spark, laid, table, expectedHead = Some(headV),
+    commit(spark, laid, table, expectedHead = Some(headV), dataChange = false,
       statsFor = indexedColumns(st).filter(head.columns.contains))
+  }
+
+  /** Order the table's indexed columns by how CLUSTERED the live
+    * layout already is on each — fraction of files (sorted by lower
+    * bound) that do NOT overlap the running upper bound of their
+    * predecessors. Metadata-only (one sweep over the manifest per
+    * column). A bare `compact` uses this to PRESERVE the dominant
+    * existing clustering: re-clustering a price-sorted table by an
+    * alphabetically-first column would trade the user's working
+    * skipping layout for an accidental one. */
+  private[core] def dominantClusterColumns(st: TableState): Seq[String] = {
+    def quality[A](bounds: Seq[(A, A)], lt: (A, A) => Boolean): Double = {
+      if (bounds.size < 2) return 0.0
+      val sorted = bounds.sortWith((a, b) => lt(a._1, b._1))
+      var overlaps = 0
+      var maxHi = sorted.head._2
+      sorted.tail.foreach { case (l, h) =>
+        if (!lt(maxHi, l)) overlaps += 1 // l <= maxHi: overlaps the prefix
+        if (lt(maxHi, h)) maxHi = h
+      }
+      1.0 - overlaps.toDouble / (bounds.size - 1)
+    }
+    indexedColumns(st).map { c =>
+      val numB = st.entries.flatMap(_.num.get(c))
+      val strB = st.entries.flatMap(_.str.get(c))
+      val q =
+        if (numB.size == st.entries.size) quality[Double](numB, _ < _)
+        else if (strB.size == st.entries.size)
+          quality[String](strB, u8Compare(_, _) < 0)
+        else 0.0 // some files carry no bounds: no clustering signal
+      (c, q)
+    }.sortBy { case (c, q) => (-q, c) }.map(_._1)
   }
 
   /** OPTIMIZE ... ZORDER: compact the head into `targetFiles` files
@@ -783,23 +980,44 @@ object SnapshotLog {
     * `clusterBy` cannot give (clustering on x leaves every file
     * spanning all of y). Both columns join the stats index. */
   def compactZorder(spark: SparkSession, table: String, targetFiles: Int,
-                    colA: String, colB: String, bits: Int = 10): Long = {
+                    colA: String, colB: String, bits: Int): Long =
+    compactZorder(spark, table, targetFiles, Seq(colA, colB), bits)
+
+  def compactZorder(spark: SparkSession, table: String, targetFiles: Int,
+                    colA: String, colB: String): Long =
+    compactZorder(spark, table, targetFiles, Seq(colA, colB), 10)
+
+  /** N-DIMENSIONAL form of OPTIMIZE ... ZORDER: each of `cols` buckets
+    * to `bits` bits over its own [min, max] range; the bucket ids
+    * bit-interleave round-robin (`Maintenance.zValueN`) and the
+    * rewrite range-partitions + sorts on the interleaved key. Real
+    * tables cluster on 3-4 query dimensions (tenant x time x metric);
+    * a box query ANDing ranges on any subset of the dims prunes
+    * multiplicatively from the per-file bounds the commit records.
+    * `cols.size * bits` must fit a long (<= 62 bits). */
+  def compactZorder(spark: SparkSession, table: String, targetFiles: Int,
+                    cols: Seq[String], bits: Int = 10): Long = {
+    require(cols.size >= 2, s"z-order needs >= 2 columns, got $cols")
+    require(cols.size * bits <= 62,
+      s"${cols.size} dims x $bits bits overflow the interleaved long key")
     val headV = latestVersion(table).getOrElse(sys.error(s"no committed version in $table"))
     val st = resolve(table, headV)
     val head = read(spark, table, Some(headV))
-    val ranges = head.agg(
-      min(col(colA).cast("double")), max(col(colA).cast("double")),
-      min(col(colB).cast("double")), max(col(colB).cast("double"))).head()
-    require(!ranges.anyNull, s"z-order needs non-null ranges for $colA/$colB")
-    val (aLo, aHi) = (ranges.getDouble(0), ranges.getDouble(1))
-    val (bLo, bHi) = (ranges.getDouble(2), ranges.getDouble(3))
+    // ONE pass for every dimension's range (fused aggregate)
+    val aggExprs = cols.flatMap(c =>
+      Seq(min(col(c).cast("double")), max(col(c).cast("double"))))
+    val ranges = head.agg(aggExprs.head, aggExprs.tail: _*).head()
+    require(!ranges.anyNull, s"z-order needs non-null ranges for ${cols.mkString("/")}")
     val maxBucket = (1L << bits) - 1
     def bucket(c: String, lo: Double, hi: Double) =
       if (hi <= lo) lit(0L)
       else least(lit(maxBucket), floor(
         (col(c).cast("double") - lit(lo)) / lit(hi - lo) * lit(maxBucket.toDouble))
         .cast("bigint"))
-    val z = Maintenance.zValue(bucket(colA, aLo, aHi), bucket(colB, bLo, bHi), bits)
+    val buckets = cols.zipWithIndex.map { case (c, i) =>
+      bucket(c, ranges.getDouble(2 * i), ranges.getDouble(2 * i + 1))
+    }
+    val z = Maintenance.zValueN(buckets, bits)
     // collision-proof temp column: a user column literally named
     // _graft_z must survive the rewrite (content-identical contract)
     val zc = Iterator.from(0).map(i => s"_graft_z$i")
@@ -808,52 +1026,150 @@ object SnapshotLog {
       .repartitionByRange(targetFiles, col(zc))
       .sortWithinPartitions(zc)
       .drop(zc)
-    commit(spark, laid, table, expectedHead = Some(headV),
-      statsFor = (indexedColumns(st) ++ Seq(colA, colB)).distinct
+    commit(spark, laid, table, expectedHead = Some(headV), dataChange = false,
+      statsFor = (indexedColumns(st) ++ cols).distinct
         .filter(head.columns.contains))
+  }
+
+  /** Longest touched-key list the COW pruner holds driver-side; past
+    * it, pruning falls back to the keys' [min, max] range (still
+    * conservative, still O(files) driver work via binary search). */
+  private val pruneKeyLimit = 100000
+
+  /** Key types the COW pruner can compare against manifest bounds.
+    * Anything else (binary, boolean, nested) rewrites every file —
+    * conservative, never wrong. */
+  private def keyPrunable(dt: org.apache.spark.sql.types.DataType): Boolean = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case StringType | ByteType | ShortType | IntegerType | LongType |
+           FloatType | DoubleType | TimestampType | TimestampNTZType => true
+      case _: DecimalType => true
+      case _ => false
+    }
+  }
+
+  /** Partition the head's entries into (rewrite, carried) for a
+    * touched-key set: a file must be rewritten iff its manifest
+    * key-bounds MIGHT contain any touched key (missing bounds always
+    * rewrite — pruning may carry files, never lose an update). The
+    * touched keys are collected BOUNDED (<= pruneKeyLimit distinct
+    * values — a CDC batch, not the table) and tested per file by
+    * binary search; an oversized batch degrades to min/max range
+    * overlap. Key values convert through the SAME `numericView`
+    * expression the stats pass used, so both sides of the comparison
+    * round identically (timestamps as micros/1e6, decimals as IEEE
+    * doubles). */
+  private def pruneByTouchedKeys(entries: Seq[FileEntry], touched: DataFrame,
+                                 key: String): (Seq[FileEntry], Seq[FileEntry]) = {
+    import org.apache.spark.sql.types.StringType
+    val dt = touched.schema(key).dataType
+    if (!keyPrunable(dt)) return (entries, Seq.empty)
+    val isStr = dt == StringType
+    val proj = (if (isStr) touched.select(col(key).as("k"))
+                else touched.select(numericView(col(key), dt).as("k")))
+      .na.drop().distinct()
+    val vals = proj.limit(pruneKeyLimit + 1).collect()
+    // a null-only (or empty) touched set matches no head row: the
+    // anti-join passes everything through, so nothing needs rewriting
+    if (vals.isEmpty) return (Seq.empty, entries)
+    if (vals.length > pruneKeyLimit) {
+      val mm = proj.agg(min(col("k")), max(col("k"))).head()
+      if (isStr) {
+        val (lo, hi) = (mm.getString(0), mm.getString(1))
+        entries.partition(e =>
+          e.str.get(key).forall { case (l, h) => u8Lte(l, hi) && u8Lte(lo, h) })
+      } else {
+        val (lo, hi) = (mm.getDouble(0), mm.getDouble(1))
+        entries.partition(e =>
+          e.num.get(key).forall { case (l, h) => h >= lo && l <= hi })
+      }
+    } else if (isStr) {
+      val sorted = vals.map(_.getString(0)).sortWith(u8Compare(_, _) < 0)
+      def overlaps(l: String, h: String): Boolean = {
+        // first key >= l, then check it is <= h
+        var lo = 0; var hi = sorted.length
+        while (lo < hi) {
+          val mid = (lo + hi) >>> 1
+          if (u8Compare(sorted(mid), l) < 0) lo = mid + 1 else hi = mid
+        }
+        lo < sorted.length && u8Lte(sorted(lo), h)
+      }
+      entries.partition(e => e.str.get(key).forall { case (l, h) => overlaps(l, h) })
+    } else {
+      val sorted = vals.map(_.getDouble(0)).sorted
+      def overlaps(l: Double, h: Double): Boolean = {
+        val i = java.util.Arrays.binarySearch(sorted, l)
+        val idx = if (i >= 0) i else -i - 1
+        idx < sorted.length && sorted(idx) <= h
+      }
+      entries.partition(e => e.num.get(key).forall { case (l, h) => overlaps(l, h) })
+    }
   }
 
   /** Copy-on-write MERGE (upsert): rows of the head whose `key` appears
     * in `updates` are replaced, new keys are inserted, everything else
-    * is carried — committed as one new REPLACE version, so the upsert
-    * is atomic, time-travelable, and never rewrites history. Shape:
-    * one anti-join (head vs the broadcast-sized update set) + union —
-    * at 100 TB the anti-join is the standard CDC-apply plan, and the
-    * runtime bloom on the update keys prunes the head scan. The head's
-    * indexed columns are re-computed on the rewrite (stats-preserving,
-    * like compact). */
+    * is carried — committed as one atomic, time-travelable REWRITE
+    * version. FILE-PRUNED: only the files whose manifest key-bounds
+    * might contain a touched key are read, anti-joined, and rewritten;
+    * every other file carries by reference (its entry never even
+    * appears in the record). On a key-clustered 100 TB table a small
+    * CDC batch therefore rewrites a handful of files, not the table —
+    * write amplification tracks the TOUCHED span, the Delta/Iceberg
+    * COW shape. The rewritten files' indexed columns are re-computed;
+    * carried files keep their bounds verbatim. The update batch is
+    * recorded as change data, so `readChangeFeed` delivers this
+    * commit's row-level delta to incremental consumers. */
   def merge(spark: SparkSession, table: String, updates: DataFrame,
             key: String): Long = {
     val headV = latestVersion(table).getOrElse(sys.error(s"no committed version in $table"))
     val st = resolve(table, headV)
-    val head = read(spark, table, Some(headV))
-    val merged = head.join(updates.select(key).distinct(), Seq(key), "left_anti")
-      .unionByName(updates)
-    commit(spark, merged, table, expectedHead = Some(headV),
-      statsFor = indexedColumns(st).filter(head.columns.contains))
+    val touched = updates.select(col(key)).distinct()
+    val (rewrite, _) = pruneByTouchedKeys(st.entries, touched, key)
+    val staged =
+      if (rewrite.isEmpty) updates // no file overlaps: pure insert
+      else readFiles(spark, table, rewrite)
+        .join(touched, Seq(key), "left_anti")
+        .unionByName(updates)
+    commitRewrite(spark, staged, table, rewrite.map(_.path), headV,
+      statsFor = indexedColumns(st).filter(staged.columns.contains),
+      changeData = Some(updates.withColumn("_change_type", lit("upsert"))))
   }
 
   /** CDC APPLY with deletes: `changes` carries `opCol` in
     * {I, U, D} — Insert and Update rows land (U replaces the head row
     * with the same key; a same-key I behaves identically, the upsert
     * convention), D removes the key from the table (its other columns
-    * are ignored). One anti-join on the touched keys + union of the
-    * survivors, committed as a single REPLACE version: the whole
-    * change batch applies atomically or not at all, and the pre-apply
-    * snapshot stays time-travelable. This is the full
-    * insert/update/delete replication shape a CDC feed (Debezium-style
-    * op column) needs; stats re-computed like merge. */
+    * are ignored). FILE-PRUNED copy-on-write like `merge`: only files
+    * whose key-bounds might hold a touched key are anti-joined and
+    * rewritten, the rest carry by reference, and the whole batch lands
+    * as ONE atomic rewrite commit — the pre-apply snapshot stays
+    * time-travelable. This is the full insert/update/delete
+    * replication shape a CDC feed (Debezium-style op column) needs;
+    * the I/U/D rows are recorded as change data for
+    * `readChangeFeed`. */
   def applyChanges(spark: SparkSession, table: String, changes: DataFrame,
                    key: String, opCol: String = "op"): Long = {
     val headV = latestVersion(table).getOrElse(sys.error(s"no committed version in $table"))
     val st = resolve(table, headV)
-    val head = read(spark, table, Some(headV))
     val touched = changes.select(col(key)).distinct()
     val upserts = changes.filter(col(opCol) =!= "D").drop(opCol)
-    val applied = head.join(touched, Seq(key), "left_anti")
-      .unionByName(upserts)
-    commit(spark, applied, table, expectedHead = Some(headV),
-      statsFor = indexedColumns(st).filter(head.columns.contains))
+    // file-pruned like merge: the touched keys (deletes included)
+    // decide which files rewrite; the rest carry by reference
+    val (rewrite, _) = pruneByTouchedKeys(st.entries, touched, key)
+    val staged =
+      if (rewrite.isEmpty) upserts
+      else readFiles(spark, table, rewrite)
+        .join(touched, Seq(key), "left_anti")
+        .unionByName(upserts)
+    val cdc = changes.withColumn("_change_type",
+        when(col(opCol) === "D", lit("delete"))
+          .when(col(opCol) === "U", lit("update"))
+          .otherwise(lit("insert")))
+      .drop(opCol)
+    commitRewrite(spark, staged, table, rewrite.map(_.path), headV,
+      statsFor = indexedColumns(st).filter(staged.columns.contains),
+      changeData = Some(cdc))
   }
 
   /** DESCRIBE HISTORY: one row per committed version — version id,
@@ -865,9 +1181,25 @@ object SnapshotLog {
     val vs = versions(table)
     val rows = vs.zip(statesFrom(table, vs)).map { case (v, st) =>
       val r = readRecord(table, v)
-      (r.version, if (r.append) "append" else "replace", r.rows, st.entries.size.toLong)
+      (r.version, r.kind, r.rows, st.entries.size.toLong)
     }
     rows.toDF("version", "kind", "row_count", "n_files")
+  }
+
+  /** The version range (sinceV, untilV] IF every record in it still
+    * exists. A gap means vacuum retired records inside the range —
+    * the delta is gone, and silently returning the survivors would
+    * under-deliver rows to a lagging consumer; fail loudly instead
+    * (the stream source enforces exactly the same rule). */
+  private def contiguousRange(table: String, sinceV: Long, untilV: Long): Seq[Long] = {
+    val range = versions(table).filter(v => v > sinceV && v <= untilV)
+    require(range.nonEmpty, s"no versions in ($sinceV, $untilV]")
+    val expected = (sinceV + 1) to untilV
+    if (!range.sameElements(expected)) sys.error(
+      s"versions ${(expected.toSet -- range.toSet).toSeq.sorted.mkString(",")} of $table " +
+        "were vacuumed — the change feed cannot deliver their rows; " +
+        "resync from the head snapshot")
+    range
   }
 
   /** CHANGE FEED between two versions: the rows added by append
@@ -875,22 +1207,56 @@ object SnapshotLog {
     * introduced, read directly (no diffing of row sets; the delta IS
     * the record). Incremental consumers (downstream training jobs,
     * index maintainers) use this to process only what's new since the
-    * version they last pinned. Only APPEND commits have a well-defined
-    * row-level delta from metadata alone; a replace commit in the
+    * version they last pinned. Maintenance commits (dataChange=false)
+    * are invisible; rewrite commits have change data but not
+    * plain-row deltas (use `readChangeFeed`); a full replace in the
     * range fails fast rather than silently returning a wrong delta. */
   def readChanges(spark: SparkSession, table: String,
                   sinceV: Long, untilV: Long): DataFrame = {
-    val range = versions(table).filter(v => v > sinceV && v <= untilV)
-    require(range.nonEmpty, s"no versions in ($sinceV, $untilV]")
-    val recs = range.map(readRecord(table, _))
+    val recs = contiguousRange(table, sinceV, untilV).map(readRecord(table, _))
+      // a maintenance commit (dataChange=false: compaction) changes
+      // nothing by contract — invisible to the change feed, so a
+      // nightly OPTIMIZE no longer breaks incremental consumers
+      .filter(_.dataChange)
     recs.find(!_.append).foreach(r => sys.error(
-      s"version ${r.version} is a replace commit — its delta is not " +
-        "derivable from the log; re-read the snapshot instead"))
+      s"version ${r.version} is a ${r.kind} commit — its delta includes " +
+        "updates or deletes plain rows cannot express; use readChangeFeed " +
+        "for the row-level feed, or re-read the snapshot"))
     val newEntries = recs.flatMap(_.adds)
     if (newEntries.isEmpty) spark.emptyDataFrame
     else readFiles(spark, table, newEntries) // shares the grouped-scan
     // union (incl. allowMissingColumns), so the change feed tolerates
     // the same schema evolution the snapshot read does
+  }
+
+  /** ROW-LEVEL change feed (CDF): every change in (sinceV, untilV] as
+    * rows tagged `_change_type` — "insert" for append-commit rows,
+    * and the recorded change-data rows ("upsert" from `merge`;
+    * "insert"/"update"/"delete" from `applyChanges`) for rewrite
+    * commits. This is what `readChanges` cannot do: a COW merge has a
+    * well-defined row delta (its update batch), recorded at commit
+    * time as `cdc/` files (Delta's `_change_data` pattern), so ONE
+    * merge no longer permanently walls off every incremental
+    * consumer. A full replace (no change data) still fails fast —
+    * that delta genuinely is not derivable. Maintenance commits are
+    * invisible. Delete rows carry the key with null data columns;
+    * consumers apply inserts/updates/upserts as upserts and deletes
+    * as deletes, in version order. */
+  def readChangeFeed(spark: SparkSession, table: String,
+                     sinceV: Long, untilV: Long): DataFrame = {
+    val recs = contiguousRange(table, sinceV, untilV).map(readRecord(table, _))
+      .filter(_.dataChange)
+    recs.find(r => r.cdc.isEmpty && !r.append).foreach(r => sys.error(
+      s"version ${r.version} is a full ${r.kind} commit with no recorded " +
+        "change data — its row delta is not derivable; resync from the snapshot"))
+    val inserts = recs.filter(r => r.cdc.isEmpty && r.append).flatMap(_.adds)
+    val parts =
+      (if (inserts.isEmpty) Seq.empty
+       else Seq(readFiles(spark, table, inserts)
+         .withColumn("_change_type", lit("insert")))) ++
+      recs.filter(_.cdc.nonEmpty).map(r => readFiles(spark, table, r.cdc))
+    if (parts.isEmpty) spark.emptyDataFrame
+    else parts.reduce(_.unionByName(_, allowMissingColumns = true))
   }
 
   /** Polling incremental consumer — the micro-batch pull pattern over
@@ -907,13 +1273,19 @@ object SnapshotLog {
   def pollChanges(spark: SparkSession, table: String,
                   lastSeen: Long): (Long, Boolean, DataFrame) = {
     val head = latestVersion(table).getOrElse(lastSeen)
-    if (head <= lastSeen) (lastSeen, false, spark.emptyDataFrame)
-    else {
-      val range = versions(table).filter(v => v > lastSeen && v <= head)
-      if (range.exists(v => !readRecord(table, v).append))
-        (head, true, read(spark, table, Some(head)))
-      else (head, false, readChanges(spark, table, lastSeen, head))
-    }
+    if (head <= lastSeen) return (lastSeen, false, spark.emptyDataFrame)
+    val range = versions(table).filter(v => v > lastSeen && v <= head)
+    // vacuum retired records inside the gap: the delta no longer
+    // exists — resync with the head snapshot instead of silently
+    // under-delivering the vacuumed appends' rows
+    if (!range.sameElements((lastSeen + 1) to head))
+      return (head, true, read(spark, table, Some(head)))
+    val recs = range.map(readRecord(table, _)).filter(_.dataChange)
+    if (recs.exists(!_.append)) (head, true, read(spark, table, Some(head)))
+    else if (recs.isEmpty) (head, false, spark.emptyDataFrame)
+    // maintenance-only window: the checkpoint advances past the
+    // compaction with an empty delta — OPTIMIZE never forces a resync
+    else (head, false, readChanges(spark, table, lastSeen, head))
   }
 
   /** Delete data files referenced ONLY by versions < `keepFrom` (and
@@ -940,9 +1312,13 @@ object SnapshotLog {
       writeCheckpoint(table, states.head)
     // live files: one forward replay from the new base
     val liveFiles = states.flatMap(_.entries.map(_.path)).toSet
-    // every file ever added (each exactly once, by its adding record)
-    val doomed = dead.flatMap(readRecord(table, _).adds.map(_.path)).distinct
-      .filterNot(liveFiles)
+    // every file ever added (each exactly once, by its adding record),
+    // plus the dead records' change-data files (cdc files are
+    // referenced ONLY by their own record, so they die with it)
+    val doomed = dead.flatMap { v =>
+      val r = readRecord(table, v)
+      r.adds.map(_.path) ++ r.cdc.map(_.path)
+    }.distinct.filterNot(liveFiles)
     doomed.foreach(f => Files.deleteIfExists(Paths.get(table, f)))
     dead.foreach { v =>
       Files.deleteIfExists(vPath(table, v))
@@ -1012,10 +1388,13 @@ object SnapshotLog {
     * updates replaced, inserts landed, and untouched rows survived. */
   def snapshotMerge(spark: SparkSession, dir: String): DataFrame = {
     val table = freshScratchTable(s"snapmerge:$dir")
+    // key-clustered + key-indexed base, so the merge exercises the
+    // FILE-PRUNED COW path (untouched key ranges carry by reference)
     val base = Tables.orders(spark, dir)
       .select(col("o_orderkey"), col("o_orderstatus"),
         col("o_totalprice").cast("decimal(18,2)").as("p"))
-    commit(spark, base, table)
+      .repartitionByRange(8, col("o_orderkey"))
+    commit(spark, base, table, statsFor = Seq("o_orderkey"))
     val updates = base.filter(col("o_orderkey") % 10 === 0)
       .select(col("o_orderkey"), lit("U").as("o_orderstatus"),
         (col("p") + 1).cast("decimal(18,2)").as("p"))
@@ -1043,7 +1422,8 @@ object SnapshotLog {
     val base = Tables.orders(spark, dir)
       .select(col("o_orderkey"), col("o_orderstatus"),
         col("o_totalprice").cast("decimal(18,2)").as("p"))
-    commit(spark, base, table)
+      .repartitionByRange(8, col("o_orderkey"))
+    commit(spark, base, table, statsFor = Seq("o_orderkey"))
     val deletes = base.filter(col("o_orderkey") % 7 === 0)
       .select(col("o_orderkey"), lit("D").as("op"),
         lit(null).cast("string").as("o_orderstatus"),
@@ -1093,6 +1473,38 @@ object SnapshotLog {
       .agg(count(lit(1)).as("n_rows"),
         round(sum(col("o_totalprice").cast("decimal(18,2)")), 2)
           .cast("double").as("total"))
+  }
+
+  /** Declared surface for the ROW-LEVEL CHANGE FEED ACROSS A MERGE
+    * (CDF): v1 = the orders base (key-clustered, key-indexed), v2 = an
+    * append of shifted new keys, v3 = a file-pruned COW merge of a
+    * deterministic update batch. `readChangeFeed(1, 3)` must deliver
+    * exactly v2's rows tagged insert plus v3's update batch tagged
+    * upsert — the incremental consumer's view ACROSS the merge that
+    * plain `readChanges` refuses (pre-r10, one merge permanently
+    * walled off every incremental consumer). The per-change-type
+    * aggregate only matches the oracle's replay if nothing from v1
+    * leaked in, no carried file's rows were re-delivered, and the
+    * change data is exactly the update batch. */
+  def snapshotChangesMerge(spark: SparkSession, dir: String): DataFrame = {
+    val table = freshScratchTable(s"snapcdf:$dir")
+    val base = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_orderstatus"),
+        col("o_totalprice").cast("decimal(18,2)").as("p"))
+      .repartitionByRange(8, col("o_orderkey"))
+    commit(spark, base, table, statsFor = Seq("o_orderkey"))
+    commit(spark, base.filter(col("o_orderkey") % 50 === 1)
+      .select((col("o_orderkey") + 500000000L).as("o_orderkey"),
+        lit("A").as("o_orderstatus"), col("p")), table, append = true)
+    val updates = base.filter(col("o_orderkey") % 10 === 0)
+      .select(col("o_orderkey"), lit("U").as("o_orderstatus"),
+        (col("p") + 1).cast("decimal(18,2)").as("p"))
+    merge(spark, table, updates, "o_orderkey")
+    readChangeFeed(spark, table, 1L, 3L)
+      .groupBy(col("_change_type").as("change_type"))
+      .agg(count(lit(1)).as("n_rows"),
+        round(sum(col("p")), 2).cast("double").as("total"))
+      .orderBy("change_type")
   }
 
   /** Declared surface for DATA SKIPPING: orders range-clustered on

@@ -40,18 +40,31 @@ import graft.core.SnapshotLog
   *    analogue) — versions before it are never delivered. This is the
   *    escape hatch for a table whose early history was vacuumed (its
   *    snapshot lives only in a checkpoint, so a from-the-beginning
-  *    stream is impossible): start at the oldest surviving version's
-  *    successor and treat the stream as incremental-from-there.
+  *    stream is impossible): start at the OLDEST SURVIVING version —
+  *    if that version is a full replace commit it is delivered as the
+  *    stream's initial snapshot (the same allowance a fresh stream
+  *    gets at v1) — and treat the stream as incremental-from-there.
+  *  - `skipChangeCommits` (boolean): skip data-changing rewrite
+  *    commits (merge / CDC-apply) instead of failing — Delta's
+  *    skipChangeCommits. The consumer sees appends only and accepts
+  *    that updated/deleted rows it already received stay as-delivered.
   *
   * Semantics notes:
   *  - The INITIAL batch may start with a replace commit (the common
   *    create-then-append table shape): versions (0, e] then read the
   *    initial snapshot plus subsequent appends, which is exactly
   *    `resolve(e)` because every later version in range is an append.
-  *  - A replace commit LATER in the stream is a correctness wall: the
-  *    rows delivered before it cannot be un-delivered, so the source
-  *    fails fast (Delta's default for updates/deletes under a stream)
-  *    rather than silently double-counting.
+  *  - MAINTENANCE commits (`dataChange=false`: compaction,
+  *    re-clustering) are INVISIBLE: their content is identical by
+  *    contract, so the stream skips them — a nightly `Cli optimize`
+  *    against a live consumer is a non-event, not a query failure
+  *    (Delta marks such commits the same way).
+  *  - A data-changing replace or rewrite commit LATER in the stream is
+  *    a correctness wall: the rows delivered before it cannot be
+  *    un-delivered, so the source fails fast (Delta's default for
+  *    updates/deletes under a stream) rather than silently
+  *    double-counting — unless `skipChangeCommits` opts out for
+  *    rewrites.
   *
   * Reader: each input partition is one immutable parquet data file,
   * read via parquet-hadoop's public example API (`GroupReadSupport`)
@@ -95,18 +108,21 @@ final class LogStreamTable(table: String, schema: StructType)
     new ScanBuilder {
       override def build(): Scan = new LogStreamScan(table, schema,
         Option(options.get("maxVersionsPerTrigger")).map(_.toLong),
-        Option(options.get("startingVersion")).map(_.toLong))
+        Option(options.get("startingVersion")).map(_.toLong),
+        options.getBoolean("skipChangeCommits", false))
     }
 }
 
 final class LogStreamScan(table: String, schema: StructType,
                           maxVersionsPerTrigger: Option[Long],
-                          startingVersion: Option[Long]) extends Scan {
+                          startingVersion: Option[Long],
+                          skipChangeCommits: Boolean = false) extends Scan {
   LogStreamScan.requireFlat(schema)
   override def readSchema(): StructType = schema
   override def description(): String = s"graft-log change feed over $table"
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-    new LogMicroBatchStream(table, schema, maxVersionsPerTrigger, startingVersion)
+    new LogMicroBatchStream(table, schema, maxVersionsPerTrigger, startingVersion,
+      skipChangeCommits)
 }
 
 object LogStreamScan {
@@ -127,8 +143,14 @@ final case class LogOffset(version: Long) extends Offset {
 
 final class LogMicroBatchStream(table: String, schema: StructType,
                                 maxVersionsPerTrigger: Option[Long],
-                                startingVersion: Option[Long] = None)
+                                startingVersion: Option[Long] = None,
+                                skipChangeCommits: Boolean = false)
     extends MicroBatchStream with SupportsTriggerAvailableNow {
+
+  /** The version the stream's very first offset rests on — batches
+    * starting here may begin with a table-(re)defining replace commit
+    * delivered as the initial snapshot. */
+  private val initialVersion: Long = startingVersion.map(_ - 1L).getOrElse(0L)
 
   // AvailableNow pins the head ONCE at query start, so the trigger
   // terminates even while writers keep appending
@@ -139,8 +161,7 @@ final class LogMicroBatchStream(table: String, schema: StructType,
 
   override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
 
-  override def initialOffset(): Offset =
-    LogOffset(startingVersion.map(_ - 1L).getOrElse(0L))
+  override def initialOffset(): Offset = LogOffset(initialVersion)
 
   override def latestOffset(): Offset =
     throw new UnsupportedOperationException(
@@ -181,15 +202,25 @@ final class LogMicroBatchStream(table: String, schema: StructType,
         "To stream the changes still in the log, restart with a fresh " +
         "checkpoint and .option(\"startingVersion\", <oldest surviving version>)")
     val recs = range.map(SnapshotLog.readRecord(table, _))
-    recs.filter(!_.append).foreach { r =>
-      // the initial batch may BEGIN with the table-creating replace
-      // commit (its adds are the initial snapshot); any other replace
-      // invalidates rows this stream already delivered — fail fast
-      if (!(s == 0L && r.version == range.head)) sys.error(
-        s"version ${r.version} of $table is a replace commit — a stream cannot " +
-          "un-deliver earlier rows; restart the stream from a fresh checkpoint")
+      // maintenance commits (dataChange=false: compaction/clustering)
+      // are content-identical by contract — invisible to the stream,
+      // so `Cli optimize` mid-stream is a non-event, not a failure
+      .filter(_.dataChange)
+    val deliverable = recs.filter { r =>
+      if (r.append) true
+      // the stream's FIRST batch may begin with a table-(re)defining
+      // full replace (its adds ARE the snapshot at that version) — the
+      // create-then-append shape, and the vacuum-restart path where
+      // the oldest surviving version is a replace
+      else if (s == initialVersion && r.version == range.head && r.removes.isEmpty) true
+      else if (skipChangeCommits) false // Delta's skipChangeCommits opt-out
+      else sys.error(
+        s"version ${r.version} of $table is a ${r.kind} commit — a stream " +
+          "cannot un-deliver earlier rows; restart the stream from a fresh " +
+          "checkpoint, or set .option(\"skipChangeCommits\", \"true\") to " +
+          "ignore update/delete commits")
     }
-    val files = recs.flatMap(_.adds).filter(_.rows > 0).map(_.path)
+    val files = deliverable.flatMap(_.adds).filter(_.rows > 0).map(_.path)
     files.find(_.split("/").exists(_.contains("="))).foreach(f => sys.error(
       s"graft-log stream source does not read hive-partitioned staged layouts: $f"))
     files.map(f => LogInputPartition(s"$table/$f"): InputPartition).toArray

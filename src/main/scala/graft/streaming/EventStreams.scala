@@ -524,35 +524,93 @@ object EventStreams {
     * min-by-arrival + self-join, no streaming required.
     *
     * Scale: the gate's probe side is DISTINCT 16-byte fingerprints
-    * (never the text), the anti-join hashes on fp, and the
-    * destination read for the gate is a snapshot-log manifest listing
-    * — at 100 TB this is the standard bloom-prunable ingest gate
-    * (`dedup_incremental_bloom` is the batch twin). */
+    * (never the text) and a BLOOM FILTER over every fingerprint ever
+    * accepted fronts the anti-join (`dedup_incremental_bloom`
+    * streaming-ized): each batch row probes the bloom MAP-SIDE inside
+    * whole-stage codegen — a miss is DEFINITELY new and commits
+    * without touching the destination at all, so a batch of fresh
+    * content costs O(batch) however large the accepted corpus; only
+    * bloom hits (true dups + ~1% false positives) ride the exact
+    * fp anti-join, and a batch with zero hits skips the destination
+    * read entirely. The bloom lives driver-side across batches,
+    * seeded from the destination's row count (log metadata) and
+    * rebuilt from the fp column on restart — blooms have no false
+    * negatives, so the gate's output is bit-identical to the plain
+    * anti-join and the same oracle checks it. */
   def dedupIngest(spark: SparkSession, dir: String,
-      maxVersionsPerTrigger: Option[Int] = Some(1)): DataFrame = {
+      maxVersionsPerTrigger: Option[Int] = Some(1),
+      onBatchMillis: (Long, Long) => Unit = (_, _) => ()): DataFrame = {
+    import graft.core.SnapshotLog
+    import graft.functions.DetHash
     val src = dedupIngestSourceTable(spark, dir)
     val dest = graft.core.TempDirs.stable(s"dedup_ingest_dest:$dir")
     graft.core.TempDirs.deleteRecursively(new java.io.File(dest))
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dest))
+    // accepted-fp history bloom: null until the first batch; rebuilt
+    // from the destination when it already has commits (restart path —
+    // the bloom MUST cover every accepted fp or a dup slips through)
+    val bloomRef = new java.util.concurrent.atomic.AtomicReference[
+      org.apache.spark.util.sketch.BloomFilter](null)
+    def ensureBloom(): org.apache.spark.util.sketch.BloomFilter = {
+      var bf = bloomRef.get()
+      if (bf == null) {
+        val headRows = SnapshotLog.latestVersion(dest)
+          .map(v => SnapshotLog.resolve(dest, v).entries.map(_.rows).sum)
+          .getOrElse(0L)
+        val capacity = math.max(1000000L, headRows * 4)
+        bf = org.apache.spark.util.sketch.BloomFilter.create(capacity, 0.01)
+        if (headRows > 0L) // restart over a non-empty dest: re-seed ONCE
+          // from the persisted h60 column — a column-pruned read of
+          // 8-byte keys, paid at startup only, never per batch
+          SnapshotLog.read(spark, dest).select("h60").distinct()
+            .collect().foreach(r => bf.putLong(r.getLong(0)))
+        bloomRef.set(bf)
+      }
+      bf
+    }
     val stream0 = spark.readStream.format("graft-log")
     val stream = maxVersionsPerTrigger.fold(stream0)(n =>
       stream0.option("maxVersionsPerTrigger", n.toString))
     val q = stream.load(src).writeStream
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
           batchId: Long) =>
+        val t0 = System.nanoTime()
+        val bf = ensureBloom()
+        val bytes = new java.io.ByteArrayOutputStream()
+        bf.writeTo(bytes)
         val keyed = batch.toDF()
           .withColumn("fp", md5(col("text")))
           .withColumn("arr", (col("doc_id") % 3) * lit(1000000000L) + col("doc_id"))
         val winners = keyed.join(
           keyed.groupBy("fp").agg(min(col("arr")).as("arr")),
           Seq("fp", "arr"), "left_semi")
-        val fresh =
-          if (graft.core.SnapshotLog.latestVersion(dest).isEmpty) winners
-          else winners.join(
-            graft.core.SnapshotLog.read(spark, dest).select("fp"),
-            Seq("fp"), "left_anti")
-        graft.core.SnapshotLog.commit(spark, fresh.drop("arr"), dest,
-          append = true, txn = Some(("dedup_ingest", batchId)))
+          .withColumn("h60", DetHash.hex60(col("text")))
+          .withColumn("hit", org.apache.spark.sql.graft.Bridge
+            .bloomMightContain(bytes.toByteArray, col("h60")))
+          .persist()
+        try {
+          // bloom MISSES are definitely new — they commit without any
+          // destination read; only hits need the exact settle
+          val anyHits = winners.filter(col("hit")).limit(1).count() > 0
+          val fresh =
+            if (!anyHits) winners
+            else winners.filter(!col("hit")).unionByName(
+              winners.filter(col("hit")).join(
+                SnapshotLog.read(spark, dest).select("fp"),
+                Seq("fp"), "left_anti"))
+          // h60 persists with the row: it is the bloom's key material,
+          // so a restarted stream re-seeds the gate from a column-
+          // pruned read instead of re-hashing every accepted text
+          val committed = fresh.drop("arr", "hit")
+          SnapshotLog.commit(spark, committed, dest,
+            append = true, txn = Some(("dedup_ingest", batchId)))
+          // fold the batch's accepted fps into the history bloom
+          // (driver-side, bounded by batch size; a replayed batch
+          // re-adds the same keys — harmless, blooms are idempotent)
+          winners.filter(!col("hit")).select("h60").distinct()
+            .collect().foreach(r => bf.putLong(r.getLong(0)))
+          onBatchMillis(batchId, (System.nanoTime() - t0) / 1000000L)
+        } finally { winners.unpersist(); () }
         ()
       }
       .option("checkpointLocation", ckpt())

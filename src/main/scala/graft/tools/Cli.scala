@@ -153,7 +153,7 @@ object Cli {
     * a table fed by streaming appends):
     *
     *   runMain graft.tools.Cli optimize <table> [--target-files N]
-    *       [--cluster-by c1[,c2...]] [--zorder a,b]
+    *       [--cluster-by c1[,c2...]] [--zorder a,b[,c...]]
     *       [--vacuum-keep K] [--vacuum-orphans]
     *
     * Compacts the head into N files (range-clustered or z-ordered —
@@ -166,7 +166,7 @@ object Cli {
   def optimize(spark: SparkSession, args: Array[String]): Seq[(String, Long)] = {
     require(args.length >= 2 && args(0) == "optimize",
       "usage: optimize <table> [--target-files N] [--cluster-by c1[,c2]] " +
-        "[--zorder a,b] [--vacuum-keep K] [--vacuum-orphans]")
+        "[--zorder a,b[,c...]] [--vacuum-keep K] [--vacuum-orphans]")
     val table = args(1)
     val flags = args.drop(2)
     def flagValue(name: String): Option[String] = flags.sliding(2).collectFirst {
@@ -175,9 +175,9 @@ object Cli {
     val target = flagValue("--target-files").map(_.toInt).getOrElse(8)
     val out = Seq.newBuilder[(String, Long)]
     val v = flagValue("--zorder") match {
-      case Some(zz) =>
-        val Array(a, b) = zz.split(',').map(_.trim)
-        graft.core.SnapshotLog.compactZorder(spark, table, target, a, b)
+      case Some(zz) => // 2..N dims, round-robin bit-interleaved
+        graft.core.SnapshotLog.compactZorder(spark, table, target,
+          zz.split(',').toSeq.map(_.trim))
       case None =>
         graft.core.SnapshotLog.compact(spark, table, target,
           clusterBy = flagValue("--cluster-by")
