@@ -1,0 +1,312 @@
+package graft.core
+
+import java.nio.file.{Files, Paths}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkFixture
+
+/** Round-10 snapshot-log guarantees: file-pruned copy-on-write
+  * merges (carry untouched files by reference), maintenance commits
+  * that are invisible to change-feed consumers (dataChange=false),
+  * the row-level change feed across rewrites, contiguity checking
+  * after vacuum, format-version detection, and the stats-friendly
+  * default compaction layout. */
+class SnapshotLogCowSpec extends AnyFunSuite with SparkFixture {
+
+  private def freshTable(): String =
+    Files.createTempDirectory("graft_snapcow_").toString
+
+  private def idsAt(table: String, v: Option[Long] = None): Set[Long] =
+    SnapshotLog.read(spark, table, v).select("id").collect().map(_.getLong(0)).toSet
+
+  /** A 100-row table range-clustered into 5 id-indexed files
+    * ([0,19], [20,39], ... [80,99]) — the layout where key pruning
+    * has something to prune. */
+  private def clusteredTable(): String = {
+    import spark.implicits._
+    val t = freshTable()
+    val rows = (0 until 100).map(i => (i.toLong, s"p$i"))
+    SnapshotLog.commit(spark,
+      rows.toDF("id", "payload").repartitionByRange(5, col("id")),
+      t, statsFor = Seq("id"))
+    t
+  }
+
+  test("merge rewrites ONLY the files whose key bounds overlap the touched keys") {
+    import spark.implicits._
+    val t = clusteredTable()
+    val before = SnapshotLog.resolve(t, 1L)
+    assert(before.entries.size == 5)
+    val mtimes = before.entries.map(e =>
+      e.path -> Files.getLastModifiedTime(Paths.get(t, e.path))).toMap
+    // touched keys 10 and 15 live in exactly ONE file ([0,19])
+    val updates = Seq((10L, "upd10"), (15L, "upd15"), (1000L, "new1000"))
+      .toDF("id", "payload")
+    val v = SnapshotLog.merge(spark, t, updates, "id")
+    assert(v == 2L)
+    val rec = SnapshotLog.readRecord(t, 2L)
+    // the record REMOVES exactly the one overlapping file — and lists
+    // only touched+staged entries, never the carried ones (O(touched)
+    // metadata however large the table)
+    assert(rec.removes.size == 1,
+      s"keys {10,15,1000} overlap one [0,19] file, removed ${rec.removes}")
+    val carried = before.entries.map(_.path).toSet -- rec.removes.toSet
+    assert(rec.adds.map(_.path).toSet.intersect(carried).isEmpty,
+      "carried files must never be re-listed as adds")
+    val after = SnapshotLog.resolve(t, 2L)
+    // every carried entry survives VERBATIM: same path, same rows,
+    // same bounds (the stats index never degrades), same data bytes
+    before.entries.filter(e => carried(e.path)).foreach { e =>
+      val now = after.entries.find(_.path == e.path)
+      assert(now.contains(e.copy(schema = now.get.schema)),
+        s"carried entry changed: $e vs $now")
+      assert(Files.getLastModifiedTime(Paths.get(t, e.path)) == mtimes(e.path),
+        s"carried data file ${e.path} was rewritten")
+    }
+    // content is the exact upsert result, and the pre-merge snapshot
+    // is intact (copy-on-write)
+    val head = SnapshotLog.read(spark, t).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(head.size == 101)
+    assert(head(10L) == "upd10" && head(15L) == "upd15" && head(1000L) == "new1000")
+    assert(head(9L) == "p9" && head(99L) == "p99")
+    assert(idsAt(t, Some(1L)) == (0L until 100L).toSet)
+  }
+
+  test("a merge whose keys overlap nothing is a pure-insert append: zero rewrites") {
+    import spark.implicits._
+    val t = clusteredTable()
+    val before = SnapshotLog.resolve(t, 1L)
+    val v = SnapshotLog.merge(spark, t,
+      Seq((5000L, "n1"), (6000L, "n2")).toDF("id", "payload"), "id")
+    val rec = SnapshotLog.readRecord(t, v)
+    assert(rec.removes.isEmpty && rec.append,
+      s"out-of-range keys must rewrite nothing: kind=${rec.kind}")
+    assert(SnapshotLog.resolve(t, v).entries.map(_.path).toSet
+      .intersect(before.entries.map(_.path).toSet) == before.entries.map(_.path).toSet)
+    assert(idsAt(t) == (0L until 100L).toSet ++ Set(5000L, 6000L))
+  }
+
+  test("applyChanges prunes by touched keys too, and deletes exactly its keys") {
+    import spark.implicits._
+    val t = clusteredTable()
+    val before = SnapshotLog.resolve(t, 1L)
+    // touch only the [40,59] file: delete 42, update 55, insert 2000
+    val changes = Seq(
+      (42L, null.asInstanceOf[String], "D"),
+      (55L, "upd55", "U"),
+      (2000L, "new2000", "I")).toDF("id", "payload", "op")
+    val v = SnapshotLog.applyChanges(spark, t, changes, "id")
+    val rec = SnapshotLog.readRecord(t, v)
+    assert(rec.removes.size == 1, s"one file holds {42,55}, removed ${rec.removes}")
+    assert(rec.kind == "rewrite")
+    val head = SnapshotLog.read(spark, t).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(!head.contains(42L) && head(55L) == "upd55" && head(2000L) == "new2000")
+    assert(head.size == 100) // 100 - 1 delete + 1 insert
+    assert(head(41L) == "p41" && head(0L) == "p0")
+    // untouched files carried with bounds intact: skipping still works
+    val (kept, skipped) = SnapshotLog.prunedFiles(t, "id", 0.0, 10.0)
+    assert(skipped.nonEmpty && kept.nonEmpty)
+    assert(before.entries.size == 5)
+  }
+
+  test("merge key pruning is conservative: bounds-less files always rewrite") {
+    import spark.implicits._
+    val t = freshTable()
+    // committed WITHOUT statsFor: no key bounds anywhere
+    SnapshotLog.commit(spark,
+      (0 until 20).map(i => (i.toLong, s"p$i")).toDF("id", "payload")
+        .repartitionByRange(2, col("id")), t)
+    val v = SnapshotLog.merge(spark, t, Seq((3L, "upd")).toDF("id", "payload"), "id")
+    val rec = SnapshotLog.readRecord(t, v)
+    assert(rec.removes.size == 2,
+      s"no bounds -> every file must rewrite (never lose an update): ${rec.removes}")
+    val head = SnapshotLog.read(spark, t).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(head(3L) == "upd" && head.size == 20)
+  }
+
+  test("readChangeFeed delivers inserts, upserts, and deletes across a merge") {
+    import spark.implicits._
+    val t = clusteredTable()                                        // v1
+    SnapshotLog.commit(spark, Seq((200L, "a200")).toDF("id", "payload"),
+      t, append = true)                                             // v2
+    SnapshotLog.merge(spark, t,
+      Seq((10L, "u10"), (300L, "n300")).toDF("id", "payload"), "id") // v3
+    SnapshotLog.applyChanges(spark,
+      t, Seq((20L, null.asInstanceOf[String], "D")).toDF("id", "payload", "op"),
+      "id")                                                         // v4
+    def feed(since: Long, until: Long): Map[(Long, String), String] =
+      SnapshotLog.readChangeFeed(spark, t, since, until).collect()
+        .map(r => (r.getLong(r.fieldIndex("id")),
+          r.getString(r.fieldIndex("_change_type"))) ->
+          (if (r.isNullAt(r.fieldIndex("payload"))) null
+           else r.getString(r.fieldIndex("payload")))).toMap
+    val all = feed(1L, 4L)
+    assert(all == Map(
+      (200L, "insert") -> "a200",
+      (10L, "upsert") -> "u10",
+      (300L, "upsert") -> "n300",
+      (20L, "delete") -> null), s"got $all")
+    // sub-ranges slice the feed exactly
+    assert(feed(2L, 3L).keySet == Set((10L, "upsert"), (300L, "upsert")))
+    assert(feed(3L, 4L).keySet == Set((20L, "delete")))
+    // plain readChanges still refuses the rewrite range (its delta has
+    // updates/deletes) but the error points at the row-level feed
+    val e = intercept[RuntimeException] { SnapshotLog.readChanges(spark, t, 1L, 4L) }
+    assert(e.getMessage.contains("readChangeFeed"))
+    // a full replace still fails even the row-level feed
+    SnapshotLog.commit(spark, Seq((1L, "x")).toDF("id", "payload"), t) // v5 replace
+    val e2 = intercept[RuntimeException] { SnapshotLog.readChangeFeed(spark, t, 4L, 5L) }
+    assert(e2.getMessage.contains("no recorded change data"))
+  }
+
+  test("maintenance commits are invisible: OPTIMIZE mid-feed breaks neither readChanges nor pollChanges") {
+    import spark.implicits._
+    val t = freshTable()
+    def d(ids: Long*) = ids.map(i => (i, s"p$i")).toDF("id", "payload")
+    SnapshotLog.commit(spark, d(1, 2), t)             // v1
+    SnapshotLog.commit(spark, d(3), t, append = true) // v2
+    SnapshotLog.compact(spark, t, targetFiles = 1)    // v3: dataChange=false
+    SnapshotLog.commit(spark, d(4), t, append = true) // v4
+    assert(SnapshotLog.readRecord(t, 3L).kind == "optimize")
+    // the compaction contributes NOTHING to the delta — the feed is
+    // exactly the appends, no double-delivery of compacted content
+    val changed = SnapshotLog.readChanges(spark, t, 1L, 4L)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(changed == Set(3L, 4L), s"got $changed")
+    // pollChanges advances THROUGH the compaction without a resync
+    val (v, resync, rows) = SnapshotLog.pollChanges(spark, t, 1L)
+    assert(v == 4L && !resync)
+    assert(rows.select("id").collect().map(_.getLong(0)).toSet == Set(3L, 4L))
+    // a maintenance-only window advances the checkpoint with an empty
+    // delta (no resync, no rows)
+    SnapshotLog.compact(spark, t, targetFiles = 2) // v5
+    val (v2, resync2, rows2) = SnapshotLog.pollChanges(spark, t, 4L)
+    assert(v2 == 5L && !resync2 && rows2.columns.isEmpty)
+    // and readChangeFeed skips it the same way
+    assert(SnapshotLog.readChangeFeed(spark, t, 4L, 5L).columns.isEmpty)
+  }
+
+  test("a vacuumed gap inside the range fails readChanges loudly and resyncs pollChanges") {
+    import spark.implicits._
+    def d(ids: Long*) = ids.map(i => (i, s"p$i")).toDF("id", "payload")
+    val t = freshTable()
+    (1 to 5).foreach(i => SnapshotLog.commit(spark, d(i.toLong), t, append = i > 1))
+    SnapshotLog.vacuum(t, keepFrom = 4L) // v1-v3 records die; head rests on ckpt-v4
+    assert(SnapshotLog.versions(t) == Seq(4L, 5L))
+    // a lagging consumer at v2 asks for (2, 5]: v3's rows are GONE —
+    // silently returning v4+v5 only would under-deliver; fail loudly
+    val e = intercept[RuntimeException] { SnapshotLog.readChanges(spark, t, 2L, 5L) }
+    assert(e.getMessage.contains("vacuumed"), e.getMessage)
+    val e2 = intercept[RuntimeException] { SnapshotLog.readChangeFeed(spark, t, 2L, 5L) }
+    assert(e2.getMessage.contains("vacuumed"), e2.getMessage)
+    // the polling consumer gets a RESYNC (full head) instead of a hole
+    val (v, resync, rows) = SnapshotLog.pollChanges(spark, t, 2L)
+    assert(v == 5L && resync)
+    assert(rows.select("id").collect().map(_.getLong(0)).toSet == (1L to 5L).toSet)
+    // the surviving contiguous tail still reads as a plain delta
+    assert(SnapshotLog.readChanges(spark, t, 4L, 5L)
+      .select("id").collect().map(_.getLong(0)).toSet == Set(5L))
+  }
+
+  test("format detection: old pre-delta records and newer-fmt records fail with version messages") {
+    import spark.implicits._
+    val t = freshTable()
+    SnapshotLog.commit(spark, Seq((1L, "p1")).toDF("id", "payload"), t)
+    // the r8-era layout: per-commit "files" arrays
+    Files.write(Paths.get(t, "_graft_log", "v2.json"),
+      """{"version":2,"append":true,"rows":1,"files":["data/x/part-0.parquet"]}"""
+        .getBytes("UTF-8"))
+    val e = intercept[RuntimeException] { SnapshotLog.readRecord(t, 2L) }
+    assert(e.getMessage.contains("older graft") && !e.getMessage.contains("corrupt"),
+      e.getMessage)
+    // a record from a FUTURE format version
+    Files.write(Paths.get(t, "_graft_log", "v3.json"),
+      """{"fmt":99,"version":3,"append":true,"rows":0,"add":[]}""".getBytes("UTF-8"))
+    val e2 = intercept[RuntimeException] { SnapshotLog.readRecord(t, 3L) }
+    assert(e2.getMessage.contains("NEWER graft"), e2.getMessage)
+    // current-format records round-trip their fmt stamp
+    assert(SnapshotLog.readRecord(t, 1L).adds.nonEmpty)
+  }
+
+  test("hive partition values with URI-special characters record correct per-file stats") {
+    import spark.implicits._
+    val t = freshTable()
+    // ':' and '%' are %XX-escaped in the on-disk dir name, and
+    // input_file_name() escapes the escapes — the pre-r10 substring
+    // match silently recorded rows=0 for these files
+    val rows = Seq((1L, "a b"), (2L, "x%y"), (3L, "c:d"), (4L, "plain"))
+      .toDF("id", "part")
+    SnapshotLog.commit(spark, rows, t, partitionBy = Seq("part"), statsFor = Seq("id"))
+    val st = SnapshotLog.resolve(t, 1L)
+    assert(st.entries.nonEmpty)
+    st.entries.foreach(e =>
+      assert(e.rows > 0L, s"entry ${e.path} recorded rows=${e.rows} — URI decode failed"))
+    assert(st.entries.map(_.rows).sum == 4L)
+    // and the read restores every partition value verbatim
+    assert(SnapshotLog.read(spark, t).select("part").collect()
+      .map(_.getString(0)).toSet == Set("a b", "x%y", "c:d", "plain"))
+  }
+
+  test("bare compact preserves the dominant clustering: skip count never decreases") {
+    val sf = "/root/testdata/sf0.001"
+    val t = SnapshotLog.skippingDemoTable(spark, sf) // price-clustered, price+key indexed
+    val q = (50000.0, 100000.0)
+    val skippedBefore = SnapshotLog.prunedFiles(t, "o_totalprice", q._1, q._2)._2.size
+    assert(skippedBefore > 0)
+    val v = SnapshotLog.compact(spark, t, targetFiles = 8) // NO clusterBy
+    assert(SnapshotLog.readRecord(t, v).kind == "optimize")
+    val skippedAfter = SnapshotLog.prunedFiles(t, "o_totalprice", q._1, q._2)._2.size
+    assert(skippedAfter >= skippedBefore,
+      s"bare compact must not destroy the price clustering: $skippedBefore -> $skippedAfter")
+    // content identical through the maintenance commit
+    val a = SnapshotLog.read(spark, t, Some(v - 1)).select("o_orderkey")
+      .collect().map(_.getLong(0)).toSet
+    val b = SnapshotLog.read(spark, t).select("o_orderkey")
+      .collect().map(_.getLong(0)).toSet
+    assert(a == b)
+  }
+
+  test("3-dim z-order: a box query on three dims keeps a minority of files") {
+    import SnapshotLog.Pred._
+    import spark.implicits._
+    val t = freshTable()
+    // a 16x16x16 grid committed round-robin: no dim can skip anything
+    val grid = (0 until 4096).map(i =>
+      (i.toLong, (i % 16).toDouble, ((i / 16) % 16).toDouble, (i / 256).toDouble))
+    SnapshotLog.commit(spark, grid.toDF("id", "x", "y", "z").repartition(16),
+      t, statsFor = Seq("x", "y", "z"))
+    val box = And(Between("x", 0.0, 3.0), Between("y", 0.0, 3.0),
+      Between("z", 0.0, 3.0)) // a 1/64 corner cube
+    assert(SnapshotLog.prunedFilesWhere(t, box)._2.isEmpty,
+      "round-robin layout must not skip (the baseline)")
+    val v = SnapshotLog.compactZorder(spark, t, targetFiles = 16,
+      Seq("x", "y", "z"), bits = 8)
+    assert(SnapshotLog.readRecord(t, v).kind == "optimize")
+    val (kept, skipped) = SnapshotLog.prunedFilesWhere(t, box)
+    assert(skipped.nonEmpty && kept.size <= 6,
+      s"a 1/64 corner cube over 16 z-ordered files must keep a minority, kept ${kept.size}")
+    // exactness through the rewrite
+    val ids = SnapshotLog.readWhere(spark, t, box).select("id").collect()
+      .map(_.getLong(0)).toSet
+    val expect = grid.filter(g => g._2 <= 3 && g._3 <= 3 && g._4 <= 3).map(_._1).toSet
+    assert(ids == expect)
+  }
+
+  test("vacuum retires dead rewrite commits' change-data files with them") {
+    import spark.implicits._
+    val t = clusteredTable()                                          // v1
+    SnapshotLog.merge(spark, t, Seq((10L, "u")).toDF("id", "payload"), "id") // v2
+    val cdcFiles = SnapshotLog.readRecord(t, 2L).cdc.map(_.path)
+    assert(cdcFiles.nonEmpty)
+    cdcFiles.foreach(f => assert(Files.exists(Paths.get(t, f))))
+    SnapshotLog.commit(spark, Seq((500L, "x")).toDF("id", "payload"), t,
+      append = true)                                                  // v3
+    SnapshotLog.vacuum(t, keepFrom = 3L) // v1, v2 die
+    cdcFiles.foreach(f => assert(!Files.exists(Paths.get(t, f)),
+      s"dead change-data file $f must be vacuumed"))
+    assert(idsAt(t).size == 101)
+  }
+}

@@ -231,6 +231,88 @@ class LogStreamSourceSpec extends AnyFunSuite with SparkFixture {
       s"changes-only stream from the oldest survivor must deliver exactly v5's append, got $got")
   }
 
+  test("Cli optimize mid-stream is a non-event: the consumer's result equals the no-maintenance run") {
+    // the first-night-maintenance scenario VERDICT r9 flagged: a
+    // nightly compact+vacuum runs while a graft-log consumer is live.
+    // Pre-r10 the compaction's replace commit KILLED the stream; now
+    // it is dataChange=false and invisible
+    def run(optimize: Boolean): Set[Long] = {
+      val t = freshTable()
+      val checkpoint = ck()
+      val out = Files.createTempDirectory("graft_logsrc_out_").toString
+      SnapshotLog.commit(spark, df(1, 2), t)
+      SnapshotLog.commit(spark, df(3), t, append = true)
+      SnapshotLog.commit(spark, df(4), t, append = true)
+      drainToFiles(t, checkpoint, out) // consumer catches up to v3
+      if (optimize) // compact -> v4 (dataChange=false), retire history
+        graft.tools.Cli.optimize(spark, Array("optimize", t,
+          "--target-files", "1", "--vacuum-keep", "2", "--vacuum-orphans"))
+      SnapshotLog.commit(spark, df(5, 6), t, append = true)
+      drainToFiles(t, checkpoint, out) // resumes from its checkpoint
+    }
+    val plain = run(optimize = false)
+    val maintained = run(optimize = true)
+    assert(maintained == plain && plain == Set(1L, 2L, 3L, 4L, 5L, 6L),
+      s"optimize changed the consumer's view: $maintained vs $plain")
+  }
+
+  test("startingVersion at a data-replace survivor delivers it as the initial snapshot") {
+    // the restart path the vacuum error message advises: after a
+    // replace + vacuum, the oldest surviving version IS a replace
+    // commit — a fresh stream starting there must treat its adds as
+    // the initial snapshot instead of refusing (pre-r10 the allowance
+    // only fired at version 1)
+    val t = freshTable()
+    SnapshotLog.commit(spark, df(1, 2), t)             // v1
+    SnapshotLog.commit(spark, df(3), t, append = true) // v2
+    SnapshotLog.commit(spark, df(7, 8), t)             // v3: data replace
+    SnapshotLog.commit(spark, df(9), t, append = true) // v4
+    SnapshotLog.vacuum(t, keepFrom = 3L)               // v1, v2 die
+    assert(SnapshotLog.versions(t) == Seq(3L, 4L))
+    val name = s"logsrc_rs_${java.util.UUID.randomUUID().toString.take(8)}"
+    val q = spark.readStream.format("graft-log")
+      .option("startingVersion", "3")
+      .load(t)
+      .writeStream.format("memory").queryName(name)
+      .option("checkpointLocation", ck())
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val got = spark.table(name).select("id").collect().map(_.getLong(0)).toSet
+    spark.catalog.dropTempView(name)
+    assert(got == Set(7L, 8L, 9L),
+      s"the replace survivor must stream as the initial snapshot + appends, got $got")
+  }
+
+  test("skipChangeCommits streams past a rewrite commit; without it the stream fails") {
+    import spark.implicits._
+    val t = freshTable()
+    val checkpoint = ck()
+    val out = Files.createTempDirectory("graft_logsrc_out_").toString
+    SnapshotLog.commit(spark, df(1, 2).repartitionByRange(1, col("id")), t)
+    drainToFiles(t, checkpoint, out)
+    SnapshotLog.merge(spark, t, Seq((1L, "upd")).toDF("id", "payload"), "id") // rewrite
+    SnapshotLog.commit(spark, df(5), t, append = true)
+    // default: the rewrite is a correctness wall
+    val e = intercept[Exception] { drainToFiles(t, checkpoint, out) }
+    def msgs(x: Throwable): Seq[String] =
+      if (x == null) Seq.empty else Option(x.getMessage).toSeq ++ msgs(x.getCause)
+    assert(msgs(e).exists(m => m.contains("rewrite") && m.contains("skipChangeCommits")),
+      s"got ${msgs(e)}")
+    // opt-in: the rewrite is skipped, appends keep flowing
+    val name = s"logsrc_sc_${java.util.UUID.randomUUID().toString.take(8)}"
+    val q = spark.readStream.format("graft-log")
+      .option("skipChangeCommits", "true")
+      .load(t)
+      .writeStream.format("memory").queryName(name)
+      .option("checkpointLocation", ck())
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val got = spark.table(name).select("id").collect().map(_.getLong(0)).toSet
+    spark.catalog.dropTempView(name)
+    assert(got == Set(1L, 2L, 5L),
+      s"skipChangeCommits must deliver v1 + the append, not the rewrite: $got")
+  }
+
   test("nested schemas and partitioned layouts fail fast with clear errors") {
     import spark.implicits._
     val t = freshTable()
