@@ -557,7 +557,12 @@ object EventStreams {
         val headRows = SnapshotLog.latestVersion(dest)
           .map(v => SnapshotLog.resolve(dest, v).entries.map(_.rows).sum)
           .getOrElse(0L)
-        val capacity = math.max(1000000L, headRows * 4)
+        // sized from the log's row metadata (free); over-filling only
+        // raises the false-positive rate — more rows ride the exact
+        // anti-join, never a wrong answer. The serialized filter ships
+        // with every batch's plan, so the floor stays modest (~20 KB
+        // per 100k capacity)
+        val capacity = math.max(200000L, headRows * 4)
         bf = org.apache.spark.util.sketch.BloomFilter.create(capacity, 0.01)
         if (headRows > 0L) // restart over a non-empty dest: re-seed ONCE
           // from the persisted h60 column — a column-pruned read of
@@ -581,17 +586,30 @@ object EventStreams {
         val keyed = batch.toDF()
           .withColumn("fp", md5(col("text")))
           .withColumn("arr", (col("doc_id") % 3) * lit(1000000000L) + col("doc_id"))
-        val winners = keyed.join(
-          keyed.groupBy("fp").agg(min(col("arr")).as("arr")),
-          Seq("fp", "arr"), "left_semi")
+        // persist the probed batch: the gate job below materializes it
+        // once and the winner join + commit reuse the cache (micro-
+        // batch-sized; without it the source re-reads per action)
+        val probed = keyed
           .withColumn("h60", DetHash.hex60(col("text")))
           .withColumn("hit", org.apache.spark.sql.graft.Bridge
             .bloomMightContain(bytes.toByteArray, col("h60")))
           .persist()
         try {
+          // ONE map-shaped gate job per batch: whether any bloom hit
+          // exists AND the miss keys to fold into the bloom, from one
+          // aggregate over the RAW batch — within-batch duplicates
+          // share their winner's text, hence its h60 and verdict, so
+          // probing before the winner join changes nothing and keeps
+          // the semi-join out of the gate job (keys ride as 8-byte
+          // longs, bounded by batch size)
+          val gate = probed.groupBy("hit")
+            .agg(collect_set(col("h60")).as("ks")).collect()
+          val winners = probed.join(
+            probed.groupBy("fp").agg(min(col("arr")).as("arr")),
+            Seq("fp", "arr"), "left_semi")
+          val anyHits = gate.exists(_.getBoolean(0))
           // bloom MISSES are definitely new — they commit without any
           // destination read; only hits need the exact settle
-          val anyHits = winners.filter(col("hit")).limit(1).count() > 0
           val fresh =
             if (!anyHits) winners
             else winners.filter(!col("hit")).unionByName(
@@ -601,16 +619,14 @@ object EventStreams {
           // h60 persists with the row: it is the bloom's key material,
           // so a restarted stream re-seeds the gate from a column-
           // pruned read instead of re-hashing every accepted text
-          val committed = fresh.drop("arr", "hit")
-          SnapshotLog.commit(spark, committed, dest,
+          SnapshotLog.commit(spark, fresh.drop("arr", "hit"), dest,
             append = true, txn = Some(("dedup_ingest", batchId)))
           // fold the batch's accepted fps into the history bloom
-          // (driver-side, bounded by batch size; a replayed batch
-          // re-adds the same keys — harmless, blooms are idempotent)
-          winners.filter(!col("hit")).select("h60").distinct()
-            .collect().foreach(r => bf.putLong(r.getLong(0)))
+          // (a replayed batch re-adds the same keys — harmless)
+          gate.filter(!_.getBoolean(0)).foreach(
+            _.getSeq[Long](1).foreach(bf.putLong))
           onBatchMillis(batchId, (System.nanoTime() - t0) / 1000000L)
-        } finally { winners.unpersist(); () }
+        } finally { probed.unpersist(); () }
         ()
       }
       .option("checkpointLocation", ckpt())
