@@ -286,6 +286,7 @@ object SparkEntry {
     "stream_snapshot_ingest" -> ((s, d) => EventStreams.snapshotIngest(s, d)),
     "stream_log_source" -> ((s, d) => EventStreams.logSourceCounts(s, d)),
     "stream_dedup_ingest" -> ((s, d) => EventStreams.dedupIngest(s, d)),
+    "stream_changefeed" -> ((s, d) => EventStreams.changeFeedCounts(s, d)),
     "stream_tumbling_parquet" -> ((s, d) => EventStreams.tumblingToParquet(s, d)),
     "stream_sliding"   -> (EventStreams.sliding _),
     "stream_sessions"  -> ((s, d) => EventStreams.sessionWindows(s, d)),
@@ -919,6 +920,21 @@ object SparkEntry {
         |    JOIN k ON (d.doc_id % 3) * 1000000000 + d.doc_id = k.arr)
         |SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars
         |FROM surv GROUP BY lang ORDER BY lang""".stripMargin,
+    "stream_changefeed" -> // streaming CDF: initial snapshot + append arrive
+      // tagged insert, the merge's recorded change data tagged upsert —
+      // each exactly once, whatever the batching
+      """WITH base AS (SELECT o_orderkey,
+        |    CAST(o_totalprice AS DECIMAL(18,2)) AS p FROM orders),
+        |  feed AS (
+        |    SELECT 'insert' AS change_type, p FROM base
+        |    UNION ALL
+        |    SELECT 'insert', p FROM base WHERE o_orderkey % 50 = 1
+        |    UNION ALL
+        |    SELECT 'upsert', CAST(p + 1 AS DECIMAL(18,2))
+        |      FROM base WHERE o_orderkey % 10 = 0)
+        |SELECT change_type, count(*) AS n_rows,
+        |  CAST(round(sum(p), 2) AS DOUBLE) AS total
+        |FROM feed GROUP BY change_type ORDER BY change_type""".stripMargin,
     "stream_asof" -> // per-micro-batch native as-of vs the static click table:
       // batching-invariant, so the sink equals the batch ASOF verbatim
       """WITH p AS (SELECT event_id, user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us

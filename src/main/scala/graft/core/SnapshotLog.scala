@@ -568,12 +568,27 @@ object SnapshotLog {
       finally st.close()
     }
     if (staged.isEmpty) return (stage, Seq.empty)
+    val cols = statsCols.distinct.filter(df.schema.fieldNames.contains)
+    if (cols.isEmpty) {
+      // no bounds wanted: row counts come straight from the parquet
+      // FOOTERS the write just produced — driver-side metadata reads,
+      // ZERO Spark jobs after the write (the stats-less commit's whole
+      // post-write cost is O(files) footer opens)
+      val conf = new org.apache.hadoop.conf.Configuration()
+      val entries = staged.map { rel =>
+        val p = new org.apache.hadoop.fs.Path(
+          Paths.get(table, rel).toUri)
+        val r = org.apache.parquet.hadoop.ParquetFileReader.open(
+          org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(p, conf))
+        try FileEntry(rel, r.getRecordCount) finally r.close()
+      }
+      return (stage, entries)
+    }
     // the writer KNOWS the schema it just wrote — passing it skips
     // parquet schema inference (a footer-listing job) entirely;
     // partition columns in a hive layout resolve against it too
     val stagedDf = spark.read.schema(df.schema).parquet(stageDir.toString)
     val sch = stagedDf.schema
-    val cols = statsCols.distinct.filter(sch.fieldNames.contains)
     val (strCols, numCols) = cols.partition(c =>
       sch(c).dataType == org.apache.spark.sql.types.StringType)
     // the ONE staged-data pass: per physical file, row count and
@@ -1233,15 +1248,20 @@ object SnapshotLog {
     * rows tagged `_change_type` — "insert" for append-commit rows,
     * and the recorded change-data rows ("upsert" from `merge`;
     * "insert"/"update"/"delete" from `applyChanges`) for rewrite
-    * commits. This is what `readChanges` cannot do: a COW merge has a
-    * well-defined row delta (its update batch), recorded at commit
-    * time as `cdc/` files (Delta's `_change_data` pattern), so ONE
-    * merge no longer permanently walls off every incremental
-    * consumer. A full replace (no change data) still fails fast —
-    * that delta genuinely is not derivable. Maintenance commits are
-    * invisible. Delete rows carry the key with null data columns;
-    * consumers apply inserts/updates/upserts as upserts and deletes
-    * as deletes, in version order. */
+    * commits — plus `_commit_version`, the version that produced each
+    * row (Delta CDF's column): a consumer applying a mixed feed MUST
+    * order by it, or an insert-then-delete of the same key across two
+    * versions applies backwards. This is what `readChanges` cannot
+    * do: a COW merge has a well-defined row delta (its update batch),
+    * recorded at commit time as `cdc/` files (Delta's `_change_data`
+    * pattern), so ONE merge no longer permanently walls off every
+    * incremental consumer. A full replace (no change data) still
+    * fails fast — that delta genuinely is not derivable. Maintenance
+    * commits are invisible. Delete rows carry the key with null data
+    * columns. The read plans one scan per commit in the range — the
+    * per-version attribution an incremental consumer needs; polls
+    * cover small ranges, and the grouped O(distinct schemas) plan
+    * remains the SNAPSHOT read's shape. */
   def readChangeFeed(spark: SparkSession, table: String,
                      sinceV: Long, untilV: Long): DataFrame = {
     val recs = contiguousRange(table, sinceV, untilV).map(readRecord(table, _))
@@ -1249,12 +1269,15 @@ object SnapshotLog {
     recs.find(r => r.cdc.isEmpty && !r.append).foreach(r => sys.error(
       s"version ${r.version} is a full ${r.kind} commit with no recorded " +
         "change data — its row delta is not derivable; resync from the snapshot"))
-    val inserts = recs.filter(r => r.cdc.isEmpty && r.append).flatMap(_.adds)
-    val parts =
-      (if (inserts.isEmpty) Seq.empty
-       else Seq(readFiles(spark, table, inserts)
-         .withColumn("_change_type", lit("insert")))) ++
-      recs.filter(_.cdc.nonEmpty).map(r => readFiles(spark, table, r.cdc))
+    val parts = recs.flatMap { r =>
+      val rows =
+        if (r.cdc.nonEmpty) Some(readFiles(spark, table, r.cdc))
+        else if (r.append && r.adds.nonEmpty)
+          Some(readFiles(spark, table, r.adds)
+            .withColumn("_change_type", lit("insert")))
+        else None
+      rows.map(_.withColumn("_commit_version", lit(r.version)))
+    }
     if (parts.isEmpty) spark.emptyDataFrame
     else parts.reduce(_.unionByName(_, allowMissingColumns = true))
   }

@@ -48,6 +48,15 @@ import graft.core.SnapshotLog
   *    commits (merge / CDC-apply) instead of failing — Delta's
   *    skipChangeCommits. The consumer sees appends only and accepts
   *    that updated/deleted rows it already received stay as-delivered.
+  *  - `readChangeFeed` (boolean): stream the ROW-LEVEL change feed
+  *    instead of plain appended rows (Delta's CDF streaming mode).
+  *    Every row carries `_change_type` ("insert" for append/initial-
+  *    snapshot rows; the recorded "upsert"/"update"/"delete" rows for
+  *    rewrite commits, read from their `cdc/` change-data files) and
+  *    `_commit_version` (the producing version — the ordering key for
+  *    applying a mixed feed). In this mode a merge is just another
+  *    micro-batch, not a stream-killing wall: the downstream consumer
+  *    applies upserts and deletes in version order.
   *
   * Semantics notes:
   *  - The INITIAL batch may start with a replace commit (the common
@@ -88,7 +97,15 @@ class LogStreamProvider extends TableProvider with DataSourceRegister {
     val table = tablePath(options)
     val spark = SparkSession.active
     // head snapshot schema (union across evolved stages) — driver-side
-    SnapshotLog.read(spark, table).schema
+    val base = SnapshotLog.read(spark, table).schema
+    if (!options.getBoolean("readChangeFeed", false)) base
+    else {
+      Seq(LogStreamSource.ChangeTypeCol, LogStreamSource.CommitVersionCol)
+        .foreach(c => require(!base.fieldNames.contains(c),
+          s"table $table already has a column named $c — cannot stream its change feed"))
+      base.add(LogStreamSource.ChangeTypeCol, StringType)
+        .add(LogStreamSource.CommitVersionCol, LongType)
+    }
   }
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
@@ -96,6 +113,12 @@ class LogStreamProvider extends TableProvider with DataSourceRegister {
     new LogStreamTable(properties.get("path"), schema)
 
   override def supportsExternalMetadata(): Boolean = true
+}
+
+object LogStreamSource {
+  /** CDF metadata column names (Delta CDF's). */
+  val ChangeTypeCol = "_change_type"
+  val CommitVersionCol = "_commit_version"
 }
 
 final class LogStreamTable(table: String, schema: StructType)
@@ -109,20 +132,22 @@ final class LogStreamTable(table: String, schema: StructType)
       override def build(): Scan = new LogStreamScan(table, schema,
         Option(options.get("maxVersionsPerTrigger")).map(_.toLong),
         Option(options.get("startingVersion")).map(_.toLong),
-        options.getBoolean("skipChangeCommits", false))
+        options.getBoolean("skipChangeCommits", false),
+        options.getBoolean("readChangeFeed", false))
     }
 }
 
 final class LogStreamScan(table: String, schema: StructType,
                           maxVersionsPerTrigger: Option[Long],
                           startingVersion: Option[Long],
-                          skipChangeCommits: Boolean = false) extends Scan {
+                          skipChangeCommits: Boolean = false,
+                          readChangeFeed: Boolean = false) extends Scan {
   LogStreamScan.requireFlat(schema)
   override def readSchema(): StructType = schema
   override def description(): String = s"graft-log change feed over $table"
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
     new LogMicroBatchStream(table, schema, maxVersionsPerTrigger, startingVersion,
-      skipChangeCommits)
+      skipChangeCommits, readChangeFeed)
 }
 
 object LogStreamScan {
@@ -144,7 +169,8 @@ final case class LogOffset(version: Long) extends Offset {
 final class LogMicroBatchStream(table: String, schema: StructType,
                                 maxVersionsPerTrigger: Option[Long],
                                 startingVersion: Option[Long] = None,
-                                skipChangeCommits: Boolean = false)
+                                skipChangeCommits: Boolean = false,
+                                readChangeFeed: Boolean = false)
     extends MicroBatchStream with SupportsTriggerAvailableNow {
 
   /** The version the stream's very first offset rests on — batches
@@ -206,24 +232,47 @@ final class LogMicroBatchStream(table: String, schema: StructType,
       // are content-identical by contract — invisible to the stream,
       // so `Cli optimize` mid-stream is a non-event, not a failure
       .filter(_.dataChange)
-    val deliverable = recs.filter { r =>
-      if (r.append) true
-      // the stream's FIRST batch may begin with a table-(re)defining
-      // full replace (its adds ARE the snapshot at that version) — the
-      // create-then-append shape, and the vacuum-restart path where
-      // the oldest surviving version is a replace
-      else if (s == initialVersion && r.version == range.head && r.removes.isEmpty) true
-      else if (skipChangeCommits) false // Delta's skipChangeCommits opt-out
-      else sys.error(
-        s"version ${r.version} of $table is a ${r.kind} commit — a stream " +
-          "cannot un-deliver earlier rows; restart the stream from a fresh " +
-          "checkpoint, or set .option(\"skipChangeCommits\", \"true\") to " +
-          "ignore update/delete commits")
-    }
-    val files = deliverable.flatMap(_.adds).filter(_.rows > 0).map(_.path)
-    files.find(_.split("/").exists(_.contains("="))).foreach(f => sys.error(
+    // CDF mode: every data commit has a deliverable row delta — adds
+    // tagged insert for appends (and the initial snapshot), the
+    // recorded change-data files for rewrites. A merge is an ordinary
+    // micro-batch here, not a wall.
+    val parts: Seq[LogInputPartition] =
+      if (readChangeFeed) recs.flatMap { r =>
+        val initialSnapshot =
+          s == initialVersion && r.version == range.head && r.removes.isEmpty
+        if (r.cdc.nonEmpty)
+          r.cdc.filter(_.rows != 0L).map(e => LogInputPartition(
+            s"$table/${e.path}", changeType = None, version = r.version))
+        else if (r.append || initialSnapshot)
+          r.adds.filter(_.rows > 0).map(e => LogInputPartition(
+            s"$table/${e.path}", changeType = Some("insert"), version = r.version))
+        else sys.error(
+          s"version ${r.version} of $table is a full ${r.kind} commit with no " +
+            "recorded change data — its row delta is not derivable; restart " +
+            "the stream from a fresh checkpoint")
+      }
+      else {
+        val deliverable = recs.filter { r =>
+          if (r.append) true
+          // the stream's FIRST batch may begin with a table-(re)defining
+          // full replace (its adds ARE the snapshot at that version) — the
+          // create-then-append shape, and the vacuum-restart path where
+          // the oldest surviving version is a replace
+          else if (s == initialVersion && r.version == range.head && r.removes.isEmpty) true
+          else if (skipChangeCommits) false // Delta's skipChangeCommits opt-out
+          else sys.error(
+            s"version ${r.version} of $table is a ${r.kind} commit — a stream " +
+              "cannot un-deliver earlier rows; restart the stream from a fresh " +
+              "checkpoint, set .option(\"skipChangeCommits\", \"true\") to " +
+              "ignore update/delete commits, or stream the row-level feed " +
+              "with .option(\"readChangeFeed\", \"true\")")
+        }
+        deliverable.flatMap(r => r.adds.filter(_.rows > 0)
+          .map(e => LogInputPartition(s"$table/${e.path}", version = r.version)))
+      }
+    parts.map(_.absPath).find(_.split("/").exists(_.contains("="))).foreach(f => sys.error(
       s"graft-log stream source does not read hive-partitioned staged layouts: $f"))
-    files.map(f => LogInputPartition(s"$table/$f"): InputPartition).toArray
+    parts.map(p => p: InputPartition).toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
@@ -233,12 +282,20 @@ final class LogMicroBatchStream(table: String, schema: StructType,
   override def stop(): Unit = ()
 }
 
-final case class LogInputPartition(absPath: String) extends InputPartition
+/** One immutable data file plus the CDF constants its rows carry:
+  * `changeType` is Some(tag) when the file itself has no
+  * `_change_type` column (append adds tagged "insert"), None when it
+  * does (cdc change-data files); `version` fills `_commit_version`. */
+final case class LogInputPartition(absPath: String,
+                                   changeType: Option[String] = None,
+                                   version: Long = 0L) extends InputPartition
 
 final class LogPartitionReaderFactory(schema: StructType)
     extends PartitionReaderFactory {
-  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
-    new LogPartitionReader(partition.asInstanceOf[LogInputPartition].absPath, schema)
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[LogInputPartition]
+    new LogPartitionReader(p.absPath, schema, p.changeType, p.version)
+  }
 }
 
 /** Row-by-row parquet reader for ONE immutable data file, via the
@@ -247,8 +304,13 @@ final class LogPartitionReaderFactory(schema: StructType)
   * INT64-micros and INT96 timestamps, all three decimal encodings,
   * and dictionary/plain strings all land correctly in Catalyst
   * representation (micros-since-epoch longs, UTF8String, Decimal). */
-final class LogPartitionReader(absPath: String, schema: StructType)
+final class LogPartitionReader(absPath: String, schema: StructType,
+                               changeType: Option[String] = None,
+                               version: Long = 0L)
     extends PartitionReader[InternalRow] {
+
+  private val changeTypeUtf8: UTF8String =
+    changeType.map(UTF8String.fromString).orNull
 
   private val reader: ParquetReader[Group] =
     ParquetReader.builder[Group](new GroupReadSupport(),
@@ -269,7 +331,14 @@ final class LogPartitionReader(absPath: String, schema: StructType)
     while (i < schema.length) {
       val f = schema(i)
       vals(i) =
-        if (!gt.containsField(f.name)) null // schema evolution: older file
+        // CDF metadata columns: constants from the commit record when
+        // the file itself does not carry them (cdc files DO carry
+        // _change_type — their recorded value wins)
+        if (f.name == LogStreamSource.CommitVersionCol && !gt.containsField(f.name))
+          version
+        else if (f.name == LogStreamSource.ChangeTypeCol && !gt.containsField(f.name))
+          changeTypeUtf8
+        else if (!gt.containsField(f.name)) null // schema evolution: older file
         else {
           val fi = gt.getFieldIndex(f.name)
           if (g.getFieldRepetitionCount(fi) == 0) null // null cell

@@ -506,6 +506,48 @@ object EventStreams {
       .orderBy("event_type")
   }
 
+  /** STREAMING CDF — `readStream.format("graft-log")` in
+    * `readChangeFeed` mode: the ROW-LEVEL change feed of a snapshot-
+    * log table streamed through Structured Streaming, updates and
+    * deletes included (Delta's CDF streaming shape). The demo table
+    * takes the full maintenance-era lifecycle under the live stream:
+    * a key-clustered base commit (delivered as the initial snapshot,
+    * tagged insert), an append of shifted new keys (insert), and a
+    * file-pruned COW merge of a deterministic update batch — which
+    * pre-r10 KILLED every streaming consumer and now arrives as an
+    * ordinary micro-batch of `upsert`-tagged change-data rows. The
+    * per-change-type aggregate runs INSIDE the stream (Complete mode,
+    * state = one row per change type) and only matches the oracle's
+    * replay if the initial snapshot, the append, and the merge's
+    * recorded change data each arrived exactly once with the right
+    * tags. */
+  def changeFeedCounts(spark: SparkSession, dir: String): DataFrame = {
+    val table = graft.core.TempDirs.stable(s"stream_cdf:$dir")
+    graft.core.TempDirs.deleteRecursively(new java.io.File(table))
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(table))
+    val base = graft.core.Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_totalprice").cast("decimal(18,2)").as("p"))
+      .repartitionByRange(8, col("o_orderkey"))
+    graft.core.SnapshotLog.commit(spark, base, table, statsFor = Seq("o_orderkey"))
+    graft.core.SnapshotLog.commit(spark,
+      base.filter(col("o_orderkey") % 50 === 1)
+        .select((col("o_orderkey") + 500000000L).as("o_orderkey"), col("p")),
+      table, append = true)
+    graft.core.SnapshotLog.merge(spark, table,
+      base.filter(col("o_orderkey") % 10 === 0)
+        .select(col("o_orderkey"), (col("p") + 1).cast("decimal(18,2)").as("p")),
+      "o_orderkey")
+    val agg = spark.readStream.format("graft-log")
+      .option("readChangeFeed", "true")
+      .load(table)
+      .groupBy("_change_type")
+      .agg(count(lit(1)).as("n_rows"), sum(col("p")).as("sp"))
+    runComplete(agg, ckpt())
+      .select(col("_change_type").as("change_type"), col("n_rows"),
+        round(col("sp"), 2).cast("double").as("total"))
+      .orderBy("change_type")
+  }
+
   /** STREAMING DEDUP-INGEST — the round-9 pieces composed into the
     * production crawl-ingest shape: a `graft-log` SOURCE streams the
     * raw document backlog version by version; each micro-batch passes

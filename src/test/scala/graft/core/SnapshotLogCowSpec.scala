@@ -149,6 +149,14 @@ class SnapshotLogCowSpec extends AnyFunSuite with SparkFixture {
       (10L, "upsert") -> "u10",
       (300L, "upsert") -> "n300",
       (20L, "delete") -> null), s"got $all")
+    // every row carries the version that produced it — the ordering
+    // key a consumer MUST apply a mixed feed by (Delta CDF's
+    // _commit_version)
+    val byVersion = SnapshotLog.readChangeFeed(spark, t, 1L, 4L).collect()
+      .map(r => r.getLong(r.fieldIndex("id")) ->
+        r.getLong(r.fieldIndex("_commit_version"))).toMap
+    assert(byVersion == Map(200L -> 2L, 10L -> 3L, 300L -> 3L, 20L -> 4L),
+      s"got $byVersion")
     // sub-ranges slice the feed exactly
     assert(feed(2L, 3L).keySet == Set((10L, "upsert"), (300L, "upsert")))
     assert(feed(3L, 4L).keySet == Set((20L, "delete")))

@@ -313,6 +313,60 @@ class LogStreamSourceSpec extends AnyFunSuite with SparkFixture {
       s"skipChangeCommits must deliver v1 + the append, not the rewrite: $got")
   }
 
+  test("readChangeFeed mode streams THROUGH a merge with tagged, version-ordered rows") {
+    import spark.implicits._
+    val t = freshTable()
+    SnapshotLog.commit(spark, df(1, 2).repartitionByRange(1, col("id")), t,
+      statsFor = Seq("id"))                                            // v1
+    SnapshotLog.commit(spark, df(3), t, append = true)                 // v2
+    SnapshotLog.merge(spark, t,
+      Seq((1L, "upd1"), (9L, "new9")).toDF("id", "payload"), "id")     // v3 rewrite
+    SnapshotLog.applyChanges(spark, t,
+      Seq((2L, null.asInstanceOf[String], "D")).toDF("id", "payload", "op"),
+      "id")                                                            // v4 delete
+    SnapshotLog.compact(spark, t, targetFiles = 1)                     // v5 maintenance
+    SnapshotLog.commit(spark, df(10), t, append = true)                // v6
+    def drainCdf(maxPerTrigger: Option[Int]): Seq[(Long, String, String, Long)] = {
+      val name = s"logsrc_cdf_${java.util.UUID.randomUUID().toString.take(8)}"
+      val r0 = spark.readStream.format("graft-log").option("readChangeFeed", "true")
+      val r = maxPerTrigger.fold(r0)(n => r0.option("maxVersionsPerTrigger", n.toString))
+      val q = r.load(t)
+        .writeStream.format("memory").queryName(name)
+        .option("checkpointLocation", ck())
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      val rows = spark.table(name)
+        .select("id", "payload", "_change_type", "_commit_version").collect()
+        .map(r => (r.getLong(0), if (r.isNullAt(1)) null else r.getString(1),
+          r.getString(2), r.getLong(3))).toSeq
+      spark.catalog.dropTempView(name)
+      rows
+    }
+    val expect = Set(
+      (1L, "p1", "insert", 1L), (2L, "p2", "insert", 1L), // initial snapshot
+      (3L, "p3", "insert", 2L),                           // append
+      (1L, "upd1", "upsert", 3L), (9L, "new9", "upsert", 3L), // merge change data
+      (2L, null, "delete", 4L),                           // CDC delete
+      (10L, "p10", "insert", 6L))                         // post-maintenance append
+    val one = drainCdf(None)
+    assert(one.toSet == expect, s"got ${one.toSet}")
+    assert(one.size == expect.size, "no duplicate deliveries")
+    // batching-invariant: one version per trigger delivers the same feed
+    val perVersion = drainCdf(Some(1))
+    assert(perVersion.toSet == expect && perVersion.size == expect.size)
+    // applying the feed in _commit_version order reproduces the head
+    // snapshot exactly — the downstream-materialization contract
+    val applied = scala.collection.mutable.Map[Long, String]()
+    perVersion.sortBy(_._4).foreach {
+      case (id, _, "delete", _) => applied.remove(id); ()
+      case (id, p, _, _) => applied(id) = p
+    }
+    val head = SnapshotLog.read(spark, t).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(applied.toMap == head,
+      s"feed replay diverged from the head: $applied vs $head")
+  }
+
   test("nested schemas and partitioned layouts fail fast with clear errors") {
     import spark.implicits._
     val t = freshTable()
