@@ -174,7 +174,12 @@ object Cli {
     }
     val target = flagValue("--target-files").map(_.toInt).getOrElse(8)
     val out = Seq.newBuilder[(String, Long)]
-    val v = flagValue("--zorder") match {
+    // the compact is a conditional read-modify-write: a streaming
+    // appender landing mid-rewrite fails it LOUDLY (never silently
+    // erasing the racer's rows). Nightly maintenance racing a live
+    // ingest is normal, so re-derive from the new head and retry a
+    // few times before giving up
+    def compactOnce(): Long = flagValue("--zorder") match {
       case Some(zz) => // 2..N dims, round-robin bit-interleaved
         graft.core.SnapshotLog.compactZorder(spark, table, target,
           zz.split(',').toSeq.map(_.trim))
@@ -182,6 +187,23 @@ object Cli {
         graft.core.SnapshotLog.compact(spark, table, target,
           clusterBy = flagValue("--cluster-by")
             .map(_.split(',').toSeq.map(_.trim)).getOrElse(Seq.empty))
+    }
+    val v = {
+      var attempt = 0
+      var res = -1L
+      while (res < 0) {
+        try res = compactOnce()
+        catch {
+          case e: RuntimeException
+              if e.getMessage != null &&
+                e.getMessage.contains("concurrent modification") && attempt < 3 =>
+            attempt += 1
+            System.err.println(
+              s"[cli] optimize $table: head moved under the compact (a live " +
+                s"writer landed); retry $attempt from the new head")
+        }
+      }
+      res
     }
     System.err.println(s"[cli] optimize $table: compacted to v$v ($target files)")
     out += (("compacted_version", v))

@@ -303,6 +303,47 @@ class SnapshotLogCowSpec extends AnyFunSuite with SparkFixture {
     assert(ids == expect)
   }
 
+  test("a rewrite racing a concurrent append fails loudly and erases nothing") {
+    import spark.implicits._
+    val t = clusteredTable()
+    // a racer claims v2 out from under the merge's read-modify-write
+    Files.write(Paths.get(t, "_graft_log", "v2.json"),
+      """{"fmt":2,"version":2,"append":true,"rows":0,"add":[]}""".getBytes("UTF-8"))
+    val e = intercept[RuntimeException] {
+      SnapshotLog.commitRewrite(spark,
+        Seq((10L, "x")).toDF("id", "payload"), t,
+        removePaths = Seq.empty, expectedHead = 1L)
+    }
+    assert(e.getMessage.contains("concurrent modification"), e.getMessage)
+    assert(SnapshotLog.versions(t) == Seq(1L, 2L), "the stale rewrite must not land")
+    assert(idsAt(t) == (0L until 100L).toSet, "nothing erased")
+  }
+
+  test("Cli optimize retries from the new head when a live writer lands mid-compact") {
+    import spark.implicits._
+    val t = freshTable()
+    SnapshotLog.commit(spark,
+      (0 until 10).map(i => (i.toLong, s"p$i")).toDF("id", "payload"), t)
+    try {
+      // the nightly-maintenance-vs-live-ingest race: an appender lands
+      // WHILE the compact rewrites (injected via the stage seam, which
+      // fires inside the compact's own commit)
+      SnapshotLog.onStagedHook = () => {
+        SnapshotLog.onStagedHook = () => () // fire once, not on the retry
+        SnapshotLog.commit(spark, Seq((99L, "raced")).toDF("id", "payload"),
+          t, append = true)
+        ()
+      }
+      val out = graft.tools.Cli.optimize(spark,
+        Array("optimize", t, "--target-files", "1"))
+      val v = out.collectFirst { case ("compacted_version", x) => x }.get
+      assert(v == 3L, s"append took v2, the retried compact lands v3: got v$v")
+      // NOTHING lost: the racer's row survives the retried compaction
+      assert(idsAt(t) == (0L until 10L).toSet + 99L)
+      assert(SnapshotLog.readRecord(t, 3L).kind == "optimize")
+    } finally SnapshotLog.onStagedHook = () => ()
+  }
+
   test("vacuum retires dead rewrite commits' change-data files with them") {
     import spark.implicits._
     val t = clusteredTable()                                          // v1
