@@ -341,11 +341,15 @@ object SnapshotLog {
 
   private def applyRecord(st: TableState, r: CommitRecord): TableState = {
     val entries =
-      if (r.append) st.entries ++ r.adds
-      else if (r.removes.nonEmpty) { // rewrite: carried = prev minus removes
+      // removes are authoritative: a record carrying them is a rewrite
+      // whatever its append flag says (defense against hand-edited or
+      // future-writer records that combine both)
+      if (r.removes.nonEmpty) {
         val gone = r.removes.toSet
         st.entries.filterNot(e => gone(e.path)) ++ r.adds
-      } else r.adds // full replace
+      }
+      else if (r.append) st.entries ++ r.adds
+      else r.adds // full replace
     TableState(r.version, entries,
       r.txn.fold(st.txns) { case (app, batch) =>
         st.txns + (app -> math.max(batch, st.txns.getOrElse(app, Long.MinValue)))
@@ -930,7 +934,8 @@ object SnapshotLog {
     * OPTIMIZE...ZORDER/CLUSTER BY shape: compaction is exactly when
     * clustering is free, because the data is being rewritten anyway. */
   def compact(spark: SparkSession, table: String, targetFiles: Int,
-              clusterBy: Seq[String] = Seq.empty): Long = {
+              clusterBy: Seq[String] = Seq.empty,
+              partitionBy: Seq[String] = Seq.empty): Long = {
     val headV = latestVersion(table).getOrElse(sys.error(s"no committed version in $table"))
     val st = resolve(table, headV)
     val head = read(spark, table, Some(headV))
@@ -946,7 +951,11 @@ object SnapshotLog {
       if (clusterCols.nonEmpty)
         head.repartitionByRange(targetFiles, clusterCols.map(col): _*)
       else head.repartition(targetFiles)
+    // partitionBy preserves (or introduces) a hive directory layout
+    // through the rewrite — without it a compaction of a partitioned
+    // table silently flattens it and directory pruning dies
     commit(spark, laid, table, expectedHead = Some(headV), dataChange = false,
+      partitionBy = partitionBy,
       statsFor = indexedColumns(st).filter(head.columns.contains))
   }
 
@@ -1350,32 +1359,43 @@ object SnapshotLog {
     doomed
   }
 
-  /** Sweep ORPHANED stage directories — data files no surviving
-    * record references, left behind by writers that crashed between
-    * staging and publishing. Only stages older than `olderThanMs` go
-    * (the grace period protects an IN-FLIGHT writer that has staged
-    * but not yet committed — the same rule as Delta's VACUUM
+  /** Sweep ORPHANED stage directories — data AND change-data files no
+    * surviving record references, left behind by writers that crashed
+    * between staging and publishing (a rewrite commit stages under
+    * both `data/` and `cdc/` before its single record publish, so a
+    * crash litters both roots). Only stages older than `olderThanMs`
+    * go (the grace period protects an IN-FLIGHT writer that has
+    * staged but not yet committed — the same rule as Delta's VACUUM
     * retention). Returns deleted stage dirs (relative). */
   def vacuumOrphans(table: String, olderThanMs: Long = 3600000L): Seq[String] = {
-    val dataDir = Paths.get(table, "data")
-    if (!Files.isDirectory(dataDir)) return Seq.empty
+    val vs = versions(table)
     // referenced = the union of RESOLVED live file sets, NOT the
     // surviving records' delta adds: after a vacuum re-based the head
     // on a checkpoint, the head's files are referenced only by that
     // checkpoint — computing references from record adds alone would
     // let the orphan sweep destroy the live table (one forward replay
-    // from the oldest survivor covers every surviving version)
-    val referenced = statesFrom(table, versions(table))
-      .flatMap(_.entries.map(e => stageOf(e.path))).toSet
+    // from the oldest survivor covers every surviving version).
+    // Change-data stages are referenced by their OWN record only (cdc
+    // entries never enter the resolved state), so they come straight
+    // from the surviving records.
+    val referenced = statesFrom(table, vs)
+      .flatMap(_.entries.map(e => stageOf(e.path))).toSet ++
+      vs.flatMap(v => readRecord(table, v).cdc.map(e => stageOf(e.path)))
     val cutoff = System.currentTimeMillis() - olderThanMs
-    val st = Files.list(dataDir)
-    val stages = try st.iterator().asScala.toSeq finally st.close()
-    stages.filter { p =>
-      !referenced.contains(s"data/${p.getFileName}") &&
-        Files.getLastModifiedTime(p).toMillis < cutoff
-    }.map { p =>
-      TempDirs.deleteRecursively(p.toFile)
-      s"data/${p.getFileName}"
+    Seq("data", "cdc").flatMap { root =>
+      val rootDir = Paths.get(table, root)
+      if (!Files.isDirectory(rootDir)) Seq.empty
+      else {
+        val st = Files.list(rootDir)
+        val stages = try st.iterator().asScala.toSeq finally st.close()
+        stages.filter { p =>
+          !referenced.contains(s"$root/${p.getFileName}") &&
+            Files.getLastModifiedTime(p).toMillis < cutoff
+        }.map { p =>
+          TempDirs.deleteRecursively(p.toFile)
+          s"$root/${p.getFileName}"
+        }
+      }
     }
   }
 

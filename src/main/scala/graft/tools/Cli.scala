@@ -153,7 +153,7 @@ object Cli {
     * a table fed by streaming appends):
     *
     *   runMain graft.tools.Cli optimize <table> [--target-files N]
-    *       [--cluster-by c1[,c2...]] [--zorder a,b[,c...]]
+    *       [--cluster-by c1[,c2...]] [--partition-by p1[,p2...]] [--zorder a,b[,c...]]
     *       [--vacuum-keep K] [--vacuum-orphans]
     *
     * Compacts the head into N files (range-clustered or z-ordered —
@@ -165,7 +165,7 @@ object Cli {
     * half-maintained table. */
   def optimize(spark: SparkSession, args: Array[String]): Seq[(String, Long)] = {
     require(args.length >= 2 && args(0) == "optimize",
-      "usage: optimize <table> [--target-files N] [--cluster-by c1[,c2]] " +
+      "usage: optimize <table> [--target-files N] [--cluster-by c1[,c2]] [--partition-by p1[,p2]] " +
         "[--zorder a,b[,c...]] [--vacuum-keep K] [--vacuum-orphans]")
     val table = args(1)
     val flags = args.drop(2)
@@ -186,6 +186,8 @@ object Cli {
       case None =>
         graft.core.SnapshotLog.compact(spark, table, target,
           clusterBy = flagValue("--cluster-by")
+            .map(_.split(',').toSeq.map(_.trim)).getOrElse(Seq.empty),
+          partitionBy = flagValue("--partition-by")
             .map(_.split(',').toSeq.map(_.trim)).getOrElse(Seq.empty))
     }
     val v = {

@@ -344,6 +344,44 @@ class SnapshotLogCowSpec extends AnyFunSuite with SparkFixture {
     } finally SnapshotLog.onStagedHook = () => ()
   }
 
+  test("compact with partitionBy keeps the hive layout and its directory pruning") {
+    import spark.implicits._
+    val t = freshTable()
+    val docs = Seq.tabulate(60)(i => (i.toLong, Seq("de", "en", "zh")(i % 3)))
+      .toDF("id", "lang")
+    SnapshotLog.commit(spark, docs, t, partitionBy = Seq("lang"))
+    // fragment it with appends, then compact PRESERVING the layout
+    SnapshotLog.commit(spark, Seq((100L, "en")).toDF("id", "lang"), t,
+      append = true, partitionBy = Seq("lang"))
+    val v = SnapshotLog.compact(spark, t, targetFiles = 1, partitionBy = Seq("lang"))
+    assert(SnapshotLog.readRecord(t, v).kind == "optimize")
+    val filtered = SnapshotLog.read(spark, t).filter(col("lang") === "zh")
+    val plan = filtered.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("lang"),
+      s"directory pruning must survive the compaction:\n${plan.take(1200)}")
+    assert(filtered.select("id").collect().map(_.getLong(0)).toSet ==
+      (0 until 60).filter(_ % 3 == 2).map(_.toLong).toSet)
+    assert(SnapshotLog.read(spark, t).count() == 61L)
+  }
+
+  test("orphan sweep reclaims crashed-rewrite cdc litter but never a live commit's change data") {
+    import spark.implicits._
+    val t = clusteredTable()                                          // v1
+    SnapshotLog.merge(spark, t, Seq((10L, "u")).toDF("id", "payload"), "id") // v2
+    val liveCdc = SnapshotLog.readRecord(t, 2L).cdc.map(e => e.path.split("/").take(2).mkString("/"))
+    assert(liveCdc.nonEmpty)
+    // a writer that crashed between cdc staging and record publish
+    Seq((1L, "x")).toDF("id", "payload").write.parquet(s"$t/cdc/crashed-rewrite")
+    Seq((1L, "y")).toDF("id", "payload").write.parquet(s"$t/data/crashed-rewrite")
+    val swept = SnapshotLog.vacuumOrphans(t, olderThanMs = -1000L)
+    assert(swept.toSet == Set("cdc/crashed-rewrite", "data/crashed-rewrite"),
+      s"got $swept")
+    liveCdc.foreach(s => assert(Files.isDirectory(Paths.get(t, s)),
+      s"live change-data stage $s must survive the sweep"))
+    // the live feed still reads after the sweep
+    assert(SnapshotLog.readChangeFeed(spark, t, 1L, 2L).count() == 1L)
+  }
+
   test("vacuum retires dead rewrite commits' change-data files with them") {
     import spark.implicits._
     val t = clusteredTable()                                          // v1
