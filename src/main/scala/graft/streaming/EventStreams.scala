@@ -525,16 +525,16 @@ object EventStreams {
     val table = graft.core.TempDirs.stable(s"stream_cdf:$dir")
     graft.core.TempDirs.deleteRecursively(new java.io.File(table))
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(table))
-    val base = graft.core.Tables.orders(spark, dir)
+    val raw = graft.core.Tables.orders(spark, dir)
       .select(col("o_orderkey"), col("o_totalprice").cast("decimal(18,2)").as("p"))
-      .repartitionByRange(8, col("o_orderkey"))
+    val base = raw.repartitionByRange(32, col("o_orderkey"))
     graft.core.SnapshotLog.commit(spark, base, table, statsFor = Seq("o_orderkey"))
     graft.core.SnapshotLog.commit(spark,
-      base.filter(col("o_orderkey") % 50 === 1)
+      raw.filter(col("o_orderkey") % 50 === 1)
         .select((col("o_orderkey") + 500000000L).as("o_orderkey"), col("p")),
       table, append = true)
     graft.core.SnapshotLog.merge(spark, table,
-      base.filter(col("o_orderkey") % 10 === 0)
+      raw.filter(col("o_orderkey") % 10 === 0 && col("o_orderkey") < 60000)
         .select(col("o_orderkey"), (col("p") + 1).cast("decimal(18,2)").as("p")),
       "o_orderkey")
     val agg = spark.readStream.format("graft-log")
