@@ -89,7 +89,8 @@ object SnapshotLog {
   final case class FileEntry(path: String, rows: Long,
                              num: Map[String, (Double, Double)] = Map.empty,
                              str: Map[String, (String, String)] = Map.empty,
-                             schema: Option[String] = None)
+                             schema: Option[String] = None,
+                             bytes: Long = 0L)
 
   /** What one commit DID: `append=false` with empty `removes`
     * redefines the table as exactly `adds`; `append=true` extends the
@@ -172,6 +173,7 @@ object SnapshotLog {
   private def entryToJson(e: FileEntry): ObjectNode = {
     val o = mapper.createObjectNode()
     o.put("path", e.path); o.put("rows", e.rows)
+    if (e.bytes > 0L) o.put("bytes", e.bytes): Unit
     if (e.num.nonEmpty) {
       val n = o.putObject("num")
       e.num.toSeq.sortBy(_._1).foreach { case (c, (lo, hi)) =>
@@ -196,7 +198,8 @@ object SnapshotLog {
       }.getOrElse(Map.empty[String, (A, A)])
     FileEntry(
       n.get("path").asText(), n.get("rows").asLong(),
-      bounds("num", _.asDouble()), bounds("str", _.asText()))
+      bounds("num", _.asDouble()), bounds("str", _.asText()),
+      bytes = Option(n.get("bytes")).map(_.asLong()).getOrElse(0L))
   }
 
   private def recordToJson(r: CommitRecord): String = {
@@ -584,7 +587,9 @@ object SnapshotLog {
           Paths.get(table, rel).toUri)
         val r = org.apache.parquet.hadoop.ParquetFileReader.open(
           org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(p, conf))
-        try FileEntry(rel, r.getRecordCount) finally r.close()
+        try FileEntry(rel, r.getRecordCount,
+          bytes = Files.size(Paths.get(table, rel)))
+        finally r.close()
       }
       return (stage, entries)
     }
@@ -627,8 +632,9 @@ object SnapshotLog {
         s"(${unmatched.take(3).mkString(", ")}) — path decoding disagreed; " +
         "refusing to record wrong per-file stats")
     val entries = staged.map { rel =>
+      val sz = Files.size(Paths.get(table, rel)) // driver-side stat, no job
       byRel.get(rel) match {
-        case None => FileEntry(rel, 0L) // zero-row part file: no groups
+        case None => FileEntry(rel, 0L, bytes = sz) // zero-row part file
         case Some(r) =>
           // an all-null file yields null min/max and a NaN-carrying
           // file yields NaN bounds — both would make interval tests
@@ -646,7 +652,7 @@ object SnapshotLog {
             else truncUpper(r.getString(ih)).map(hi =>
               c -> (truncLower(r.getString(il)), hi))
           }.toMap
-          FileEntry(rel, r.getLong(r.fieldIndex("_rows")), num, str)
+          FileEntry(rel, r.getLong(r.fieldIndex("_rows")), num, str, bytes = sz)
       }
     }
     (stage, entries)
@@ -677,7 +683,8 @@ object SnapshotLog {
   def commitRewrite(spark: SparkSession, df: DataFrame, table: String,
                     removePaths: Seq[String], expectedHead: Long,
                     statsFor: Seq[String] = Seq.empty,
-                    changeData: Option[DataFrame] = None): Long = {
+                    changeData: Option[DataFrame] = None,
+                    dataChange: Boolean = true): Long = {
     Files.createDirectories(logDir(table))
     val prev = resolve(table, expectedHead)
     val prevPaths = prev.entries.map(_.path).toSet
@@ -692,9 +699,12 @@ object SnapshotLog {
         (es, Some(cd.schema.json))
     }
     val v = expectedHead + 1
+    require(dataChange || changeData.isEmpty,
+      "a maintenance rewrite (dataChange=false) has no change data by definition")
     val rec = CommitRecord(v, append = removePaths.isEmpty, adds,
       schema = if (adds.isEmpty) None else Some(df.schema.json),
-      removes = removePaths, cdc = cdcEntries, cdcSchema = cdcSchema)
+      removes = removePaths, cdc = cdcEntries, cdcSchema = cdcSchema,
+      dataChange = dataChange)
     val tmp = logDir(table).resolve(s".tmp-rw-${java.util.UUID.randomUUID()}")
     Files.write(tmp, recordToJson(rec).getBytes("UTF-8"))
     try Files.createLink(vPath(table, v), tmp)
@@ -959,6 +969,45 @@ object SnapshotLog {
       statsFor = indexedColumns(st).filter(head.columns.contains))
   }
 
+  /** INCREMENTAL bin-packing OPTIMIZE (Delta's default OPTIMIZE
+    * semantics): rewrite ONLY the files smaller than `minFileBytes`,
+    * packed into ~`minFileBytes`-sized outputs clustered like the
+    * table, and carry every adequately-sized file by reference as a
+    * maintenance REWRITE commit (dataChange=false — invisible to
+    * change-feed consumers like any compaction). This is what a
+    * scheduled maintenance job actually wants on a streaming-ingest
+    * table: each run's work is O(new small files), a second
+    * back-to-back run is a NO-OP (returns the head unchanged, no
+    * commit), and the already-compacted bulk of a 100 TB table is
+    * never rewritten — the full `compact` rewrite is for re-clustering
+    * the whole layout, not routine upkeep. File sizes come from the
+    * manifest (`FileEntry.bytes`, recorded at commit time); entries
+    * from older writers without sizes stat the file once driver-side.
+    * Needs >= `minSmall` undersized files to bother (default 2). */
+  def compactSmall(spark: SparkSession, table: String, minFileBytes: Long,
+                   clusterBy: Seq[String] = Seq.empty,
+                   minSmall: Int = 2): Long = {
+    val headV = latestVersion(table).getOrElse(sys.error(s"no committed version in $table"))
+    val st = resolve(table, headV)
+    def sizeOf(e: FileEntry): Long =
+      if (e.bytes > 0L) e.bytes else Files.size(Paths.get(table, e.path))
+    val small = st.entries.filter(sizeOf(_) < minFileBytes)
+    if (small.size < math.max(minSmall, 2)) return headV // nothing to pack
+    val total = small.map(sizeOf).sum
+    val targetFiles = math.max(1L, (total + minFileBytes - 1) / minFileBytes).toInt
+    val head = readFiles(spark, table, small)
+    val clusterCols =
+      (if (clusterBy.nonEmpty) clusterBy else dominantClusterColumns(st))
+        .filter(head.columns.contains)
+    val laid =
+      if (clusterCols.nonEmpty)
+        head.repartitionByRange(targetFiles, clusterCols.map(col): _*)
+      else head.repartition(targetFiles)
+    commitRewrite(spark, laid, table, small.map(_.path), headV,
+      statsFor = indexedColumns(st).filter(head.columns.contains),
+      dataChange = false)
+  }
+
   /** Order the table's indexed columns by how CLUSTERED the live
     * layout already is on each — fraction of files (sorted by lower
     * bound) that do NOT overlap the running upper bound of their
@@ -1169,7 +1218,11 @@ object SnapshotLog {
         if (rewrite.isEmpty) updates // no file overlaps: pure insert
         else readFiles(spark, table, rewrite)
           .join(touched, Seq(key), "left_anti")
-          .unionByName(updates)
+          // schema auto-merge (Delta's mergeSchema): an update batch
+          // with NEW columns widens the table (old rows read null); a
+          // batch MISSING table columns null-fills them in the rows it
+          // replaces (upserts are whole-row replacements)
+          .unionByName(updates, allowMissingColumns = true)
       commitRewrite(spark, staged, table, rewrite.map(_.path), headV,
         statsFor = indexedColumns(st).filter(staged.columns.contains),
         changeData = Some(updates.withColumn("_change_type", lit("upsert"))))
@@ -1203,7 +1256,7 @@ object SnapshotLog {
         if (rewrite.isEmpty) upserts
         else readFiles(spark, table, rewrite)
           .join(touched, Seq(key), "left_anti")
-          .unionByName(upserts)
+          .unionByName(upserts, allowMissingColumns = true) // see merge
       val cdc = changes.withColumn("_change_type",
           when(col(opCol) === "D", lit("delete"))
             .when(col(opCol) === "U", lit("update"))

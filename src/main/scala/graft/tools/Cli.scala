@@ -153,7 +153,7 @@ object Cli {
     * a table fed by streaming appends):
     *
     *   runMain graft.tools.Cli optimize <table> [--target-files N]
-    *       [--cluster-by c1[,c2...]] [--partition-by p1[,p2...]] [--zorder a,b[,c...]]
+    *       [--cluster-by c1[,c2...]] [--partition-by p1[,p2...]] [--zorder a,b[,c...]] [--min-file-mb M]
     *       [--vacuum-keep K] [--vacuum-orphans]
     *
     * Compacts the head into N files (range-clustered or z-ordered —
@@ -165,7 +165,7 @@ object Cli {
     * half-maintained table. */
   def optimize(spark: SparkSession, args: Array[String]): Seq[(String, Long)] = {
     require(args.length >= 2 && args(0) == "optimize",
-      "usage: optimize <table> [--target-files N] [--cluster-by c1[,c2]] [--partition-by p1[,p2]] " +
+      "usage: optimize <table> [--target-files N] [--cluster-by c1[,c2]] [--partition-by p1[,p2]] [--min-file-mb M] " +
         "[--zorder a,b[,c...]] [--vacuum-keep K] [--vacuum-orphans]")
     val table = args(1)
     val flags = args.drop(2)
@@ -179,11 +179,17 @@ object Cli {
     // erasing the racer's rows). Nightly maintenance racing a live
     // ingest is normal, so re-derive from the new head and retry a
     // few times before giving up
-    def compactOnce(): Long = flagValue("--zorder") match {
-      case Some(zz) => // 2..N dims, round-robin bit-interleaved
+    def compactOnce(): Long = (flagValue("--zorder"), flagValue("--min-file-mb")) match {
+      case (Some(zz), _) => // 2..N dims, round-robin bit-interleaved
         graft.core.SnapshotLog.compactZorder(spark, table, target,
           zz.split(',').toSeq.map(_.trim))
-      case None =>
+      case (None, Some(mb)) => // incremental bin-pack: O(new small files),
+        // idempotent, invisible to live change-feed consumers
+        graft.core.SnapshotLog.compactSmall(spark, table,
+          minFileBytes = mb.toLong * 1024 * 1024,
+          clusterBy = flagValue("--cluster-by")
+            .map(_.split(',').toSeq.map(_.trim)).getOrElse(Seq.empty))
+      case (None, None) =>
         graft.core.SnapshotLog.compact(spark, table, target,
           clusterBy = flagValue("--cluster-by")
             .map(_.split(',').toSeq.map(_.trim)).getOrElse(Seq.empty),

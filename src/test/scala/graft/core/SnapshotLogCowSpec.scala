@@ -344,6 +344,66 @@ class SnapshotLogCowSpec extends AnyFunSuite with SparkFixture {
     } finally SnapshotLog.onStagedHook = () => ()
   }
 
+  test("bin-packing OPTIMIZE rewrites only undersized files and is idempotent") {
+    import spark.implicits._
+    val t = freshTable()
+    // one adequately-sized file + a drizzle of small append commits —
+    // the streaming-ingest table shape nightly maintenance faces
+    val big = (0 until 20000).map(i => (i.toLong, s"payload-$i" * 4))
+    SnapshotLog.commit(spark, big.toDF("id", "payload").coalesce(1), t,
+      statsFor = Seq("id"))
+    (0 until 6).foreach { i =>
+      SnapshotLog.commit(spark,
+        Seq((100000L + i, s"s$i")).toDF("id", "payload").coalesce(1),
+        t, append = true)
+    }
+    val before = SnapshotLog.resolve(t, 7L)
+    val bigEntry = before.entries.maxBy(_.bytes)
+    assert(before.entries.forall(_.bytes > 0L), "every entry must carry its size")
+    val bigMtime = Files.getLastModifiedTime(Paths.get(t, bigEntry.path))
+    // pack everything under 64 KiB (the 6 drizzle files; not the big one)
+    val v = SnapshotLog.compactSmall(spark, t, minFileBytes = 64 * 1024)
+    assert(v == 8L)
+    val rec = SnapshotLog.readRecord(t, v)
+    assert(rec.kind == "optimize", "bin-packing is maintenance: dataChange=false")
+    assert(rec.removes.size == 6 && !rec.removes.contains(bigEntry.path),
+      s"only the 6 small files repack: ${rec.removes}")
+    assert(rec.adds.size < 6, "the drizzle must collapse")
+    assert(Files.getLastModifiedTime(Paths.get(t, bigEntry.path)) == bigMtime,
+      "the adequately-sized file must never be rewritten")
+    // content identical; the id index survives
+    assert(SnapshotLog.read(spark, t).count() == 20006L)
+    assert(SnapshotLog.indexedColumns(SnapshotLog.resolve(t, v)).contains("id"))
+    // IDEMPOTENT: a second run finds nothing to pack — no new version
+    assert(SnapshotLog.compactSmall(spark, t, minFileBytes = 64 * 1024) == v)
+    assert(SnapshotLog.versions(t).last == v)
+    // and a live change-feed consumer never noticed any of it
+    assert(SnapshotLog.readChanges(spark, t, 1L, v)
+      .select("id").collect().map(_.getLong(0)).toSet ==
+      (0 until 6).map(i => 100000L + i).toSet)
+  }
+
+  test("merge auto-merges schemas: new columns widen, missing columns null-fill") {
+    import spark.implicits._
+    val t = clusteredTable()
+    // an update batch carrying a NEW column widens the table
+    val v2 = SnapshotLog.merge(spark, t,
+      Seq((10L, "u10", "fresh")).toDF("id", "payload", "note"), "id")
+    val head = SnapshotLog.read(spark, t)
+    assert(head.columns.toSet == Set("id", "payload", "note"))
+    val byId = head.collect().map(r => r.getLong(0) ->
+      (r.getString(1), if (r.isNullAt(2)) null else r.getString(2))).toMap
+    assert(byId(10L) == (("u10", "fresh")))
+    assert(byId(9L) == (("p9", null)), "carried rows read null for the new column")
+    // an update batch MISSING a column null-fills it (whole-row upsert)
+    SnapshotLog.merge(spark, t, Seq((10L, "downgraded")).toDF("id", "payload"), "id")
+    val after = SnapshotLog.read(spark, t).filter(col("id") === 10L).collect().head
+    assert(after.getString(after.fieldIndex("payload")) == "downgraded")
+    assert(after.isNullAt(after.fieldIndex("note")))
+    assert(SnapshotLog.read(spark, t).count() == 100L)
+    assert(v2 == 2L)
+  }
+
   test("compact with partitionBy keeps the hive layout and its directory pruning") {
     import spark.implicits._
     val t = freshTable()
