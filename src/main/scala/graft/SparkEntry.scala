@@ -149,6 +149,7 @@ object SparkEntry {
     "snapshot_skipping" -> (graft.core.SnapshotLog.snapshotSkipping _),
     "snapshot_changes" -> (graft.core.SnapshotLog.snapshotChanges _),
     "snapshot_changes_merge" -> (graft.core.SnapshotLog.snapshotChangesMerge _),
+    "snapshot_delete_where" -> (graft.core.SnapshotLog.snapshotDeleteWhere _),
     "schema_report"    -> ((s, d) => Catalog.schemaReport(s, d, "lineitem")),
     "index_report"     -> ((s, _) => graft.core.Indexes.report(s, graft.core.Indexes.tpchIndexes)),
     "namespace_report" -> ((s, d) => Catalog.namespacesDf(s, d)),
@@ -2034,6 +2035,14 @@ object SparkEntry {
       """SELECT o_orderstatus, count(*) AS n_orders,
         |  CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS total
         |FROM orders WHERE o_totalprice BETWEEN 50000 AND 100000
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "snapshot_delete_where" -> // merge-on-read delete (deletion vectors): the
+      // mid-price band dies via position sidecars, zero files rewritten
+      """SELECT o_orderstatus, count(*) AS n_orders,
+        |  CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS total
+        |FROM orders
+        |WHERE NOT (CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE)
+        |           BETWEEN 50000 AND 100000)
         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
     "snapshot_changes_merge" -> // row-level change feed (CDF) spanning a COW
       // merge: v2's append rows tagged insert + v3's recorded update

@@ -86,11 +86,20 @@ object SnapshotLog {
     * same-schema flat files collapse into ONE scan with an explicit
     * schema, so the read plan is O(distinct schemas), not O(commits),
     * and planning costs zero footer reads. */
+  /** `dv` optionally points at the entry's DELETION VECTOR sidecar (a
+    * `dv/<uuid>` stage of (path, pos) parquet rows — Delta 3's
+    * merge-on-read deletes): readers drop the listed row positions at
+    * scan time, so a delete matching a few rows per file writes a
+    * tiny sidecar instead of rewriting the files. `dvRows` counts the
+    * dead positions (live rows = rows - dvRows). Bounds stay valid —
+    * deletion only shrinks a file's row set. */
   final case class FileEntry(path: String, rows: Long,
                              num: Map[String, (Double, Double)] = Map.empty,
                              str: Map[String, (String, String)] = Map.empty,
                              schema: Option[String] = None,
-                             bytes: Long = 0L)
+                             bytes: Long = 0L,
+                             dv: Option[String] = None,
+                             dvRows: Long = 0L)
 
   /** What one commit DID: `append=false` with empty `removes`
     * redefines the table as exactly `adds`; `append=true` extends the
@@ -174,6 +183,7 @@ object SnapshotLog {
     val o = mapper.createObjectNode()
     o.put("path", e.path); o.put("rows", e.rows)
     if (e.bytes > 0L) o.put("bytes", e.bytes): Unit
+    e.dv.foreach { d => o.put("dv", d); o.put("dvRows", e.dvRows); () }
     if (e.num.nonEmpty) {
       val n = o.putObject("num")
       e.num.toSeq.sortBy(_._1).foreach { case (c, (lo, hi)) =>
@@ -199,7 +209,9 @@ object SnapshotLog {
     FileEntry(
       n.get("path").asText(), n.get("rows").asLong(),
       bounds("num", _.asDouble()), bounds("str", _.asText()),
-      bytes = Option(n.get("bytes")).map(_.asLong()).getOrElse(0L))
+      bytes = Option(n.get("bytes")).map(_.asLong()).getOrElse(0L),
+      dv = Option(n.get("dv")).map(_.asText()),
+      dvRows = Option(n.get("dvRows")).map(_.asLong()).getOrElse(0L))
   }
 
   private def recordToJson(r: CommitRecord): String = {
@@ -220,8 +232,23 @@ object SnapshotLog {
       r.cdc.foreach(e => c.add(entryToJson(e)))
       r.cdcSchema.foreach(s => o.put("cdcSchema", s)): Unit
     }
+    // adds whose schema differs from the record's own (entries
+    // RE-LISTED by a deletion-vector commit, originally written by
+    // different-schema commits) keep their schema via the same
+    // dedup-table + index encoding checkpoints use
+    val extraSchemas = r.adds.flatMap(_.schema).distinct
+      .filterNot(r.schema.contains)
+    if (extraSchemas.nonEmpty) {
+      val sa = o.putArray("schemas")
+      extraSchemas.foreach(sa.add)
+    }
     val a = o.putArray("add")
-    r.adds.foreach(e => a.add(entryToJson(e)))
+    r.adds.foreach { e =>
+      val en = entryToJson(e)
+      e.schema.filterNot(r.schema.contains)
+        .foreach(s => en.put("si", extraSchemas.indexOf(s)): Unit)
+      a.add(en)
+    }
     mapper.writeValueAsString(o)
   }
 
@@ -263,16 +290,31 @@ object SnapshotLog {
       case a: ArrayNode => (0 until a.size()).map(i => entryFromJson(a.get(i)))
       case _ => sys.error(s"corrupt commit record v$v: $field is not an array")
     }
-    val adds = entriesOf("add")
     val txn = Option(n.get("txn")).map(t => (t.get("app").asText(), t.get("batch").asLong()))
     val schema = Option(n.get("schema")).map(_.asText())
+    val extraSchemas = Option(n.get("schemas")).map {
+      case a: ArrayNode => (0 until a.size()).map(a.get(_).asText())
+      case _ => sys.error(s"corrupt commit record v$v: schemas is not an array")
+    }.getOrElse(Seq.empty[String])
+    // per-entry schema: its own si wins, else the record's schema
+    val adds = n.get("add") match {
+      case a: ArrayNode => (0 until a.size()).map { i =>
+        val en = a.get(i)
+        val e = entryFromJson(en)
+        Option(en.get("si")) match {
+          case Some(si) => e.copy(schema = Some(extraSchemas(si.asInt())))
+          case None => e.copy(schema = schema)
+        }
+      }
+      case _ => sys.error(s"corrupt commit record v$v: add is not an array")
+    }
     val cdcSchema = Option(n.get("cdcSchema")).map(_.asText())
     val removes = Option(n.get("remove")).map {
       case a: ArrayNode => (0 until a.size()).map(a.get(_).asText())
       case _ => sys.error(s"corrupt commit record v$v: remove is not an array")
     }.getOrElse(Seq.empty[String])
     CommitRecord(n.get("version").asLong(), n.get("append").asBoolean(),
-      adds.map(_.copy(schema = schema)), txn, schema,
+      adds, txn, schema,
       removes = removes,
       cdc = entriesOf("cdc").map(_.copy(schema = cdcSchema)),
       cdcSchema = cdcSchema,
@@ -698,11 +740,26 @@ object SnapshotLog {
         val (_, es) = stageEntries(spark, cd, table, Seq.empty, Seq.empty, root = "cdc")
         (es, Some(cd.schema.json))
     }
-    val v = expectedHead + 1
     require(dataChange || changeData.isEmpty,
       "a maintenance rewrite (dataChange=false) has no change data by definition")
+    publishRewrite(table, removePaths, adds,
+      recordSchema = if (adds.isEmpty) None else Some(df.schema.json),
+      cdcEntries = cdcEntries, cdcSchema = cdcSchema,
+      expectedHead = expectedHead, dataChange = dataChange)
+  }
+
+  /** Publish a rewrite record with explicit entries (shared by
+    * `commitRewrite`, which staged a DataFrame, and `deleteWhere`,
+    * which re-lists existing entries with deletion vectors attached).
+    * Conditional create-new at expectedHead+1; a lost race is a loud
+    * error. */
+  private def publishRewrite(table: String, removePaths: Seq[String],
+                             adds: Seq[FileEntry], recordSchema: Option[String],
+                             cdcEntries: Seq[FileEntry], cdcSchema: Option[String],
+                             expectedHead: Long, dataChange: Boolean): Long = {
+    val v = expectedHead + 1
     val rec = CommitRecord(v, append = removePaths.isEmpty, adds,
-      schema = if (adds.isEmpty) None else Some(df.schema.json),
+      schema = recordSchema,
       removes = removePaths, cdc = cdcEntries, cdcSchema = cdcSchema,
       dataChange = dataChange)
     val tmp = logDir(table).resolve(s".tmp-rw-${java.util.UUID.randomUUID()}")
@@ -715,6 +772,62 @@ object SnapshotLog {
     } finally Files.deleteIfExists(tmp)
     if (v % checkpointEvery == 0) writeCheckpoint(table, resolve(table, v))
     v
+  }
+
+  /** MERGE-ON-READ DELETE (deletion vectors — Delta 3's shape): mark
+    * every row matching `p` deleted by writing a POSITION SIDECAR
+    * (`dv/<uuid>`, rows of (path, pos)) and re-listing the affected
+    * entries with the vector attached — no data file is rewritten.
+    * This is the delete shape copy-on-write cannot serve: a predicate
+    * matching a few rows in MANY files (a GDPR purge by user id on a
+    * time-clustered table) would rewrite every touched file under
+    * COW; here it writes O(matched rows) of sidecar. Readers apply
+    * vectors at scan time (`readTagged`); bounds stay conservative
+    * (deletion only shrinks row sets), so data skipping is
+    * unaffected; compaction/merge materialize the deletions naturally
+    * (their rewrites read through the vectors). File pruning applies
+    * twice: only files whose bounds might match `p` are even
+    * scanned, and files where nothing matched keep their entries
+    * untouched. The deleted rows are recorded as change data, so the
+    * feed delivers them as `delete` rows. The new sidecar carries the
+    * affected files' old positions too (newest vector ⊇ older — what
+    * makes multi-stage vector unions safe), and `vacuum` retires
+    * sidecars with the versions that referenced them. */
+  def deleteWhere(spark: SparkSession, table: String, p: Pred): Long = {
+    import spark.implicits._
+    val headV = latestVersion(table).getOrElse(sys.error(s"no committed version in $table"))
+    val st = resolve(table, headV)
+    val cand = st.entries.filter(mightMatch(_, p))
+    if (cand.isEmpty) return headV // provably nothing to delete
+    val data = readTagged(spark, table, cand) // live rows only (dvs applied)
+    val matched = data.filter(predColumn(data, p)).persist()
+    try {
+      val counts = matched.groupBy(RelCol).count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      if (counts.isEmpty) return headV // no live row matched: no-op
+      val affected = cand.filter(e => counts.contains(e.path))
+      val newPos = matched.select(col(RelCol).as("path"), col(PosCol).as("pos"))
+      val oldDvDirs = affected.flatMap(_.dv).distinct
+      val allPos =
+        if (oldDvDirs.isEmpty) newPos
+        else newPos.unionByName(
+          spark.read.parquet(oldDvDirs.map(d => s"$table/$d"): _*)
+            .join(affected.map(_.path).toDF("path"), Seq("path"), "left_semi"))
+      val dvStage = java.util.UUID.randomUUID().toString
+      // position rows are (string, long) — tiny; one file per commit
+      // keeps the sidecar read a single open at any delete cadence
+      allPos.repartition(1).write.parquet(s"$table/dv/$dvStage")
+      val cdc = matched.drop(RelCol, PosCol)
+        .withColumn("_change_type", lit("delete"))
+      val (_, cdcEntries) =
+        stageEntries(spark, cdc, table, Seq.empty, Seq.empty, root = "cdc")
+      val newEntries = affected.map(e => e.copy(
+        dv = Some(s"dv/$dvStage"), dvRows = e.dvRows + counts(e.path)))
+      publishRewrite(table, affected.map(_.path), newEntries,
+        recordSchema = None, cdcEntries = cdcEntries,
+        cdcSchema = Some(cdc.schema.json),
+        expectedHead = headV, dataChange = true)
+    } finally { matched.unpersist(); () }
   }
 
   // ----------------------------------------------------------------- reads
@@ -751,6 +864,21 @@ object SnapshotLog {
                         entries: Seq[FileEntry]): DataFrame =
     if (entries.isEmpty) spark.emptyDataFrame
     else {
+      // entries carrying DELETION VECTORS take the merge-on-read path
+      // (position tagging + anti-join); clean entries keep the plain
+      // vectorized scan with zero overhead
+      val (dved, plain) = entries.partition(_.dv.isDefined)
+      val parts =
+        (if (plain.isEmpty) Seq.empty
+         else Seq(readPlainFiles(spark, table, plain))) ++
+        (if (dved.isEmpty) Seq.empty
+         else Seq(readTagged(spark, table, dved).drop(RelCol, PosCol)))
+      parts.reduce(_.unionByName(_, allowMissingColumns = true))
+    }
+
+  private def readPlainFiles(spark: SparkSession, table: String,
+                             entries: Seq[FileEntry]): DataFrame =
+    {
       def schemaOf(sj: String): org.apache.spark.sql.types.StructType =
         org.apache.spark.sql.types.DataType.fromJson(sj)
           .asInstanceOf[org.apache.spark.sql.types.StructType]
@@ -776,6 +904,50 @@ object SnapshotLog {
         }
       (partReads ++ flatReads).reduce(_.unionByName(_, allowMissingColumns = true))
     }
+
+  /** Position-tag column names for the merge-on-read path. */
+  private val RelCol = "_graft_rel"
+  private val PosCol = "_graft_pos"
+
+  /** Read FLAT entries with their table-relative path and in-file row
+    * position tagged (`_metadata.file_path` / `_metadata.row_index` —
+    * the public parquet metadata columns), with any deletion vectors
+    * APPLIED: dead (path, pos) pairs anti-join away at scan time.
+    * This is both the merge-on-read read (drop the tags) and the
+    * position source `deleteWhere` builds new sidecars from. Safe to
+    * union multiple dv stages: stage paths are uuid-unique and a
+    * file's newest sidecar is a superset of its older ones (the
+    * deleteWhere invariant), so stray older rows can never delete a
+    * position the newest vector keeps. */
+  private def readTagged(spark: SparkSession, table: String,
+                         entries: Seq[FileEntry]): DataFrame = {
+    entries.find(_.path.split("/").drop(2).exists(_.contains("="))).foreach(e =>
+      sys.error(s"merge-on-read supports flat staged layouts only: ${e.path}"))
+    def schemaOf(sj: String): org.apache.spark.sql.types.StructType =
+      org.apache.spark.sql.types.DataType.fromJson(sj)
+        .asInstanceOf[org.apache.spark.sql.types.StructType]
+    def tag(df: DataFrame): DataFrame = df
+      .withColumn(RelCol, regexp_extract(col("_metadata.file_path"),
+        "(?:data|cdc)/[^/]+/[^/=]+$", 0))
+      .withColumn(PosCol, col("_metadata.row_index"))
+    val reads = entries.groupBy(_.schema).toSeq
+      .sortBy(_._2.map(_.path).min).flatMap {
+        case (Some(sj), es) =>
+          Seq(tag(spark.read.schema(schemaOf(sj))
+            .parquet(es.map(e => s"$table/${e.path}").sorted: _*)))
+        case (None, es) => es.groupBy(e => stageOf(e.path)).toSeq.sortBy(_._1)
+          .map { case (_, ss) =>
+            tag(spark.read.parquet(ss.map(e => s"$table/${e.path}").sorted: _*))
+          }
+      }
+    val tagged = reads.reduce(_.unionByName(_, allowMissingColumns = true))
+    val dvDirs = entries.flatMap(_.dv).distinct.sorted
+    if (dvDirs.isEmpty) tagged
+    else tagged.join(
+      spark.read.parquet(dvDirs.map(d => s"$table/$d"): _*)
+        .select(col("path").as(RelCol), col("pos").as(PosCol)),
+      Seq(RelCol, PosCol), "left_anti")
+  }
 
   /** The table's schema with ZERO rows — what a fully-pruned read
     * returns. One representative entry per stage unioned under the
@@ -1416,14 +1588,18 @@ object SnapshotLog {
       writeCheckpoint(table, states.head)
     // live files: one forward replay from the new base
     val liveFiles = states.flatMap(_.entries.map(_.path)).toSet
+    val liveDv = states.flatMap(_.entries.flatMap(_.dv)).toSet
     // every file ever added (each exactly once, by its adding record),
     // plus the dead records' change-data files (cdc files are
     // referenced ONLY by their own record, so they die with it)
-    val doomed = dead.flatMap { v =>
-      val r = readRecord(table, v)
+    val deadRecs = dead.map(readRecord(table, _))
+    val doomed = deadRecs.flatMap { r =>
       r.adds.map(_.path) ++ r.cdc.map(_.path)
     }.distinct.filterNot(liveFiles)
     doomed.foreach(f => Files.deleteIfExists(Paths.get(table, f)))
+    // deletion-vector stages referenced only by dead versions go too
+    deadRecs.flatMap(_.adds.flatMap(_.dv)).distinct.filterNot(liveDv)
+      .foreach(d => TempDirs.deleteRecursively(Paths.get(table, d).toFile))
     dead.foreach { v =>
       Files.deleteIfExists(vPath(table, v))
       Files.deleteIfExists(ckptPath(table, v))
@@ -1450,11 +1626,13 @@ object SnapshotLog {
     // Change-data stages are referenced by their OWN record only (cdc
     // entries never enter the resolved state), so they come straight
     // from the surviving records.
-    val referenced = statesFrom(table, vs)
+    val states = statesFrom(table, vs)
+    val referenced = states
       .flatMap(_.entries.map(e => stageOf(e.path))).toSet ++
-      vs.flatMap(v => readRecord(table, v).cdc.map(e => stageOf(e.path)))
+      vs.flatMap(v => readRecord(table, v).cdc.map(e => stageOf(e.path))) ++
+      states.flatMap(_.entries.flatMap(_.dv)) // dv values ARE stage dirs
     val cutoff = System.currentTimeMillis() - olderThanMs
-    Seq("data", "cdc").flatMap { root =>
+    Seq("data", "cdc", "dv").flatMap { root =>
       val rootDir = Paths.get(table, root)
       if (!Files.isDirectory(rootDir)) Seq.empty
       else {
@@ -1603,6 +1781,28 @@ object SnapshotLog {
       .agg(count(lit(1)).as("n_rows"),
         round(sum(col("o_totalprice").cast("decimal(18,2)")), 2)
           .cast("double").as("total"))
+  }
+
+  /** Declared surface for MERGE-ON-READ DELETES (deletion vectors):
+    * v1 = orders price-clustered and price-indexed; one `deleteWhere`
+    * kills the mid-price band by writing position sidecars — zero
+    * data files rewritten (DeletionVectorSpec pins that); the head
+    * aggregate only matches the oracle's NOT-BETWEEN replay if the
+    * scan-time vector application dropped exactly the matched rows
+    * and nothing else. */
+  def snapshotDeleteWhere(spark: SparkSession, dir: String): DataFrame = {
+    val table = freshScratchTable(s"snapdw:$dir")
+    val base = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_orderstatus"),
+        col("o_totalprice").cast("decimal(18,2)").as("p"))
+      .repartitionByRange(16, col("p"))
+    commit(spark, base, table, statsFor = Seq("p"))
+    deleteWhere(spark, table, Pred.Between("p", 50000.0, 100000.0))
+    read(spark, table)
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n_orders"),
+        round(sum(col("p")), 2).cast("double").as("total"))
+      .orderBy("o_orderstatus")
   }
 
   /** Declared surface for the ROW-LEVEL CHANGE FEED ACROSS A MERGE
