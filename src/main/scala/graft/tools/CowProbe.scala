@@ -71,6 +71,51 @@ object CowProbe {
       graft.core.TempDirs.deleteRecursively(new java.io.File(t))
     }
 
+    // ---- deletes: merge-on-read (deletion vectors) vs copy-on-write.
+    // A narrow PRICE band on a KEY-clustered table matches a few rows
+    // in EVERY file — the COW worst case (rewrite everything) and the
+    // DV best case (tiny sidecar, zero rewrites).
+    val fDel = factors.max
+    def delTable(): String = {
+      val t = java.nio.file.Files.createTempDirectory(s"dv_probe_${fDel}x_").toString
+      graft.core.SnapshotLog.commit(spark,
+        replicated(fDel).repartitionByRange(16 * fDel, col("o_orderkey")),
+        t, statsFor = Seq("o_orderkey"))
+      t
+    }
+    locally {
+      val t = delTable()
+      val nFiles = graft.core.SnapshotLog.resolve(t, 1L).entries.size
+      val (v, secs) = timed(s"${fDel}x deleteWhere (price band, dv sidecar)") {
+        graft.core.SnapshotLog.deleteWhere(spark, t,
+          graft.core.SnapshotLog.Pred.Between("p", 50000.0, 50500.0))
+      }
+      val rec = graft.core.SnapshotLog.readRecord(t, v)
+      val dead = rec.adds.map(_.dvRows).sum
+      val dvBytes = rec.adds.flatMap(_.dv).distinct.map { d =>
+        val dir = new java.io.File(t, d)
+        Option(dir.listFiles()).map(_.map(_.length()).sum).getOrElse(0L)
+      }.sum
+      println(f"[cow] dv-delete ${fDel}x: $dead rows across ${rec.adds.size} of $nFiles " +
+        f"files marked dead in $secs%.2f s - 0 data files rewritten, " +
+        f"${dvBytes / 1024} KiB of sidecar written")
+      graft.core.TempDirs.deleteRecursively(new java.io.File(t))
+    }
+    locally {
+      val t = delTable()
+      val deletes = graft.core.SnapshotLog.read(spark, t)
+        .filter(col("p").between(50000.0, 50500.0))
+        .select(col("o_orderkey"), col("o_orderstatus"), col("p"))
+        .withColumn("op", lit("D"))
+      val (v, secs) = timed(s"${fDel}x COW delete of the same rows (applyChanges)") {
+        graft.core.SnapshotLog.applyChanges(spark, t, deletes, "o_orderkey")
+      }
+      val rec = graft.core.SnapshotLog.readRecord(t, v)
+      println(f"[cow] cow-delete ${fDel}x: rewrote ${rec.removes.size} files " +
+        f"(${rec.adds.map(_.bytes).sum / 1048576} MiB re-written) in $secs%.2f s")
+      graft.core.TempDirs.deleteRecursively(new java.io.File(t))
+    }
+
     // control: the bounds-less table cannot prune — full rewrite
     val fMax = factors.max
     val tc = java.nio.file.Files.createTempDirectory(s"cow_probe_ctl_").toString
