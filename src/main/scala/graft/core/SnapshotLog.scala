@@ -1161,10 +1161,20 @@ object SnapshotLog {
                    minSmall: Int = 2): Long = {
     val headV = latestVersion(table).getOrElse(sys.error(s"no committed version in $table"))
     val st = resolve(table, headV)
-    def sizeOf(e: FileEntry): Long =
-      if (e.bytes > 0L) e.bytes else Files.size(Paths.get(table, e.path))
+    // LIVE bytes: a file mostly dead behind a deletion vector is
+    // effectively small — packing it materializes the deletions and
+    // drops the vector (Delta's REORG/PURGE folded into OPTIMIZE)
+    def sizeOf(e: FileEntry): Long = {
+      val phys = if (e.bytes > 0L) e.bytes else Files.size(Paths.get(table, e.path))
+      if (e.dvRows > 0L && e.rows > 0L) phys * (e.rows - e.dvRows) / e.rows
+      else phys
+    }
     val small = st.entries.filter(sizeOf(_) < minFileBytes)
-    if (small.size < math.max(minSmall, 2)) return headV // nothing to pack
+    // a lone small PLAIN file repacks into itself forever — skip; a
+    // lone vector-carrying file is always worth the reorg (materialize
+    // + drop the sidecar)
+    if (small.size < math.max(minSmall, 2) && !small.exists(_.dv.isDefined))
+      return headV
     val total = small.map(sizeOf).sum
     val targetFiles = math.max(1L, (total + minFileBytes - 1) / minFileBytes).toInt
     val head = readFiles(spark, table, small)

@@ -134,6 +134,30 @@ class DeletionVectorSpec extends AnyFunSuite with SparkFixture {
     assert(idsAt(t) == (10L until 100L).toSet)
   }
 
+  test("bin-packing counts LIVE bytes: a mostly-dead file reorganizes and drops its vector") {
+    import SnapshotLog.Pred._
+    import spark.implicits._
+    val t = freshTable()
+    // two sizeable files; kill 90% of the first one's rows
+    SnapshotLog.commit(spark,
+      (0 until 20000).map(i => (i.toLong, s"pay-$i" * 3)).toDF("id", "payload")
+        .repartitionByRange(2, col("id")),
+      t, statsFor = Seq("id"))
+    SnapshotLog.deleteWhere(spark, t, Between("id", 0.0, 8999.0)) // v2
+    val entries = SnapshotLog.resolve(t, 2L).entries
+    val dved = entries.filter(_.dv.isDefined)
+    assert(dved.size == 1 && dved.head.dvRows == 9000L)
+    val threshold = entries.map(_.bytes).min // below any PHYSICAL size
+    val v = SnapshotLog.compactSmall(spark, t, minFileBytes = threshold, minSmall = 1)
+    assert(v == 3L, "the 90%-dead file's LIVE bytes fall under the threshold")
+    val rec = SnapshotLog.readRecord(t, 3L)
+    assert(rec.removes == Seq(dved.head.path),
+      s"only the mostly-dead file reorganizes: ${rec.removes}")
+    assert(SnapshotLog.resolve(t, 3L).entries.forall(_.dv.isEmpty),
+      "the reorg materializes the deletions and drops the vector")
+    assert(SnapshotLog.read(spark, t).count() == 11000L)
+  }
+
   test("deleteWhere prunes first and no-ops cleanly") {
     import SnapshotLog.Pred._
     val t = clusteredTable()
