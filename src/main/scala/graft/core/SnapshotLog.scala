@@ -845,6 +845,23 @@ object SnapshotLog {
     readFiles(spark, table, resolve(table, v).entries)
   }
 
+  /** Time travel by TIMESTAMP (Delta's timestampAsOf): the newest
+    * surviving version whose commit record was published at or before
+    * `tsMillis` (record publish is the atomic commit instant, so its
+    * mtime IS the commit time). Fails loudly when every surviving
+    * version is newer — the caller asked for vacuumed history. */
+  def versionAsOfTimestamp(table: String, tsMillis: Long): Long =
+    versions(table).filter(v =>
+      Files.getLastModifiedTime(vPath(table, v)).toMillis <= tsMillis)
+      .lastOption.getOrElse(sys.error(
+        s"no surviving version of $table at or before $tsMillis " +
+          "(vacuumed, or the table is newer than the asked instant)"))
+
+  /** Snapshot read at a wall-clock instant. */
+  def readAsOfTimestamp(spark: SparkSession, table: String,
+                        tsMillis: Long): DataFrame =
+    read(spark, table, Some(versionAsOfTimestamp(table, tsMillis)))
+
   private def stageOf(path: String): String = path.split("/").take(2).mkString("/")
 
   /** Plan the read of an exact entry list. Flat (unpartitioned) files

@@ -442,6 +442,24 @@ class SnapshotLogCowSpec extends AnyFunSuite with SparkFixture {
     assert(SnapshotLog.readChangeFeed(spark, t, 1L, 2L).count() == 1L)
   }
 
+  test("time travel by timestamp resolves the newest version at or before the instant") {
+    import spark.implicits._
+    val t = freshTable()
+    SnapshotLog.commit(spark, Seq((1L, "a")).toDF("id", "payload"), t)
+    val between = System.currentTimeMillis()
+    Thread.sleep(20)
+    SnapshotLog.commit(spark, Seq((2L, "b")).toDF("id", "payload"), t, append = true)
+    assert(SnapshotLog.versionAsOfTimestamp(t, between) == 1L)
+    assert(SnapshotLog.readAsOfTimestamp(spark, t, between)
+      .select("id").collect().map(_.getLong(0)).toSet == Set(1L))
+    assert(SnapshotLog.versionAsOfTimestamp(t, System.currentTimeMillis()) == 2L)
+    // before the table existed: loud, not empty
+    val e = intercept[RuntimeException] {
+      SnapshotLog.versionAsOfTimestamp(t, between - 3600000L)
+    }
+    assert(e.getMessage.contains("no surviving version"))
+  }
+
   test("vacuum retires dead rewrite commits' change-data files with them") {
     import spark.implicits._
     val t = clusteredTable()                                          // v1
