@@ -6,7 +6,8 @@ import graft.SparkFixture
 
 /** Randomized model check of the transaction log: a random sequence of
   * replace / append / merge / CDC-apply / compact (plain + clustered)
-  * / idempotent-txn / vacuum operations runs against both the real log
+  * / idempotent-txn / vacuum / merge-on-read delete (deletion vector)
+  * operations runs against both the real log
   * and a trivial in-memory model (version -> row map). After every
   * operation the head must match the model, and at the end every
   * surviving version must time-travel to exactly the model's snapshot
@@ -44,7 +45,7 @@ class SnapshotLogModelSpec extends AnyFunSuite with SparkFixture {
       val nOps = if (seed == 3) 24 else 9 // seed 3 crosses the v20 checkpoint
       (1 to nOps).foreach { _ =>
         val head = model.keys.max
-        rnd.nextInt(7) match {
+        rnd.nextInt(8) match {
           case 0 => // replace
             val rows = freshRows(1 + rnd.nextInt(3))
             val v = SnapshotLog.commit(spark, df(rows), t)
@@ -95,6 +96,16 @@ class SnapshotLogModelSpec extends AnyFunSuite with SparkFixture {
             SnapshotLog.vacuum(t, keepFrom = head)
             model = model.filter(_._1 >= head)
             vacuumedBelow = math.max(vacuumedBelow, head)
+          case 7 => // merge-on-read delete: kill a random id band via a
+            // deletion vector (no files rewritten; readers apply it)
+            val lo = rnd.nextLong(math.max(nextId, 1L)) + 1L
+            val hi = lo + rnd.nextInt(4)
+            val v = SnapshotLog.deleteWhere(spark, t,
+              SnapshotLog.Pred.Between("id", lo.toDouble, hi.toDouble))
+            val after = model(head).filter { case (id, _) => id < lo || id > hi }
+            if (v > head) model += v -> after
+            else assert(after == model(head),
+              s"seed=$seed: deleteWhere no-op'd but the model changed")
         }
         assert(readAll(t) == model(model.keys.max),
           s"seed=$seed: head diverged from the model after an op")
