@@ -756,9 +756,10 @@ object SnapshotLog {
   private def publishRewrite(table: String, removePaths: Seq[String],
                              adds: Seq[FileEntry], recordSchema: Option[String],
                              cdcEntries: Seq[FileEntry], cdcSchema: Option[String],
-                             expectedHead: Long, dataChange: Boolean): Long = {
+                             expectedHead: Long, dataChange: Boolean,
+                             fullReplace: Boolean = false): Long = {
     val v = expectedHead + 1
-    val rec = CommitRecord(v, append = removePaths.isEmpty, adds,
+    val rec = CommitRecord(v, append = removePaths.isEmpty && !fullReplace, adds,
       schema = recordSchema,
       removes = removePaths, cdc = cdcEntries, cdcSchema = cdcSchema,
       dataChange = dataChange)
@@ -772,6 +773,32 @@ object SnapshotLog {
     } finally Files.deleteIfExists(tmp)
     if (v % checkpointEvery == 0) writeCheckpoint(table, resolve(table, v))
     v
+  }
+
+  /** RESTORE TABLE TO VERSION (Delta's RESTORE): make the head's
+    * content equal `toVersion`'s by RE-LISTING that version's entries
+    * as a new commit — metadata only, zero data movement (the old
+    * version's immutable files still exist unless vacuumed; per-entry
+    * schemas and deletion vectors carry verbatim). History is never
+    * rewritten: the bad versions stay time-travelable above the
+    * restored content, which is the roll-back a botched publish
+    * needs. The restore is a full content redefinition, so it is a
+    * replace commit — change-feed consumers resync, exactly as they
+    * must after a reset. */
+  def restore(spark: SparkSession, table: String, toVersion: Long): Long = {
+    val headV = latestVersion(table).getOrElse(sys.error(s"no committed version in $table"))
+    if (toVersion == headV) return headV
+    val target = resolve(table, toVersion) // fails loudly if vacuumed
+    // verify every file still exists (a vacuum may have kept the
+    // RECORD but retired files unreferenced by surviving versions —
+    // restoring to dangling entries would publish an unreadable head)
+    val missing = target.entries.filterNot(e => Files.exists(Paths.get(table, e.path)))
+    if (missing.nonEmpty) sys.error(
+      s"cannot restore $table to v$toVersion: ${missing.size} of its data files " +
+        s"were vacuumed (first: ${missing.head.path})")
+    publishRewrite(table, removePaths = Seq.empty, adds = target.entries,
+      recordSchema = None, cdcEntries = Seq.empty, cdcSchema = None,
+      expectedHead = headV, dataChange = true, fullReplace = true)
   }
 
   /** MERGE-ON-READ DELETE (deletion vectors — Delta 3's shape): mark

@@ -442,6 +442,36 @@ class SnapshotLogCowSpec extends AnyFunSuite with SparkFixture {
     assert(SnapshotLog.readChangeFeed(spark, t, 1L, 2L).count() == 1L)
   }
 
+  test("restore re-lists an old version metadata-only; bad history stays travelable") {
+    import spark.implicits._
+    val t = clusteredTable()                                        // v1: 100 rows
+    SnapshotLog.merge(spark, t, Seq((10L, "bad")).toDF("id", "payload"), "id") // v2
+    SnapshotLog.commit(spark, Seq((999L, "junk")).toDF("id", "payload"), t,
+      append = true)                                                // v3: botched publish
+    val dataMtimes = SnapshotLog.resolve(t, 1L).entries.map(e =>
+      e.path -> Files.getLastModifiedTime(Paths.get(t, e.path))).toMap
+    val v = SnapshotLog.restore(spark, t, 1L)
+    assert(v == 4L)
+    // metadata only: v1's files re-listed verbatim, nothing rewritten
+    val rec = SnapshotLog.readRecord(t, 4L)
+    assert(rec.kind == "replace" && rec.removes.isEmpty)
+    assert(rec.adds.map(_.path).toSet ==
+      SnapshotLog.resolve(t, 1L).entries.map(_.path).toSet)
+    dataMtimes.foreach { case (f, mt) =>
+      assert(Files.getLastModifiedTime(Paths.get(t, f)) == mt) }
+    // head == v1's content; per-entry schemas carried (the read plans)
+    assert(idsAt(t) == (0L until 100L).toSet)
+    // the bad versions stay time-travelable above the restore
+    assert(idsAt(t, Some(3L)).contains(999L))
+    // restoring to the current head is a no-op; to a vacuumed version, loud
+    assert(SnapshotLog.restore(spark, t, 4L) == 4L)
+    SnapshotLog.commit(spark, Seq((1L, "z")).toDF("id", "payload"), t) // v5 replace
+    SnapshotLog.vacuum(t, keepFrom = 5L) // v1-v4 die; their files go
+    val e = intercept[RuntimeException] { SnapshotLog.restore(spark, t, 4L) }
+    assert(e.getMessage.toLowerCase.contains("vacuumed") ||
+      e.getMessage.contains("no commit record"), e.getMessage)
+  }
+
   test("time travel by timestamp resolves the newest version at or before the instant") {
     import spark.implicits._
     val t = freshTable()
