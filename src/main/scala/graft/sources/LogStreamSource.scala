@@ -243,9 +243,11 @@ final class LogMicroBatchStream(table: String, schema: StructType,
         if (r.cdc.nonEmpty)
           r.cdc.filter(_.rows != 0L).map(e => LogInputPartition(
             s"$table/${e.path}", changeType = None, version = r.version))
-        else if (r.append || initialSnapshot)
+        else if (r.append || initialSnapshot) {
+          requireNoDv(Seq(r))
           r.adds.filter(_.rows > 0).map(e => LogInputPartition(
             s"$table/${e.path}", changeType = Some("insert"), version = r.version))
+        }
         else sys.error(
           s"version ${r.version} of $table is a full ${r.kind} commit with no " +
             "recorded change data — its row delta is not derivable; restart " +
@@ -267,6 +269,7 @@ final class LogMicroBatchStream(table: String, schema: StructType,
               "ignore update/delete commits, or stream the row-level feed " +
               "with .option(\"readChangeFeed\", \"true\")")
         }
+        requireNoDv(deliverable)
         deliverable.flatMap(r => r.adds.filter(_.rows > 0)
           .map(e => LogInputPartition(s"$table/${e.path}", version = r.version)))
       }
@@ -274,6 +277,17 @@ final class LogMicroBatchStream(table: String, schema: StructType,
       s"graft-log stream source does not read hive-partitioned staged layouts: $f"))
     parts.map(p => p: InputPartition).toArray
   }
+
+  /** The per-file reader cannot apply DELETION VECTORS — delivering a
+    * dv-carrying entry's raw rows would resurrect deleted data (the
+    * shape: a RESTORE re-listing vectored entries lands as a stream's
+    * initial snapshot). Fail loudly; the batch read applies vectors. */
+  private def requireNoDv(rs: Seq[graft.core.SnapshotLog.CommitRecord]): Unit =
+    rs.flatMap(_.adds).find(_.dv.isDefined).foreach(e => sys.error(
+      s"entry ${e.path} carries a deletion vector — the stream source " +
+        "cannot apply it and raw rows would include deleted data; read the " +
+        "snapshot in batch, or OPTIMIZE the table to materialize the " +
+        "vectors before streaming from this version"))
 
   override def createReaderFactory(): PartitionReaderFactory =
     new LogPartitionReaderFactory(schema)

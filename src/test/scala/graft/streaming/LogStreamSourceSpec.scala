@@ -367,6 +367,48 @@ class LogStreamSourceSpec extends AnyFunSuite with SparkFixture {
       s"feed replay diverged from the head: $applied vs $head")
   }
 
+  test("a stream refusing deletion-vectored entries never resurrects deleted rows") {
+    import spark.implicits._
+    // the composition trap: RESTORE re-lists dv-carrying entries; a
+    // fresh stream's initial snapshot would deliver their RAW rows —
+    // deleted data included — because the per-file reader cannot
+    // apply vectors. It must refuse, not resurrect.
+    val t = freshTable()
+    SnapshotLog.commit(spark,
+      (0 until 20).map(i => (i.toLong, s"p$i")).toDF("id", "payload")
+        .repartitionByRange(2, col("id")), t, statsFor = Seq("id"))
+    SnapshotLog.deleteWhere(spark, t, SnapshotLog.Pred.Between("id", 0.0, 4.0)) // v2
+    SnapshotLog.commit(spark, df(100), t)        // v3: replace (bad publish)
+    SnapshotLog.restore(spark, t, 2L)            // v4: re-lists dv entries
+    val e = intercept[Exception] {
+      val name = s"logsrc_dv_${java.util.UUID.randomUUID().toString.take(8)}"
+      val q = spark.readStream.format("graft-log")
+        .option("startingVersion", "4").load(t)
+        .writeStream.format("memory").queryName(name)
+        .option("checkpointLocation", ck())
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    def msgs(x: Throwable): Seq[String] =
+      if (x == null) Seq.empty else Option(x.getMessage).toSeq ++ msgs(x.getCause)
+    assert(msgs(e).exists(_.contains("deletion vector")), s"got ${msgs(e)}")
+    // ...and the advised OPTIMIZE unblocks a changes-only stream from
+    // its successor: vectors materialize at v5 (maintenance, skipped),
+    // and only genuinely new rows flow
+    SnapshotLog.compact(spark, t, targetFiles = 1) // v5: materializes, dataChange=false
+    SnapshotLog.commit(spark, df(200), t, append = true) // v6
+    val name2 = s"logsrc_dv2_${java.util.UUID.randomUUID().toString.take(8)}"
+    val q2 = spark.readStream.format("graft-log")
+      .option("startingVersion", "5").load(t)
+      .writeStream.format("memory").queryName(name2)
+      .option("checkpointLocation", ck())
+      .trigger(Trigger.AvailableNow()).start()
+    q2.awaitTermination()
+    val got = spark.table(name2).select("id").collect().map(_.getLong(0)).toSet
+    spark.catalog.dropTempView(name2)
+    assert(got == Set(200L), s"got $got")
+  }
+
   test("nested schemas and partitioned layouts fail fast with clear errors") {
     import spark.implicits._
     val t = freshTable()
