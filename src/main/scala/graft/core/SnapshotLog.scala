@@ -1618,6 +1618,29 @@ object SnapshotLog {
     else (head, false, readChanges(spark, table, lastSeen, head))
   }
 
+  /** Polling consumer over the ROW-LEVEL feed — `pollChanges`' CDF
+    * twin: returns (new checkpoint version, isResync, rows). When
+    * every data commit in range has a derivable row delta (appends,
+    * merges, CDC applies, vector deletes — maintenance skipped), the
+    * rows are `readChangeFeed`'s tagged delta and the consumer
+    * applies them in `_commit_version` order; a merge no longer
+    * forces the resync `pollChanges` must take. Only a FULL replace
+    * (or a vacuumed gap) still returns the head snapshot with
+    * isResync=true. */
+  def pollChangeFeed(spark: SparkSession, table: String,
+                     lastSeen: Long): (Long, Boolean, DataFrame) = {
+    val head = latestVersion(table).getOrElse(lastSeen)
+    if (head <= lastSeen) return (lastSeen, false, spark.emptyDataFrame)
+    val range = versions(table).filter(v => v > lastSeen && v <= head)
+    if (!range.sameElements((lastSeen + 1) to head))
+      return (head, true, read(spark, table, Some(head)))
+    val recs = range.map(readRecord(table, _)).filter(_.dataChange)
+    if (recs.exists(r => r.cdc.isEmpty && !r.append))
+      (head, true, read(spark, table, Some(head))) // full replace: reset
+    else if (recs.isEmpty) (head, false, spark.emptyDataFrame)
+    else (head, false, readChangeFeed(spark, table, lastSeen, head))
+  }
+
   /** Delete data files referenced ONLY by versions < `keepFrom` (and
     * their commit records). Time travel to vacuumed versions dies;
     * every version >= keepFrom still reads. The cutoff is CLAMPED to

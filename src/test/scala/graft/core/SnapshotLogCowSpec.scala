@@ -442,6 +442,50 @@ class SnapshotLogCowSpec extends AnyFunSuite with SparkFixture {
     assert(SnapshotLog.readChangeFeed(spark, t, 1L, 2L).count() == 1L)
   }
 
+  test("pollChangeFeed applies a mixed feed without the resync pollChanges must take") {
+    import spark.implicits._
+    val t = clusteredTable()                                          // v1
+    // a CDF-consuming poll loop materializing a downstream copy
+    var ckpt = 0L
+    val state = scala.collection.mutable.Map[Long, String]()
+    def pull(): Unit = {
+      val (v, resync, rows) = SnapshotLog.pollChangeFeed(spark, t, ckpt)
+      if (v > ckpt) {
+        if (resync) {
+          state.clear()
+          rows.collect().foreach(r => state(r.getLong(0)) = r.getString(1))
+        } else if (rows.columns.nonEmpty) {
+          rows.collect()
+            .sortBy(_.getLong(rows.columns.indexOf("_commit_version")))
+            .foreach { r =>
+              val id = r.getLong(r.fieldIndex("id"))
+              r.getString(r.fieldIndex("_change_type")) match {
+                case "delete" => state.remove(id); ()
+                case _ => state(id) = r.getString(r.fieldIndex("payload"))
+              }
+            }
+        }
+        ckpt = v
+      }
+    }
+    pull() // v1 is a replace: initial resync
+    assert(state.size == 100 && ckpt == 1L)
+    SnapshotLog.merge(spark, t, Seq((10L, "u10"), (900L, "n900")).toDF("id", "payload"), "id")
+    SnapshotLog.compact(spark, t, targetFiles = 2)                    // maintenance
+    SnapshotLog.deleteWhere(spark, t, SnapshotLog.Pred.Between("id", 0.0, 4.0))
+    SnapshotLog.commit(spark, Seq((901L, "a901")).toDF("id", "payload"), t, append = true)
+    pull() // ONE incremental pull across merge + compact + dv-delete + append
+    assert(ckpt == 5L)
+    val head = SnapshotLog.read(spark, t).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(state.toMap == head,
+      s"CDF poll loop diverged from the head (${state.size} vs ${head.size})")
+    // a full replace still resyncs
+    SnapshotLog.commit(spark, Seq((1L, "fresh")).toDF("id", "payload"), t)
+    pull()
+    assert(ckpt == 6L && state.toMap == Map(1L -> "fresh"))
+  }
+
   test("restore re-lists an old version metadata-only; bad history stays travelable") {
     import spark.implicits._
     val t = clusteredTable()                                        // v1: 100 rows
