@@ -61,6 +61,29 @@ object LogSourceProbe {
       graft.core.SnapshotLog.read(spark, table)
         .groupBy("event_type").agg(count(lit(1)).as("n")).count()
     }
+
+    // CDF mode in production shape: the table takes a mid-history
+    // merge; the row-level feed streams to a parquet sink (no driver
+    // capture) — a merge is an ordinary micro-batch here
+    timed("CDF stream -> parquet sink (merge mid-history)") {
+      graft.core.SnapshotLog.merge(spark, table,
+        graft.core.SnapshotLog.read(spark, table)
+          .filter(col("event_id") % 1000 === 0)
+          .withColumn("value", col("value") + 1),
+        "event_id")
+      val out2 = java.nio.file.Files.createTempDirectory("logsrc_cdf_out_").toString
+      val ck2 = java.nio.file.Files.createTempDirectory("logsrc_cdf_ck_").toString
+      val q = spark.readStream.format("graft-log")
+        .option("readChangeFeed", "true").load(table)
+        .writeStream.format("parquet")
+        .option("path", out2).option("checkpointLocation", ck2)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      val fed = spark.read.parquet(out2)
+      val byType = fed.groupBy("_change_type").count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      println(s"[logsrc] CDF rows by type: $byType")
+    }
     spark.stop()
   }
 }
