@@ -820,6 +820,10 @@ object SnapshotLog {
     * affected files' old positions too (newest vector ⊇ older — what
     * makes multi-stage vector unions safe), and `vacuum` retires
     * sidecars with the versions that referenced them. */
+  /** Past this many positions a delete's sidecar shards by data-file
+    * path instead of writing one file (var: test seam). */
+  private[core] var dvShardRowsLimit: Long = 4L << 20
+
   def deleteWhere(spark: SparkSession, table: String, p: Pred): Long = {
     import spark.implicits._
     val headV = latestVersion(table).getOrElse(sys.error(s"no committed version in $table"))
@@ -841,9 +845,22 @@ object SnapshotLog {
           spark.read.parquet(oldDvDirs.map(d => s"$table/$d"): _*)
             .join(affected.map(_.path).toDF("path"), Seq("path"), "left_semi"))
       val dvStage = java.util.UUID.randomUUID().toString
-      // position rows are (string, long) — tiny; one file per commit
-      // keeps the sidecar read a single open at any delete cadence
-      allPos.repartition(1).write.parquet(s"$table/dv/$dvStage")
+      // position rows are (string, long) — tiny for targeted deletes,
+      // so ONE file keeps the sidecar read a single open; but a
+      // predicate matching ~10^9 rows (a GDPR purge) must not funnel
+      // the whole position set through one task — past the threshold
+      // the sidecar SHARDS by data-file path (the read side already
+      // unions every file in the dv directory, so sharding is
+      // invisible to readers)
+      val totalPos = counts.values.sum + affected.map(_.dvRows).sum
+      val laidPos =
+        if (totalPos <= dvShardRowsLimit) allPos.repartition(1)
+        else { // ~dvShardRowsLimit positions per shard, path-contiguous;
+          // the EXPLICIT shard count keeps AQE from re-coalescing
+          val shards = math.min(10000L, totalPos / dvShardRowsLimit + 1L).toInt
+          allPos.repartitionByRange(shards, col("path"), col("pos"))
+        }
+      laidPos.write.parquet(s"$table/dv/$dvStage")
       val cdc = matched.drop(RelCol, PosCol)
         .withColumn("_change_type", lit("delete"))
       val (_, cdcEntries) =
@@ -1210,7 +1227,10 @@ object SnapshotLog {
     // drops the vector (Delta's REORG/PURGE folded into OPTIMIZE)
     def sizeOf(e: FileEntry): Long = {
       val phys = if (e.bytes > 0L) e.bytes else Files.size(Paths.get(table, e.path))
-      if (e.dvRows > 0L && e.rows > 0L) phys * (e.rows - e.dvRows) / e.rows
+      // in doubles: phys * liveRows can overflow a long for TB-scale
+      // files, and a negative "size" would misclassify the file as small
+      if (e.dvRows > 0L && e.rows > 0L)
+        (phys.toDouble * (e.rows - e.dvRows) / e.rows).toLong
       else phys
     }
     val small = st.entries.filter(sizeOf(_) < minFileBytes)
@@ -1564,8 +1584,13 @@ object SnapshotLog {
     * pattern), so ONE merge no longer permanently walls off every
     * incremental consumer. A full replace (no change data) still
     * fails fast — that delta genuinely is not derivable. Maintenance
-    * commits are invisible. Delete rows carry the key with null data
-    * columns. The read plans one scan per commit in the range — the
+    * commits are invisible. Delete-row SHAPE follows the producer:
+    * `applyChanges` records the feed-supplied columns (typically the
+    * key with null data columns), while `deleteWhere` records the full
+    * pre-image rows it positively identified — consumers keying on the
+    * delete's key column work with both; pre-image columns are a
+    * bonus, not a contract. The read plans one scan per commit in the
+    * range — the
     * per-version attribution an incremental consumer needs; polls
     * cover small ranges, and the grouped O(distinct schemas) plan
     * remains the SNAPSHOT read's shape. */

@@ -174,4 +174,35 @@ class DeletionVectorSpec extends AnyFunSuite with SparkFixture {
     }
     assert(e.getMessage.contains("flat staged layouts"), e.getMessage)
   }
+
+  test("a delete past the shard threshold writes a per-path sharded sidecar that reads identically") {
+    import SnapshotLog.Pred._
+    val t = clusteredTable()
+    val saved = SnapshotLog.dvShardRowsLimit
+    SnapshotLog.dvShardRowsLimit = 5L // force sharding: 31 positions span 2 files
+    try {
+      val v = SnapshotLog.deleteWhere(spark, t, Between("id", 10.0, 40.0))
+      assert(v == 2L)
+      val rec = SnapshotLog.readRecord(t, 2L)
+      val dvDirs = rec.adds.flatMap(_.dv).distinct
+      assert(dvDirs.size == 1)
+      val shards = {
+        val st = Files.list(Paths.get(t, dvDirs.head))
+        try {
+          val it = st.iterator()
+          var n = 0
+          while (it.hasNext) {
+            if (it.next().getFileName.toString.endsWith(".parquet")) n += 1
+          }
+          n
+        } finally st.close()
+      }
+      assert(shards > 1, s"expected a sharded sidecar, got $shards file(s)")
+      assert(idsAt(t) == (0L until 100L).toSet -- (10L to 40L).toSet,
+        "sharded vectors must read identically to a single-file sidecar")
+      // a second delete over the same files unions old shards correctly
+      SnapshotLog.deleteWhere(spark, t, Eq("id", 50.0))
+      assert(idsAt(t) == (0L until 100L).toSet -- (10L to 40L).toSet - 50L)
+    } finally SnapshotLog.dvShardRowsLimit = saved
+  }
 }
