@@ -751,28 +751,62 @@ object SnapshotLog {
   /** Publish a rewrite record with explicit entries (shared by
     * `commitRewrite`, which staged a DataFrame, and `deleteWhere`,
     * which re-lists existing entries with deletion vectors attached).
-    * Conditional create-new at expectedHead+1; a lost race is a loud
-    * error. */
+    * Conditional create-new at expectedHead+1.
+    *
+    * CONFLICT-AWARE retry (Delta's logical conflict check under
+    * WriteSerializable): a lost publish race does NOT force the
+    * caller to re-run the whole rewrite when every intervening winner
+    * is LOGICALLY DISJOINT — i.e. no winner was a full replace and no
+    * winner removed any file THIS rewrite read/removed. Then the
+    * staged files are still the correct replacement for exactly the
+    * files they replace, and the record re-publishes verbatim at the
+    * new head: the result equals the serial order (winners first,
+    * this rewrite last) — winner appends survive because this record
+    * only removes its own file set, and winner rewrites touched other
+    * files by construction. A winner that DID touch an overlapping
+    * file (or replaced the table) makes the staged output stale, and
+    * the publish fails loudly so the caller re-derives — never a
+    * silent lost update. (Like Delta's WriteSerializable, two racing
+    * merges that both INSERT the same brand-new key can both land —
+    * neither read the other's files; key-level uniqueness across
+    * concurrent writers needs the serializable single-lane pattern.) */
   private def publishRewrite(table: String, removePaths: Seq[String],
                              adds: Seq[FileEntry], recordSchema: Option[String],
                              cdcEntries: Seq[FileEntry], cdcSchema: Option[String],
                              expectedHead: Long, dataChange: Boolean,
                              fullReplace: Boolean = false): Long = {
-    val v = expectedHead + 1
-    val rec = CommitRecord(v, append = removePaths.isEmpty && !fullReplace, adds,
-      schema = recordSchema,
-      removes = removePaths, cdc = cdcEntries, cdcSchema = cdcSchema,
-      dataChange = dataChange)
-    val tmp = logDir(table).resolve(s".tmp-rw-${java.util.UUID.randomUUID()}")
-    Files.write(tmp, recordToJson(rec).getBytes("UTF-8"))
-    try Files.createLink(vPath(table, v), tmp)
-    catch {
-      case _: java.nio.file.FileAlreadyExistsException => sys.error(
-        s"concurrent modification on $table: head moved past v$expectedHead " +
-          "under a rewrite commit; re-derive and retry")
-    } finally Files.deleteIfExists(tmp)
-    if (v % checkpointEvery == 0) writeCheckpoint(table, resolve(table, v))
-    v
+    onStagedHook()
+    val ourRemoves = removePaths.toSet
+    var head = expectedHead
+    var attempt = 0
+    while (true) {
+      val v = head + 1
+      val rec = CommitRecord(v, append = removePaths.isEmpty && !fullReplace, adds,
+        schema = recordSchema,
+        removes = removePaths, cdc = cdcEntries, cdcSchema = cdcSchema,
+        dataChange = dataChange)
+      val tmp = logDir(table).resolve(s".tmp-rw-${java.util.UUID.randomUUID()}")
+      Files.write(tmp, recordToJson(rec).getBytes("UTF-8"))
+      try {
+        Files.createLink(vPath(table, v), tmp) // atomic create-new
+        if (v % checkpointEvery == 0) writeCheckpoint(table, resolve(table, v))
+        return v
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException =>
+          val newHead = latestVersion(table).getOrElse(head)
+          val winners = ((head + 1) to newHead).map(readRecord(table, _))
+          val disjoint = !fullReplace && winners.forall { w =>
+            val wReplace = w.removes.isEmpty && !w.append && w.adds.nonEmpty
+            !wReplace && !w.removes.exists(ourRemoves.contains)
+          }
+          if (!disjoint || attempt >= 20) sys.error(
+            s"concurrent modification on $table: head moved past v$expectedHead " +
+              "under a rewrite commit; re-derive and retry")
+          attempt += 1
+          head = newHead
+      } finally Files.deleteIfExists(tmp)
+    }
+    -1L // unreachable
   }
 
   /** RESTORE TABLE TO VERSION (Delta's RESTORE): make the head's
@@ -1072,7 +1106,7 @@ object SnapshotLog {
   }
   private def u8Lte(a: String, b: String): Boolean = u8Compare(a, b) <= 0
 
-  private def mightMatch(e: FileEntry, p: Pred): Boolean = {
+  private[graft] def mightMatch(e: FileEntry, p: Pred): Boolean = {
     p match {
       case Pred.Between(c, qLo, qHi) =>
         e.num.get(c).forall { case (l, h) => h >= qLo && l <= qHi }
@@ -1957,7 +1991,7 @@ object SnapshotLog {
       .orderBy("o_orderstatus")
   }
 
-  private[core] def skippingDemoTable(spark: SparkSession, dir: String): String = {
+  private[graft] def skippingDemoTable(spark: SparkSession, dir: String): String = {
     val table = freshScratchTable(s"snapskip:$dir")
     val orders = Tables.orders(spark, dir)
       .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
@@ -1966,7 +2000,7 @@ object SnapshotLog {
     table
   }
 
-  private[core] def partitionedDemoTable(spark: SparkSession, dir: String): String = {
+  private[graft] def partitionedDemoTable(spark: SparkSession, dir: String): String = {
     val table = freshScratchTable(s"snappart:$dir")
     val docs = Tables.documents(spark, dir)
       .select(col("doc_id"), col("source"), col("n_chars"), col("lang"))

@@ -303,20 +303,87 @@ class SnapshotLogCowSpec extends AnyFunSuite with SparkFixture {
     assert(ids == expect)
   }
 
-  test("a rewrite racing a concurrent append fails loudly and erases nothing") {
+  test("a rewrite racing a DISJOINT concurrent append re-publishes at the new head, no re-run") {
     import spark.implicits._
     val t = clusteredTable()
-    // a racer claims v2 out from under the merge's read-modify-write
+    // a racer claims v2 out from under the rewrite's read-modify-write;
+    // its append touches no file the rewrite removes, so the staged
+    // output is still exactly right — the conflict check re-publishes
+    // it at v3 instead of failing (Delta's WriteSerializable rule)
     Files.write(Paths.get(t, "_graft_log", "v2.json"),
       """{"fmt":2,"version":2,"append":true,"rows":0,"add":[]}""".getBytes("UTF-8"))
+    val v = SnapshotLog.commitRewrite(spark,
+      Seq((200L, "x")).toDF("id", "payload"), t,
+      removePaths = Seq.empty, expectedHead = 1L)
+    assert(v == 3L, s"the disjoint rewrite must land at the NEW head+1, got v$v")
+    assert(SnapshotLog.versions(t) == Seq(1L, 2L, 3L))
+    assert(idsAt(t) == (0L until 100L).toSet + 200L, "nothing erased, nothing lost")
+  }
+
+  test("a rewrite racing an OVERLAPPING winner fails loudly and erases nothing") {
+    import spark.implicits._
+    val t = clusteredTable()
+    val victim = SnapshotLog.resolve(t, 1L).entries.head.path
+    // the winner REWROTE a file this rewrite also read+removes: the
+    // staged output is stale — re-publishing would silently drop the
+    // winner's update, so the publish must fail loudly instead
+    Files.write(Paths.get(t, "_graft_log", "v2.json"),
+      (s"""{"fmt":2,"version":2,"append":true,"rows":0,"add":[],""" +
+        s""""remove":["$victim"]}""").getBytes("UTF-8"))
     val e = intercept[RuntimeException] {
       SnapshotLog.commitRewrite(spark,
         Seq((10L, "x")).toDF("id", "payload"), t,
-        removePaths = Seq.empty, expectedHead = 1L)
+        removePaths = Seq(victim), expectedHead = 1L)
     }
     assert(e.getMessage.contains("concurrent modification"), e.getMessage)
     assert(SnapshotLog.versions(t) == Seq(1L, 2L), "the stale rewrite must not land")
-    assert(idsAt(t) == (0L until 100L).toSet, "nothing erased")
+  }
+
+  test("two disjoint-key merges race: the loser re-publishes its staged rewrite without re-running") {
+    import spark.implicits._
+    val t = clusteredTable()
+    def dataStages(): Int =
+      Option(new java.io.File(t, "data").listFiles()).map(_.count(_.isDirectory)).getOrElse(0)
+    assert(dataStages() == 1)
+    try {
+      // merge A (keys in file [0,19]) lands WHILE merge B (keys in
+      // file [60,79]) is between staging and publish — the stage seam
+      // fires inside B's publishRewrite
+      SnapshotLog.onStagedHook = () => {
+        SnapshotLog.onStagedHook = () => () // fire once (A must not recurse)
+        SnapshotLog.merge(spark, t, Seq((10L, "A10")).toDF("id", "payload"), "id")
+        ()
+      }
+      val vB = SnapshotLog.merge(spark, t,
+        Seq((70L, "B70")).toDF("id", "payload"), "id")
+      assert(vB == 3L, s"A takes v2, B re-publishes at v3: got v$vB")
+      // BOTH updates landed — the serial order winners-then-loser
+      val rows = SnapshotLog.read(spark, t).collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(rows(10L) == "A10" && rows(70L) == "B70")
+      assert(rows.keySet == (0L until 100L).toSet)
+      // each merge staged exactly once: initial commit + A + B = 3
+      // data stages; a re-executed rewrite would have left a 4th
+      assert(dataStages() == 3, s"B must NOT re-run its rewrite, stages=${dataStages()}")
+    } finally SnapshotLog.onStagedHook = () => ()
+
+    // overlapping keys (same [0,19] file): the loser must re-derive
+    val t2 = clusteredTable()
+    try {
+      SnapshotLog.onStagedHook = () => {
+        SnapshotLog.onStagedHook = () => ()
+        SnapshotLog.merge(spark, t2, Seq((11L, "A11")).toDF("id", "payload"), "id")
+        ()
+      }
+      val e = intercept[RuntimeException] {
+        SnapshotLog.merge(spark, t2, Seq((12L, "B12")).toDF("id", "payload"), "id")
+      }
+      assert(e.getMessage.contains("concurrent modification"), e.getMessage)
+      // the winner's merge is intact; the loser's caller re-derives
+      val rows2 = SnapshotLog.read(spark, t2).collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(rows2(11L) == "A11" && rows2(12L) == "p12")
+    } finally SnapshotLog.onStagedHook = () => ()
   }
 
   test("Cli optimize retries from the new head when a live writer lands mid-compact") {
