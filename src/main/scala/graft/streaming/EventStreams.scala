@@ -574,11 +574,14 @@ object EventStreams {
     * content costs O(batch) however large the accepted corpus; only
     * bloom hits (true dups + ~1% false positives) ride the exact
     * fp anti-join, and a batch with zero hits skips the destination
-    * read entirely. The bloom lives driver-side across batches,
-    * seeded from the destination's row count (log metadata) and
-    * rebuilt from the fp column on restart — blooms have no false
-    * negatives, so the gate's output is bit-identical to the plain
-    * anti-join and the same oracle checks it. */
+    * read entirely. The bloom lives driver-side across batches with
+    * CAPPED capacity (`BloomMaxCapacity`), is seeded from the
+    * destination's row count (log metadata), rebuilt DISTRIBUTED from
+    * the persisted h60 column on restart (`historyBloom` — no
+    * full-corpus collect), and reaches executors as a torrent
+    * broadcast re-published only when a batch added keys — blooms
+    * have no false negatives, so the gate's output is bit-identical
+    * to the plain anti-join and the same oracle checks it. */
   def dedupIngest(spark: SparkSession, dir: String,
       maxVersionsPerTrigger: Option[Int] = Some(1),
       onBatchMillis: (Long, Long) => Unit = (_, _) => ()): DataFrame = {
@@ -593,25 +596,19 @@ object EventStreams {
     // the bloom MUST cover every accepted fp or a dup slips through)
     val bloomRef = new java.util.concurrent.atomic.AtomicReference[
       org.apache.spark.util.sketch.BloomFilter](null)
+    // the filter rides a TORRENT BROADCAST, re-published only when a
+    // batch folded new keys in — never serialized into each task's
+    // plan (at capacity the filter is ~40 MB of driver state; the
+    // per-plan Binary-literal idiom ships it with EVERY task)
+    var bloomBc: org.apache.spark.broadcast.Broadcast[
+      org.apache.spark.util.sketch.BloomFilter] = null
+    var bloomDirty = false
     def ensureBloom(): org.apache.spark.util.sketch.BloomFilter = {
       var bf = bloomRef.get()
       if (bf == null) {
-        val headRows = SnapshotLog.latestVersion(dest)
-          .map(v => SnapshotLog.resolve(dest, v).entries.map(_.rows).sum)
-          .getOrElse(0L)
-        // sized from the log's row metadata (free); over-filling only
-        // raises the false-positive rate — more rows ride the exact
-        // anti-join, never a wrong answer. The serialized filter ships
-        // with every batch's plan, so the floor stays modest (~20 KB
-        // per 100k capacity)
-        val capacity = math.max(200000L, headRows * 4)
-        bf = org.apache.spark.util.sketch.BloomFilter.create(capacity, 0.01)
-        if (headRows > 0L) // restart over a non-empty dest: re-seed ONCE
-          // from the persisted h60 column — a column-pruned read of
-          // 8-byte keys, paid at startup only, never per batch
-          SnapshotLog.read(spark, dest).select("h60").distinct()
-            .collect().foreach(r => bf.putLong(r.getLong(0)))
+        bf = EventStreams.historyBloom(spark, dest)
         bloomRef.set(bf)
+        bloomDirty = true
       }
       bf
     }
@@ -623,8 +620,11 @@ object EventStreams {
           batchId: Long) =>
         val t0 = System.nanoTime()
         val bf = ensureBloom()
-        val bytes = new java.io.ByteArrayOutputStream()
-        bf.writeTo(bytes)
+        if (bloomDirty || bloomBc == null) {
+          if (bloomBc != null) bloomBc.unpersist(false)
+          bloomBc = spark.sparkContext.broadcast(bf)
+          bloomDirty = false
+        }
         val keyed = batch.toDF()
           .withColumn("fp", md5(col("text")))
           .withColumn("arr", (col("doc_id") % 3) * lit(1000000000L) + col("doc_id"))
@@ -633,8 +633,7 @@ object EventStreams {
         // batch-sized; without it the source re-reads per action)
         val probed = keyed
           .withColumn("h60", DetHash.hex60(col("text")))
-          .withColumn("hit", org.apache.spark.sql.graft.Bridge
-            .bloomMightContain(bytes.toByteArray, col("h60")))
+          .withColumn("hit", graft.functions.BloomProbe.column(bloomBc, col("h60")))
           .persist()
         try {
           // ONE map-shaped gate job per batch: whether any bloom hit
@@ -664,9 +663,13 @@ object EventStreams {
           SnapshotLog.commit(spark, fresh.drop("arr", "hit"), dest,
             append = true, txn = Some(("dedup_ingest", batchId)))
           // fold the batch's accepted fps into the history bloom
-          // (a replayed batch re-adds the same keys — harmless)
-          gate.filter(!_.getBoolean(0)).foreach(
-            _.getSeq[Long](1).foreach(bf.putLong))
+          // (a replayed batch re-adds the same keys — harmless) and
+          // mark it for re-broadcast before the NEXT batch probes
+          val missRows = gate.filter(!_.getBoolean(0))
+          if (missRows.nonEmpty) {
+            missRows.foreach(_.getSeq[Long](1).foreach(bf.putLong))
+            bloomDirty = true
+          }
           onBatchMillis(batchId, (System.nanoTime() - t0) / 1000000L)
         } finally { probed.unpersist(); () }
         ()
@@ -680,6 +683,36 @@ object EventStreams {
       .agg(count(lit(1)).as("n_docs"),
         sum(col("n_chars")).cast("bigint").as("total_chars"))
       .orderBy("lang")
+  }
+
+  /** Keys past which the gate bloom stops growing (~40 MB serialized
+    * at 1% fpp). Over-filling only RAISES the false-positive rate —
+    * more rows ride the exact anti-join settle, never a wrong answer
+    * — so a year-old ingest degrades gate efficiency gracefully
+    * instead of growing unbounded driver state. */
+  private[graft] val BloomMaxCapacity: Long = 1L << 25
+
+  /** The accepted-fp history bloom for a dedup-ingest destination:
+    * capacity from the log's row metadata (free), CAPPED at
+    * `BloomMaxCapacity`; on restart over a non-empty destination the
+    * filter builds DISTRIBUTED (`df.stat.bloomFilter` aggregates
+    * per-partition sketches and merges — a column-pruned scan of
+    * 8-byte keys whose driver traffic is one merged filter, never the
+    * corpus' keys; the pre-r11 path collect()ed every accepted key —
+    * an OOM, not a slowdown, on a year-old 100 TB ingest). Blooms
+    * have no false negatives, so the gate output stays bit-identical
+    * to the plain anti-join whatever the capacity. */
+  private[graft] def historyBloom(spark: SparkSession,
+      dest: String): org.apache.spark.util.sketch.BloomFilter = {
+    import graft.core.SnapshotLog
+    val headRows = SnapshotLog.latestVersion(dest)
+      .map(v => SnapshotLog.resolve(dest, v).entries.map(e => e.rows - e.dvRows).sum)
+      .getOrElse(0L)
+    val capacity = math.min(BloomMaxCapacity, math.max(200000L, headRows * 4))
+    if (headRows == 0L)
+      org.apache.spark.util.sketch.BloomFilter.create(capacity, 0.01)
+    else
+      SnapshotLog.read(spark, dest).stat.bloomFilter("h60", capacity, 0.01)
   }
 
   private[graft] def dedupIngestSourceTable(spark: SparkSession, dir: String): String = {

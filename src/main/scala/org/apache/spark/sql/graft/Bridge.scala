@@ -38,6 +38,13 @@ object Bridge {
           filterBytes, org.apache.spark.sql.types.BinaryType),
         classic.ExpressionUtils.expression(key)))
 
+  /** Column <-> Expression bridging for graft's own Catalyst
+    * expressions (the `Column(expr)` constructor is private[sql]). */
+  def columnOf(e: org.apache.spark.sql.catalyst.expressions.Expression): org.apache.spark.sql.Column =
+    classic.ExpressionUtils.column(e)
+  def expressionOf(c: org.apache.spark.sql.Column): org.apache.spark.sql.catalyst.expressions.Expression =
+    classic.ExpressionUtils.expression(c)
+
   /** Runtime planner-strategy registration for sessions built without
     * `.withExtensions(new GraftExtensions)` (Verify/Bench build plain
     * sessions): `experimental.extraStrategies` is the public hook. */
