@@ -150,6 +150,9 @@ object SparkEntry {
     "snapshot_changes" -> (graft.core.SnapshotLog.snapshotChanges _),
     "snapshot_changes_merge" -> (graft.core.SnapshotLog.snapshotChangesMerge _),
     "snapshot_delete_where" -> (graft.core.SnapshotLog.snapshotDeleteWhere _),
+    "log_batch_read"   -> (graft.sources.LogBatchQueries.logBatchRead _),
+    "log_batch_partitioned" -> (graft.sources.LogBatchQueries.logBatchPartitioned _),
+    "log_batch_dv"     -> (graft.sources.LogBatchQueries.logBatchDv _),
     "schema_report"    -> ((s, d) => Catalog.schemaReport(s, d, "lineitem")),
     "index_report"     -> ((s, _) => graft.core.Indexes.report(s, graft.core.Indexes.tpchIndexes)),
     "namespace_report" -> ((s, d) => Catalog.namespacesDf(s, d)),
@@ -2043,6 +2046,26 @@ object SparkEntry {
         |FROM orders
         |WHERE NOT (CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE)
         |           BETWEEN 50000 AND 100000)
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "log_batch_read" -> // the BATCH DSv2 graft-log relation: a plain
+      // .filter() pushes down into manifest file skipping (same answer
+      // as snapshot_skipping, via the automatic relation path)
+      """SELECT o_orderstatus, count(*) AS n_orders,
+        |  CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS total
+        |FROM orders WHERE o_totalprice BETWEEN 50000 AND 100000
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "log_batch_partitioned" -> // hive partition pruning through the batch
+      // relation; the partition column restores from entry paths
+      """SELECT source, count(*) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS total_chars
+        |FROM documents WHERE lang = 'en'
+        |GROUP BY source ORDER BY source""".stripMargin,
+    "log_batch_dv" -> // deletion vectors applied INSIDE the batch relation,
+      // composed with filter pushdown on the key the table clusters by
+      """SELECT o_orderstatus, count(*) AS n_orders,
+        |  CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS total
+        |FROM orders WHERE o_orderkey <= 30000
+        |  AND o_orderkey NOT BETWEEN 1000 AND 3000
         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
     "snapshot_changes_merge" -> // row-level change feed (CDF) spanning a COW
       // merge: v2's append rows tagged insert + v3's recorded update

@@ -1,0 +1,310 @@
+package graft.sources
+
+import java.util.OptionalLong
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReaderFactory, Scan, ScanBuilder, Statistics, SupportsPushDownFilters, SupportsPushDownRequiredColumns, SupportsReportStatistics}
+import org.apache.spark.sql.connector.read.streaming.MicroBatchStream
+import org.apache.spark.sql.sources
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import graft.core.SnapshotLog
+import graft.core.SnapshotLog.{FileEntry, Pred}
+
+/** BATCH side of the `graft-log` DSv2 source —
+  * `spark.read.format("graft-log").load(tablePath)` — with Catalyst
+  * filter pushdown into the snapshot log's manifest skipping: a plain
+  * `.filter(...)` on the returned DataFrame prunes FILES at planning
+  * time from the per-file min/max bounds the commits recorded (and
+  * from hive `col=value` partition directories), exactly like the
+  * hand-built `SnapshotLog.readWhere` path but automatic — the
+  * Delta/Iceberg relation-provider behavior. What pushes down:
+  *
+  *  - `SupportsPushDownFilters`: equality / ranges / IN on indexed or
+  *    partition columns translate to the manifest `Pred` tree; AND
+  *    keeps the translatable half, OR needs both sides. Every filter
+  *    also stays a RESIDUAL (Spark re-applies it post-scan) because
+  *    manifest pruning is file-level — skipping drops files, never
+  *    rows, so pruned and unpruned reads agree by construction.
+  *  - `SupportsPushDownRequiredColumns`: the projection reaches the
+  *    parquet page level per file (`ProjectingGroupReadSupport`) — a
+  *    2-column aggregate over a 50-column table decodes 2 columns.
+  *  - `SupportsReportStatistics`: row/byte totals of the PRUNED file
+  *    set straight from the manifest, so the optimizer sees real
+  *    sizes (a filtered graft-log dimension auto-broadcasts without a
+  *    hint — at 100 TB the difference between a broadcast and a
+  *    sort-merge join).
+  *
+  * Deletion-vectored entries read THROUGH their vectors (dead
+  * positions skip in the reader); hive partition columns come back as
+  * constants parsed from entry paths; `versionAsOf`/`timestampAsOf`
+  * options time-travel. With `readChangeFeed=true` the batch scan
+  * delivers the ROW-LEVEL change feed for
+  * (`startingVersion`-1, `endingVersion`] instead of the snapshot —
+  * the same partitions the streaming CDF mode plans.
+  *
+  * Streaming (`readStream`) keeps its `MicroBatchStream` path through
+  * the same builder; Spark does not run filter/column pushdown for
+  * micro-batch scans, so those options are batch-only by engine rule.
+  */
+final class LogScanBuilder(table: String, schema: StructType,
+                           options: CaseInsensitiveStringMap)
+    extends ScanBuilder with SupportsPushDownFilters
+    with SupportsPushDownRequiredColumns {
+
+  private var accepted: Array[sources.Filter] = Array.empty
+  private var required: StructType = schema
+
+  override def pushFilters(filters: Array[sources.Filter]): Array[sources.Filter] = {
+    accepted = filters.filter(f => LogFilters.toPred(f).isDefined)
+    filters // file-level pruning only: every filter stays a residual
+  }
+  override def pushedFilters(): Array[sources.Filter] = accepted
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+
+  override def build(): Scan = new LogScan(table, schema, required,
+    accepted.flatMap(LogFilters.toPred).toSeq, options)
+}
+
+final class LogScan(table: String, fullSchema: StructType,
+                    requiredSchema: StructType, preds: Seq[Pred],
+                    options: CaseInsensitiveStringMap)
+    extends Scan with Batch with SupportsReportStatistics {
+  LogStreamScan.requireFlat(fullSchema)
+
+  private val readChangeFeed = options.getBoolean("readChangeFeed", false)
+  private val skipChangeCommits = options.getBoolean("skipChangeCommits", false)
+  private val maxVersionsPerTrigger = Option(options.get("maxVersionsPerTrigger")).map(_.toLong)
+  private val startingVersion = Option(options.get("startingVersion")).map(_.toLong)
+  private val endingVersion = Option(options.get("endingVersion")).map(_.toLong)
+  private val versionAsOf = Option(options.get("versionAsOf")).map(_.toLong)
+  private val timestampAsOf = Option(options.get("timestampAsOf")).map(_.toLong)
+
+  override def readSchema(): StructType = requiredSchema
+  override def description(): String =
+    s"graft-log $table pruned=[${preds.mkString(", ")}]"
+
+  // ----------------------------------------------------------- streaming
+  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+    new LogMicroBatchStream(table, fullSchema, maxVersionsPerTrigger,
+      startingVersion, skipChangeCommits, readChangeFeed)
+
+  // --------------------------------------------------------------- batch
+  override def toBatch: Batch = this
+
+  /** Snapshot entries at the asked version, manifest-pruned under the
+    * pushed predicate tree — partition-directory values join the
+    * per-file bounds so ONE conservative evaluation covers both
+    * pruning tiers. */
+  private def keptEntries(): Seq[FileEntry] = {
+    val v = versionAsOf
+      .orElse(timestampAsOf.map(SnapshotLog.versionAsOfTimestamp(table, _)))
+      .orElse(SnapshotLog.latestVersion(table))
+      .getOrElse(sys.error(s"no committed version in $table"))
+    val entries = SnapshotLog.resolve(table, v).entries
+    if (preds.isEmpty) entries
+    else {
+      val p = if (preds.size == 1) preds.head else Pred.And(preds: _*)
+      entries.filter(e =>
+        SnapshotLog.mightMatch(LogBatchScan.withPartitionBounds(e, fullSchema), p))
+    }
+  }
+
+  override def planInputPartitions(): Array[InputPartition] =
+    if (readChangeFeed) {
+      // batch CDF over (startingVersion-1, endingVersion|head]:
+      // exactly the partitions ONE stream micro-batch covering that
+      // range would plan (initial-snapshot allowance included), so
+      // batch and stream CDF agree row for row
+      val since = startingVersion.getOrElse(1L) - 1L
+      val until = endingVersion.orElse(SnapshotLog.latestVersion(table))
+        .getOrElse(0L)
+      LogPlanning.changeFeedPartitions(table, since, until,
+        initialVersion = since, skipChangeCommits = skipChangeCommits,
+        readChangeFeed = true).toArray
+    } else keptEntries().map { e =>
+      LogInputPartition(s"$table/${e.path}", relPath = e.path,
+        partValues = LogBatchScan.partitionValues(e.path),
+        dvDirs = e.dv.map(d => s"$table/$d").toSeq): InputPartition
+    }.toArray
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new LogPartitionReaderFactory(requiredSchema)
+
+  /** Manifest-exact statistics of the PRUNED scan: live rows (dv rows
+    * excluded) and recorded bytes. Zero file opens — this is the
+    * number the optimizer uses to pick broadcast vs shuffle joins. */
+  override def estimateStatistics(): Statistics = {
+    if (readChangeFeed) return new Statistics {
+      override def sizeInBytes(): OptionalLong = OptionalLong.empty()
+      override def numRows(): OptionalLong = OptionalLong.empty()
+    }
+    val es = keptEntries()
+    val rows = es.map(e => e.rows - e.dvRows).sum
+    val bytes = es.map(_.bytes).sum
+    new Statistics {
+      override def sizeInBytes(): OptionalLong =
+        if (bytes > 0L) OptionalLong.of(bytes) else OptionalLong.empty()
+      override def numRows(): OptionalLong = OptionalLong.of(rows)
+    }
+  }
+}
+
+object LogBatchScan {
+  /** Hive `col=value` path segments of a staged entry as decoded raw
+    * strings; None encodes `__HIVE_DEFAULT_PARTITION__` (null). */
+  private[sources] def partitionValues(relPath: String): Seq[(String, Option[String])] = {
+    val segs = relPath.split("/")
+    // path shape: <root>/<stage-uuid>/[col=value/...]<part-file>
+    segs.drop(2).dropRight(1).filter(_.contains("=")).map { seg =>
+      val i = seg.indexOf('=')
+      val raw = java.net.URLDecoder.decode(seg.substring(i + 1), "UTF-8")
+      seg.substring(0, i) ->
+        (if (raw == "__HIVE_DEFAULT_PARTITION__") None else Some(raw))
+    }.toSeq
+  }
+
+  /** Entry with its partition-directory values merged in as POINT
+    * bounds, so one `mightMatch` pass evaluates stats-based skipping
+    * and partition pruning together. Unparseable or null values add
+    * no bounds (the file is kept — conservative). */
+  private[sources] def withPartitionBounds(e: FileEntry,
+                                           schema: StructType): FileEntry = {
+    val pvs = partitionValues(e.path)
+    if (pvs.isEmpty) e
+    else {
+      var num = e.num
+      var str = e.str
+      pvs.foreach {
+        case (c, Some(v)) =>
+          schema.fields.find(_.name == c).map(_.dataType).foreach {
+            case StringType => str += c -> (v, v)
+            case ByteType | ShortType | IntegerType | LongType |
+                 FloatType | DoubleType | _: DecimalType =>
+              try { val d = v.toDouble; num += c -> (d, d) }
+              catch { case _: NumberFormatException => () }
+            case _ => ()
+          }
+        case _ => () // null partition value: no bounds, never pruned
+      }
+      e.copy(num = num, str = str)
+    }
+  }
+}
+
+/** Declared queries exercising the BATCH DSv2 relation end-to-end —
+  * each reads a snapshot-log table through
+  * `spark.read.format("graft-log")` with a plain DataFrame filter, so
+  * the oracle checks cover the pushdown -> manifest-skip -> read
+  * pipeline (not just the hand-built `readWhere` path). */
+object LogBatchQueries {
+  import org.apache.spark.sql.{DataFrame, SparkSession}
+  import org.apache.spark.sql.functions._
+
+  /** Catalyst filter pushdown into manifest skipping: the same
+    * range + aggregate as `snapshot_skipping`, but via the automatic
+    * relation path (a plan audit in LogBatchSourceSpec pins that the
+    * scan opens exactly the pruned file set). */
+  def logBatchRead(spark: SparkSession, dir: String): DataFrame = {
+    val t = SnapshotLog.skippingDemoTable(spark, dir)
+    spark.read.format("graft-log").load(t)
+      .filter(col("o_totalprice") >= 50000.0 && col("o_totalprice") <= 100000.0)
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n_orders"),
+        round(sum(col("o_totalprice").cast("decimal(18,2)")), 2)
+          .cast("double").as("total"))
+      .orderBy("o_orderstatus")
+  }
+
+  /** Hive partition directories prune at planning time and the
+    * partition column comes back as a constant-filled column. */
+  def logBatchPartitioned(spark: SparkSession, dir: String): DataFrame = {
+    val t = SnapshotLog.partitionedDemoTable(spark, dir)
+    spark.read.format("graft-log").load(t)
+      .filter(col("lang") === "en")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).cast("bigint").as("total_chars"))
+      .orderBy("source")
+  }
+
+  /** Deletion vectors apply inside the batch relation, composed with
+    * filter pushdown: the scan opens only bound-overlapping files and
+    * the reader skips the vectored positions. */
+  def logBatchDv(spark: SparkSession, dir: String): DataFrame = {
+    val t = graft.core.TempDirs.stable(s"logbatch_dv:$dir")
+    graft.core.TempDirs.deleteRecursively(new java.io.File(t))
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(t))
+    val orders = graft.core.Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      .repartitionByRange(8, col("o_orderkey"))
+    SnapshotLog.commit(spark, orders, t, statsFor = Seq("o_orderkey"))
+    SnapshotLog.deleteWhere(spark, t, Pred.Between("o_orderkey", 1000.0, 3000.0))
+    spark.read.format("graft-log").load(t)
+      .filter(col("o_orderkey") <= 30000L)
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n_orders"),
+        round(sum(col("o_totalprice").cast("decimal(18,2)")), 2)
+          .cast("double").as("total"))
+      .orderBy("o_orderstatus")
+  }
+}
+
+/** `sources.Filter` -> manifest `Pred` translation. Conservative by
+  * construction: anything untranslatable simply does not prune (the
+  * filter still applies as a residual row filter). Timestamp values
+  * convert to the epoch-second double view the stats pass recorded,
+  * WIDENED by a second of slack so representation rounding can only
+  * loosen pruning, never skip a matching file. */
+object LogFilters {
+  import sources._
+  private val Inf = Double.PositiveInfinity
+
+  /** (center, slack): numeric values are exact under the same
+    * double-cast the stats used; timestamps carry slack. */
+  private def point(v: Any): Option[(Double, Double)] = v match {
+    case null => None
+    case n: Byte => Some((n.toDouble, 0.0))
+    case n: Short => Some((n.toDouble, 0.0))
+    case n: Int => Some((n.toDouble, 0.0))
+    case n: Long => Some((n.toDouble, 0.0))
+    case n: Float => Some((n.toDouble, 0.0))
+    case n: Double => Some((n, 0.0))
+    case n: java.math.BigDecimal => Some((n.doubleValue, 0.0))
+    case n: BigDecimal => Some((n.doubleValue, 0.0))
+    case t: java.sql.Timestamp => Some((t.getTime / 1000.0, 1.0))
+    case t: java.time.Instant => Some((t.toEpochMilli / 1000.0, 1.0))
+    case t: java.time.LocalDateTime =>
+      Some((t.toEpochSecond(java.time.ZoneOffset.UTC).toDouble, 1.0))
+    case _ => None // strings handled structurally; dates are un-indexed
+  }
+
+  def toPred(f: Filter): Option[Pred] = f match {
+    case EqualTo(a, v: String) => Some(Pred.StrEq(a, v))
+    case EqualNullSafe(a, v: String) => Some(Pred.StrEq(a, v))
+    case EqualTo(a, v) => point(v).map { case (d, s) =>
+      if (s == 0.0) Pred.Eq(a, d) else Pred.Between(a, d - s, d + s)
+    }
+    case EqualNullSafe(a, v) if v != null => toPred(EqualTo(a, v))
+    case GreaterThan(a, v) => point(v).map { case (d, s) => Pred.Between(a, d - s, Inf) }
+    case GreaterThanOrEqual(a, v) => point(v).map { case (d, s) => Pred.Between(a, d - s, Inf) }
+    case LessThan(a, v) => point(v).map { case (d, s) => Pred.Between(a, -Inf, d + s) }
+    case LessThanOrEqual(a, v) => point(v).map { case (d, s) => Pred.Between(a, -Inf, d + s) }
+    case In(a, vs) if vs.nonEmpty && vs.forall(_.isInstanceOf[String]) =>
+      Some(Pred.StrIn(a, vs.toSeq.map(_.asInstanceOf[String])))
+    case In(a, vs) if vs.nonEmpty =>
+      val ps = vs.toSeq.map(point)
+      if (ps.exists(_.isEmpty)) None
+      else if (ps.forall(_.exists(_._2 == 0.0)))
+        Some(Pred.In(a, ps.map(_.get._1)))
+      else Some(Pred.Or(ps.map { p =>
+        val (d, s) = p.get; Pred.Between(a, d - s, d + s): Pred
+      }: _*))
+    case And(l, r) => (toPred(l), toPred(r)) match {
+      case (Some(a), Some(b)) => Some(Pred.And(a, b))
+      case (a, b) => a.orElse(b) // half a conjunction still prunes soundly
+    }
+    case Or(l, r) => for { a <- toPred(l); b <- toPred(r) } yield Pred.Or(a, b)
+    case _ => None // IsNull/IsNotNull/Not/StartsWith: bounds cannot prove these
+  }
+}

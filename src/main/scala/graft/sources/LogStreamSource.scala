@@ -76,13 +76,18 @@ import graft.core.SnapshotLog
   *    rewrites.
   *
   * Reader: each input partition is one immutable parquet data file,
-  * read via parquet-hadoop's public example API (`GroupReadSupport`)
-  * and converted to Catalyst rows by schema dispatch. Flat schemas
-  * only (primitive columns — long/int/double/float/bool/string/
-  * binary/date/timestamp/decimal); nested columns and hive-
-  * partitioned staged layouts fail fast at scan planning. A file may
-  * carry FEWER columns than the evolved table schema — missing
+  * read via parquet-hadoop's public example API with a per-file
+  * projection (`ProjectingGroupReadSupport`) and converted to
+  * Catalyst rows by schema dispatch. Flat schemas only (primitive
+  * columns — long/int/double/float/bool/string/binary/date/
+  * timestamp/decimal); nested columns fail fast at scan planning.
+  * Hive `col=value` staged layouts come back as partition-column
+  * constants parsed from entry paths; deletion-vectored entries read
+  * THROUGH their vectors (dead positions skip in the reader). A file
+  * may carry FEWER columns than the evolved table schema — missing
   * columns surface null, matching the batch read's union semantics.
+  * The BATCH side of this source (filter pushdown into manifest
+  * skipping, statistics) lives in `LogScanBuilder`/`LogScan`.
   */
 class LogStreamProvider extends TableProvider with DataSourceRegister {
   override def shortName(): String = "graft-log"
@@ -96,8 +101,12 @@ class LogStreamProvider extends TableProvider with DataSourceRegister {
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
     val table = tablePath(options)
     val spark = SparkSession.active
-    // head snapshot schema (union across evolved stages) — driver-side
-    val base = SnapshotLog.read(spark, table).schema
+    // snapshot schema (union across evolved stages) — driver-side; a
+    // time-traveling batch read takes the ASKED version's schema
+    val asOf = Option(options.get("versionAsOf")).map(_.toLong)
+      .orElse(Option(options.get("timestampAsOf")).map(ts =>
+        SnapshotLog.versionAsOfTimestamp(table, ts.toLong)))
+    val base = SnapshotLog.read(spark, table, asOf).schema
     if (!options.getBoolean("readChangeFeed", false)) base
     else {
       Seq(LogStreamSource.ChangeTypeCol, LogStreamSource.CommitVersionCol)
@@ -126,28 +135,9 @@ final class LogStreamTable(table: String, schema: StructType)
   override def name(): String = s"graft-log:$table"
   override def schema(): StructType = schema
   override def capabilities(): JSet[TableCapability] =
-    java.util.EnumSet.of(TableCapability.MICRO_BATCH_READ)
+    java.util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new ScanBuilder {
-      override def build(): Scan = new LogStreamScan(table, schema,
-        Option(options.get("maxVersionsPerTrigger")).map(_.toLong),
-        Option(options.get("startingVersion")).map(_.toLong),
-        options.getBoolean("skipChangeCommits", false),
-        options.getBoolean("readChangeFeed", false))
-    }
-}
-
-final class LogStreamScan(table: String, schema: StructType,
-                          maxVersionsPerTrigger: Option[Long],
-                          startingVersion: Option[Long],
-                          skipChangeCommits: Boolean = false,
-                          readChangeFeed: Boolean = false) extends Scan {
-  LogStreamScan.requireFlat(schema)
-  override def readSchema(): StructType = schema
-  override def description(): String = s"graft-log change feed over $table"
-  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-    new LogMicroBatchStream(table, schema, maxVersionsPerTrigger, startingVersion,
-      skipChangeCommits, readChangeFeed)
+    new LogScanBuilder(table, schema, options)
 }
 
 object LogStreamScan {
@@ -213,7 +203,24 @@ final class LogMicroBatchStream(table: String, schema: StructType,
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val s = start.asInstanceOf[LogOffset].version
     val e = end.asInstanceOf[LogOffset].version
-    if (e <= s) return Array.empty
+    LogPlanning.changeFeedPartitions(table, s, e, initialVersion,
+      skipChangeCommits, readChangeFeed).map(p => p: InputPartition).toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new LogPartitionReaderFactory(schema)
+
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+}
+
+/** Change-feed partition planning shared by the STREAM micro-batch
+  * ((start, end] per trigger) and the BATCH CDF scan (one range). */
+object LogPlanning {
+  def changeFeedPartitions(table: String, s: Long, e: Long,
+                           initialVersion: Long, skipChangeCommits: Boolean,
+                           readChangeFeed: Boolean): Seq[LogInputPartition] = {
+    if (e <= s) return Seq.empty
     val range = SnapshotLog.versions(table).filter(v => v > s && v <= e)
     // the batch is EXACTLY the commits (s, e] — if any were vacuumed,
     // their rows can never be delivered, so fail loudly (the Delta
@@ -228,87 +235,110 @@ final class LogMicroBatchStream(table: String, schema: StructType,
         "To stream the changes still in the log, restart with a fresh " +
         "checkpoint and .option(\"startingVersion\", <oldest surviving version>)")
     val recs = range.map(SnapshotLog.readRecord(table, _))
-      // maintenance commits (dataChange=false: compaction/clustering)
-      // are content-identical by contract — invisible to the stream,
-      // so `Cli optimize` mid-stream is a non-event, not a failure
-      .filter(_.dataChange)
-    // CDF mode: every data commit has a deliverable row delta — adds
-    // tagged insert for appends (and the initial snapshot), the
-    // recorded change-data files for rewrites. A merge is an ordinary
-    // micro-batch here, not a wall.
-    val parts: Seq[LogInputPartition] =
-      if (readChangeFeed) recs.flatMap { r =>
-        val initialSnapshot =
-          s == initialVersion && r.version == range.head && r.removes.isEmpty
+
+    /** Entries as readable partitions: deletion vectors ride along
+      * (the reader skips dead positions — a vectored entry delivers
+      * its LIVE rows, never resurrected deletes) and hive `col=value`
+      * segments come back as partition-column constants. */
+    def partsOf(es: Seq[graft.core.SnapshotLog.FileEntry], tag: Option[String],
+                v: Long): Seq[LogInputPartition] =
+      es.filter(_.rows > 0).map(en => LogInputPartition(
+        s"$table/${en.path}", changeType = tag, version = v,
+        relPath = en.path,
+        partValues = LogBatchScan.partitionValues(en.path),
+        dvDirs = en.dv.map(d => s"$table/$d").toSeq))
+
+    recs.flatMap { r =>
+      // the stream's FIRST batch may begin with a table-(re)defining
+      // full replace (its adds ARE the snapshot at that version) — the
+      // create-then-append shape, and the vacuum-restart path where
+      // the oldest surviving version is a replace
+      val initialSnapshot =
+        s == initialVersion && r.version == range.head && r.removes.isEmpty && !r.append
+      val insertTag = if (readChangeFeed) Some("insert") else None
+      if (!r.dataChange) {
+        // maintenance commits are content-identical by contract and
+        // normally INVISIBLE (`Cli optimize` mid-stream is a
+        // non-event) — EXCEPT as the stream's very first commit: the
+        // oldest survivor after OPTIMIZE + vacuum is often a
+        // maintenance full replace, and its adds ARE the snapshot, so
+        // deliver them (silently dropping them would hand the
+        // consumer zero snapshot rows with no error)
+        if (initialSnapshot) partsOf(r.adds, insertTag, r.version)
+        else if (s == initialVersion && r.version == range.head) sys.error(
+          s"version ${r.version} of $table is a maintenance rewrite commit — " +
+            "the stream cannot reconstruct the snapshot from its record " +
+            "alone; run a full OPTIMIZE (compact) and restart the stream " +
+            "from that version, or start from a full commit")
+        else Seq.empty
+      } else if (readChangeFeed) {
+        // CDF mode: every data commit has a deliverable row delta —
+        // adds tagged insert for appends (and the initial snapshot),
+        // the recorded change-data files for rewrites. A merge is an
+        // ordinary micro-batch here, not a wall.
         if (r.cdc.nonEmpty)
-          r.cdc.filter(_.rows != 0L).map(e => LogInputPartition(
-            s"$table/${e.path}", changeType = None, version = r.version))
-        else if (r.append || initialSnapshot) {
-          requireNoDv(Seq(r))
-          r.adds.filter(_.rows > 0).map(e => LogInputPartition(
-            s"$table/${e.path}", changeType = Some("insert"), version = r.version))
-        }
+          r.cdc.filter(_.rows != 0L).map(ce => LogInputPartition(
+            s"$table/${ce.path}", changeType = None, version = r.version,
+            relPath = ce.path))
+        else if (r.append || initialSnapshot) partsOf(r.adds, insertTag, r.version)
         else sys.error(
           s"version ${r.version} of $table is a full ${r.kind} commit with no " +
             "recorded change data — its row delta is not derivable; restart " +
             "the stream from a fresh checkpoint")
+      } else {
+        if (r.append || initialSnapshot) partsOf(r.adds, None, r.version)
+        else if (skipChangeCommits) Seq.empty // Delta's skipChangeCommits opt-out
+        else sys.error(
+          s"version ${r.version} of $table is a ${r.kind} commit — a stream " +
+            "cannot un-deliver earlier rows; restart the stream from a fresh " +
+            "checkpoint, set .option(\"skipChangeCommits\", \"true\") to " +
+            "ignore update/delete commits, or stream the row-level feed " +
+            "with .option(\"readChangeFeed\", \"true\")")
       }
-      else {
-        val deliverable = recs.filter { r =>
-          if (r.append) true
-          // the stream's FIRST batch may begin with a table-(re)defining
-          // full replace (its adds ARE the snapshot at that version) — the
-          // create-then-append shape, and the vacuum-restart path where
-          // the oldest surviving version is a replace
-          else if (s == initialVersion && r.version == range.head && r.removes.isEmpty) true
-          else if (skipChangeCommits) false // Delta's skipChangeCommits opt-out
-          else sys.error(
-            s"version ${r.version} of $table is a ${r.kind} commit — a stream " +
-              "cannot un-deliver earlier rows; restart the stream from a fresh " +
-              "checkpoint, set .option(\"skipChangeCommits\", \"true\") to " +
-              "ignore update/delete commits, or stream the row-level feed " +
-              "with .option(\"readChangeFeed\", \"true\")")
-        }
-        requireNoDv(deliverable)
-        deliverable.flatMap(r => r.adds.filter(_.rows > 0)
-          .map(e => LogInputPartition(s"$table/${e.path}", version = r.version)))
-      }
-    parts.map(_.absPath).find(_.split("/").exists(_.contains("="))).foreach(f => sys.error(
-      s"graft-log stream source does not read hive-partitioned staged layouts: $f"))
-    parts.map(p => p: InputPartition).toArray
+    }
   }
-
-  /** The per-file reader cannot apply DELETION VECTORS — delivering a
-    * dv-carrying entry's raw rows would resurrect deleted data (the
-    * shape: a RESTORE re-listing vectored entries lands as a stream's
-    * initial snapshot). Fail loudly; the batch read applies vectors. */
-  private def requireNoDv(rs: Seq[graft.core.SnapshotLog.CommitRecord]): Unit =
-    rs.flatMap(_.adds).find(_.dv.isDefined).foreach(e => sys.error(
-      s"entry ${e.path} carries a deletion vector — the stream source " +
-        "cannot apply it and raw rows would include deleted data; read the " +
-        "snapshot in batch, or OPTIMIZE the table to materialize the " +
-        "vectors before streaming from this version"))
-
-  override def createReaderFactory(): PartitionReaderFactory =
-    new LogPartitionReaderFactory(schema)
-
-  override def commit(end: Offset): Unit = ()
-  override def stop(): Unit = ()
 }
 
-/** One immutable data file plus the CDF constants its rows carry:
-  * `changeType` is Some(tag) when the file itself has no
+/** One immutable data file plus the row-constant context its reader
+  * needs: `changeType` is Some(tag) when the file itself has no
   * `_change_type` column (append adds tagged "insert"), None when it
-  * does (cdc change-data files); `version` fills `_commit_version`. */
+  * does (cdc change-data files); `version` fills `_commit_version`;
+  * `partValues` are hive `col=value` partition constants parsed from
+  * the path (None = __HIVE_DEFAULT_PARTITION__, a null cell);
+  * `dvDirs`/`relPath` locate the entry's DELETION-VECTOR sidecars —
+  * dead in-file positions skip at read time (merge-on-read). */
 final case class LogInputPartition(absPath: String,
                                    changeType: Option[String] = None,
-                                   version: Long = 0L) extends InputPartition
+                                   version: Long = 0L,
+                                   relPath: String = "",
+                                   partValues: Seq[(String, Option[String])] = Seq.empty,
+                                   dvDirs: Seq[String] = Seq.empty) extends InputPartition
 
 final class LogPartitionReaderFactory(schema: StructType)
     extends PartitionReaderFactory {
-  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
-    val p = partition.asInstanceOf[LogInputPartition]
-    new LogPartitionReader(p.absPath, schema, p.changeType, p.version)
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+    new LogPartitionReader(partition.asInstanceOf[LogInputPartition], schema)
+}
+
+/** GroupReadSupport with a PER-FILE projection: request only the
+  * `wanted` columns that exist in this file's schema — column pruning
+  * reaches the parquet page level (unprojected columns are never
+  * decoded), and schema evolution is tolerated per file (an older
+  * file simply projects fewer columns; the reader surfaces null for
+  * the rest). An empty intersection keeps the file's first column so
+  * row iteration still advances (a bare COUNT(*) scan). */
+private[sources] final class ProjectingGroupReadSupport(wanted: Array[String])
+    extends GroupReadSupport {
+  override def init(conf: Configuration, kv: JMap[String, String],
+                    fileSchema: org.apache.parquet.schema.MessageType)
+      : org.apache.parquet.hadoop.api.ReadSupport.ReadContext = {
+    val kept = wanted.filter(fileSchema.containsField)
+      .map(n => (fileSchema: org.apache.parquet.schema.GroupType).getType(n))
+    val fields: java.util.List[org.apache.parquet.schema.Type] =
+      if (kept.isEmpty) java.util.Collections.singletonList(fileSchema.getFields.get(0))
+      else java.util.Arrays.asList(kept: _*)
+    new org.apache.parquet.hadoop.api.ReadSupport.ReadContext(
+      new org.apache.parquet.schema.MessageType(fileSchema.getName, fields))
   }
 }
 
@@ -317,23 +347,71 @@ final class LogPartitionReaderFactory(schema: StructType)
   * the SPARK type and the file's parquet primitive/logical type, so
   * INT64-micros and INT96 timestamps, all three decimal encodings,
   * and dictionary/plain strings all land correctly in Catalyst
-  * representation (micros-since-epoch longs, UTF8String, Decimal). */
-final class LogPartitionReader(absPath: String, schema: StructType,
-                               changeType: Option[String] = None,
-                               version: Long = 0L)
+  * representation (micros-since-epoch longs, UTF8String, Decimal).
+  * Hive partition columns come back as constants parsed from the
+  * path; deletion-vectored entries skip their dead positions. */
+final class LogPartitionReader(part: LogInputPartition, schema: StructType)
     extends PartitionReader[InternalRow] {
 
-  private val changeTypeUtf8: UTF8String =
-    changeType.map(UTF8String.fromString).orNull
+  LogSourceAudit.filesOpened.incrementAndGet()
 
-  private val reader: ParquetReader[Group] =
-    ParquetReader.builder[Group](new GroupReadSupport(),
-      new org.apache.hadoop.fs.Path(absPath)).withConf(new Configuration()).build()
+  private val changeTypeUtf8: UTF8String =
+    part.changeType.map(UTF8String.fromString).orNull
+
+  /** Partition constants pre-converted to Catalyst representation
+    * (columns pruned out of the required schema are dropped). */
+  private val partConsts: Map[String, Any] = part.partValues
+    .filter(pv => schema.fieldNames.contains(pv._1)).map { case (c, v) =>
+      c -> v.map(raw => LogPartitionReader.partValue(raw, schema(c).dataType)).orNull
+    }.toMap
+
+  private val reader: ParquetReader[Group] = {
+    val wanted = schema.fields.map(_.name).filterNot(partConsts.contains)
+    ParquetReader.builder[Group](new ProjectingGroupReadSupport(wanted),
+      new org.apache.hadoop.fs.Path(part.absPath))
+      .withConf(new Configuration()).build()
+  }
+
+  /** Dead in-file positions from the entry's sidecars (dv rows are
+    * (path, pos); positions are `_metadata.row_index` ordinals, which
+    * this reader's sequential row counter reproduces exactly). */
+  private val dead: java.util.HashSet[java.lang.Long] =
+    if (part.dvDirs.isEmpty) null
+    else {
+      val s = new java.util.HashSet[java.lang.Long]()
+      part.dvDirs.foreach { dir =>
+        val fs = Option(new java.io.File(dir).listFiles())
+          .getOrElse(Array.empty[java.io.File])
+          .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+        fs.foreach { f =>
+          val r = ParquetReader.builder[Group](new GroupReadSupport(),
+            new org.apache.hadoop.fs.Path(f.getPath))
+            .withConf(new Configuration()).build()
+          try {
+            var g = r.read()
+            while (g != null) {
+              if (g.getString("path", 0) == part.relPath)
+                s.add(g.getLong("pos", 0))
+              g = r.read()
+            }
+          } finally r.close()
+        }
+      }
+      s
+    }
 
   private var current: Group = _
+  private var rowPos: Long = -1L
 
   override def next(): Boolean = {
     current = reader.read()
+    rowPos += 1
+    if (dead != null) {
+      while (current != null && dead.contains(rowPos)) {
+        current = reader.read()
+        rowPos += 1
+      }
+    }
     current != null
   }
 
@@ -349,9 +427,10 @@ final class LogPartitionReader(absPath: String, schema: StructType,
         // the file itself does not carry them (cdc files DO carry
         // _change_type — their recorded value wins)
         if (f.name == LogStreamSource.CommitVersionCol && !gt.containsField(f.name))
-          version
+          part.version
         else if (f.name == LogStreamSource.ChangeTypeCol && !gt.containsField(f.name))
           changeTypeUtf8
+        else if (partConsts.contains(f.name)) partConsts(f.name)
         else if (!gt.containsField(f.name)) null // schema evolution: older file
         else {
           val fi = gt.getFieldIndex(f.name)
@@ -412,4 +491,30 @@ final class LogPartitionReader(absPath: String, schema: StructType,
   }
 
   override def close(): Unit = reader.close()
+}
+
+object LogPartitionReader {
+  /** Hive partition-value string -> Catalyst value, by the TABLE
+    * schema's type for the column (the same types Spark's own
+    * partition inference restored when the log read used basePath). */
+  private[sources] def partValue(raw: String, dt: DataType): Any = dt match {
+    case StringType => UTF8String.fromString(raw)
+    case IntegerType => raw.toInt
+    case LongType => raw.toLong
+    case ShortType => raw.toShort
+    case ByteType => raw.toByte
+    case DoubleType => raw.toDouble
+    case FloatType => raw.toFloat
+    case BooleanType => raw.toBoolean
+    case DateType => java.time.LocalDate.parse(raw).toEpochDay.toInt
+    case d: DecimalType => Decimal(new java.math.BigDecimal(raw), d.precision, d.scale)
+    case other => sys.error(s"graft-log: unsupported partition column type $other")
+  }
+}
+
+/** Plan-audit seam: every per-file reader the source opens increments
+  * this — a spec (or an operator) can assert that a pushed-down
+  * predicate opened EXACTLY the manifest-pruned file set. */
+object LogSourceAudit {
+  val filesOpened = new java.util.concurrent.atomic.AtomicLong(0L)
 }

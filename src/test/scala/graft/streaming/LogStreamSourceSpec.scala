@@ -194,6 +194,32 @@ class LogStreamSourceSpec extends AnyFunSuite with SparkFixture {
       s"the txn high-water mark must be batch 2, got ${st.txns}")
   }
 
+  test("dedup-ingest restart bloom: distributed seed covers every accepted key, capacity capped") {
+    import spark.implicits._
+    val dest = Files.createTempDirectory("graft_bloomdest_").toString
+    val docs = (0 until 5000).map(i => (i.toLong, s"text-$i"))
+      .toDF("doc_id", "text")
+      .withColumn("h60", graft.functions.DetHash.hex60(col("text")))
+    SnapshotLog.commit(spark, docs, dest)
+    // the restart path builds the filter DISTRIBUTED (stat.bloomFilter
+    // merges per-partition sketches) — the no-false-negatives contract
+    // is what makes the gate bit-identical to the plain anti-join
+    val bf = EventStreams.historyBloom(spark, dest)
+    val keys = SnapshotLog.read(spark, dest).select("h60").collect().map(_.getLong(0))
+    assert(keys.forall(bf.mightContainLong),
+      "every accepted key must probe true after a restart re-seed")
+    // capacity is CAPPED: the filter can never exceed the size a
+    // BloomMaxCapacity build has, however many rows the log reports
+    val atCap = org.apache.spark.util.sketch.BloomFilter
+      .create(EventStreams.BloomMaxCapacity, 0.01)
+    assert(bf.bitSize() <= atCap.bitSize(),
+      s"bloom bitSize ${bf.bitSize()} must stay under the cap ${atCap.bitSize()}")
+    // an empty destination seeds a floor-capacity filter with no scan
+    val bf0 = EventStreams.historyBloom(spark,
+      Files.createTempDirectory("graft_bloomempty_").toString)
+    assert(!bf0.mightContainLong(graft.functions.DetHash.hex60("text-1")))
+  }
+
   test("a vacuumed version gap fails the stream instead of silently losing rows") {
     val t = freshTable()
     val checkpoint = ck()
@@ -367,12 +393,13 @@ class LogStreamSourceSpec extends AnyFunSuite with SparkFixture {
       s"feed replay diverged from the head: $applied vs $head")
   }
 
-  test("a stream refusing deletion-vectored entries never resurrects deleted rows") {
+  test("a stream reads deletion-vectored entries THROUGH their vectors — deleted rows never resurrect") {
     import spark.implicits._
-    // the composition trap: RESTORE re-lists dv-carrying entries; a
-    // fresh stream's initial snapshot would deliver their RAW rows —
-    // deleted data included — because the per-file reader cannot
-    // apply vectors. It must refuse, not resurrect.
+    // the composition trap pre-r11: RESTORE re-lists dv-carrying
+    // entries and a fresh stream's initial snapshot delivered their
+    // RAW rows (deleted data included) — the source refused instead.
+    // The per-file reader now APPLIES vectors, so the initial
+    // snapshot delivers exactly the live rows.
     val t = freshTable()
     SnapshotLog.commit(spark,
       (0 until 20).map(i => (i.toLong, s"p$i")).toDF("id", "payload")
@@ -380,36 +407,83 @@ class LogStreamSourceSpec extends AnyFunSuite with SparkFixture {
     SnapshotLog.deleteWhere(spark, t, SnapshotLog.Pred.Between("id", 0.0, 4.0)) // v2
     SnapshotLog.commit(spark, df(100), t)        // v3: replace (bad publish)
     SnapshotLog.restore(spark, t, 2L)            // v4: re-lists dv entries
-    val e = intercept[Exception] {
-      val name = s"logsrc_dv_${java.util.UUID.randomUUID().toString.take(8)}"
-      val q = spark.readStream.format("graft-log")
-        .option("startingVersion", "4").load(t)
-        .writeStream.format("memory").queryName(name)
-        .option("checkpointLocation", ck())
-        .trigger(Trigger.AvailableNow()).start()
-      q.awaitTermination()
-    }
-    def msgs(x: Throwable): Seq[String] =
-      if (x == null) Seq.empty else Option(x.getMessage).toSeq ++ msgs(x.getCause)
-    assert(msgs(e).exists(_.contains("deletion vector")), s"got ${msgs(e)}")
-    // ...and the advised OPTIMIZE unblocks a changes-only stream from
-    // its successor: vectors materialize at v5 (maintenance, skipped),
-    // and only genuinely new rows flow
-    SnapshotLog.compact(spark, t, targetFiles = 1) // v5: materializes, dataChange=false
-    SnapshotLog.commit(spark, df(200), t, append = true) // v6
-    val name2 = s"logsrc_dv2_${java.util.UUID.randomUUID().toString.take(8)}"
+    val live = (5L until 20L).toSet
+    val name = s"logsrc_dv_${java.util.UUID.randomUUID().toString.take(8)}"
+    val q = spark.readStream.format("graft-log")
+      .option("startingVersion", "4").load(t)
+      .writeStream.format("memory").queryName(name)
+      .option("checkpointLocation", ck())
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val got = spark.table(name).select("id").collect().map(_.getLong(0)).toSet
+    spark.catalog.dropTempView(name)
+    assert(got == live,
+      s"the vectored initial snapshot must deliver live rows only, got $got")
+    // CDF mode applies the vectors to its initial snapshot too
+    SnapshotLog.commit(spark, df(200), t, append = true) // v5
+    val name2 = s"logsrc_dvc_${java.util.UUID.randomUUID().toString.take(8)}"
     val q2 = spark.readStream.format("graft-log")
-      .option("startingVersion", "5").load(t)
+      .option("startingVersion", "4")
+      .option("readChangeFeed", "true").load(t)
       .writeStream.format("memory").queryName(name2)
       .option("checkpointLocation", ck())
       .trigger(Trigger.AvailableNow()).start()
     q2.awaitTermination()
-    val got = spark.table(name2).select("id").collect().map(_.getLong(0)).toSet
+    val cdf = spark.table(name2)
+      .select("id", "_change_type", "_commit_version").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
     spark.catalog.dropTempView(name2)
-    assert(got == Set(200L), s"got $got")
+    assert(cdf == live.map((_, "insert", 4L)) + ((200L, "insert", 5L)),
+      s"got $cdf")
   }
 
-  test("nested schemas and partitioned layouts fail fast with clear errors") {
+  test("a maintenance-compact survivor streams as the initial snapshot (the vacuum-restart path)") {
+    // the ADVICE r10 trap: `Cli optimize --vacuum-keep` leaves the
+    // dataChange=false compact as the oldest surviving version and its
+    // own error message advises restarting there — but the maintenance
+    // filter ran first, silently delivering ZERO snapshot rows
+    val t = freshTable()
+    SnapshotLog.commit(spark, df(1, 2), t)              // v1
+    SnapshotLog.commit(spark, df(3), t, append = true)  // v2
+    SnapshotLog.compact(spark, t, targetFiles = 1)      // v3: maintenance replace
+    SnapshotLog.commit(spark, df(4), t, append = true)  // v4
+    SnapshotLog.vacuum(t, keepFrom = 3L)                // v1, v2 die
+    assert(SnapshotLog.versions(t) == Seq(3L, 4L))
+    val name = s"logsrc_mc_${java.util.UUID.randomUUID().toString.take(8)}"
+    val q = spark.readStream.format("graft-log")
+      .option("startingVersion", "3").load(t)
+      .writeStream.format("memory").queryName(name)
+      .option("checkpointLocation", ck())
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val got = spark.table(name).select("id").collect().map(_.getLong(0)).toSet
+    spark.catalog.dropTempView(name)
+    assert(got == Set(1L, 2L, 3L, 4L),
+      s"the compact survivor's adds ARE the snapshot; got $got")
+    // mid-stream the same commit stays invisible (unchanged contract):
+    // covered by "Cli optimize mid-stream is a non-event" above. A
+    // maintenance REWRITE survivor (bin-pack) cannot reproduce the
+    // snapshot from its record alone and must fail loudly instead
+    val t2 = freshTable()
+    SnapshotLog.commit(spark, df(1), t2)                          // v1
+    SnapshotLog.commit(spark, df(2), t2, append = true)           // v2
+    SnapshotLog.compactSmall(spark, t2, minFileBytes = 1L << 30)  // v3: rewrite
+    assert(SnapshotLog.readRecord(t2, 3L).kind == "optimize")
+    val e = intercept[Exception] {
+      val n2 = s"logsrc_mr_${java.util.UUID.randomUUID().toString.take(8)}"
+      val q2 = spark.readStream.format("graft-log")
+        .option("startingVersion", "3").load(t2)
+        .writeStream.format("memory").queryName(n2)
+        .option("checkpointLocation", ck())
+        .trigger(Trigger.AvailableNow()).start()
+      q2.awaitTermination()
+    }
+    def msgs(x: Throwable): Seq[String] =
+      if (x == null) Seq.empty else Option(x.getMessage).toSeq ++ msgs(x.getCause)
+    assert(msgs(e).exists(_.contains("maintenance rewrite")), s"got ${msgs(e)}")
+  }
+
+  test("hive-partitioned layouts stream with partition columns restored; nested schemas fail fast") {
     import spark.implicits._
     val t = freshTable()
     SnapshotLog.commit(spark, Seq((1L, Seq(1.0, 2.0))).toDF("id", "vec"), t)
@@ -418,9 +492,12 @@ class LogStreamSourceSpec extends AnyFunSuite with SparkFixture {
       if (x == null) Seq.empty else Option(x.getMessage).toSeq ++ msgs(x.getCause)
     assert(msgs(e).exists(_.contains("flat schemas")), s"got ${msgs(e)}")
     val t2 = freshTable()
-    SnapshotLog.commit(spark, Seq((1L, "en"), (2L, "de")).toDF("id", "lang"),
-      t2, partitionBy = Seq("lang"))
-    val e2 = intercept[Exception] { drain(t2, ck()) }
-    assert(msgs(e2).exists(_.contains("hive-partitioned")), s"got ${msgs(e2)}")
+    SnapshotLog.commit(spark, Seq((1L, "en"), (2L, "de"), (3L, "en"))
+      .toDF("id", "lang"), t2, partitionBy = Seq("lang"))
+    val (rows, _) = drain(t2, ck())
+    val got = rows.collect()
+      .map(r => (r.getLong(r.fieldIndex("id")), r.getString(r.fieldIndex("lang")))).toSet
+    assert(got == Set((1L, "en"), (2L, "de"), (3L, "en")),
+      s"partition values must come back as columns, got $got")
   }
 }
