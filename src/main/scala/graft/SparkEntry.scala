@@ -153,6 +153,7 @@ object SparkEntry {
     "log_batch_read"   -> (graft.sources.LogBatchQueries.logBatchRead _),
     "log_batch_partitioned" -> (graft.sources.LogBatchQueries.logBatchPartitioned _),
     "log_batch_dv"     -> (graft.sources.LogBatchQueries.logBatchDv _),
+    "log_write_roundtrip" -> (graft.sources.LogBatchQueries.logWriteRoundtrip _),
     "schema_report"    -> ((s, d) => Catalog.schemaReport(s, d, "lineitem")),
     "index_report"     -> ((s, _) => graft.core.Indexes.report(s, graft.core.Indexes.tpchIndexes)),
     "namespace_report" -> ((s, d) => Catalog.namespacesDf(s, d)),
@@ -2066,6 +2067,12 @@ object SparkEntry {
         |  CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS total
         |FROM orders WHERE o_orderkey <= 30000
         |  AND o_orderkey NOT BETWEEN 1000 AND 3000
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "log_write_roundtrip" -> // DSv2 write path: overwrite + append land as
+      // log commits, the batch relation reads them back with pruning
+      """SELECT o_orderstatus, count(*) AS n_orders,
+        |  CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS total
+        |FROM orders WHERE o_orderkey <= 30000
         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
     "snapshot_changes_merge" -> // row-level change feed (CDF) spanning a COW
       // merge: v2's append rows tagged insert + v3's recorded update

@@ -228,6 +228,33 @@ object LogBatchQueries {
       .orderBy("source")
   }
 
+  /** The DSv2 WRITE path end-to-end: an overwrite then an append land
+    * as log commits through `df.write.format("graft-log")` (with
+    * writer-side `statsFor` bounds), and the batch relation reads the
+    * result back with manifest pruning on the written stats. */
+  def logWriteRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val t = graft.core.TempDirs.stable(s"logwrite_rt:$dir")
+    graft.core.TempDirs.deleteRecursively(new java.io.File(t))
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(t))
+    val orders = graft.core.Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+    orders.filter(col("o_orderkey") <= 20000L)
+      .repartitionByRange(4, col("o_orderkey"))
+      .write.format("graft-log").option("statsFor", "o_orderkey")
+      .mode("overwrite").save(t)
+    orders.filter(col("o_orderkey") > 20000L)
+      .repartitionByRange(4, col("o_orderkey"))
+      .write.format("graft-log").option("statsFor", "o_orderkey")
+      .mode("append").save(t)
+    spark.read.format("graft-log").load(t)
+      .filter(col("o_orderkey") <= 30000L)
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n_orders"),
+        round(sum(col("o_totalprice").cast("decimal(18,2)")), 2)
+          .cast("double").as("total"))
+      .orderBy("o_orderstatus")
+  }
+
   /** Deletion vectors apply inside the batch relation, composed with
     * filter pushdown: the scan opens only bound-overlapping files and
     * the reader skips the vectored positions. */

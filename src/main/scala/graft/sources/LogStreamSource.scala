@@ -118,8 +118,16 @@ class LogStreamProvider extends TableProvider with DataSourceRegister {
   }
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
-                        properties: JMap[String, String]): Table =
-    new LogStreamTable(properties.get("path"), schema)
+                        properties: JMap[String, String]): Table = {
+    // `df.write.partitionBy(...)` arrives here as identity transforms
+    // (external-metadata path); anything fancier has no hive layout
+    val partCols = partitioning.toSeq.map {
+      case t if t.name == "identity" && t.references.length == 1 =>
+        t.references.head.fieldNames.mkString(".")
+      case t => sys.error(s"graft-log supports identity partitioning only, got $t")
+    }
+    new LogStreamTable(properties.get("path"), schema, partCols)
+  }
 
   override def supportsExternalMetadata(): Boolean = true
 }
@@ -130,14 +138,29 @@ object LogStreamSource {
   val CommitVersionCol = "_commit_version"
 }
 
-final class LogStreamTable(table: String, schema: StructType)
-    extends Table with SupportsRead {
+final class LogStreamTable(table: String, schema: StructType,
+                           partitionBy: Seq[String] = Seq.empty)
+    extends Table with SupportsRead
+    with org.apache.spark.sql.connector.catalog.SupportsWrite {
   override def name(): String = s"graft-log:$table"
   override def schema(): StructType = schema
+  // reflect the write partitioning back (DataFrameWriter verifies the
+  // user's partitionBy against the table's declared transforms)
+  override def partitioning(): Array[Transform] = partitionBy.map(c =>
+    org.apache.spark.sql.connector.expressions.Expressions.identity(c)).toArray
   override def capabilities(): JSet[TableCapability] =
-    java.util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
+    java.util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ,
+      // BATCH_WRITE is what DataFrameWriter's v2 routing checks; the
+      // V1Write the builder returns then dispatches to the V1-fallback
+      // exec (which also wants V1_BATCH_WRITE advertised)
+      TableCapability.BATCH_WRITE, TableCapability.V1_BATCH_WRITE,
+      TableCapability.TRUNCATE)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new LogScanBuilder(table, schema, options)
+  override def newWriteBuilder(
+      info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+      : org.apache.spark.sql.connector.write.WriteBuilder =
+    new LogWriteBuilder(table, partitionBy, info)
 }
 
 object LogStreamScan {
