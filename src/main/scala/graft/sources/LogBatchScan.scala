@@ -1,7 +1,8 @@
 package graft.sources
 
 import java.util.OptionalLong
-import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReaderFactory, Scan, ScanBuilder, Statistics, SupportsPushDownFilters, SupportsPushDownRequiredColumns, SupportsReportStatistics}
+import org.apache.spark.sql.connector.expressions.{Expressions, NamedReference}
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReaderFactory, Scan, ScanBuilder, Statistics, SupportsPushDownFilters, SupportsPushDownRequiredColumns, SupportsReportStatistics, SupportsRuntimeFiltering}
 import org.apache.spark.sql.connector.read.streaming.MicroBatchStream
 import org.apache.spark.sql.sources
 import org.apache.spark.sql.types._
@@ -69,7 +70,8 @@ final class LogScanBuilder(table: String, schema: StructType,
 final class LogScan(table: String, fullSchema: StructType,
                     requiredSchema: StructType, preds: Seq[Pred],
                     options: CaseInsensitiveStringMap)
-    extends Scan with Batch with SupportsReportStatistics {
+    extends Scan with Batch with SupportsReportStatistics
+    with SupportsRuntimeFiltering {
   LogStreamScan.requireFlat(fullSchema)
 
   private val readChangeFeed = options.getBoolean("readChangeFeed", false)
@@ -92,23 +94,60 @@ final class LogScan(table: String, fullSchema: StructType,
   // --------------------------------------------------------------- batch
   override def toBatch: Batch = this
 
-  /** Snapshot entries at the asked version, manifest-pruned under the
-    * pushed predicate tree — partition-directory values join the
-    * per-file bounds so ONE conservative evaluation covers both
-    * pruning tiers. */
-  private def keptEntries(): Seq[FileEntry] = {
+  /** The asked version's full entry list, resolved once (the scan is
+    * planned, runtime-filtered, and re-planned against one version). */
+  private lazy val allEntries: Seq[FileEntry] = {
     val v = versionAsOf
       .orElse(timestampAsOf.map(SnapshotLog.versionAsOfTimestamp(table, _)))
       .orElse(SnapshotLog.latestVersion(table))
       .getOrElse(sys.error(s"no committed version in $table"))
-    val entries = SnapshotLog.resolve(table, v).entries
-    if (preds.isEmpty) entries
+    SnapshotLog.resolve(table, v).entries
+  }
+
+  /** Snapshot entries manifest-pruned under the pushed predicate tree
+    * plus any runtime filters — partition-directory values join the
+    * per-file bounds so ONE conservative evaluation covers both
+    * pruning tiers. */
+  private def keptEntries(): Seq[FileEntry] = {
+    val all = preds ++ runtimePreds
+    if (all.isEmpty) allEntries
     else {
-      val p = if (preds.size == 1) preds.head else Pred.And(preds: _*)
-      entries.filter(e =>
+      val p = if (all.size == 1) all.head else Pred.And(all: _*)
+      allEntries.filter(e =>
         SnapshotLog.mightMatch(LogBatchScan.withPartitionBounds(e, fullSchema), p))
     }
   }
+
+  // ----------------------------------------------- runtime filtering
+  /** Dynamic file pruning, the DSv2 DPP hook (Iceberg's shape): a
+    * broadcast join against a filtered dimension hands the dim side's
+    * join keys to the fact scan at EXECUTION time as an IN filter,
+    * and the scan re-prunes its file list before reading — at 100 TB
+    * this is the difference between scanning a date-clustered fact
+    * table and scanning the three files the dim's surviving keys
+    * touch. Only columns the manifest can actually prune on are
+    * reported (indexed stats columns + hive partition columns), so
+    * Spark plans pruning subqueries only where they can help. */
+  private var runtimePreds: Seq[Pred] = Seq.empty
+
+  override def filterAttributes(): Array[NamedReference] =
+    if (readChangeFeed) Array.empty
+    else {
+      val prunable = allEntries.flatMap(e =>
+        e.num.keys ++ e.str.keys ++
+          LogBatchScan.partitionValues(e.path).map(_._1)).distinct
+      prunable.filter(fullSchema.fieldNames.contains)
+        .map(Expressions.column).toArray
+    }
+
+  override def filter(filters: Array[sources.Filter]): Unit =
+    // a pathological runtime IN (an unfiltered billion-key dim) would
+    // cost more to evaluate per file than it prunes — ignore it; the
+    // join itself still applies the keys exactly
+    runtimePreds = filters.filter {
+      case sources.In(_, vs) => vs.length <= 100000
+      case _ => true
+    }.flatMap(LogFilters.toPred).toSeq
 
   override def planInputPartitions(): Array[InputPartition] =
     if (readChangeFeed) {

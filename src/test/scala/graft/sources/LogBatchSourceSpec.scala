@@ -114,6 +114,26 @@ class LogBatchSourceSpec extends AnyFunSuite with SparkFixture {
     assert(st.rowCount.contains(BigInt(96)), s"$st")
   }
 
+  test("a broadcast star join prunes fact files at RUNTIME from the dim side's keys") {
+    import spark.implicits._
+    val t = clusteredTable() // 5 id-clustered files, id-indexed
+    val dimDir = Files.createTempDirectory("graft_dim_").toString
+    (0 until 100).map(i => (i.toLong, if (i >= 80 && i <= 90) "hot" else "cold"))
+      .toDF("id", "cat").write.mode("overwrite").parquet(dimDir)
+    val dim = spark.read.parquet(dimDir).filter(col("cat") === "hot")
+    val joined = batchRead(t).join(broadcast(dim), "id")
+    val (got, nOpened) = opened {
+      joined.select("id").collect().map(_.getLong(0)).toSet
+    }
+    assert(got == (80L to 90L).toSet)
+    // the dim's surviving keys all live in the [80,99] file: dynamic
+    // pruning must drop the other four BEFORE any reader opens
+    assert(nOpened == 1L,
+      s"runtime filtering must prune to the dim keys' file, opened $nOpened of 5")
+    assert(joined.queryExecution.executedPlan.toString.contains("dynamicpruning"),
+      "the plan must carry a dynamic-pruning subquery on the scan")
+  }
+
   test("partition columns restore from paths and partition filters prune directories") {
     import spark.implicits._
     val t = freshTable()
