@@ -89,13 +89,32 @@ import graft.core.SnapshotLog
   * The BATCH side of this source (filter pushdown into manifest
   * skipping, statistics) lives in `LogScanBuilder`/`LogScan`.
   */
-class LogStreamProvider extends TableProvider with DataSourceRegister {
+class LogStreamProvider extends TableProvider with DataSourceRegister
+    with org.apache.spark.sql.sources.StreamSinkProvider {
   override def shortName(): String = "graft-log"
+
+  /** Streaming SINK (`df.writeStream.format("graft-log")`): the table
+    * deliberately does NOT advertise STREAMING_WRITE, so
+    * DataStreamWriter falls back to this V1 sink hook — see
+    * `LogStreamSink` for why that is the right execution shape. */
+  override def createSink(sqlContext: org.apache.spark.sql.SQLContext,
+                          parameters: Map[String, String],
+                          partitionColumns: Seq[String],
+                          outputMode: org.apache.spark.sql.streaming.OutputMode)
+      : org.apache.spark.sql.execution.streaming.Sink = {
+    require(outputMode != org.apache.spark.sql.streaming.OutputMode.Update(),
+      "graft-log sink supports Append and Complete output modes; for keyed " +
+        "upserts use foreachBatch with SnapshotLog.applyChanges (CDC merge)")
+    val p = parameters.get("path")
+    require(p.exists(_.nonEmpty), "graft-log sink needs .start(<table path>)")
+    new LogStreamSink(LogStreamSource.normalizePath(p.get), parameters,
+      partitionColumns, outputMode)
+  }
 
   private def tablePath(options: CaseInsensitiveStringMap): String = {
     val p = options.get("path")
     require(p != null && p.nonEmpty, "graft-log needs .load(<table path>)")
-    p
+    LogStreamSource.normalizePath(p)
   }
 
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
@@ -126,7 +145,8 @@ class LogStreamProvider extends TableProvider with DataSourceRegister {
         t.references.head.fieldNames.mkString(".")
       case t => sys.error(s"graft-log supports identity partitioning only, got $t")
     }
-    new LogStreamTable(properties.get("path"), schema, partCols)
+    new LogStreamTable(LogStreamSource.normalizePath(properties.get("path")),
+      schema, partCols)
   }
 
   override def supportsExternalMetadata(): Boolean = true
@@ -136,6 +156,12 @@ object LogStreamSource {
   /** CDF metadata column names (Delta CDF's). */
   val ChangeTypeCol = "_change_type"
   val CommitVersionCol = "_commit_version"
+
+  /** The session catalog hands table locations as `file:` URIs
+    * (`CREATE TABLE ... USING graft-log` / saved LOCATION), while the
+    * DataFrame API hands raw paths — the log layer wants the latter. */
+  private[sources] def normalizePath(p: String): String =
+    if (p != null && p.startsWith("file:")) new java.net.URI(p).getPath else p
 }
 
 final class LogStreamTable(table: String, schema: StructType,
