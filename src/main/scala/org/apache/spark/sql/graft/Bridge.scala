@@ -45,6 +45,21 @@ object Bridge {
   def expressionOf(c: org.apache.spark.sql.Column): org.apache.spark.sql.catalyst.expressions.Expression =
     classic.ExpressionUtils.expression(c)
 
+  /** Re-wrap a streaming micro-batch DataFrame (the one `Sink.addBatch`
+    * receives) as an ordinary BATCH DataFrame over the SAME physical
+    * execution: `df.queryExecution.toRdd` reuses the incremental plan
+    * the trigger already built, while `internalCreateDataFrame` gives
+    * it a batch identity so downstream `.write`-style consumption
+    * doesn't hit "streaming sources must be executed with
+    * writeStream.start()" (the same shape foreachBatch and Delta's
+    * sink use). */
+  def batchDfOf(df: DataFrame): DataFrame = {
+    val cs = df.sparkSession.asInstanceOf[classic.SparkSession]
+    cs.internalCreateDataFrame(
+      df.asInstanceOf[classic.Dataset[org.apache.spark.sql.Row]]
+        .queryExecution.toRdd, df.schema, isStreaming = false)
+  }
+
   /** Runtime planner-strategy registration for sessions built without
     * `.withExtensions(new GraftExtensions)` (Verify/Bench build plain
     * sessions): `experimental.extraStrategies` is the public hook. */
