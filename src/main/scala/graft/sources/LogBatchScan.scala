@@ -2,7 +2,8 @@ package graft.sources
 
 import java.util.OptionalLong
 import org.apache.spark.sql.connector.expressions.{Expressions, NamedReference}
-import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReaderFactory, Scan, ScanBuilder, Statistics, SupportsPushDownFilters, SupportsPushDownRequiredColumns, SupportsReportStatistics, SupportsRuntimeFiltering}
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, LocalScan, PartitionReaderFactory, Scan, ScanBuilder, Statistics, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownLimit, SupportsPushDownRequiredColumns, SupportsReportStatistics, SupportsRuntimeFiltering}
+import org.apache.spark.sql.connector.expressions.aggregate.Aggregation
 import org.apache.spark.sql.connector.read.streaming.MicroBatchStream
 import org.apache.spark.sql.sources
 import org.apache.spark.sql.types._
@@ -49,10 +50,13 @@ import graft.core.SnapshotLog.{FileEntry, Pred}
 final class LogScanBuilder(table: String, schema: StructType,
                            options: CaseInsensitiveStringMap)
     extends ScanBuilder with SupportsPushDownFilters
-    with SupportsPushDownRequiredColumns {
+    with SupportsPushDownRequiredColumns
+    with SupportsPushDownAggregates with SupportsPushDownLimit {
 
   private var accepted: Array[sources.Filter] = Array.empty
   private var required: StructType = schema
+  private var aggRows: Option[(StructType, Seq[Any])] = None
+  private var limit: Option[Int] = None
 
   override def pushFilters(filters: Array[sources.Filter]): Array[sources.Filter] = {
     accepted = filters.filter(f => LogFilters.toPred(f).isDefined)
@@ -63,13 +67,59 @@ final class LogScanBuilder(table: String, schema: StructType,
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
-  override def build(): Scan = new LogScan(table, schema, required,
-    accepted.flatMap(LogFilters.toPred).toSeq, options)
+  /** LIMIT reaches the manifest: keep files only until their live
+    * rows cover the ask — `SELECT * FROM t LIMIT 10` opens one file
+    * of a million-file table. Partial by contract (Spark re-applies
+    * the limit above; the scan just stops listing). */
+  override def pushLimit(n: Int): Boolean = { limit = Some(n); true }
+  override def isPartiallyPushed(): Boolean = true
+
+  /** METADATA-ONLY aggregates (the Delta/Iceberg "answer COUNT(*)
+    * from the manifest" optimization): a global COUNT(*) / MIN / MAX
+    * over the snapshot resolves from per-file stats with ZERO file
+    * reads — at 100 TB, a row count is a manifest sum, not a scan.
+    * Spark only offers the push when every filter above was fully
+    * handled; this scan keeps all filters residual, so the push
+    * arrives exactly for the bare whole-table shape where manifest
+    * numbers are authoritative. Soundness rules in
+    * [[LogMetaAggregates.resolve]]: exact live row counts (deletion
+    * vectors subtracted), MIN/MAX only where every live entry carries
+    * untruncated bounds, no vectored entries, and bound doubles that
+    * round-trip the column type. Anything else declines and Spark
+    * computes normally. */
+  override def supportCompletePushDown(agg: Aggregation): Boolean =
+    LogMetaAggregates.resolve(table, schema, options, agg).isDefined
+
+  // only the PUSH call commits scan-building state — a probe via
+  // supportCompletePushDown that Spark then abandons must not leave
+  // the builder producing aggregate rows for a plain scan plan
+  override def pushAggregation(agg: Aggregation): Boolean = {
+    aggRows = LogMetaAggregates.resolve(table, schema, options, agg)
+    aggRows.isDefined
+  }
+
+  override def build(): Scan = aggRows match {
+    case Some((aggSchema, row)) => new LogMetaAggScan(table, aggSchema, row)
+    case None => new LogScan(table, schema, required,
+      accepted.flatMap(LogFilters.toPred).toSeq, options, limit)
+  }
+}
+
+/** A pushed metadata aggregate as a driver-local scan: the single
+  * result row ships with the plan (`LocalScan`) — no job, no tasks,
+  * no file opens. */
+final class LogMetaAggScan(table: String, aggSchema: StructType,
+                           row: Seq[Any]) extends LocalScan {
+  override def readSchema(): StructType = aggSchema
+  override def rows(): Array[org.apache.spark.sql.catalyst.InternalRow] =
+    Array(org.apache.spark.sql.catalyst.InternalRow.fromSeq(row))
+  override def description(): String = s"graft-log $table metadata-aggregate"
 }
 
 final class LogScan(table: String, fullSchema: StructType,
                     requiredSchema: StructType, preds: Seq[Pred],
-                    options: CaseInsensitiveStringMap)
+                    options: CaseInsensitiveStringMap,
+                    limit: Option[Int] = None)
     extends Scan with Batch with SupportsReportStatistics
     with SupportsRuntimeFiltering {
   LogStreamScan.requireFlat(fullSchema)
@@ -161,11 +211,22 @@ final class LogScan(table: String, fullSchema: StructType,
       LogPlanning.changeFeedPartitions(table, since, until,
         initialVersion = since, skipChangeCommits = skipChangeCommits,
         readChangeFeed = true).toArray
-    } else keptEntries().map { e =>
-      LogInputPartition(s"$table/${e.path}", relPath = e.path,
-        partValues = LogBatchScan.partitionValues(e.path),
-        dvDirs = e.dv.map(d => s"$table/$d").toSeq): InputPartition
-    }.toArray
+    } else {
+      val kept = keptEntries()
+      // pushed LIMIT: stop listing once live rows cover the ask —
+      // Spark re-applies the exact limit above (partial push)
+      val limited = limit.fold(kept) { n =>
+        var acc = 0L
+        kept.takeWhile { e =>
+          val need = acc < n; acc += e.rows - e.dvRows; need
+        }
+      }
+      limited.map { e =>
+        LogInputPartition(s"$table/${e.path}", relPath = e.path,
+          partValues = LogBatchScan.partitionValues(e.path),
+          dvDirs = e.dv.map(d => s"$table/$d").toSeq): InputPartition
+      }.toArray
+    }
 
   override def createReaderFactory(): PartitionReaderFactory =
     new LogPartitionReaderFactory(requiredSchema)
@@ -186,6 +247,102 @@ final class LogScan(table: String, fullSchema: StructType,
         if (bytes > 0L) OptionalLong.of(bytes) else OptionalLong.empty()
       override def numRows(): OptionalLong = OptionalLong.of(rows)
     }
+  }
+}
+
+/** Resolves a pushed `Aggregation` from manifest stats alone, or
+  * declines. The judge of soundness is exactness — a manifest answer
+  * must be bit-identical to the scan it replaces:
+  *
+  *  - COUNT(*): per-entry `rows - dvRows` is exact by construction
+  *    (the stage-write counted rows; deletion vectors carry their
+  *    cardinality). Always answerable.
+  *  - MIN(c)/MAX(c): per-file bounds are the true file min/max CAST
+  *    TO DOUBLE — answerable only when (a) every live entry records
+  *    bounds for `c` (a bound-less file could hide the extremum; an
+  *    all-null file also records none — declining is conservative),
+  *    (b) no entry carries a deletion vector (a dead row may BE the
+  *    recorded bound), and (c) the bound double provably round-trips
+  *    the column type (|b| < 2^53 for integral columns — a long cast
+  *    to double is exact below that, and cast monotonicity puts any
+  *    lossy value's bound at >= 2^53). Strings decline: recorded
+  *    bounds are TRUNCATED at the stats cap, so they bound but do
+  *    not equal the true extrema. Timestamps decline: bounds are
+  *    epoch-second views with slack.
+  *  - GROUP BY / any other function / change-feed or time-bounded
+  *    scans: decline, Spark computes normally.
+  */
+object LogMetaAggregates {
+  import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, CountStar, Max, Min}
+  private val Exact = 9007199254740992.0 // 2^53: doubles are integral-exact below
+
+  def resolve(table: String, schema: StructType,
+              options: CaseInsensitiveStringMap,
+              agg: Aggregation): Option[(StructType, Seq[Any])] = {
+    if (options.getBoolean("readChangeFeed", false)) return None
+    if (agg.groupByExpressions().nonEmpty) return None
+    if (agg.aggregateExpressions().isEmpty) return None
+    val entries: Seq[FileEntry] = {
+      val v = Option(options.get("versionAsOf")).map(_.toLong)
+        .orElse(Option(options.get("timestampAsOf")).map(ts =>
+          SnapshotLog.versionAsOfTimestamp(table, ts.toLong)))
+        .orElse(SnapshotLog.latestVersion(table))
+      v.map(SnapshotLog.resolve(table, _).entries.filter(_.rows > 0))
+        .getOrElse(Seq.empty)
+    }
+    val liveRows = entries.map(e => e.rows - e.dvRows).sum
+
+    def singleCol(e: org.apache.spark.sql.connector.expressions.Expression): Option[String] =
+      e match {
+        case nr: NamedReference if nr.fieldNames.length == 1 =>
+          Some(nr.fieldNames.head)
+        case _ => None
+      }
+
+    /** The extremum of `c` from bounds, as a catalyst value of the
+      * column's type — None declines the whole push. */
+    def bound(c: String, lower: Boolean): Option[(DataType, Any)] = {
+      val dt = schema.fields.find(_.name == c).map(_.dataType).getOrElse(return None)
+      val ok = dt match {
+        case ByteType | ShortType | IntegerType | LongType |
+             FloatType | DoubleType => true
+        case _ => false
+      }
+      if (!ok) return None
+      if (entries.exists(_.dv.isDefined)) return None
+      if (liveRows == 0L) return Some((dt, null)) // MIN/MAX of empty = null
+      val bs = entries.map(_.num.get(c).map(b => if (lower) b._1 else b._2))
+      if (bs.exists(_.isEmpty)) return None
+      val d = if (lower) bs.flatten.min else bs.flatten.max
+      val v: Any = dt match {
+        case DoubleType => d
+        case FloatType =>
+          if (d.toFloat.toDouble == d) d.toFloat else return None
+        case LongType =>
+          if (math.abs(d) < Exact && d == math.rint(d)) d.toLong else return None
+        case _ => // byte/short/int: always double-exact, narrow back
+          if (d == math.rint(d)) dt match {
+            case ByteType => d.toByte
+            case ShortType => d.toShort
+            case _ => d.toInt
+          } else return None
+      }
+      Some((dt, v))
+    }
+
+    val resolved = agg.aggregateExpressions().toSeq.map {
+      case _: CountStar => Some((LongType: DataType, liveRows: Any, false))
+      case m: Min => singleCol(m.column()).flatMap(bound(_, lower = true))
+        .map { case (dt, v) => (dt, v, true) }
+      case m: Max => singleCol(m.column()).flatMap(bound(_, lower = false))
+        .map { case (dt, v) => (dt, v, true) }
+      case _ => None
+    }
+    if (resolved.exists(_.isEmpty)) return None
+    val fields = resolved.flatten.zipWithIndex.map { case ((dt, _, nullable), i) =>
+      StructField(s"agg_$i", dt, nullable)
+    }
+    Some((StructType(fields), resolved.flatten.map(_._2)))
   }
 }
 
