@@ -2,8 +2,9 @@ package graft.sources
 
 import java.util.OptionalLong
 import org.apache.spark.sql.connector.expressions.{Expressions, NamedReference}
-import org.apache.spark.sql.connector.read.{Batch, InputPartition, LocalScan, PartitionReaderFactory, Scan, ScanBuilder, Statistics, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownLimit, SupportsPushDownRequiredColumns, SupportsReportStatistics, SupportsRuntimeFiltering}
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, LocalScan, PartitionReaderFactory, Scan, ScanBuilder, Statistics, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownLimit, SupportsPushDownRequiredColumns, SupportsReportPartitioning, SupportsReportStatistics, SupportsRuntimeFiltering}
 import org.apache.spark.sql.connector.expressions.aggregate.Aggregation
+import org.apache.spark.sql.connector.read.partitioning.{KeyGroupedPartitioning, Partitioning, UnknownPartitioning}
 import org.apache.spark.sql.connector.read.streaming.MicroBatchStream
 import org.apache.spark.sql.sources
 import org.apache.spark.sql.types._
@@ -121,7 +122,7 @@ final class LogScan(table: String, fullSchema: StructType,
                     options: CaseInsensitiveStringMap,
                     limit: Option[Int] = None)
     extends Scan with Batch with SupportsReportStatistics
-    with SupportsRuntimeFiltering {
+    with SupportsRuntimeFiltering with SupportsReportPartitioning {
   LogStreamScan.requireFlat(fullSchema)
 
   private val readChangeFeed = options.getBoolean("readChangeFeed", false)
@@ -168,6 +169,53 @@ final class LogScan(table: String, fullSchema: StructType,
     }
   }
 
+  // ------------------------------------- storage-partitioned grouping
+  /** STORAGE-PARTITIONED JOINS (Iceberg's SPJ shape): when the session
+    * opts in (`spark.sql.sources.v2.bucketing.enabled`) and every kept
+    * entry lives in the SAME hive partition-column layout, the scan
+    * reports `KeyGroupedPartitioning` over those columns and plans ONE
+    * input partition per partition value. Two tables partitioned on the
+    * same key then join with ZERO shuffle on either side — at 100 TB
+    * the difference between a full two-sided exchange and a
+    * co-located merge. A `groupBy(partitionCol)` likewise aggregates
+    * shuffle-free. Opt-in by conf on purpose: grouping caps read
+    * parallelism at the partition-value count, the wrong trade for a
+    * plain scan with few, large partitions. Deliberately exclusive
+    * with runtime file pruning (filterAttributes empties) — changing
+    * the partition set under a key-aligned join would break the
+    * alignment contract, and SPJ already removes the join's shuffle. */
+  private def bucketingEnabled: Boolean =
+    org.apache.spark.sql.SparkSession.active.conf
+      .get("spark.sql.sources.v2.bucketing.enabled", "false") == "true"
+
+  /** Kept entries grouped by partition value, when groupable: every
+    * entry in the same `col=value` column sequence, every column in
+    * the schema with a key-convertible type. */
+  private def groupedEntries(): Option[(Seq[String], Seq[(Seq[Any], Seq[FileEntry])])] = {
+    if (readChangeFeed || !bucketingEnabled) return None
+    val kept = keptEntries()
+    if (kept.isEmpty) return None
+    val layouts = kept.map(e => LogBatchScan.partitionValues(e.path).map(_._1))
+    val cols = layouts.head
+    if (cols.isEmpty || layouts.exists(_ != cols)) return None
+    val types = cols.map(c => fullSchema.fields.find(_.name == c).map(_.dataType))
+    if (types.exists(t => t.isEmpty || !LogBatchScan.keyType(t.get))) return None
+    val groups = kept.groupBy { e =>
+      LogBatchScan.partitionValues(e.path).map { case (c, v) =>
+        v.map(LogBatchScan.keyValue(_, fullSchema(c).dataType)).orNull
+      }
+    }
+    Some((cols, groups.toSeq.map { case (k, es) => (k, es) }))
+  }
+
+  override def outputPartitioning(): Partitioning =
+    groupedEntries() match {
+      case Some((cols, groups)) => new KeyGroupedPartitioning(
+        cols.map(c => Expressions.identity(c): org.apache.spark.sql.connector.expressions.Expression).toArray,
+        groups.size)
+      case None => new UnknownPartitioning(0)
+    }
+
   // ----------------------------------------------- runtime filtering
   /** Dynamic file pruning, the DSv2 DPP hook (Iceberg's shape): a
     * broadcast join against a filtered dimension hands the dim side's
@@ -181,7 +229,7 @@ final class LogScan(table: String, fullSchema: StructType,
   private var runtimePreds: Seq[Pred] = Seq.empty
 
   override def filterAttributes(): Array[NamedReference] =
-    if (readChangeFeed) Array.empty
+    if (readChangeFeed || groupedEntries().isDefined) Array.empty
     else {
       val prunable = allEntries.flatMap(e =>
         e.num.keys ++ e.str.keys ++
@@ -212,20 +260,26 @@ final class LogScan(table: String, fullSchema: StructType,
         initialVersion = since, skipChangeCommits = skipChangeCommits,
         readChangeFeed = true).toArray
     } else {
-      val kept = keptEntries()
-      // pushed LIMIT: stop listing once live rows cover the ask —
-      // Spark re-applies the exact limit above (partial push)
-      val limited = limit.fold(kept) { n =>
-        var acc = 0L
-        kept.takeWhile { e =>
-          val need = acc < n; acc += e.rows - e.dvRows; need
-        }
-      }
-      limited.map { e =>
+      def filePart(e: FileEntry): LogInputPartition =
         LogInputPartition(s"$table/${e.path}", relPath = e.path,
           partValues = LogBatchScan.partitionValues(e.path),
-          dvDirs = e.dv.map(d => s"$table/$d").toSeq): InputPartition
-      }.toArray
+          dvDirs = e.dv.map(d => s"$table/$d").toSeq)
+      groupedEntries() match {
+        case Some((_, groups)) => groups.map { case (k, es) =>
+          LogGroupedPartition(es.map(filePart), k): InputPartition
+        }.toArray
+        case None =>
+          val kept = keptEntries()
+          // pushed LIMIT: stop listing once live rows cover the ask —
+          // Spark re-applies the exact limit above (partial push)
+          val limited = limit.fold(kept) { n =>
+            var acc = 0L
+            kept.takeWhile { e =>
+              val need = acc < n; acc += e.rows - e.dvRows; need
+            }
+          }
+          limited.map(filePart(_): InputPartition).toArray
+      }
     }
 
   override def createReaderFactory(): PartitionReaderFactory =
@@ -358,6 +412,25 @@ object LogBatchScan {
       seg.substring(0, i) ->
         (if (raw == "__HIVE_DEFAULT_PARTITION__") None else Some(raw))
     }.toSeq
+  }
+
+  /** Types usable as storage-partition keys: the hive `col=value`
+    * string must reconstruct the exact Catalyst value. */
+  private[sources] def keyType(dt: DataType): Boolean = dt match {
+    case StringType | ByteType | ShortType | IntegerType | LongType |
+         BooleanType => true
+    case _ => false // float/double/decimal/date: formatting round-trips are not byte-stable
+  }
+
+  /** Hive partition string -> Catalyst key value of the column type. */
+  private[sources] def keyValue(raw: String, dt: DataType): Any = dt match {
+    case StringType => org.apache.spark.unsafe.types.UTF8String.fromString(raw)
+    case ByteType => raw.toByte
+    case ShortType => raw.toShort
+    case IntegerType => raw.toInt
+    case LongType => raw.toLong
+    case BooleanType => raw.toBoolean
+    case other => sys.error(s"not a partition key type: $other")
   }
 
   /** Entry with its partition-directory values merged in as POINT

@@ -363,10 +363,47 @@ final case class LogInputPartition(absPath: String,
                                    partValues: Seq[(String, Option[String])] = Seq.empty,
                                    dvDirs: Seq[String] = Seq.empty) extends InputPartition
 
+/** All of one hive partition's files as ONE input partition, keyed by
+  * the partition value tuple (Catalyst-typed) — the storage-partitioned
+  * join unit: Spark's `KeyGroupedPartitioning` aligns equal keys of two
+  * co-partitioned tables into the same task and plans the join with NO
+  * shuffle on either side. */
+final case class LogGroupedPartition(files: Seq[LogInputPartition],
+                                     keyVals: Seq[Any])
+    extends InputPartition
+    with org.apache.spark.sql.connector.read.HasPartitionKey {
+  override def partitionKey(): InternalRow = new GenericInternalRow(keyVals.toArray)
+}
+
 final class LogPartitionReaderFactory(schema: StructType)
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
-    new LogPartitionReader(partition.asInstanceOf[LogInputPartition], schema)
+    partition match {
+      case g: LogGroupedPartition => new LogChainedReader(g.files, schema)
+      case p: LogInputPartition => new LogPartitionReader(p, schema)
+    }
+}
+
+/** Sequential reader over a key group's files (one task reads one
+  * hive partition's file set — parallelism is across partition values,
+  * the co-partitioned-join contract). */
+final class LogChainedReader(parts: Seq[LogInputPartition], schema: StructType)
+    extends PartitionReader[InternalRow] {
+  private val it = parts.iterator
+  private var cur: LogPartitionReader = _
+  override def next(): Boolean = {
+    while (true) {
+      if (cur == null) {
+        if (!it.hasNext) return false
+        cur = new LogPartitionReader(it.next(), schema)
+      }
+      if (cur.next()) return true
+      cur.close(); cur = null
+    }
+    false
+  }
+  override def get(): InternalRow = cur.get()
+  override def close(): Unit = if (cur != null) cur.close()
 }
 
 /** GroupReadSupport with a PER-FILE projection: request only the
