@@ -154,6 +154,9 @@ object SparkEntry {
     "log_batch_partitioned" -> (graft.sources.LogBatchQueries.logBatchPartitioned _),
     "log_batch_dv"     -> (graft.sources.LogBatchQueries.logBatchDv _),
     "log_write_roundtrip" -> (graft.sources.LogBatchQueries.logWriteRoundtrip _),
+    "log_meta_agg"     -> (graft.sources.LogBatchQueries.logMetaAgg _),
+    "log_spj"          -> (graft.sources.LogBatchQueries.logSpj _),
+    "stream_log_sink"  -> (graft.sources.LogBatchQueries.streamLogSink _),
     "schema_report"    -> ((s, d) => Catalog.schemaReport(s, d, "lineitem")),
     "index_report"     -> ((s, _) => graft.core.Indexes.report(s, graft.core.Indexes.tpchIndexes)),
     "namespace_report" -> ((s, d) => Catalog.namespacesDf(s, d)),
@@ -2074,6 +2077,28 @@ object SparkEntry {
         |  CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS total
         |FROM orders WHERE o_orderkey <= 30000
         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "log_meta_agg" -> // metadata-only aggregate pushdown: COUNT/MIN/MAX
+      // answered from per-file manifest stats (LocalScan, zero file
+      // opens); the oracle recomputes them with a real scan
+      """SELECT CAST(count(*) AS BIGINT) AS n_orders,
+        |  CAST(min(o_orderkey) AS BIGINT) AS min_key,
+        |  CAST(max(o_orderkey) AS BIGINT) AS max_key,
+        |  min(o_totalprice) AS min_price,
+        |  max(o_totalprice) AS max_price
+        |FROM orders""".stripMargin,
+    "log_spj" -> // storage-partitioned join: co-partitioned log tables
+      // join with zero shuffle under v2 bucketing (plan pinned in
+      // LogSpjSpec); values must equal the ordinary shuffled join
+      """SELECT n_name, count(*) AS n_cust,
+        |  CAST(round(sum(CAST(c_acctbal AS DECIMAL(18,2))), 2) AS DOUBLE) AS total_bal
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
+    "stream_log_sink" -> // the graft-log STREAMING SINK: two triggers land
+      // two exactly-once log commits; the destination aggregates to the
+      // same totals as the source table
+      """SELECT o_orderstatus, count(*) AS n_orders,
+        |  CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS total
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
     "snapshot_changes_merge" -> // row-level change feed (CDF) spanning a COW
       // merge: v2's append rows tagged insert + v3's recorded update
       // batch tagged upsert, nothing from v1, nothing re-delivered

@@ -524,6 +524,94 @@ object LogBatchQueries {
       .orderBy("o_orderstatus")
   }
 
+  /** METADATA-ONLY aggregate: COUNT(*)/MIN/MAX over the whole log
+    * table resolve from per-file manifest stats as a LocalScan — zero
+    * jobs, zero file opens (LogMetaAggSpec pins the plan shape; this
+    * query pins the VALUES against the oracle's real scan). */
+  def logMetaAgg(spark: SparkSession, dir: String): DataFrame = {
+    val t = SnapshotLog.skippingDemoTable(spark, dir)
+    spark.read.format("graft-log").load(t)
+      .agg(count(lit(1)).cast("bigint").as("n_orders"),
+        min("o_orderkey").cast("bigint").as("min_key"),
+        max("o_orderkey").cast("bigint").as("max_key"),
+        min("o_totalprice").as("min_price"),
+        max("o_totalprice").as("max_price"))
+  }
+
+  /** STORAGE-PARTITIONED JOIN: customer and nation, both
+    * hive-partitioned by nationkey, join with zero shuffle on either
+    * side under v2 bucketing (each nation's customers and its dim row
+    * co-locate in one task). The joined result lands behind a parquet
+    * barrier so the session conf restores before the driver collects. */
+  def logSpj(spark: SparkSession, dir: String): DataFrame = {
+    val cust = graft.core.TempDirs.stable(s"logspj_cust:$dir")
+    val nat = graft.core.TempDirs.stable(s"logspj_nat:$dir")
+    val out = graft.core.TempDirs.stable(s"logspj_out:$dir")
+    Seq(cust, nat, out).foreach { d =>
+      graft.core.TempDirs.deleteRecursively(new java.io.File(d))
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(d))
+    }
+    SnapshotLog.commit(spark, graft.core.Tables.customer(spark, dir)
+      .select(col("c_custkey"), col("c_acctbal"),
+        col("c_nationkey").as("nationkey")), cust,
+      partitionBy = Seq("nationkey"))
+    SnapshotLog.commit(spark, graft.core.Tables.nation(spark, dir)
+      .select(col("n_nationkey").as("nationkey"), col("n_name")), nat,
+      partitionBy = Seq("nationkey"))
+    val thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      spark.read.format("graft-log").load(cust)
+        .join(spark.read.format("graft-log").load(nat), Seq("nationkey"))
+        .groupBy("n_name")
+        .agg(count(lit(1)).as("n_cust"),
+          round(sum(col("c_acctbal").cast("decimal(18,2)")), 2)
+            .cast("double").as("total_bal"))
+        .write.mode("overwrite").parquet(out)
+    } finally {
+      spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "false")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
+    }
+    spark.read.parquet(out).orderBy("n_name")
+  }
+
+  /** The STREAMING SINK end-to-end: a 2-commit source log pumps
+    * through `writeStream.format("graft-log")` one version per
+    * trigger (two sink commits, each carrying the exactly-once txn),
+    * and the destination's batch relation aggregates the result —
+    * oracle-exact only if both triggers landed exactly once. */
+  def streamLogSink(spark: SparkSession, dir: String): DataFrame = {
+    val src = graft.core.TempDirs.stable(s"logsink_src:$dir")
+    val dst = graft.core.TempDirs.stable(s"logsink_dst:$dir")
+    val ck = graft.core.TempDirs.stable(s"logsink_ck:$dir")
+    Seq(src, dst, ck).foreach { d =>
+      graft.core.TempDirs.deleteRecursively(new java.io.File(d))
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(d))
+    }
+    val orders = graft.core.Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+    SnapshotLog.commit(spark, orders.filter(col("o_orderkey") <= 30000L), src,
+      statsFor = Seq("o_orderkey"))
+    SnapshotLog.commit(spark, orders.filter(col("o_orderkey") > 30000L), src,
+      append = true)
+    val q = spark.readStream.format("graft-log")
+      .option("maxVersionsPerTrigger", "1").load(src)
+      .writeStream.format("graft-log")
+      .option("checkpointLocation", ck)
+      .option("statsFor", "o_orderkey")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start(dst)
+    q.awaitTermination()
+    spark.read.format("graft-log").load(dst)
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n_orders"),
+        round(sum(col("o_totalprice").cast("decimal(18,2)")), 2)
+          .cast("double").as("total"))
+      .orderBy("o_orderstatus")
+  }
+
   /** Deletion vectors apply inside the batch relation, composed with
     * filter pushdown: the scan opens only bound-overlapping files and
     * the reader skips the vectored positions. */
