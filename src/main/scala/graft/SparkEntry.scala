@@ -157,6 +157,7 @@ object SparkEntry {
     "log_meta_agg"     -> (graft.sources.LogBatchQueries.logMetaAgg _),
     "log_spj"          -> (graft.sources.LogBatchQueries.logSpj _),
     "stream_log_sink"  -> (graft.sources.LogBatchQueries.streamLogSink _),
+    "log_catalog_sql"  -> (graft.sources.LogCatalogQueries.catalogSql _),
     "schema_report"    -> ((s, d) => Catalog.schemaReport(s, d, "lineitem")),
     "index_report"     -> ((s, _) => graft.core.Indexes.report(s, graft.core.Indexes.tpchIndexes)),
     "namespace_report" -> ((s, d) => Catalog.namespacesDf(s, d)),
@@ -2099,6 +2100,13 @@ object SparkEntry {
       """SELECT o_orderstatus, count(*) AS n_orders,
         |  CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS total
         |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "log_catalog_sql" -> // the graft TableCatalog plugin: namespace +
+      // partitioned CTAS + INSERT INTO + named SELECT with partition
+      // pruning, pure SQL, no paths
+      """SELECT source, count(*) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS total_chars
+        |FROM documents WHERE lang = 'en'
+        |GROUP BY source ORDER BY source""".stripMargin,
     "snapshot_changes_merge" -> // row-level change feed (CDF) spanning a COW
       // merge: v2's append rows tagged insert + v3's recorded update
       // batch tagged upsert, nothing from v1, nothing re-delivered

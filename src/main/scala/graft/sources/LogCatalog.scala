@@ -1,0 +1,268 @@
+package graft.sources
+
+import java.nio.file.{Files, Path, Paths}
+import java.util.{Map => JMap}
+import scala.jdk.CollectionConverters._
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.analysis.{NamespaceAlreadyExistsException, NoSuchNamespaceException, NoSuchTableException, TableAlreadyExistsException}
+import org.apache.spark.sql.connector.catalog.{Identifier, NamespaceChange, SupportsNamespaces, Table, TableCatalog, TableChange}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import graft.core.SnapshotLog
+
+/** A named CATALOG of graft-log tables (Spark's `TableCatalog`
+  * plugin point, the Delta/Iceberg catalog shape):
+  *
+  * {{{
+  *   spark.sql.catalog.graft      = graft.sources.LogCatalog
+  *   spark.sql.catalog.graft.root = /data/graft
+  * }}}
+  *
+  * then the full multi-table SQL surface works by NAME —
+  * `CREATE NAMESPACE graft.ml`, `CREATE TABLE graft.ml.docs (...)
+  * PARTITIONED BY (lang)`, `INSERT INTO graft.ml.docs ...`,
+  * `SELECT ... FROM graft.ml.docs` (manifest pruning included, it is
+  * the same LogStreamTable the path-based route builds), `SHOW
+  * TABLES IN graft.ml`, `DROP TABLE`, `ALTER TABLE ... RENAME`.
+  *
+  * Layout is the filesystem: a namespace is a directory under
+  * `root`, a table is a directory containing `_graft_log/`. That
+  * makes the catalog METADATA-FREE — the log is the source of truth
+  * (schema = the committed schema union, exactly what `spark.read`
+  * infers) and catalog state can never drift from table state. The
+  * one catalog-only fact is the PARTITIONING of an as-yet-empty
+  * table (no entries to derive `col=value` from), persisted as
+  * `_graft_table.json` at create time; once data lands, the entry
+  * paths carry it.
+  *
+  * Reference analogue: pgcp's catalog surface (postgres.rb:20-36
+  * list tables, :108-120 schemas, :263-278 CREATE TABLE, :93-106
+  * swap) re-expressed as a Spark catalog plugin instead of psql
+  * calls. */
+class LogCatalog extends TableCatalog with SupportsNamespaces {
+
+  private var catalogName: String = _
+  private var root: Path = _
+
+  override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
+    catalogName = name
+    val r = options.get("root")
+    require(r != null && r.nonEmpty,
+      s"catalog $name needs spark.sql.catalog.$name.root=<directory>")
+    root = Paths.get(LogStreamSource.normalizePath(r))
+    Files.createDirectories(root)
+  }
+
+  override def name(): String = catalogName
+
+  private def nsPath(ns: Array[String]): Path =
+    ns.foldLeft(root)((p, s) => p.resolve(s))
+  private def tablePath(ident: Identifier): Path =
+    nsPath(ident.namespace()).resolve(ident.name())
+  private def isTable(p: Path): Boolean =
+    Files.isDirectory(p.resolve("_graft_log"))
+
+  // ------------------------------------------------------------ tables
+  override def listTables(namespace: Array[String]): Array[Identifier] = {
+    val dir = nsPath(namespace)
+    if (!Files.isDirectory(dir)) throw new NoSuchNamespaceException(catalogName +: namespace)
+    Files.list(dir).iterator().asScala
+      .filter(p => Files.isDirectory(p) && isTable(p))
+      .map(p => Identifier.of(namespace, p.getFileName.toString))
+      .toArray
+  }
+
+  override def tableExists(ident: Identifier): Boolean = isTable(tablePath(ident))
+
+  override def loadTable(ident: Identifier): Table = {
+    val p = tablePath(ident)
+    if (!isTable(p)) throw new NoSuchTableException(ident)
+    val t = p.toString
+    val schema = SnapshotLog.read(SparkSession.active, t).schema
+    new LogStreamTable(t, schema, partitionColsOf(p))
+  }
+
+  /** SQL `VERSION AS OF <v>`: the table pinned at a log version. */
+  override def loadTable(ident: Identifier, version: String): Table = {
+    val p = tablePath(ident)
+    if (!isTable(p)) throw new NoSuchTableException(ident)
+    val v = try version.toLong catch {
+      case _: NumberFormatException =>
+        sys.error(s"graft-log versions are numbers, got VERSION AS OF '$version'")
+    }
+    val t = p.toString
+    val schema = SnapshotLog.read(SparkSession.active, t, Some(v)).schema
+    new LogStreamTable(t, schema, partitionColsOf(p), asOfVersion = Some(v))
+  }
+
+  /** SQL `TIMESTAMP AS OF <ts>` (Spark hands MICROseconds). */
+  override def loadTable(ident: Identifier, timestampMicros: Long): Table = {
+    val p = tablePath(ident)
+    if (!isTable(p)) throw new NoSuchTableException(ident)
+    val t = p.toString
+    val v = SnapshotLog.versionAsOfTimestamp(t, timestampMicros / 1000L)
+    val schema = SnapshotLog.read(SparkSession.active, t, Some(v)).schema
+    new LogStreamTable(t, schema, partitionColsOf(p), asOfVersion = Some(v))
+  }
+
+  /** Partition columns: from live entry paths when data exists (the
+    * log is the truth), else from the create-time sidecar. */
+  private def partitionColsOf(p: Path): Seq[String] = {
+    val entries = SnapshotLog.latestVersion(p.toString).toSeq
+      .flatMap(v => SnapshotLog.resolve(p.toString, v).entries)
+    val fromEntries = entries.headOption
+      .map(e => LogBatchScan.partitionValues(e.path).map(_._1)).getOrElse(Seq.empty)
+    if (fromEntries.nonEmpty) fromEntries
+    else {
+      val j = p.resolve("_graft_table.json")
+      if (!Files.exists(j)) Seq.empty
+      else {
+        val n = new com.fasterxml.jackson.databind.ObjectMapper().readTree(
+          Files.readString(j))
+        Option(n.get("partitionBy")).toSeq.flatMap(_.elements().asScala
+          .map(_.asText()))
+      }
+    }
+  }
+
+  override def createTable(ident: Identifier, schema: StructType,
+                           partitions: Array[Transform],
+                           properties: JMap[String, String]): Table = {
+    val p = tablePath(ident)
+    if (isTable(p)) throw new TableAlreadyExistsException((catalogName +: ident.namespace().toSeq :+ ident.name()))
+    if (!Files.isDirectory(nsPath(ident.namespace())))
+      throw new NoSuchNamespaceException(
+        (catalogName +: ident.namespace().toSeq).toArray)
+    val partCols = partitions.toSeq.map {
+      case t if t.name == "identity" && t.references.length == 1 =>
+        t.references.head.fieldNames.mkString(".")
+      case t => sys.error(s"graft catalog supports identity partitioning only, got $t")
+    }
+    Files.createDirectories(p)
+    val spark = SparkSession.active
+    // an empty commit records the schema; the table reads as 0 rows
+    SnapshotLog.commit(spark,
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema),
+      p.toString)
+    if (partCols.nonEmpty) {
+      val m = new com.fasterxml.jackson.databind.ObjectMapper()
+      val o = m.createObjectNode()
+      val arr = o.putArray("partitionBy")
+      partCols.foreach(arr.add)
+      Files.writeString(p.resolve("_graft_table.json"), m.writeValueAsString(o))
+    }
+    new LogStreamTable(p.toString, schema, partCols)
+  }
+
+  override def alterTable(ident: Identifier, changes: TableChange*): Table =
+    throw new UnsupportedOperationException(
+      "graft catalog: ALTER TABLE is not supported — schema evolves " +
+        "through commits (write with the evolved schema); use RENAME for names")
+
+  override def dropTable(ident: Identifier): Boolean = {
+    val p = tablePath(ident)
+    if (!isTable(p)) false
+    else { graft.core.TempDirs.deleteRecursively(p.toFile); true }
+  }
+
+  override def renameTable(oldIdent: Identifier, newIdent0: Identifier): Unit = {
+    // RENAME TO graft.ml.t arrives with the catalog name still in the
+    // target's namespace — strip it (the engine already routed here)
+    val newIdent =
+      if (newIdent0.namespace().headOption.contains(catalogName))
+        Identifier.of(newIdent0.namespace().drop(1), newIdent0.name())
+      else newIdent0
+    val from = tablePath(oldIdent)
+    val to = tablePath(newIdent)
+    if (!isTable(from)) throw new NoSuchTableException(oldIdent)
+    if (isTable(to)) throw new TableAlreadyExistsException((catalogName +: newIdent.namespace().toSeq :+ newIdent.name()))
+    Files.createDirectories(to.getParent)
+    Files.move(from, to)
+  }
+
+  // -------------------------------------------------------- namespaces
+  override def listNamespaces(): Array[Array[String]] =
+    Files.list(root).iterator().asScala
+      .filter(p => Files.isDirectory(p) && !isTable(p))
+      .map(p => Array(p.getFileName.toString)).toArray
+
+  override def listNamespaces(namespace: Array[String]): Array[Array[String]] = {
+    if (namespace.isEmpty) return listNamespaces()
+    val dir = nsPath(namespace)
+    if (!Files.isDirectory(dir) || isTable(dir)) throw new NoSuchNamespaceException(catalogName +: namespace)
+    Files.list(dir).iterator().asScala
+      .filter(p => Files.isDirectory(p) && !isTable(p))
+      .map(p => namespace :+ p.getFileName.toString).toArray
+  }
+
+  override def namespaceExists(namespace: Array[String]): Boolean = {
+    val dir = nsPath(namespace)
+    namespace.isEmpty || (Files.isDirectory(dir) && !isTable(dir))
+  }
+
+  override def loadNamespaceMetadata(namespace: Array[String]): JMap[String, String] = {
+    if (!namespaceExists(namespace)) throw new NoSuchNamespaceException(catalogName +: namespace)
+    Map(SupportsNamespaces.PROP_LOCATION -> nsPath(namespace).toString).asJava
+  }
+
+  override def createNamespace(namespace: Array[String],
+                               metadata: JMap[String, String]): Unit = {
+    val dir = nsPath(namespace)
+    if (Files.isDirectory(dir)) throw new NamespaceAlreadyExistsException(catalogName +: namespace)
+    Files.createDirectories(dir)
+  }
+
+  override def alterNamespace(namespace: Array[String],
+                              changes: NamespaceChange*): Unit =
+    throw new UnsupportedOperationException("graft catalog: ALTER NAMESPACE is not supported")
+
+  override def dropNamespace(namespace: Array[String], cascade: Boolean): Boolean = {
+    val dir = nsPath(namespace)
+    if (!Files.isDirectory(dir)) false
+    else {
+      val empty = !Files.list(dir).iterator().hasNext
+      if (!empty && !cascade) throw new IllegalStateException(
+        s"namespace ${namespace.mkString(".")} is not empty (use CASCADE)")
+      graft.core.TempDirs.deleteRecursively(dir.toFile)
+      true
+    }
+  }
+}
+
+/** Declared query: the NAMED-catalog SQL lifecycle end-to-end —
+  * namespace + partitioned CTAS + INSERT INTO + named SELECT with
+  * partition pruning, all through `spark.sql` against the `graft`
+  * catalog plugin (no paths, no DataFrame API). */
+object LogCatalogQueries {
+  import org.apache.spark.sql.DataFrame
+
+  def catalogSql(spark: SparkSession, dir: String): DataFrame = {
+    val root = graft.core.TempDirs.stable(s"logcat_root:$dir")
+    graft.core.TempDirs.deleteRecursively(new java.io.File(root))
+    Files.createDirectories(Paths.get(root))
+    spark.conf.set("spark.sql.catalog.graft", classOf[LogCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft.root", root)
+    // catalog instances cache their root at first use — reset so the
+    // fresh directory (not a prior run's) backs this query
+    org.apache.spark.sql.graft.Bridge.resetCatalogs(spark)
+    graft.core.Tables.documents(spark, dir)
+      .select("doc_id", "lang", "source", "n_chars")
+      .createOrReplaceTempView("docs_src")
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.corpus")
+    spark.sql("DROP TABLE IF EXISTS graft.corpus.docs")
+    spark.sql(
+      """CREATE TABLE graft.corpus.docs PARTITIONED BY (lang)
+        |AS SELECT doc_id, source, n_chars, lang FROM docs_src
+        |   WHERE lang <> 'en'""".stripMargin)
+    spark.sql(
+      """INSERT INTO graft.corpus.docs
+        |SELECT doc_id, source, n_chars, lang FROM docs_src
+        |WHERE lang = 'en'""".stripMargin)
+    spark.sql(
+      """SELECT source, count(*) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS total_chars
+        |FROM graft.corpus.docs WHERE lang = 'en'
+        |GROUP BY source ORDER BY source""".stripMargin)
+  }
+}

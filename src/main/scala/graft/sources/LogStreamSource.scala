@@ -165,10 +165,12 @@ object LogStreamSource {
 }
 
 final class LogStreamTable(table: String, schema: StructType,
-                           partitionBy: Seq[String] = Seq.empty)
+                           partitionBy: Seq[String] = Seq.empty,
+                           asOfVersion: Option[Long] = None)
     extends Table with SupportsRead
     with org.apache.spark.sql.connector.catalog.SupportsWrite {
-  override def name(): String = s"graft-log:$table"
+  override def name(): String = s"graft-log:$table" +
+    asOfVersion.fold("")(v => s"@v$v")
   override def schema(): StructType = schema
   // reflect the write partitioning back (DataFrameWriter verifies the
   // user's partitionBy against the table's declared transforms)
@@ -181,12 +183,23 @@ final class LogStreamTable(table: String, schema: StructType,
       // exec (which also wants V1_BATCH_WRITE advertised)
       TableCapability.BATCH_WRITE, TableCapability.V1_BATCH_WRITE,
       TableCapability.TRUNCATE)
-  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new LogScanBuilder(table, schema, options)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    // a catalog time-travel pin (`VERSION AS OF` / `TIMESTAMP AS OF`)
+    // becomes the scan's versionAsOf option
+    val opts = asOfVersion.fold(options) { v =>
+      val m = new java.util.HashMap[String, String](options)
+      m.put("versionAsOf", v.toString)
+      new CaseInsensitiveStringMap(m)
+    }
+    new LogScanBuilder(table, schema, opts)
+  }
   override def newWriteBuilder(
       info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
-      : org.apache.spark.sql.connector.write.WriteBuilder =
+      : org.apache.spark.sql.connector.write.WriteBuilder = {
+    require(asOfVersion.isEmpty,
+      s"cannot write to $name — it is a time-travel snapshot")
     new LogWriteBuilder(table, partitionBy, info)
+  }
 }
 
 object LogStreamScan {

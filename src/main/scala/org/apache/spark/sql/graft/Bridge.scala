@@ -60,6 +60,12 @@ object Bridge {
         .queryExecution.toRdd, df.schema, isStreaming = false)
   }
 
+  /** Drop cached catalog-plugin instances so a changed
+    * `spark.sql.catalog.<name>.*` conf takes effect (plugins cache
+    * their options at first use). */
+  def resetCatalogs(spark: SparkSession): Unit =
+    spark.asInstanceOf[classic.SparkSession].sessionState.catalogManager.reset()
+
   /** Runtime planner-strategy registration for sessions built without
     * `.withExtensions(new GraftExtensions)` (Verify/Bench build plain
     * sessions): `experimental.extraStrategies` is the public hook. */

@@ -1,0 +1,95 @@
+package graft.sources
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkFixture
+import graft.core.SnapshotLog
+
+/** The `graft` TableCatalog plugin: named multi-table SQL over
+  * log-backed tables — namespaces, CREATE/CTAS/INSERT/SELECT with
+  * manifest pruning, SHOW TABLES, RENAME, DROP, and SQL time travel
+  * (`VERSION AS OF` / `TIMESTAMP AS OF`). The catalog is
+  * metadata-free: a table IS a directory with a log. */
+class LogCatalogSpec extends AnyFunSuite with SparkFixture {
+
+  private lazy val root: String = {
+    val r = Files.createTempDirectory("graft_catalog_").toString
+    spark.conf.set("spark.sql.catalog.graft", classOf[LogCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft.root", r)
+    r
+  }
+
+  test("namespace + table lifecycle: create, insert, select with pruning, show, drop") {
+    root
+    spark.sql("CREATE NAMESPACE graft.ml")
+    spark.sql("CREATE TABLE graft.ml.docs (id BIGINT, lang STRING, n INT) PARTITIONED BY (lang)")
+    assert(spark.sql("SHOW TABLES IN graft.ml").collect()
+      .map(_.getString(1)).toSet == Set("docs"))
+    // empty table reads as zero rows with the declared schema
+    assert(spark.sql("SELECT * FROM graft.ml.docs").collect().isEmpty)
+
+    spark.sql("INSERT INTO graft.ml.docs VALUES (1, 'en', 10), (2, 'de', 20), (3, 'en', 30)")
+    // the create-time sidecar carried the partitioning: inserts stage hive dirs
+    val t = s"$root/ml/docs"
+    // live entries only: the CREATE commit staged a 0-row schema file
+    val entries = SnapshotLog.resolve(t, SnapshotLog.versions(t).last)
+      .entries.filter(_.rows > 0)
+    assert(entries.nonEmpty && entries.forall(_.path.contains("lang=")),
+      s"catalog-declared partitioning must reach the staged layout: ${entries.map(_.path)}")
+
+    val before = LogSourceAudit.filesOpened.get()
+    val en = spark.sql("SELECT id FROM graft.ml.docs WHERE lang = 'en'")
+      .collect().map(_.getLong(0)).toSet
+    assert(en == Set(1L, 3L))
+    val opened = LogSourceAudit.filesOpened.get() - before
+    // all files EXCEPT lang=de open: the en files match, and the
+    // CREATE commit's 0-row boundless file is conservatively kept
+    val all = SnapshotLog.resolve(t, SnapshotLog.versions(t).last).entries
+    val deFiles = all.count(_.path.contains("lang=de"))
+    assert(deFiles > 0 && opened == all.size - deFiles,
+      s"partition pruning must skip exactly the de files: opened $opened of ${all.size}")
+
+    spark.sql("ALTER TABLE graft.ml.docs RENAME TO graft.ml.corpus")
+    assert(spark.sql("SELECT count(*) AS n FROM graft.ml.corpus")
+      .collect().head.getLong(0) == 3L)
+    spark.sql("DROP TABLE graft.ml.corpus")
+    assert(spark.sql("SHOW TABLES IN graft.ml").collect().isEmpty)
+  }
+
+  test("CTAS and SQL time travel: VERSION AS OF and TIMESTAMP AS OF") {
+    root
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.tt")
+    spark.sql("CREATE TABLE graft.tt.nums AS SELECT id FROM range(10)")
+    spark.sql("INSERT INTO graft.tt.nums SELECT id FROM range(10, 25)")
+    assert(spark.sql("SELECT count(*) AS n FROM graft.tt.nums")
+      .collect().head.getLong(0) == 25L)
+    // the CTAS created v1 (create) + v2 (append of the select); the
+    // INSERT INTO is v3 — VERSION AS OF 2 sees only the first 10
+    val t = s"$root/tt/nums"
+    val versions = SnapshotLog.versions(t)
+    val afterCtas = versions(versions.length - 2)
+    val got = spark.sql(s"SELECT count(*) AS n FROM graft.tt.nums VERSION AS OF $afterCtas")
+      .collect().head.getLong(0)
+    assert(got == 10L, s"VERSION AS OF $afterCtas of $versions must see the CTAS rows, got $got")
+    // a timestamp after the last commit resolves to the head
+    val now = java.time.LocalDateTime.now(java.time.ZoneOffset.UTC).plusMinutes(1)
+      .format(java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss"))
+    assert(spark.sql(s"SELECT count(*) AS n FROM graft.tt.nums TIMESTAMP AS OF '$now'")
+      .collect().head.getLong(0) == 25L)
+    // time-travel snapshots refuse writes
+    val e = intercept[Exception] {
+      spark.sql(s"INSERT INTO graft.tt.nums VERSION AS OF $afterCtas VALUES (99)")
+    }
+    assert(e != null)
+  }
+
+  test("namespace listing and guards") {
+    root
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.a")
+    val nss = spark.sql("SHOW NAMESPACES IN graft").collect().map(_.getString(0)).toSet
+    assert(nss.contains("a"))
+    intercept[Exception] { spark.sql("CREATE TABLE graft.nope.t (id INT)") }
+    intercept[Exception] { spark.sql("SELECT * FROM graft.a.missing") }
+  }
+}
