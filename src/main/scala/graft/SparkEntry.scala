@@ -158,6 +158,7 @@ object SparkEntry {
     "log_spj"          -> (graft.sources.LogBatchQueries.logSpj _),
     "stream_log_sink"  -> (graft.sources.LogBatchQueries.streamLogSink _),
     "log_catalog_sql"  -> (graft.sources.LogCatalogQueries.catalogSql _),
+    "log_sql_delete"   -> (graft.sources.LogBatchQueries.logSqlDelete _),
     "schema_report"    -> ((s, d) => Catalog.schemaReport(s, d, "lineitem")),
     "index_report"     -> ((s, _) => graft.core.Indexes.report(s, graft.core.Indexes.tpchIndexes)),
     "namespace_report" -> ((s, d) => Catalog.namespacesDf(s, d)),
@@ -2100,6 +2101,13 @@ object SparkEntry {
       """SELECT o_orderstatus, count(*) AS n_orders,
         |  CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS total
         |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "log_sql_delete" -> // SQL DELETE FROM via SupportsDelete: the key band
+      // dies by deletion vectors, zero files rewritten
+      """SELECT o_orderstatus, count(*) AS n_orders,
+        |  CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS total
+        |FROM orders WHERE o_orderkey <= 30000
+        |  AND o_orderkey NOT BETWEEN 1000 AND 3000
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
     "log_catalog_sql" -> // the graft TableCatalog plugin: namespace +
       // partitioned CTAS + INSERT INTO + named SELECT with partition
       // pruning, pure SQL, no paths

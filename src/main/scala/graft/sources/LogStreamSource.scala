@@ -168,7 +168,57 @@ final class LogStreamTable(table: String, schema: StructType,
                            partitionBy: Seq[String] = Seq.empty,
                            asOfVersion: Option[Long] = None)
     extends Table with SupportsRead
-    with org.apache.spark.sql.connector.catalog.SupportsWrite {
+    with org.apache.spark.sql.connector.catalog.SupportsWrite
+    with org.apache.spark.sql.connector.catalog.SupportsDelete {
+
+  /** SQL `DELETE FROM t WHERE ...` — merge-on-read: matching rows die
+    * by deletion-vector sidecars (`SnapshotLog.deleteWhere`), zero
+    * data files rewritten. Only ROW-EXACT predicate translations are
+    * accepted (`LogFilters.toExactPred` — no timestamps/decimals/
+    * nulls); anything else makes `canDeleteWhere` false and Spark
+    * reports the delete unsupported rather than deleting wrong rows.
+    * A bare `DELETE FROM t` / `TRUNCATE` is a replace commit with no
+    * files — history stays time-travelable. */
+  private def exactPreds(filters: Array[org.apache.spark.sql.sources.Filter])
+      : Option[Seq[graft.core.SnapshotLog.Pred]] = {
+    // a bare DELETE FROM t arrives as AlwaysTrue (truncate); an
+    // optimizer-proven-empty delete as AlwaysFalse (no-op)
+    val ps = filters.toSeq
+      .filterNot(_.isInstanceOf[org.apache.spark.sql.sources.AlwaysTrue])
+      .map(LogFilters.toExactPred)
+    if (ps.exists(_.isEmpty)) None else Some(ps.flatten)
+  }
+
+  override def canDeleteWhere(filters: Array[org.apache.spark.sql.sources.Filter]): Boolean =
+    asOfVersion.isEmpty &&
+      (filters.exists(_.isInstanceOf[org.apache.spark.sql.sources.AlwaysFalse]) ||
+        exactPreds(filters).isDefined)
+
+  override def deleteWhere(filters: Array[org.apache.spark.sql.sources.Filter]): Unit = {
+    require(asOfVersion.isEmpty, s"cannot delete from $name — it is a time-travel snapshot")
+    if (filters.exists(_.isInstanceOf[org.apache.spark.sql.sources.AlwaysFalse]))
+      return // provably-empty predicate: nothing to delete
+    val spark = org.apache.spark.sql.SparkSession.active
+    val ps = exactPreds(filters).getOrElse(
+      sys.error(s"graft-log: predicate not row-exact for DELETE: ${filters.mkString(", ")}"))
+    if (ps.isEmpty) truncateTable() // DELETE FROM t with no WHERE
+    else {
+      val p = if (ps.size == 1) ps.head
+        else graft.core.SnapshotLog.Pred.And(ps: _*)
+      SnapshotLog.deleteWhere(spark, table, p)
+    }
+    ()
+  }
+
+  override def truncateTable(): Boolean = {
+    require(asOfVersion.isEmpty, s"cannot truncate $name — it is a time-travel snapshot")
+    val spark = org.apache.spark.sql.SparkSession.active
+    val cur = SnapshotLog.read(spark, table)
+    SnapshotLog.commit(spark,
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], cur.schema),
+      table)
+    true
+  }
   override def name(): String = s"graft-log:$table" +
     asOfVersion.fold("")(v => s"@v$v")
   override def schema(): StructType = schema
