@@ -159,6 +159,7 @@ object SparkEntry {
     "stream_log_sink"  -> (graft.sources.LogBatchQueries.streamLogSink _),
     "log_catalog_sql"  -> (graft.sources.LogCatalogQueries.catalogSql _),
     "log_sql_delete"   -> (graft.sources.LogBatchQueries.logSqlDelete _),
+    "log_merge_into"   -> (graft.sources.LogBatchQueries.logMergeInto _),
     "schema_report"    -> ((s, d) => Catalog.schemaReport(s, d, "lineitem")),
     "index_report"     -> ((s, _) => graft.core.Indexes.report(s, graft.core.Indexes.tpchIndexes)),
     "namespace_report" -> ((s, d) => Catalog.namespacesDf(s, d)),
@@ -2101,6 +2102,22 @@ object SparkEntry {
       """SELECT o_orderstatus, count(*) AS n_orders,
         |  CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS total
         |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "log_merge_into" -> // SQL MERGE INTO (SupportsDelta row-level ops):
+      // update + delete + insert clauses land as one merge-on-read
+      // rewrite commit; DuckDB replays the merge relationally
+      """WITH base AS (SELECT o_orderkey, o_orderstatus,
+        |    CAST(o_totalprice AS DECIMAL(18,2)) AS p FROM orders),
+        |  merged AS (
+        |    SELECT o_orderkey, o_orderstatus,
+        |      CASE WHEN o_orderkey % 100 = 0
+        |           THEN CAST(p + 1.00 AS DECIMAL(18,2)) ELSE p END AS p
+        |    FROM base WHERE o_orderkey % 100 <> 17
+        |    UNION ALL
+        |    SELECT o_orderkey + 6000000, 'Z', CAST(1.00 AS DECIMAL(18,2))
+        |    FROM base WHERE o_orderkey % 100 = 0)
+        |SELECT o_orderstatus, count(*) AS n_orders,
+        |  CAST(round(sum(p), 2) AS DOUBLE) AS total
+        |FROM merged GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
     "log_sql_delete" -> // SQL DELETE FROM via SupportsDelete: the key band
       // dies by deletion vectors, zero files rewritten
       """SELECT o_orderstatus, count(*) AS n_orders,

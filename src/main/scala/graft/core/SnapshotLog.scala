@@ -908,6 +908,85 @@ object SnapshotLog {
     } finally { matched.unpersist(); () }
   }
 
+  /** ROW-LEVEL DELTA COMMIT — the landing half of SQL DELETE/UPDATE/
+    * MERGE (`SupportsDelta`): tasks already wrote the inserted rows as
+    * staged data files and the killed rows' (path, pos) coordinates as
+    * a position set; this publishes both as ONE rewrite commit:
+    * affected entries re-list with a deletion vector (old vectors
+    * union in — newest ⊇ older), staged inserts append, the change
+    * feed gets the killed rows' PRE-IMAGES tagged `delete` plus the
+    * inserted rows tagged `insert` (an update is its delete+insert
+    * pair), and the whole thing is CAS'd against `expectedHead` — the
+    * version the operation's SCAN was pinned at, so a concurrent
+    * writer that touched the same files fails the disjoint check
+    * loudly instead of silently resurrecting or double-killing rows.
+    * Zero data files are rewritten (merge-on-read, Delta 3's DML
+    * shape). `posCounts` is task-counted dead rows per file — the
+    * commit plans with no counting job. */
+  def commitDelta(spark: SparkSession, table: String, expectedHead: Long,
+                  posDf: Option[DataFrame], posCounts: Map[String, Long],
+                  insertAdds: Seq[FileEntry],
+                  insertSchemaJson: Option[String]): Long = {
+    import spark.implicits._
+    if (posCounts.isEmpty && insertAdds.isEmpty) return expectedHead // no-op DML
+    val st = resolve(table, expectedHead)
+    if (posCounts.isEmpty) {
+      // pure-insert delta (a MERGE whose clauses only inserted)
+      val ins = spark.read
+        .schema(org.apache.spark.sql.types.DataType.fromJson(insertSchemaJson.get)
+          .asInstanceOf[org.apache.spark.sql.types.StructType])
+        .parquet(insertAdds.map(e => s"$table/${e.path}"): _*)
+      val cdcDf = ins.withColumn("_change_type", lit("insert"))
+      val (_, cdcEntries) = stageEntries(spark, cdcDf, table, Seq.empty, Seq.empty, root = "cdc")
+      return publishRewrite(table, Seq.empty, insertAdds,
+        recordSchema = insertSchemaJson, cdcEntries = cdcEntries,
+        cdcSchema = Some(cdcDf.schema.json), expectedHead = expectedHead,
+        dataChange = true)
+    }
+    val byPath = st.entries.map(e => e.path).toSet
+    posCounts.keys.find(!byPath.contains(_)).foreach(p => sys.error(
+      s"row-level delta targets unknown file $p of $table@v$expectedHead — " +
+        "the scan and the write disagree about the snapshot"))
+    val affected = st.entries.filter(e => posCounts.contains(e.path))
+    val newPos = posDf.get
+    val dvStage = java.util.UUID.randomUUID().toString
+    val oldDvDirs = affected.flatMap(_.dv).distinct
+    val allPos =
+      if (oldDvDirs.isEmpty) newPos
+      else newPos.unionByName(
+        spark.read.parquet(oldDvDirs.map(d => s"$table/$d"): _*)
+          .join(affected.map(_.path).toDF("path"), Seq("path"), "left_semi"))
+    val totalPos = posCounts.values.sum + affected.map(_.dvRows).sum
+    val laidPos =
+      if (totalPos <= dvShardRowsLimit) allPos.repartition(1)
+      else {
+        val shards = math.min(10000L, totalPos / dvShardRowsLimit + 1L).toInt
+        allPos.repartitionByRange(shards, col("path"), col("pos"))
+      }
+    laidPos.write.parquet(s"$table/dv/$dvStage")
+    // change data: pre-images of exactly the killed positions
+    val pre = readTagged(spark, table, affected)
+      .join(newPos.withColumnRenamed("path", RelCol).withColumnRenamed("pos", PosCol),
+        Seq(RelCol, PosCol), "left_semi")
+      .drop(RelCol, PosCol).withColumn("_change_type", lit("delete"))
+    val cdcDf =
+      if (insertAdds.isEmpty) pre
+      else pre.unionByName(
+        spark.read
+          .schema(org.apache.spark.sql.types.DataType.fromJson(insertSchemaJson.get)
+            .asInstanceOf[org.apache.spark.sql.types.StructType])
+          .parquet(insertAdds.map(e => s"$table/${e.path}"): _*)
+          .withColumn("_change_type", lit("insert")),
+        allowMissingColumns = true)
+    val (_, cdcEntries) = stageEntries(spark, cdcDf, table, Seq.empty, Seq.empty, root = "cdc")
+    val newEntries = affected.map(e => e.copy(
+      dv = Some(s"dv/$dvStage"), dvRows = e.dvRows + posCounts(e.path)))
+    publishRewrite(table, affected.map(_.path), newEntries ++ insertAdds,
+      recordSchema = insertSchemaJson, cdcEntries = cdcEntries,
+      cdcSchema = Some(cdcDf.schema.json), expectedHead = expectedHead,
+      dataChange = true)
+  }
+
   // ----------------------------------------------------------------- reads
 
   /** Snapshot read: the resolved version's exact file list, no

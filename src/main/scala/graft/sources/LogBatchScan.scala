@@ -636,6 +636,51 @@ object LogBatchQueries {
     } finally spark.sql("DROP TABLE graft_sql_del_t")
   }
 
+  /** SQL MERGE INTO via SupportsDelta row-level operations: one
+    * statement updates the century keys, deletes the %100=17 band,
+    * and inserts shifted new rows — all landing as ONE merge-on-read
+    * rewrite commit (vectors + staged inserts, zero files
+    * rewritten); the oracle replays the same merge relationally. */
+  def logMergeInto(spark: SparkSession, dir: String): DataFrame = {
+    val t = graft.core.TempDirs.stable(s"logsql_merge:$dir")
+    graft.core.TempDirs.deleteRecursively(new java.io.File(t))
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(t))
+    val orders = graft.core.Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      .repartitionByRange(8, col("o_orderkey"))
+    SnapshotLog.commit(spark, orders, t, statsFor = Seq("o_orderkey"))
+    spark.sql("DROP TABLE IF EXISTS graft_merge_t")
+    spark.sql(s"CREATE TABLE graft_merge_t USING `graft-log` OPTIONS (path '$t')")
+    try {
+      graft.core.Tables.orders(spark, dir)
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+        .createOrReplaceTempView("graft_merge_base")
+      spark.sql(
+        """SELECT o_orderkey AS k, 'upd' AS action, o_orderstatus AS st,
+          |  CAST(CAST(o_totalprice AS DECIMAL(18,2)) + 1.00 AS DOUBLE) AS p
+          |FROM graft_merge_base WHERE o_orderkey % 100 = 0
+          |UNION ALL
+          |SELECT o_orderkey AS k, 'del', o_orderstatus, o_totalprice
+          |FROM graft_merge_base WHERE o_orderkey % 100 = 17
+          |UNION ALL
+          |SELECT o_orderkey + 6000000 AS k, 'ins', 'Z', CAST(1.00 AS DOUBLE)
+          |FROM graft_merge_base WHERE o_orderkey % 100 = 0""".stripMargin)
+        .createOrReplaceTempView("graft_merge_src")
+      spark.sql(
+        """MERGE INTO graft_merge_t g USING graft_merge_src s ON g.o_orderkey = s.k
+          |WHEN MATCHED AND s.action = 'del' THEN DELETE
+          |WHEN MATCHED THEN UPDATE SET o_totalprice = s.p
+          |WHEN NOT MATCHED THEN INSERT (o_orderkey, o_orderstatus, o_totalprice)
+          |  VALUES (s.k, s.st, s.p)""".stripMargin)
+      spark.sql(
+        """SELECT o_orderstatus, count(*) AS n_orders,
+          |  CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS total
+          |FROM graft_merge_t
+          |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)
+        .localCheckpoint(true)
+    } finally spark.sql("DROP TABLE graft_merge_t")
+  }
+
   /** Deletion vectors apply inside the batch relation, composed with
     * filter pushdown: the scan opens only bound-overlapping files and
     * the reader skips the vectored positions. */

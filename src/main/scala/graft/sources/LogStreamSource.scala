@@ -157,6 +157,14 @@ object LogStreamSource {
   val ChangeTypeCol = "_change_type"
   val CommitVersionCol = "_commit_version"
 
+  /** ROW-IDENTITY metadata columns (`SupportsMetadataColumns`):
+    * `(_graft_rel, _graft_pos)` = (entry path, raw row ordinal in the
+    * file) — the same coordinates deletion-vector sidecars use, which
+    * is what lets SQL row-level DML (DELETE/UPDATE/MERGE) mark rows
+    * dead without touching data files. */
+  val RelPathCol = "_graft_rel"
+  val RowPosCol = "_graft_pos"
+
   /** The session catalog hands table locations as `file:` URIs
     * (`CREATE TABLE ... USING graft-log` / saved LOCATION), while the
     * DataFrame API hands raw paths — the log layer wants the latter. */
@@ -169,7 +177,33 @@ final class LogStreamTable(table: String, schema: StructType,
                            asOfVersion: Option[Long] = None)
     extends Table with SupportsRead
     with org.apache.spark.sql.connector.catalog.SupportsWrite
-    with org.apache.spark.sql.connector.catalog.SupportsDelete {
+    with org.apache.spark.sql.connector.catalog.SupportsDelete
+    with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns
+    with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations {
+
+  import org.apache.spark.sql.connector.catalog.MetadataColumn
+
+  override def metadataColumns(): Array[MetadataColumn] = Array(
+    new MetadataColumn {
+      override def name(): String = LogStreamSource.RelPathCol
+      override def dataType(): DataType = StringType
+      override def isNullable: Boolean = false
+      override def comment(): String = "data file of this row (log-relative path)"
+    },
+    new MetadataColumn {
+      override def name(): String = LogStreamSource.RowPosCol
+      override def dataType(): DataType = LongType
+      override def isNullable: Boolean = false
+      override def comment(): String = "raw row ordinal within the data file"
+    })
+
+  override def newRowLevelOperationBuilder(
+      info: org.apache.spark.sql.connector.write.RowLevelOperationInfo)
+      : org.apache.spark.sql.connector.write.RowLevelOperationBuilder = {
+    require(asOfVersion.isEmpty,
+      s"cannot modify $name — it is a time-travel snapshot")
+    () => new LogRowLevelOperation(table, schema, info.command())
+  }
 
   /** SQL `DELETE FROM t WHERE ...` — merge-on-read: matching rows die
     * by deletion-vector sidecars (`SnapshotLog.deleteWhere`), zero
@@ -506,6 +540,7 @@ final class LogPartitionReader(part: LogInputPartition, schema: StructType)
 
   private val changeTypeUtf8: UTF8String =
     part.changeType.map(UTF8String.fromString).orNull
+  private val relPathUtf8: UTF8String = UTF8String.fromString(part.relPath)
 
   /** Partition constants pre-converted to Catalyst representation
     * (columns pruned out of the required schema are dropped). */
@@ -579,6 +614,12 @@ final class LogPartitionReader(part: LogInputPartition, schema: StructType)
           part.version
         else if (f.name == LogStreamSource.ChangeTypeCol && !gt.containsField(f.name))
           changeTypeUtf8
+        // row-identity metadata: the same (path, pos) coordinates the
+        // deletion-vector sidecars address rows by
+        else if (f.name == LogStreamSource.RelPathCol && !gt.containsField(f.name))
+          relPathUtf8
+        else if (f.name == LogStreamSource.RowPosCol && !gt.containsField(f.name))
+          rowPos
         else if (partConsts.contains(f.name)) partConsts(f.name)
         else if (!gt.containsField(f.name)) null // schema evolution: older file
         else {
