@@ -1847,7 +1847,9 @@ object SnapshotLog {
       vs.flatMap(v => readRecord(table, v).cdc.map(e => stageOf(e.path))) ++
       states.flatMap(_.entries.flatMap(_.dv)) // dv values ARE stage dirs
     val cutoff = System.currentTimeMillis() - olderThanMs
-    Seq("data", "cdc", "dv").flatMap { root =>
+    // dvtmp = row-level DML position staging: transient by contract
+    // (the commit deletes it), so anything old enough is crash litter
+    Seq("data", "cdc", "dv", "dvtmp").flatMap { root =>
       val rootDir = Paths.get(table, root)
       if (!Files.isDirectory(rootDir)) Seq.empty
       else {

@@ -122,10 +122,13 @@ class DeletionVectorSpec extends AnyFunSuite with SparkFixture {
     val dvA = SnapshotLog.readRecord(t, 2L).adds.flatMap(_.dv).distinct
     val dvB = SnapshotLog.readRecord(t, 3L).adds.flatMap(_.dv).distinct
     assert(dvA != dvB)
-    // crashed-writer litter under dv/
+    // crashed-writer litter under dv/ and a crashed row-level DML's
+    // transient position staging under dvtmp/
     Seq(("x", 1L)).toDF("path", "pos").write.parquet(s"$t/dv/crashed")
+    Seq(("x", 2L)).toDF("path", "pos").write.parquet(s"$t/dvtmp/crashed")
     val swept = SnapshotLog.vacuumOrphans(t, olderThanMs = -1000L)
-    assert(swept.contains("dv/crashed") && !swept.exists(dvB.contains),
+    assert(swept.contains("dv/crashed") && swept.contains("dvtmp/crashed") &&
+      !swept.exists(dvB.contains),
       s"sweep must eat litter, not the live vector: $swept")
     // retire v1-v2: dv A dies with its record, dv B survives with the head
     SnapshotLog.vacuum(t, keepFrom = 3L)

@@ -48,17 +48,26 @@ class LogSqlDeleteSpec extends AnyFunSuite with SparkFixture {
     } finally spark.sql("DROP TABLE sqldel_t")
   }
 
-  test("a non-exact predicate refuses instead of deleting wrong rows") {
+  test("a non-exact predicate is NEVER served from the metadata fast path") {
+    // payload LIKE has no exact Pred translation — canDeleteWhere must
+    // refuse so Spark routes it through the row-level REWRITE instead
+    // (LogRowLevelDmlSpec pins that path end-to-end); a fast path that
+    // accepted it would delete whole bound-ranges, not matching rows
     val t = freshTable()
+    val table = new LogStreamTable(t, SnapshotLog.read(spark, t).schema)
+    import org.apache.spark.sql.sources._
+    assert(!table.canDeleteWhere(Array[Filter](StringStartsWith("payload", "p1"))))
+    assert(!table.canDeleteWhere(Array[Filter](
+      EqualTo("id", java.sql.Timestamp.valueOf("2020-01-01 00:00:00")))))
+    assert(table.canDeleteWhere(Array[Filter](
+      And(GreaterThanOrEqual("id", 10L), LessThan("id", 30L)))))
+    assert(table.canDeleteWhere(Array[Filter](EqualTo("payload", "p1"))))
+    // and end-to-end: the LIKE delete still WORKS via the rewrite path
     register(t, "sqldel_ne")
     try {
-      // payload LIKE: no exact Pred translation exists
-      val e = intercept[Exception] {
-        spark.sql("DELETE FROM sqldel_ne WHERE payload LIKE 'p1%'")
-      }
-      assert(e.getMessage != null)
+      spark.sql("DELETE FROM sqldel_ne WHERE payload LIKE 'p1%'") // p1, p10..p19
       assert(spark.sql("SELECT count(*) AS n FROM sqldel_ne")
-        .collect().head.getLong(0) == 100L, "refused delete must change nothing")
+        .collect().head.getLong(0) == 89L)
     } finally spark.sql("DROP TABLE sqldel_ne")
   }
 
