@@ -948,6 +948,12 @@ object SnapshotLog {
       s"row-level delta targets unknown file $p of $table@v$expectedHead — " +
         "the scan and the write disagree about the snapshot"))
     val affected = st.entries.filter(e => posCounts.contains(e.path))
+    // fail BEFORE touching disk: merge-on-read vectors (and the cdc
+    // pre-image read) support flat staged layouts only — same contract
+    // as deleteWhere; hive-partitioned tables take COW merge instead
+    affected.find(_.path.split("/").drop(2).exists(_.contains("="))).foreach(e =>
+      sys.error(s"row-level DML supports flat staged layouts only; " +
+        s"${e.path} is hive-partitioned — use SnapshotLog.merge/applyChanges (COW)"))
     val newPos = posDf.get
     val dvStage = java.util.UUID.randomUUID().toString
     val oldDvDirs = affected.flatMap(_.dv).distinct

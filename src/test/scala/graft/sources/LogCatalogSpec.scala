@@ -84,6 +84,32 @@ class LogCatalogSpec extends AnyFunSuite with SparkFixture {
     assert(e != null)
   }
 
+  test("writeTo(...).append and readStream.table work against catalog names") {
+    import spark.implicits._
+    root
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.io")
+    spark.sql("CREATE TABLE graft.io.rows (id BIGINT, payload STRING)")
+    (1L to 5L).map(i => (i, s"p$i")).toDF("id", "payload")
+      .writeTo("graft.io.rows").append()
+    assert(spark.sql("SELECT count(*) AS n FROM graft.io.rows")
+      .collect().head.getLong(0) == 5L)
+    // the same table streams by NAME (the catalog's MICRO_BATCH_READ)
+    val name = "cat_stream_out"
+    val q = spark.readStream.table("graft.io.rows")
+      .groupBy().agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("n"))
+      .writeStream.format("memory").queryName(name)
+      .outputMode("complete")
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft_cat_ck_").toString)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    assert(spark.table(name).collect().head.getLong(0) == 5L)
+    spark.catalog.dropTempView(name)
+    spark.sql("DROP TABLE graft.io.rows")
+  }
+
   test("namespace listing and guards") {
     root
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.a")

@@ -90,6 +90,42 @@ class LogRowLevelDmlSpec extends AnyFunSuite with SparkFixture {
     } finally spark.sql("DROP TABLE dml_mrg")
   }
 
+  test("DML over a table that already carries vectors unions them: both deletes stay applied") {
+    val t = freshTable()
+    SnapshotLog.deleteWhere(spark, t, SnapshotLog.Pred.Between("id", 0.0, 4.0))
+    spark.sql(s"CREATE TABLE dml_dv USING `graft-log` OPTIONS (path '$t')")
+    try {
+      spark.sql("UPDATE dml_dv SET v = -1 WHERE id BETWEEN 5 AND 9")
+      val ids = spark.sql("SELECT id FROM dml_dv WHERE id < 20").collect()
+        .map(_.getLong(0)).toSet
+      assert(ids == (5L until 20L).toSet,
+        s"the earlier deleteWhere's rows must stay dead after the UPDATE: $ids")
+      assert(spark.sql("SELECT count(*) AS n FROM dml_dv WHERE v = -1")
+        .collect().head.getLong(0) == 5L)
+      assert(spark.sql("SELECT count(*) AS n FROM dml_dv")
+        .collect().head.getLong(0) == 95L)
+    } finally spark.sql("DROP TABLE dml_dv")
+  }
+
+  test("row-level DML on a hive-partitioned table fails fast with the COW pointer") {
+    import spark.implicits._
+    val t = Files.createTempDirectory("graft_dml_part_").toString
+    SnapshotLog.commit(spark,
+      (0 until 20).map(i => (i.toLong, if (i % 2 == 0) "a" else "b")).toDF("id", "par"),
+      t, partitionBy = Seq("par"))
+    spark.sql(s"CREATE TABLE dml_part USING `graft-log` OPTIONS (path '$t')")
+    try {
+      val e = intercept[Exception] {
+        spark.sql("UPDATE dml_part SET par = 'c' WHERE id = 3")
+      }
+      def msgs(x: Throwable): Seq[String] =
+        if (x == null) Seq.empty else Option(x.getMessage).toSeq ++ msgs(x.getCause)
+      assert(msgs(e).exists(_.contains("flat staged layouts")), s"got: ${msgs(e)}")
+      assert(spark.sql("SELECT count(*) AS n FROM dml_part")
+        .collect().head.getLong(0) == 20L, "the failed DML must change nothing")
+    } finally spark.sql("DROP TABLE dml_part")
+  }
+
   test("insert-only MERGE appends without touching existing entries") {
     import spark.implicits._
     val t = freshTable()
