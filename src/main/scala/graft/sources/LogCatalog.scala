@@ -7,7 +7,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.analysis.{NamespaceAlreadyExistsException, NoSuchNamespaceException, NoSuchTableException, TableAlreadyExistsException}
 import org.apache.spark.sql.connector.catalog.{Identifier, NamespaceChange, SupportsNamespaces, Table, TableCatalog, TableChange}
 import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.types.{StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import graft.core.SnapshotLog
 
@@ -155,10 +155,35 @@ class LogCatalog extends TableCatalog with SupportsNamespaces {
     new LogStreamTable(p.toString, schema, partCols)
   }
 
-  override def alterTable(ident: Identifier, changes: TableChange*): Table =
-    throw new UnsupportedOperationException(
-      "graft catalog: ALTER TABLE is not supported — schema evolves " +
-        "through commits (write with the evolved schema); use RENAME for names")
+  /** `ALTER TABLE ... ADD COLUMNS` = a schema-evolution commit: an
+    * empty append whose recorded schema carries the new columns — the
+    * same union mechanism a widened write uses, so existing files are
+    * untouched and surface null for the added columns (exactly the
+    * reader's evolution contract). Anything else (drop/rename/type
+    * changes) is refused: the log's schema is the union of committed
+    * schemas, and rewriting history is not a metadata operation. */
+  override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    val p = tablePath(ident)
+    if (!isTable(p)) throw new NoSuchTableException(ident)
+    val adds = changes.map {
+      case a: TableChange.AddColumn =>
+        require(a.fieldNames().length == 1,
+          "graft catalog: nested ADD COLUMN is not supported (flat schemas)")
+        StructField(a.fieldNames().head, a.dataType(), nullable = true)
+      case other => throw new UnsupportedOperationException(
+        s"graft catalog: only ADD COLUMNS alters a log-backed table " +
+          s"(schema is the union of committed schemas); got $other")
+    }
+    val spark = SparkSession.active
+    val cur = SnapshotLog.read(spark, p.toString).schema
+    adds.find(a => cur.fieldNames.contains(a.name)).foreach(a =>
+      sys.error(s"column ${a.name} already exists in ${ident.name()}"))
+    val widened = adds.foldLeft(cur)(_ add _)
+    SnapshotLog.commit(spark,
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], widened),
+      p.toString, append = true)
+    new LogStreamTable(p.toString, widened, partitionColsOf(p))
+  }
 
   override def dropTable(ident: Identifier): Boolean = {
     val p = tablePath(ident)

@@ -110,6 +110,22 @@ class LogCatalogSpec extends AnyFunSuite with SparkFixture {
     spark.sql("DROP TABLE graft.io.rows")
   }
 
+  test("ALTER TABLE ADD COLUMNS is a schema-evolution commit; old rows surface null") {
+    root
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.ev")
+    spark.sql("CREATE TABLE graft.ev.t (id BIGINT)")
+    spark.sql("INSERT INTO graft.ev.t VALUES (1), (2)")
+    spark.sql("ALTER TABLE graft.ev.t ADD COLUMNS (score DOUBLE)")
+    spark.sql("INSERT INTO graft.ev.t VALUES (3, 1.5)")
+    val rows = spark.sql("SELECT id, score FROM graft.ev.t ORDER BY id").collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) None else Some(r.getDouble(1))))
+    assert(rows.toSeq == Seq((1L, None), (2L, None), (3L, Some(1.5))),
+      s"old rows must surface null for the added column: ${rows.toSeq}")
+    intercept[Exception] { spark.sql("ALTER TABLE graft.ev.t ADD COLUMNS (id INT)") }
+    intercept[Exception] { spark.sql("ALTER TABLE graft.ev.t DROP COLUMN id") }
+    spark.sql("DROP TABLE graft.ev.t")
+  }
+
   test("namespace listing and guards") {
     root
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.a")
