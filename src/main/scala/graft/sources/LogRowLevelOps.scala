@@ -88,8 +88,9 @@ final class LogDeltaWrite(table: String, insertSchema: StructType,
     override def commit(messages: Array[WriterCommitMessage]): Unit = {
       val spark = SparkSession.active
       val msgs = messages.toSeq.map(_.asInstanceOf[LogDeltaCommitMessage])
-      val insertAdds = msgs.flatMap(_.inserts).map { case (rel, rows, bytes) =>
-        FileEntry(rel, rows, schema = Some(insertSchema.json), bytes = bytes)
+      val insertAdds = msgs.flatMap(_.inserts).map { f =>
+        FileEntry(f.relPath, f.rows, num = f.numBounds,
+          schema = Some(insertSchema.json), bytes = f.bytes)
       }
       val posCounts = msgs.flatMap(_.deleteCounts).groupBy(_._1)
         .map { case (p, cs) => p -> cs.map(_._2).sum }
@@ -111,8 +112,11 @@ final class LogDeltaWrite(table: String, insertSchema: StructType,
   }
 }
 
+final case class LogDeltaInsertFile(relPath: String, rows: Long, bytes: Long,
+                                    numBounds: Map[String, (Double, Double)])
+
 final case class LogDeltaCommitMessage(
-    inserts: Seq[(String, Long, Long)],       // (relPath, rows, bytes)
+    inserts: Seq[LogDeltaInsertFile],
     deleteCounts: Seq[(String, Long)])        // dead rows per data file
     extends WriterCommitMessage
 
@@ -160,8 +164,10 @@ final class LogDeltaWriter(table: String, stage: String,
       if (insertW == null) Seq.empty
       else {
         val rows = insertW.rowCount
+        val bounds = insertW.numBounds
         insertW.close()
-        Seq((insertRel, rows, new java.io.File(s"$table/$insertRel").length()))
+        Seq(LogDeltaInsertFile(insertRel, rows,
+          new java.io.File(s"$table/$insertRel").length(), bounds))
       }
     if (deleteW != null) deleteW.close()
     LogDeltaCommitMessage(inserts, deadByPath.toSeq)
@@ -231,8 +237,51 @@ final class InternalRowParquetWriter(path: String, schema: StructType) {
   private var n = 0L
   def rowCount: Long = n
 
+  /** Per-column min/max of the NUMERIC view (same double view the
+    * manifest stats pass records), tracked as rows stream through —
+    * DML-inserted files keep the table's data skipping alive instead
+    * of becoming always-scanned stragglers. Free at write time: two
+    * compares per numeric cell. */
+  private val numIdx: Array[Int] = schema.fields.zipWithIndex.collect {
+    case (f, i) if (f.dataType match {
+      case LongType | IntegerType | ShortType | ByteType |
+           DoubleType | FloatType => true
+      case _ => false
+    }) => i
+  }
+  private val numLo = Array.fill(schema.length)(Double.PositiveInfinity)
+  private val numHi = Array.fill(schema.length)(Double.NegativeInfinity)
+
+  /** Recorded bounds: column -> (lo, hi) for numeric columns that saw
+    * at least one non-null value. */
+  def numBounds: Map[String, (Double, Double)] =
+    numIdx.iterator.filter(i => numLo(i) <= numHi(i))
+      .map(i => schema(i).name -> (numLo(i), numHi(i))).toMap
+
   def write(r: InternalRow): Unit = {
     val g = factory.newGroup()
+    var j = 0
+    while (j < numIdx.length) {
+      val i = numIdx(j)
+      if (!r.isNullAt(i)) {
+        val d = schema(i).dataType match {
+          case LongType => r.getLong(i).toDouble
+          case IntegerType => r.getInt(i).toDouble
+          case ShortType => r.getShort(i).toDouble
+          case ByteType => r.getByte(i).toDouble
+          case DoubleType => r.getDouble(i)
+          case _ => r.getFloat(i).toDouble
+        }
+        if (d.isNaN) { // NaN escapes range bounds (Spark orders it
+          numLo(i) = Double.NegativeInfinity // largest): poison to the
+          numHi(i) = Double.PositiveInfinity // never-prunes interval
+        } else {
+          if (d < numLo(i)) numLo(i) = d
+          if (d > numHi(i)) numHi(i) = d
+        }
+      }
+      j += 1
+    }
     var i = 0
     while (i < schema.length) {
       if (!r.isNullAt(i)) schema(i).dataType match {

@@ -126,6 +126,34 @@ class LogRowLevelDmlSpec extends AnyFunSuite with SparkFixture {
     } finally spark.sql("DROP TABLE dml_part")
   }
 
+  test("DML-inserted files carry writer-tracked bounds: skipping stays alive after a MERGE") {
+    import spark.implicits._
+    val t = freshTable()
+    spark.sql(s"CREATE TABLE dml_bnd USING `graft-log` OPTIONS (path '$t')")
+    try {
+      Seq((500L, "n500", 1.0), (501L, "n501", 2.0)).toDF("id", "payload", "v")
+        .createOrReplaceTempView("dml_bnd_src")
+      spark.sql(
+        """MERGE INTO dml_bnd g USING dml_bnd_src s ON g.id = s.id
+          |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+      val head = SnapshotLog.resolve(t, SnapshotLog.versions(t).last)
+      // inserted rows landed in one file per task; each carries its
+      // own exact bounds
+      val inserted = head.entries.filter(_.num.get("id").exists(_._1 >= 500.0))
+      assert(inserted.nonEmpty && inserted.forall(e => {
+        val (lo, hi) = e.num("id"); lo >= 500.0 && hi <= 501.0 && lo <= hi
+      }), s"the staged insert files must carry id bounds: ${head.entries.map(e => (e.path, e.num))}")
+      // a key-band read over the ORIGINAL range prunes the new file away
+      val before = LogSourceAudit.filesOpened.get()
+      val got = spark.read.format("graft-log").load(t)
+        .filter(col("id") >= 20 && col("id") <= 39).count()
+      val opened = LogSourceAudit.filesOpened.get() - before
+      assert(got == 20L)
+      assert(opened == 1L,
+        s"the DML-inserted file must skip on its own bounds, opened $opened")
+    } finally spark.sql("DROP TABLE dml_bnd")
+  }
+
   test("insert-only MERGE appends without touching existing entries") {
     import spark.implicits._
     val t = freshTable()
