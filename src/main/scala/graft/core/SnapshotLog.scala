@@ -796,7 +796,11 @@ object SnapshotLog {
           val newHead = latestVersion(table).getOrElse(head)
           val winners = ((head + 1) to newHead).map(readRecord(table, _))
           val disjoint = !fullReplace && winners.forall { w =>
-            val wReplace = w.removes.isEmpty && !w.append && w.adds.nonEmpty
+            // any no-removes non-append winner REDEFINED the table —
+            // including a zero-adds replace (truncate / overwrite of
+            // an empty frame): re-publishing our stale file list over
+            // it would resurrect the rows it erased
+            val wReplace = w.removes.isEmpty && !w.append
             !wReplace && !w.removes.exists(ourRemoves.contains)
           }
           if (!disjoint || attempt >= 20) sys.error(

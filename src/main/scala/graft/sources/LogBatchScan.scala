@@ -408,7 +408,11 @@ object LogBatchScan {
     // path shape: <root>/<stage-uuid>/[col=value/...]<part-file>
     segs.drop(2).dropRight(1).filter(_.contains("=")).map { seg =>
       val i = seg.indexOf('=')
-      val raw = java.net.URLDecoder.decode(seg.substring(i + 1), "UTF-8")
+      // %XX-only unescape (Spark's escapePathName never encodes space
+      // as '+', so URLDecoder would silently corrupt a literal '+' in
+      // a partition value — wrong bounds, wrong restored constants)
+      val raw = org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+        .unescapePathName(seg.substring(i + 1))
       seg.substring(0, i) ->
         (if (raw == "__HIVE_DEFAULT_PARTITION__") None else Some(raw))
     }.toSeq

@@ -58,6 +58,13 @@ class LogCatalog extends TableCatalog with SupportsNamespaces {
 
   private def nsPath(ns: Array[String]): Path =
     ns.foldLeft(root)((p, s) => p.resolve(s))
+  /** Directory listing with the stream CLOSED (Files.list leaks a
+    * directory fd until closed — try/finally, as in
+    * SnapshotLog.versions). The function must consume eagerly. */
+  private def listDir[A](dir: Path)(f: Iterator[Path] => A): A = {
+    val st = Files.list(dir)
+    try f(st.iterator().asScala) finally st.close()
+  }
   private def tablePath(ident: Identifier): Path =
     nsPath(ident.namespace()).resolve(ident.name())
   private def isTable(p: Path): Boolean =
@@ -67,10 +74,9 @@ class LogCatalog extends TableCatalog with SupportsNamespaces {
   override def listTables(namespace: Array[String]): Array[Identifier] = {
     val dir = nsPath(namespace)
     if (!Files.isDirectory(dir)) throw new NoSuchNamespaceException(catalogName +: namespace)
-    Files.list(dir).iterator().asScala
-      .filter(p => Files.isDirectory(p) && isTable(p))
+    listDir(dir)(_.filter(p => Files.isDirectory(p) && isTable(p))
       .map(p => Identifier.of(namespace, p.getFileName.toString))
-      .toArray
+      .toArray)
   }
 
   override def tableExists(ident: Identifier): Boolean = isTable(tablePath(ident))
@@ -208,17 +214,15 @@ class LogCatalog extends TableCatalog with SupportsNamespaces {
 
   // -------------------------------------------------------- namespaces
   override def listNamespaces(): Array[Array[String]] =
-    Files.list(root).iterator().asScala
-      .filter(p => Files.isDirectory(p) && !isTable(p))
-      .map(p => Array(p.getFileName.toString)).toArray
+    listDir(root)(_.filter(p => Files.isDirectory(p) && !isTable(p))
+      .map(p => Array(p.getFileName.toString)).toArray)
 
   override def listNamespaces(namespace: Array[String]): Array[Array[String]] = {
     if (namespace.isEmpty) return listNamespaces()
     val dir = nsPath(namespace)
     if (!Files.isDirectory(dir) || isTable(dir)) throw new NoSuchNamespaceException(catalogName +: namespace)
-    Files.list(dir).iterator().asScala
-      .filter(p => Files.isDirectory(p) && !isTable(p))
-      .map(p => namespace :+ p.getFileName.toString).toArray
+    listDir(dir)(_.filter(p => Files.isDirectory(p) && !isTable(p))
+      .map(p => namespace :+ p.getFileName.toString).toArray)
   }
 
   override def namespaceExists(namespace: Array[String]): Boolean = {
@@ -246,7 +250,7 @@ class LogCatalog extends TableCatalog with SupportsNamespaces {
     val dir = nsPath(namespace)
     if (!Files.isDirectory(dir)) false
     else {
-      val empty = !Files.list(dir).iterator().hasNext
+      val empty = listDir(dir)(!_.hasNext)
       if (!empty && !cascade) throw new IllegalStateException(
         s"namespace ${namespace.mkString(".")} is not empty (use CASCADE)")
       graft.core.TempDirs.deleteRecursively(dir.toFile)

@@ -567,18 +567,27 @@ final class LogPartitionReader(part: LogInputPartition, schema: StructType)
         val fs = Option(new java.io.File(dir).listFiles())
           .getOrElse(Array.empty[java.io.File])
           .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+        // a SHARDED sidecar (large purge: up to 10k shards, laid out
+        // path-contiguous by repartitionByRange) must not be read in
+        // full by every data-file reader — consult each shard's footer
+        // min/max of the `path` column and open only the shards that
+        // can contain this file's positions (O(shards) footer reads,
+        // O(relevant shards) row reads instead of O(all))
         fs.foreach { f =>
-          val r = ParquetReader.builder[Group](new GroupReadSupport(),
-            new org.apache.hadoop.fs.Path(f.getPath))
-            .withConf(new Configuration()).build()
-          try {
-            var g = r.read()
-            while (g != null) {
-              if (g.getString("path", 0) == part.relPath)
-                s.add(g.getLong("pos", 0))
-              g = r.read()
-            }
-          } finally r.close()
+          if (fs.length == 1 ||
+              LogPartitionReader.shardMayContain(f, part.relPath)) {
+            val r = ParquetReader.builder[Group](new GroupReadSupport(),
+              new org.apache.hadoop.fs.Path(f.getPath))
+              .withConf(new Configuration()).build()
+            try {
+              var g = r.read()
+              while (g != null) {
+                if (g.getString("path", 0) == part.relPath)
+                  s.add(g.getLong("pos", 0))
+                g = r.read()
+              }
+            } finally r.close()
+          }
         }
       }
       s
@@ -684,6 +693,48 @@ final class LogPartitionReader(part: LogInputPartition, schema: StructType)
 }
 
 object LogPartitionReader {
+  /** Whether a deletion-vector SHARD can hold positions for `relPath`,
+    * from its footer's `path`-column min/max alone (no row reads).
+    * Conservative: absent or unusable statistics keep the shard. */
+  private[sources] def shardMayContain(f: java.io.File, relPath: String): Boolean = {
+    val target = relPath.getBytes("UTF-8")
+    def lexCompare(a: Array[Byte], b: Array[Byte]): Int = {
+      var i = 0
+      val n = math.min(a.length, b.length)
+      while (i < n) {
+        val c = (a(i) & 0xff) - (b(i) & 0xff)
+        if (c != 0) return c
+        i += 1
+      }
+      a.length - b.length
+    }
+    val r = org.apache.parquet.hadoop.ParquetFileReader.open(
+      org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+        new org.apache.hadoop.fs.Path(f.getPath), new Configuration()))
+    try {
+      val blocks = r.getFooter.getBlocks
+      var bi = 0
+      while (bi < blocks.size()) {
+        val cols = blocks.get(bi).getColumns
+        var ci = 0
+        var overlaps = true // no path column / no stats: keep the shard
+        while (ci < cols.size()) {
+          val c = cols.get(ci)
+          if (c.getPath.toDotString == "path") {
+            val st = c.getStatistics
+            overlaps = st == null || st.isEmpty || !st.hasNonNullValue ||
+              (lexCompare(st.getMinBytes, target) <= 0 &&
+                lexCompare(st.getMaxBytes, target) >= 0)
+            ci = cols.size()
+          } else ci += 1
+        }
+        if (overlaps) return true
+        bi += 1
+      }
+      false
+    } finally r.close()
+  }
+
   /** Hive partition-value string -> Catalyst value, by the TABLE
     * schema's type for the column (the same types Spark's own
     * partition inference restored when the log read used basePath). */

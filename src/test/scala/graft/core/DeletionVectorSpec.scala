@@ -206,6 +206,11 @@ class DeletionVectorSpec extends AnyFunSuite with SparkFixture {
       // a second delete over the same files unions old shards correctly
       SnapshotLog.deleteWhere(spark, t, Eq("id", 50.0))
       assert(idsAt(t) == (0L until 100L).toSet -- (10L to 40L).toSet - 50L)
+      // the DSv2 relation reads the sharded sidecars identically (its
+      // readers footer-prune to path-overlapping shards only)
+      val dsv2 = spark.read.format("graft-log").load(t)
+        .select("id").collect().map(_.getLong(0)).toSet
+      assert(dsv2 == idsAt(t), "graft-log batch read through sharded vectors")
     } finally SnapshotLog.dvShardRowsLimit = saved
   }
 }

@@ -386,6 +386,30 @@ class SnapshotLogCowSpec extends AnyFunSuite with SparkFixture {
     } finally SnapshotLog.onStagedHook = () => ()
   }
 
+  test("a racing truncate (zero-adds replace) forces the loser to re-derive") {
+    import spark.implicits._
+    val t = clusteredTable()
+    try {
+      // the truncate stages NO files (empty frame), so its record is a
+      // replace with zero adds — it must still count as a table
+      // redefinition in the disjoint check, or the racing merge would
+      // re-publish its stale file list and resurrect the erased rows
+      SnapshotLog.onStagedHook = () => {
+        SnapshotLog.onStagedHook = () => ()
+        SnapshotLog.commit(spark,
+          spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+            SnapshotLog.read(spark, t).schema), t)
+        ()
+      }
+      val e = intercept[RuntimeException] {
+        SnapshotLog.merge(spark, t, Seq((70L, "B70")).toDF("id", "payload"), "id")
+      }
+      assert(e.getMessage.contains("concurrent modification"), e.getMessage)
+      assert(SnapshotLog.read(spark, t).count() == 0L,
+        "the truncate's result must survive — no resurrected rows")
+    } finally SnapshotLog.onStagedHook = () => ()
+  }
+
   test("Cli optimize retries from the new head when a live writer lands mid-compact") {
     import spark.implicits._
     val t = freshTable()

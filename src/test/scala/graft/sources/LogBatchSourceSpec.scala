@@ -198,4 +198,45 @@ class LogBatchSourceSpec extends AnyFunSuite with SparkFixture {
       .option("readChangeFeed", "true").load(t))
     assert(fullFeed == lib ++ Set((1L, "insert", 1L), (2L, "insert", 1L)))
   }
+
+  test("'+', space and '%' in string partition values survive path escaping") {
+    import spark.implicits._
+    // Spark's escapePathName never encodes space as '+', so a
+    // URLDecoder-based decode would silently corrupt a literal '+'
+    // (e.g. a timezone offset) into a space: wrong bounds (matching
+    // files pruned) and a wrong restored constant (residual filter
+    // then drops every row)
+    val t = freshTable()
+    SnapshotLog.commit(spark,
+      Seq((1L, "UTC+7"), (2L, "UTC+7"), (3L, "a b"), (4L, "50%")).toDF("id", "tz"),
+      t, partitionBy = Seq("tz"))
+    val got = batchRead(t).filter(col("tz") === "UTC+7")
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(got == Set(1L, 2L), s"'+' partition value round-trip, got $got")
+    val tzs = batchRead(t).select("tz").distinct()
+      .collect().map(_.getString(0)).toSet
+    assert(tzs == Set("UTC+7", "a b", "50%"), s"restored constants: $tzs")
+    // and the partition-directory bounds still PRUNE on the raw value
+    val (n, nOpened) = opened {
+      batchRead(t).filter(col("tz") === "a b").count()
+    }
+    assert(n == 1L && nOpened == 1L, s"opened $nOpened for one partition")
+  }
+
+  test("shardMayContain prunes deletion-vector shards by the footer's path bounds") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_dvshard_").toString
+    Seq(("data/s1/a.parquet", 1L), ("data/s1/b.parquet", 2L))
+      .toDF("path", "pos").coalesce(1).write.mode("overwrite").parquet(dir)
+    val f = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    assert(LogPartitionReader.shardMayContain(f, "data/s1/a.parquet"))
+    assert(LogPartitionReader.shardMayContain(f, "data/s1/b.parquet"))
+    assert(!LogPartitionReader.shardMayContain(f, "data/s1/zzz.parquet"),
+      "past the shard's max path: provably not here")
+    assert(!LogPartitionReader.shardMayContain(f, "data/s0/a.parquet"),
+      "before the shard's min path: provably not here")
+    // in-range but absent: bounds are conservative, the shard is kept
+    assert(LogPartitionReader.shardMayContain(f, "data/s1/ab.parquet"))
+  }
 }
