@@ -282,8 +282,24 @@ final class LogScan(table: String, fullSchema: StructType,
       }
     }
 
-  override def createReaderFactory(): PartitionReaderFactory =
-    new LogPartitionReaderFactory(requiredSchema)
+  /** The BATCH read path is VECTORIZED by default (ColumnarBatch via
+    * Spark's own parquet reader — see [[LogColumnarReader]]); it falls
+    * back to the row-based Group reader only where a row cursor is
+    * genuinely required. The decision is per SCAN (Spark forbids
+    * mixing columnar and row partitions) and CONSERVATIVE across
+    * runtime filtering: eligibility checks the unpruned entry set, and
+    * runtime pruning only shrinks it, so a columnar promise never
+    * meets a deletion-vectored partition. */
+  override def createReaderFactory(): PartitionReaderFactory = {
+    val specials = Set(LogStreamSource.RelPathCol, LogStreamSource.RowPosCol,
+      LogStreamSource.ChangeTypeCol, LogStreamSource.CommitVersionCol)
+    val columnar = options.getBoolean("vectorizedRead", true) &&
+      !readChangeFeed &&
+      groupedEntries().isEmpty && // SPJ chains a key group per task
+      allEntries.forall(_.dv.isEmpty) && // dv skipping needs a row cursor
+      !requiredSchema.fieldNames.exists(specials)
+    new LogPartitionReaderFactory(requiredSchema, columnar)
+  }
 
   /** Manifest-exact statistics of the PRUNED scan: live rows (dv rows
     * excluded) and recorded bytes. Zero file opens — this is the

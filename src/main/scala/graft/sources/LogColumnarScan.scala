@@ -1,0 +1,120 @@
+package graft.sources
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.read.PartitionReader
+import org.apache.spark.sql.execution.datasources.parquet.VectorizedParquetRecordReader
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.vectorized.{ColumnVector, ColumnarBatch}
+
+/** VECTORIZED (columnar) reader for one immutable graft-log data file —
+  * the batch DSv2 path's default read shape, replacing the row-based
+  * parquet `Group` decode wherever the partition qualifies (no deletion
+  * vectors, no metadata/CDF columns). This is the Iceberg/Delta batch
+  * shape: Spark's own `VectorizedParquetRecordReader` decodes column
+  * pages straight into `ColumnarBatch` vectors (dictionary-aware,
+  * null-bitmap bulk copies, no per-row boxing) and hands whole batches
+  * to whole-stage codegen through `ColumnarToRow`, which iterates
+  * vectors in a tight loop instead of materializing a
+  * `GenericInternalRow` per row. On a scan-bound query this is the
+  * difference between decoding 4096 values per virtual call and one.
+  *
+  * The reader initializes through the standard MR path
+  * (`ParquetReadSupport` resolves the requested Spark schema against
+  * the file footer), so per-file schema EVOLUTION keeps working: a
+  * column missing from an older file surfaces as an all-null vector —
+  * the same union semantics as the row reader. Hive partition-column
+  * constants ride as the reader's appended constant vectors
+  * (`initBatch`), then the output batch REORDERS vectors to the
+  * required schema's column order (Spark appends partition columns
+  * last; the scan's declared schema may interleave them).
+  *
+  * What stays on the row reader, and why:
+  *  - deletion-vectored entries — dead-position skipping needs a row
+  *    cursor (a selective ColumnarBatch has no public mask API);
+  *  - scans asking for row-identity / CDF metadata columns (row-level
+  *    DML, change feeds) — per-row constants with per-file values;
+  *  - storage-partitioned (grouped) scans — one task chains a key
+  *    group's files sequentially;
+  *  - the STREAMING micro-batch path — per-version file batches are
+  *    small and bounded, and the stream's value is latency, not decode
+  *    bandwidth.
+  */
+final class LogColumnarReader(part: LogInputPartition, schema: StructType)
+    extends PartitionReader[ColumnarBatch] {
+
+  LogSourceAudit.filesOpened.incrementAndGet()
+  LogSourceAudit.columnarOpened.incrementAndGet()
+
+  /** Hive partition constants present in the required schema. */
+  private val partConsts: Seq[(String, Option[String])] =
+    part.partValues.filter(pv => schema.fieldNames.contains(pv._1))
+  private val partColNames = partConsts.map(_._1).toSet
+  private val dataFields = schema.fields.filterNot(f => partColNames.contains(f.name))
+  private val partSchema = StructType(partConsts.map { case (c, _) => schema(c) })
+  private val partRow = InternalRow.fromSeq(partConsts.map { case (c, v) =>
+    v.map(raw => LogPartitionReader.partValue(raw, schema(c).dataType)).orNull
+  })
+
+  private val reader: VectorizedParquetRecordReader = {
+    val conf = new Configuration()
+    // the standard Spark parquet read-support resolves the requested
+    // Spark schema against the file footer (clipping handles per-file
+    // schema evolution; a missing column becomes an all-null vector)
+    conf.set("parquet.read.support.class",
+      "org.apache.spark.sql.execution.datasources.parquet.ParquetReadSupport")
+    conf.set("org.apache.spark.sql.parquet.row.requested_schema",
+      StructType(dataFields).json)
+    // the schema converter reads these five as raw strings — they must
+    // be present; values mirror the session defaults the writer used
+    conf.set("spark.sql.parquet.binaryAsString", "false")
+    conf.set("spark.sql.parquet.int96AsTimestamp", "true")
+    conf.set("spark.sql.caseSensitive", "false")
+    conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "true")
+    conf.set("spark.sql.legacy.parquet.nanosAsLong", "false")
+    // every graft-log file is written by THIS engine (Spark 4 staged
+    // writes or the task-side delta writer) — proleptic calendar, no
+    // legacy rebase; INT96 appears only via Spark's own writer
+    val r = new VectorizedParquetRecordReader(
+      null, "CORRECTED", "UTC", "CORRECTED", "UTC",
+      /* useOffHeap = */ false, /* capacity = */ 4096)
+    // the OLD mapred FileSplit (it extends the mapreduce one): Spark's
+    // base reader downcasts to it for the split's path/range
+    val split = new org.apache.hadoop.mapred.FileSplit(
+      new org.apache.hadoop.fs.Path(part.absPath), 0,
+      new java.io.File(part.absPath).length(), Array.empty[String])
+    val ctx = new org.apache.hadoop.mapreduce.task.TaskAttemptContextImpl(
+      conf, new org.apache.hadoop.mapreduce.TaskAttemptID())
+    r.initialize(split, ctx)
+    r.initBatch(partSchema, partRow)
+    r.enableReturningBatches()
+    r
+  }
+
+  /** The reader's own batch: data columns in requested order, then
+    * partition constants appended. */
+  private val raw: ColumnarBatch = reader.resultBatch()
+
+  /** Output batch: the SAME vectors, reordered to the required
+    * schema's column order (vector identity is stable across
+    * `nextBatch` calls — the reader refills in place). */
+  private val out: ColumnarBatch = {
+    val vecs: Array[ColumnVector] = schema.fields.map { f =>
+      if (partColNames.contains(f.name))
+        raw.column(dataFields.length + partSchema.fieldIndex(f.name))
+      else
+        raw.column(dataFields.indexWhere(_.name == f.name))
+    }
+    new ColumnarBatch(vecs)
+  }
+
+  override def next(): Boolean = {
+    val has = reader.nextKeyValue()
+    if (has) out.setNumRows(raw.numRows())
+    has
+  }
+
+  override def get(): ColumnarBatch = out
+
+  override def close(): Unit = reader.close()
+}

@@ -16,6 +16,7 @@ import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, 
 import org.apache.spark.sql.sources.DataSourceRegister
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.sql.vectorized.ColumnarBatch
 import org.apache.spark.unsafe.types.UTF8String
 import graft.core.SnapshotLog
 
@@ -472,12 +473,27 @@ final case class LogGroupedPartition(files: Seq[LogInputPartition],
   override def partitionKey(): InternalRow = new GenericInternalRow(keyVals.toArray)
 }
 
-final class LogPartitionReaderFactory(schema: StructType)
+/** `columnar=true` switches the BATCH scan to vectorized
+  * `ColumnarBatch` reads (see [[LogColumnarReader]]); the decision is
+  * made ONCE per scan (Spark requires all partitions of a scan to
+  * agree), so the flag arrives from `LogScan.createReaderFactory`.
+  * The streaming micro-batch path always passes false. */
+final class LogPartitionReaderFactory(schema: StructType,
+                                      columnar: Boolean = false)
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
     partition match {
       case g: LogGroupedPartition => new LogChainedReader(g.files, schema)
       case p: LogInputPartition => new LogPartitionReader(p, schema)
+    }
+
+  override def supportColumnarReads(partition: InputPartition): Boolean = columnar
+
+  override def createColumnarReader(partition: InputPartition): PartitionReader[ColumnarBatch] =
+    partition match {
+      case p: LogInputPartition if columnar => new LogColumnarReader(p, schema)
+      case p => throw new UnsupportedOperationException(
+        s"graft-log: no columnar read for $p")
     }
 }
 
@@ -758,4 +774,7 @@ object LogPartitionReader {
   * predicate opened EXACTLY the manifest-pruned file set. */
 object LogSourceAudit {
   val filesOpened = new java.util.concurrent.atomic.AtomicLong(0L)
+  /** Of those, files opened through the VECTORIZED batch reader —
+    * specs pin that the default batch path is columnar. */
+  val columnarOpened = new java.util.concurrent.atomic.AtomicLong(0L)
 }

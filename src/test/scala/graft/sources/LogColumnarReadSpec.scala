@@ -1,0 +1,132 @@
+package graft.sources
+
+import java.nio.file.Files
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkFixture
+import graft.core.SnapshotLog
+
+/** The VECTORIZED batch read path: plain `graft-log` batch scans
+  * execute columnar (ColumnarBatch through Spark's vectorized parquet
+  * reader + ColumnarToRow), match the row reader bit-for-bit across
+  * the type surface, keep schema evolution and partition constants,
+  * and fall back to the row reader exactly where a row cursor is
+  * required (deletion vectors, metadata columns, SPJ groups,
+  * streaming). */
+class LogColumnarReadSpec extends AnyFunSuite with SparkFixture {
+
+  private def freshTable(): String =
+    Files.createTempDirectory("graft_logcol_").toString
+
+  private def batchRead(t: String): DataFrame =
+    spark.read.format("graft-log").load(t)
+
+  /** (result, files opened, of which columnar). */
+  private def audited[A](body: => A): (A, Long, Long) = {
+    val f0 = LogSourceAudit.filesOpened.get()
+    val c0 = LogSourceAudit.columnarOpened.get()
+    val r = body
+    (r, LogSourceAudit.filesOpened.get() - f0,
+      LogSourceAudit.columnarOpened.get() - c0)
+  }
+
+  test("a plain batch scan is columnar: ColumnarToRow in the plan, every file vectorized") {
+    import spark.implicits._
+    val t = freshTable()
+    SnapshotLog.commit(spark,
+      (0 until 100).map(i => (i.toLong, s"p$i")).toDF("id", "payload")
+        .repartitionByRange(5, col("id")),
+      t, statsFor = Seq("id"))
+    val df = batchRead(t).filter(col("id") >= 20L && col("id") < 60L)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("ColumnarToRow"), s"batch scan must plan columnar:\n$plan")
+    val (kept, _) = SnapshotLog.prunedFilesWhere(t,
+      SnapshotLog.Pred.And(SnapshotLog.Pred.Between("id", 20.0, Double.PositiveInfinity),
+        SnapshotLog.Pred.Between("id", Double.NegativeInfinity, 60.0)))
+    val (got, nOpened, nColumnar) = audited {
+      df.select("id").collect().map(_.getLong(0)).toSet
+    }
+    assert(got == (20L until 60L).toSet)
+    assert(nOpened == kept.size.toLong && nColumnar == nOpened,
+      s"pruned set read vectorized: kept=${kept.size} opened=$nOpened columnar=$nColumnar")
+  }
+
+  test("columnar equals the row/library read across the flat type surface") {
+    import spark.implicits._
+    val t = freshTable()
+    val df = spark.range(0, 1000).select(
+      col("id"),
+      col("id").cast("int").as("i32"),
+      col("id").cast("smallint").as("i16"),
+      (col("id") % 100).cast("tinyint").as("i8"),
+      (col("id") * 1.5).as("d"),
+      col("id").cast("float").as("f"),
+      (col("id") % 2 === 0).as("b"),
+      concat(lit("s"), col("id")).as("s"),
+      encode(concat(lit("b"), col("id")), "UTF-8").as("bin"),
+      date_add(lit(java.sql.Date.valueOf("2020-01-01")), col("id").cast("int") % 365).as("dt"),
+      (col("id").cast("decimal(9,2)") / 7).as("dec9"),
+      (col("id").cast("decimal(38,10)") * 12345).as("dec38"),
+      to_timestamp(lit("2021-06-01 12:00:00")).as("ts"),
+      lit("2021-06-01 12:00:00").cast("timestamp_ntz").as("tsntz"),
+      when(col("id") % 10 === 0, lit(null)).otherwise(col("id")).as("maybe"))
+    SnapshotLog.commit(spark, df.repartition(3), t)
+    val viaColumnar = batchRead(t)
+    val viaLibrary = SnapshotLog.read(spark, t)
+    assert(viaColumnar.schema == viaLibrary.schema)
+    val cols = viaColumnar.schema.fieldNames.map(col).toSeq
+    assert(viaColumnar.orderBy("id").collect().toSeq ==
+      viaLibrary.select(cols: _*).orderBy("id").collect().toSeq,
+      "columnar read must be value-identical to the library parquet read")
+  }
+
+  test("schema evolution and hive partition constants survive the columnar path") {
+    import spark.implicits._
+    val t = freshTable()
+    // v1: two columns, partitioned; v2 widens with a third column
+    SnapshotLog.commit(spark,
+      Seq((1L, "en"), (2L, "de")).toDF("id", "lang"), t,
+      partitionBy = Seq("lang"))
+    SnapshotLog.commit(spark,
+      Seq((3L, "en", 9.5)).toDF("id", "lang", "score"), t,
+      partitionBy = Seq("lang"), append = true)
+    val (rows, _, nColumnar) = audited {
+      batchRead(t).orderBy("id")
+        .collect().map(r => (r.getLong(r.fieldIndex("id")),
+          r.getString(r.fieldIndex("lang")),
+          if (r.isNullAt(r.fieldIndex("score"))) None
+          else Some(r.getDouble(r.fieldIndex("score"))))).toSeq
+    }
+    assert(nColumnar > 0L, "evolved partitioned scan still vectorizes")
+    assert(rows == Seq((1L, "en", None), (2L, "de", None), (3L, "en", Some(9.5))))
+    // partition pruning composes: one partition directory, columnar
+    val (n, nOpened, nCol2) = audited {
+      batchRead(t).filter(col("lang") === "de").count()
+    }
+    assert(n == 1L && nOpened == 1L && nCol2 == 1L, s"$n/$nOpened/$nCol2")
+  }
+
+  test("deletion-vectored tables and metadata-column scans fall back to the row reader") {
+    import spark.implicits._
+    val t = freshTable()
+    SnapshotLog.commit(spark,
+      (0 until 100).map(i => (i.toLong, s"p$i")).toDF("id", "payload")
+        .repartitionByRange(5, col("id")),
+      t, statsFor = Seq("id"))
+    SnapshotLog.deleteWhere(spark, t, SnapshotLog.Pred.Between("id", 10.0, 19.0))
+    val (got, nOpened, nColumnar) = audited {
+      batchRead(t).select("id").collect().map(_.getLong(0)).toSet
+    }
+    assert(got == (0L until 100L).toSet -- (10L to 19L))
+    assert(nOpened == 5L && nColumnar == 0L,
+      s"dv table must read row-based: opened=$nOpened columnar=$nColumnar")
+    // metadata columns (row-level DML's scan shape) also stay row-based
+    val t2 = freshTable()
+    SnapshotLog.commit(spark, Seq((1L, "a")).toDF("id", "payload"), t2)
+    val (_, _, nCol2) = audited {
+      batchRead(t2).select(col("id"), col("_graft_rel"), col("_graft_pos")).collect()
+    }
+    assert(nCol2 == 0L, "metadata-column scans need the row reader")
+  }
+}
