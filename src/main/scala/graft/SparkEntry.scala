@@ -158,6 +158,7 @@ object SparkEntry {
     "log_spj"          -> (graft.sources.LogBatchQueries.logSpj _),
     "stream_log_sink"  -> (graft.sources.LogBatchQueries.streamLogSink _),
     "log_catalog_sql"  -> (graft.sources.LogCatalogQueries.catalogSql _),
+    "log_null_skip"    -> (graft.sources.LogBatchQueries.logNullSkip _),
     "log_sql_delete"   -> (graft.sources.LogBatchQueries.logSqlDelete _),
     "log_merge_into"   -> (graft.sources.LogBatchQueries.logMergeInto _),
     "schema_report"    -> ((s, d) => Catalog.schemaReport(s, d, "lineitem")),
@@ -2089,6 +2090,15 @@ object SparkEntry {
         |  min(o_totalprice) AS min_price,
         |  max(o_totalprice) AS max_price
         |FROM orders""".stripMargin,
+    "log_null_skip" -> // IS NOT NULL file skipping from per-file null
+      // counts: the all-null half of the key range never opens (plan
+      // pinned in LogNullStatsSpec); maybe_price is NULL exactly for
+      // keys <= max/2, so the oracle replays the gate relationally
+      """SELECT o_orderstatus, count(*) AS n_orders,
+        |  CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS total
+        |FROM orders
+        |WHERE o_orderkey > (SELECT max(o_orderkey) // 2 FROM orders)
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
     "log_spj" -> // storage-partitioned join: co-partitioned log tables
       // join with zero shuffle under v2 bucketing (plan pinned in
       // LogSpjSpec); values must equal the ordinary shuffled join

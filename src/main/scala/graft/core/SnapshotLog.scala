@@ -93,13 +93,21 @@ object SnapshotLog {
     * tiny sidecar instead of rewriting the files. `dvRows` counts the
     * dead positions (live rows = rows - dvRows). Bounds stay valid —
     * deletion only shrinks a file's row set. */
+  /** `nulls` records per-column NULL COUNTS for the indexed columns
+    * (Delta's nullCount): `0` proves `IS NULL` matches nothing in the
+    * file, `== rows` proves `IS NOT NULL` matches nothing AND lets
+    * metadata MIN/MAX treat a bound-less all-null file as provably
+    * ignorable instead of declining. Deletion vectors only shrink a
+    * file's row set, so both proofs survive them. A column absent
+    * from `nulls` has no recorded count (never pruned on). */
   final case class FileEntry(path: String, rows: Long,
                              num: Map[String, (Double, Double)] = Map.empty,
                              str: Map[String, (String, String)] = Map.empty,
                              schema: Option[String] = None,
                              bytes: Long = 0L,
                              dv: Option[String] = None,
-                             dvRows: Long = 0L)
+                             dvRows: Long = 0L,
+                             nulls: Map[String, Long] = Map.empty)
 
   /** What one commit DID: `append=false` with empty `removes`
     * redefines the table as exactly `adds`; `append=true` extends the
@@ -196,6 +204,10 @@ object SnapshotLog {
         val a = s.putArray(c); a.add(lo); a.add(hi)
       }
     }
+    if (e.nulls.nonEmpty) {
+      val nc = o.putObject("nc")
+      e.nulls.toSeq.sortBy(_._1).foreach { case (c, n) => nc.put(c, n) }
+    }
     o
   }
 
@@ -211,7 +223,11 @@ object SnapshotLog {
       bounds("num", _.asDouble()), bounds("str", _.asText()),
       bytes = Option(n.get("bytes")).map(_.asLong()).getOrElse(0L),
       dv = Option(n.get("dv")).map(_.asText()),
-      dvRows = Option(n.get("dvRows")).map(_.asLong()).getOrElse(0L))
+      dvRows = Option(n.get("dvRows")).map(_.asLong()).getOrElse(0L),
+      nulls = Option(n.get("nc")).map { m =>
+        m.properties().iterator().asScala.map(e =>
+          e.getKey -> e.getValue.asLong()).toMap
+      }.getOrElse(Map.empty))
   }
 
   private def recordToJson(r: CommitRecord): String = {
@@ -642,14 +658,15 @@ object SnapshotLog {
     val sch = stagedDf.schema
     val (strCols, numCols) = cols.partition(c =>
       sch(c).dataType == org.apache.spark.sql.types.StringType)
-    // the ONE staged-data pass: per physical file, row count and
-    // min/max of every indexed column in a single aggregate
+    // the ONE staged-data pass: per physical file, row count, min/max
+    // AND null count of every indexed column in a single aggregate
     val aggs = count(lit(1)).as("_rows") +:
-      (numCols.flatMap(c => Seq(
+      ((numCols.flatMap(c => Seq(
         min(numericView(col(c), sch(c).dataType)).as(s"lo:$c"),
         max(numericView(col(c), sch(c).dataType)).as(s"hi:$c"))) ++
        strCols.flatMap(c => Seq(
-         min(col(c)).as(s"slo:$c"), max(col(c)).as(s"shi:$c"))))
+         min(col(c)).as(s"slo:$c"), max(col(c)).as(s"shi:$c")))) ++
+       cols.map(c => count(col(c)).as(s"nn:$c")))
     val perFile = stagedDf
       .groupBy(input_file_name().as("_f"))
       .agg(aggs.head, aggs.tail: _*)
@@ -694,7 +711,12 @@ object SnapshotLog {
             else truncUpper(r.getString(ih)).map(hi =>
               c -> (truncLower(r.getString(il)), hi))
           }.toMap
-          FileEntry(rel, r.getLong(r.fieldIndex("_rows")), num, str, bytes = sz)
+          val rowsN = r.getLong(r.fieldIndex("_rows"))
+          // null counts recorded for EVERY indexed column — zero is the
+          // valuable case (it proves IS NULL matches nothing here)
+          val nulls = cols.map(c =>
+            c -> (rowsN - r.getLong(r.fieldIndex(s"nn:$c")))).toMap
+          FileEntry(rel, rowsN, num, str, bytes = sz, nulls = nulls)
       }
     }
     (stage, entries)
@@ -1175,6 +1197,11 @@ object SnapshotLog {
     final case class In(c: String, vs: Seq[Double]) extends Pred
     final case class StrEq(c: String, v: String) extends Pred
     final case class StrIn(c: String, vs: Seq[String]) extends Pred
+    /** Provable only from recorded null counts: a file with nc=0 for
+      * `c` cannot match IS NULL. */
+    final case class IsNull(c: String) extends Pred
+    /** A file with nc=rows (all null) cannot match IS NOT NULL. */
+    final case class NotNull(c: String) extends Pred
     final case class And(ps: Pred*) extends Pred
     final case class Or(ps: Pred*) extends Pred
   }
@@ -1207,6 +1234,8 @@ object SnapshotLog {
         e.str.get(c).forall { case (l, h) => u8Lte(l, v) && u8Lte(v, h) }
       case Pred.StrIn(c, vs) =>
         e.str.get(c).forall { case (l, h) => vs.exists(v => u8Lte(l, v) && u8Lte(v, h)) }
+      case Pred.IsNull(c) => e.nulls.get(c).forall(_ > 0L)
+      case Pred.NotNull(c) => e.nulls.get(c).forall(_ < e.rows)
       case Pred.And(ps @ _*) => ps.forall(mightMatch(e, _))
       case Pred.Or(ps @ _*) => ps.exists(mightMatch(e, _))
     }
@@ -1248,6 +1277,8 @@ object SnapshotLog {
       case Pred.In(c, vs) => num(c).isin(vs.map(Double.box): _*)
       case Pred.StrEq(c, v) => raw(c) === v
       case Pred.StrIn(c, vs) => raw(c).isin(vs: _*)
+      case Pred.IsNull(c) => raw(c).isNull
+      case Pred.NotNull(c) => raw(c).isNotNull
       case Pred.And(ps @ _*) => ps.map(predColumn(df, _)).reduce(_ && _)
       case Pred.Or(ps @ _*) => ps.map(predColumn(df, _)).reduce(_ || _)
     }

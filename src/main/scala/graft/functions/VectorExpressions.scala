@@ -132,6 +132,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectOptimizerRule(_ => DotProductRewrite)
     // whole-operator extension (tier (c)): the native as-of join
     ext.injectPlannerStrategy(_ => graft.plans.AsofJoinStrategy)
+    // runtime source-key file pruning for merge-on-read SQL DML —
+    // preCBO so the V2 scans already exist when the rule fires
+    ext.injectPreCBORule(_ => graft.plans.MergeRuntimeFilePruning)
   }
 }
 

@@ -234,7 +234,11 @@ final class LogScan(table: String, fullSchema: StructType,
       val prunable = allEntries.flatMap(e =>
         e.num.keys ++ e.str.keys ++
           LogBatchScan.partitionValues(e.path).map(_._1)).distinct
-      prunable.filter(fullSchema.fieldNames.contains)
+      // REQUIRED schema, not the table schema: Spark resolves these
+      // against the scan's pruned output (PartitionPruning's
+      // resolveRefs fails loudly on a column the projection dropped —
+      // e.g. a stats-tracked column a MERGE target scan never reads)
+      prunable.filter(requiredSchema.fieldNames.contains)
         .map(Expressions.column).toArray
     }
 
@@ -327,10 +331,14 @@ final class LogScan(table: String, fullSchema: StructType,
   *  - COUNT(*): per-entry `rows - dvRows` is exact by construction
   *    (the stage-write counted rows; deletion vectors carry their
   *    cardinality). Always answerable.
+  *  - COUNT(c): `liveRows - sum(null counts)` — answerable when every
+  *    live entry records a null count for `c` and none carries a
+  *    deletion vector.
   *  - MIN(c)/MAX(c): per-file bounds are the true file min/max CAST
   *    TO DOUBLE — answerable only when (a) every live entry records
-  *    bounds for `c` (a bound-less file could hide the extremum; an
-  *    all-null file also records none — declining is conservative),
+  *    bounds for `c` OR is provably all-null for it (recorded null
+  *    count == rows — such entries contribute nothing; a bound-less
+  *    file without that proof could hide the extremum),
   *    (b) no entry carries a deletion vector (a dead row may BE the
   *    recorded bound), and (c) the bound double provably round-trips
   *    the column type (|b| < 2^53 for integral columns — a long cast
@@ -343,7 +351,7 @@ final class LogScan(table: String, fullSchema: StructType,
   *    scans: decline, Spark computes normally.
   */
 object LogMetaAggregates {
-  import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, CountStar, Max, Min}
+  import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, Count, CountStar, Max, Min}
   private val Exact = 9007199254740992.0 // 2^53: doubles are integral-exact below
 
   def resolve(table: String, schema: StructType,
@@ -370,7 +378,10 @@ object LogMetaAggregates {
       }
 
     /** The extremum of `c` from bounds, as a catalyst value of the
-      * column's type — None declines the whole push. */
+      * column's type — None declines the whole push. An entry whose
+      * recorded null count equals its rows is PROVABLY all-null for
+      * `c`: it contributes nothing to MIN/MAX and is skipped instead
+      * of declining on its (legitimately) missing bounds. */
     def bound(c: String, lower: Boolean): Option[(DataType, Any)] = {
       val dt = schema.fields.find(_.name == c).map(_.dataType).getOrElse(return None)
       val ok = dt match {
@@ -381,7 +392,9 @@ object LogMetaAggregates {
       if (!ok) return None
       if (entries.exists(_.dv.isDefined)) return None
       if (liveRows == 0L) return Some((dt, null)) // MIN/MAX of empty = null
-      val bs = entries.map(_.num.get(c).map(b => if (lower) b._1 else b._2))
+      val contributing = entries.filterNot(e => e.nulls.get(c).contains(e.rows))
+      if (contributing.isEmpty) return Some((dt, null)) // every row null
+      val bs = contributing.map(_.num.get(c).map(b => if (lower) b._1 else b._2))
       if (bs.exists(_.isEmpty)) return None
       val d = if (lower) bs.flatten.min else bs.flatten.max
       val v: Any = dt match {
@@ -400,8 +413,21 @@ object LogMetaAggregates {
       Some((dt, v))
     }
 
+    /** COUNT(c) = live rows minus recorded nulls — exact when every
+      * entry records a null count for `c` and none carries a deletion
+      * vector (a dead row may be one of the counted nulls). */
+    def countCol(c: String): Option[Long] = {
+      if (!schema.fieldNames.contains(c)) return None
+      if (entries.exists(_.dv.isDefined)) return None
+      val ns = entries.map(_.nulls.get(c))
+      if (ns.exists(_.isEmpty)) None else Some(liveRows - ns.flatten.sum)
+    }
+
     val resolved = agg.aggregateExpressions().toSeq.map {
       case _: CountStar => Some((LongType: DataType, liveRows: Any, false))
+      case cnt: Count if !cnt.isDistinct =>
+        singleCol(cnt.column()).flatMap(countCol)
+          .map(n => (LongType: DataType, n: Any, false))
       case m: Min => singleCol(m.column()).flatMap(bound(_, lower = true))
         .map { case (dt, v) => (dt, v, true) }
       case m: Max => singleCol(m.column()).flatMap(bound(_, lower = false))
@@ -417,6 +443,19 @@ object LogMetaAggregates {
 }
 
 object LogBatchScan {
+  /** Columns the manifest can file-skip on at the HEAD version
+    * (indexed stats columns + hive partition columns) — the same set
+    * `LogScan.filterAttributes` reports, computable without a built
+    * scan (used by the merge runtime-pruning rule, which may fire
+    * before scan pushdown). */
+  private[graft] def prunableColumns(table: String,
+                                     schema: StructType): Seq[String] =
+    SnapshotLog.latestVersion(table).toSeq.flatMap { v =>
+      SnapshotLog.resolve(table, v).entries.flatMap(e =>
+        e.num.keys ++ e.str.keys ++ partitionValues(e.path).map(_._1))
+        .distinct.filter(schema.fieldNames.contains)
+    }
+
   /** Hive `col=value` path segments of a staged entry as decoded raw
     * strings; None encodes `__HIVE_DEFAULT_PARTITION__` (null). */
   private[sources] def partitionValues(relPath: String): Seq[(String, Option[String])] = {
@@ -464,8 +503,10 @@ object LogBatchScan {
     else {
       var num = e.num
       var str = e.str
+      var nulls = e.nulls
       pvs.foreach {
         case (c, Some(v)) =>
+          nulls += c -> 0L // a present partition value: no row is null
           schema.fields.find(_.name == c).map(_.dataType).foreach {
             case StringType => str += c -> (v, v)
             case ByteType | ShortType | IntegerType | LongType |
@@ -474,9 +515,10 @@ object LogBatchScan {
               catch { case _: NumberFormatException => () }
             case _ => ()
           }
-        case _ => () // null partition value: no bounds, never pruned
+        case (c, None) => // __HIVE_DEFAULT_PARTITION__: every row null
+          nulls += c -> e.rows
       }
-      e.copy(num = num, str = str)
+      e.copy(num = num, str = str, nulls = nulls)
     }
   }
 }
@@ -701,6 +743,32 @@ object LogBatchQueries {
     } finally spark.sql("DROP TABLE graft_merge_t")
   }
 
+  /** IS [NOT] NULL file skipping from recorded per-file NULL COUNTS
+    * (Delta's nullCount): the staged layout key-clusters orders so the
+    * low-key half's files are ALL-null for `maybe_price` — the
+    * `IS NOT NULL` filter prunes them at planning time from manifest
+    * counts alone (a spec pins the opened-file set), and the surviving
+    * aggregate is oracle-exact. */
+  def logNullSkip(spark: SparkSession, dir: String): DataFrame = {
+    val t = graft.core.TempDirs.stable(s"lognull:$dir")
+    graft.core.TempDirs.deleteRecursively(new java.io.File(t))
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(t))
+    val orders0 = graft.core.Tables.orders(spark, dir)
+    val half = orders0.agg(max("o_orderkey")).head().getLong(0) / 2L
+    val orders = orders0.select(col("o_orderkey"), col("o_orderstatus"),
+      when(col("o_orderkey") <= half, lit(null).cast("double"))
+        .otherwise(col("o_totalprice")).as("maybe_price"))
+    SnapshotLog.commit(spark, orders.repartitionByRange(6, col("o_orderkey")),
+      t, statsFor = Seq("o_orderkey", "maybe_price"))
+    spark.read.format("graft-log").load(t)
+      .filter(col("maybe_price").isNotNull)
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n_orders"),
+        round(sum(col("maybe_price").cast("decimal(18,2)")), 2)
+          .cast("double").as("total"))
+      .orderBy("o_orderstatus")
+  }
+
   /** Deletion vectors apply inside the batch relation, composed with
     * filter pushdown: the scan opens only bound-overlapping files and
     * the reader skips the vectored positions. */
@@ -802,6 +870,8 @@ object LogFilters {
       case In(a, vs) if vs.nonEmpty =>
         val ps = vs.toSeq.map(exact)
         if (ps.exists(_.isEmpty)) None else Some(Pred.In(a, ps.map(_.get)))
+      case IsNull(a) => Some(Pred.IsNull(a)) // row-exact by definition
+      case IsNotNull(a) => Some(Pred.NotNull(a))
       case And(l, r) => for { a <- toExactPred(l); b <- toExactPred(r) } yield Pred.And(a, b)
       case Or(l, r) => for { a <- toExactPred(l); b <- toExactPred(r) } yield Pred.Or(a, b)
       case _ => None
@@ -829,11 +899,13 @@ object LogFilters {
       else Some(Pred.Or(ps.map { p =>
         val (d, s) = p.get; Pred.Between(a, d - s, d + s): Pred
       }: _*))
+    case IsNull(a) => Some(Pred.IsNull(a))
+    case IsNotNull(a) => Some(Pred.NotNull(a))
     case And(l, r) => (toPred(l), toPred(r)) match {
       case (Some(a), Some(b)) => Some(Pred.And(a, b))
       case (a, b) => a.orElse(b) // half a conjunction still prunes soundly
     }
     case Or(l, r) => for { a <- toPred(l); b <- toPred(r) } yield Pred.Or(a, b)
-    case _ => None // IsNull/IsNotNull/Not/StartsWith: bounds cannot prove these
+    case _ => None // Not/StartsWith: bounds cannot prove these
   }
 }

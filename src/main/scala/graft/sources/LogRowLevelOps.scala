@@ -90,7 +90,8 @@ final class LogDeltaWrite(table: String, insertSchema: StructType,
       val msgs = messages.toSeq.map(_.asInstanceOf[LogDeltaCommitMessage])
       val insertAdds = msgs.flatMap(_.inserts).map { f =>
         FileEntry(f.relPath, f.rows, num = f.numBounds,
-          schema = Some(insertSchema.json), bytes = f.bytes)
+          schema = Some(insertSchema.json), bytes = f.bytes,
+          nulls = f.nullCounts)
       }
       val posCounts = msgs.flatMap(_.deleteCounts).groupBy(_._1)
         .map { case (p, cs) => p -> cs.map(_._2).sum }
@@ -113,7 +114,8 @@ final class LogDeltaWrite(table: String, insertSchema: StructType,
 }
 
 final case class LogDeltaInsertFile(relPath: String, rows: Long, bytes: Long,
-                                    numBounds: Map[String, (Double, Double)])
+                                    numBounds: Map[String, (Double, Double)],
+                                    nullCounts: Map[String, Long])
 
 final case class LogDeltaCommitMessage(
     inserts: Seq[LogDeltaInsertFile],
@@ -165,9 +167,10 @@ final class LogDeltaWriter(table: String, stage: String,
       else {
         val rows = insertW.rowCount
         val bounds = insertW.numBounds
+        val nulls = insertW.nullCounts
         insertW.close()
         Seq(LogDeltaInsertFile(insertRel, rows,
-          new java.io.File(s"$table/$insertRel").length(), bounds))
+          new java.io.File(s"$table/$insertRel").length(), bounds, nulls))
       }
     if (deleteW != null) deleteW.close()
     LogDeltaCommitMessage(inserts, deadByPath.toSeq)
@@ -251,6 +254,7 @@ final class InternalRowParquetWriter(path: String, schema: StructType) {
   }
   private val numLo = Array.fill(schema.length)(Double.PositiveInfinity)
   private val numHi = Array.fill(schema.length)(Double.NegativeInfinity)
+  private val numNulls = Array.fill(schema.length)(0L)
 
   /** Recorded bounds: column -> (lo, hi) for numeric columns that saw
     * at least one non-null value. */
@@ -258,11 +262,18 @@ final class InternalRowParquetWriter(path: String, schema: StructType) {
     numIdx.iterator.filter(i => numLo(i) <= numHi(i))
       .map(i => schema(i).name -> (numLo(i), numHi(i))).toMap
 
+  /** Per-column null counts for the tracked numeric columns — keeps
+    * IS [NOT] NULL skipping and metadata COUNT(c) alive on
+    * DML-inserted files too. */
+  def nullCounts: Map[String, Long] =
+    numIdx.iterator.map(i => schema(i).name -> numNulls(i)).toMap
+
   def write(r: InternalRow): Unit = {
     val g = factory.newGroup()
     var j = 0
     while (j < numIdx.length) {
       val i = numIdx(j)
+      if (r.isNullAt(i)) numNulls(i) += 1L
       if (!r.isNullAt(i)) {
         val d = schema(i).dataType match {
           case LongType => r.getLong(i).toDouble

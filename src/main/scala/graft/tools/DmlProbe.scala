@@ -27,6 +27,7 @@ object DmlProbe {
     val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val factors = if (args.length > 1) args.drop(1).map(_.toInt).toSeq else Seq(1, 8)
     val spark = SparkSession.builder()
+      .withExtensions(new graft.functions.GraftExtensions)
       .master("local[8]")
       .config("spark.sql.shuffle.partitions", "8")
       .config("spark.sql.session.timeZone", "UTC")
