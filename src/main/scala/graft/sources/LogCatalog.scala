@@ -40,7 +40,8 @@ import graft.core.SnapshotLog
   * list tables, :108-120 schemas, :263-278 CREATE TABLE, :93-106
   * swap) re-expressed as a Spark catalog plugin instead of psql
   * calls. */
-class LogCatalog extends TableCatalog with SupportsNamespaces {
+class LogCatalog extends TableCatalog with SupportsNamespaces
+    with org.apache.spark.sql.connector.catalog.ProcedureCatalog {
 
   private var catalogName: String = _
   private var root: Path = _
@@ -257,6 +258,133 @@ class LogCatalog extends TableCatalog with SupportsNamespaces {
       true
     }
   }
+
+  // -------------------------------------------------------- procedures
+  /** SQL MAINTENANCE surface (Iceberg's stored-procedure shape,
+    * Spark 4's `ProcedureCatalog`): `CALL graft.system.optimize(...)`,
+    * `vacuum`, `history`, `restore` — the operations `tools/Cli`
+    * exposes, now first-class SQL statements through the catalog. The
+    * `tbl` argument is a catalog-relative table name (`ns.table`). */
+  override def listProcedures(namespace: Array[String])
+      : Array[Identifier] =
+    LogProcedures.names.map(n => Identifier.of(Array("system"), n)).toArray
+
+  override def loadProcedure(ident: Identifier)
+      : org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure = {
+    require(ident.namespace().isEmpty || ident.namespace().sameElements(Array("system")),
+      s"graft procedures live in the system namespace, got ${ident.namespace().mkString(".")}")
+    LogProcedures.load(ident.name(), name => {
+      val parts = name.split("\\.")
+      val tid = Identifier.of(parts.init, parts.last)
+      val p = tablePath(tid)
+      if (!isTable(p)) throw new NoSuchTableException(tid)
+      p.toString
+    })
+  }
+}
+
+/** The graft catalog's stored procedures. Each binds a fixed parameter
+  * list and returns ONE driver-local result set (the log operations
+  * are metadata-sized by construction). */
+object LogProcedures {
+  import org.apache.spark.sql.catalyst.InternalRow
+  import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure, ProcedureParameter, UnboundProcedure}
+  import org.apache.spark.sql.connector.read.{LocalScan, Scan}
+  import org.apache.spark.sql.types._
+  import org.apache.spark.unsafe.types.UTF8String
+
+  val names: Seq[String] = Seq("optimize", "vacuum", "history", "restore")
+
+  private final class ResultScan(schema: StructType, rows: Seq[Seq[Any]],
+                                 what: String) extends LocalScan {
+    override def readSchema(): StructType = schema
+    override def rows(): Array[InternalRow] =
+      rows.map(r => InternalRow.fromSeq(r)).toArray
+    override def description(): String = s"graft procedure $what"
+  }
+
+  private def one(scan: Scan): java.util.Iterator[Scan] =
+    java.util.Collections.singletonList(scan).iterator()
+
+  private def param(n: String, dt: DataType): ProcedureParameter =
+    ProcedureParameter.in(n, dt).build()
+  private def paramD(n: String, dt: DataType, default: String): ProcedureParameter =
+    ProcedureParameter.in(n, dt).defaultValue(default).build()
+
+  def load(procName: String, resolve: String => String): UnboundProcedure =
+    procName.toLowerCase match {
+      case "optimize" => unbound("optimize",
+        Array(param("tbl", StringType),
+          paramD("target_files", IntegerType, "1"),
+          paramD("cluster_by", StringType, "NULL")),
+        (in, spark) => {
+          val t = resolve(in.getUTF8String(0).toString)
+          val cluster =
+            if (in.isNullAt(2)) Seq.empty[String]
+            else in.getUTF8String(2).toString.split(",").map(_.trim).filter(_.nonEmpty).toSeq
+          val v = graft.core.SnapshotLog.compact(spark, t,
+            targetFiles = in.getInt(1), clusterBy = cluster)
+          one(new ResultScan(
+            StructType(Seq(StructField("compacted_version", LongType, nullable = false))),
+            Seq(Seq(v)), "optimize"))
+        })
+      case "vacuum" => unbound("vacuum",
+        Array(param("tbl", StringType),
+          paramD("keep_last", IntegerType, "1")),
+        (in, spark) => {
+          val t = resolve(in.getUTF8String(0).toString)
+          val head = graft.core.SnapshotLog.latestVersion(t)
+            .getOrElse(sys.error(s"no committed version in $t"))
+          val keepFrom = math.max(1L, head - in.getInt(1) + 1L)
+          val removed = graft.core.SnapshotLog.vacuum(t, keepFrom)
+          one(new ResultScan(
+            StructType(Seq(StructField("keep_from", LongType, nullable = false),
+              StructField("removed_files", LongType, nullable = false))),
+            Seq(Seq(keepFrom, removed.size.toLong)), "vacuum"))
+        })
+      case "history" => unbound("history",
+        Array(param("tbl", StringType)),
+        (in, spark) => {
+          val t = resolve(in.getUTF8String(0).toString)
+          val rows = graft.core.SnapshotLog.history(spark, t).collect().toSeq
+            .map(r => Seq[Any](r.getLong(0), UTF8String.fromString(r.getString(1)),
+              r.getLong(2), r.getLong(3)))
+          one(new ResultScan(
+            StructType(Seq(StructField("version", LongType, nullable = false),
+              StructField("kind", StringType, nullable = false),
+              StructField("row_count", LongType, nullable = false),
+              StructField("n_files", LongType, nullable = false))),
+            rows, "history"))
+        })
+      case "restore" => unbound("restore",
+        Array(param("tbl", StringType), param("version", LongType)),
+        (in, spark) => {
+          val t = resolve(in.getUTF8String(0).toString)
+          val v = graft.core.SnapshotLog.restore(spark, t, in.getLong(1))
+          one(new ResultScan(
+            StructType(Seq(StructField("restored_as_version", LongType, nullable = false))),
+            Seq(Seq(v)), "restore"))
+        })
+      case other => sys.error(
+        s"unknown graft procedure $other (have: ${names.mkString(", ")})")
+    }
+
+  private def unbound(procName: String, params: Array[ProcedureParameter],
+                      body: (InternalRow, org.apache.spark.sql.SparkSession)
+                        => java.util.Iterator[Scan]): UnboundProcedure =
+    new UnboundProcedure {
+      override def name(): String = procName
+      override def description(): String = s"graft-log $procName"
+      override def bind(inputType: StructType): BoundProcedure =
+        new BoundProcedure {
+          override def name(): String = procName
+          override def description(): String = s"graft-log $procName"
+          override def parameters(): Array[ProcedureParameter] = params
+          override def isDeterministic: Boolean = false
+          override def call(input: InternalRow): java.util.Iterator[Scan] =
+            body(input, org.apache.spark.sql.SparkSession.active)
+        }
+    }
 }
 
 /** Declared query: the NAMED-catalog SQL lifecycle end-to-end —

@@ -134,4 +134,84 @@ class LogCatalogSpec extends AnyFunSuite with SparkFixture {
     intercept[Exception] { spark.sql("CREATE TABLE graft.nope.t (id INT)") }
     intercept[Exception] { spark.sql("SELECT * FROM graft.a.missing") }
   }
+
+  test("CALL procedures: optimize, history, vacuum, restore through SQL") {
+    root
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.maint")
+    spark.sql("CREATE TABLE graft.maint.t AS SELECT id FROM range(100)")
+    spark.sql("INSERT INTO graft.maint.t SELECT id FROM range(100, 150)")
+    spark.sql("INSERT INTO graft.maint.t SELECT id FROM range(150, 200)")
+    val t = s"$root/maint/t"
+    val preVersions = SnapshotLog.versions(t).size
+
+    // OPTIMIZE by SQL: one maintenance commit, content identical
+    val v = spark.sql("CALL graft.system.optimize('maint.t')")
+      .collect().head.getLong(0)
+    assert(v == preVersions + 1L)
+    assert(SnapshotLog.readRecord(t, v).kind == "optimize")
+    assert(spark.sql("SELECT count(*) AS n FROM graft.maint.t")
+      .collect().head.getLong(0) == 200L)
+
+    // HISTORY by SQL: every version with its kind
+    val hist = spark.sql("CALL graft.system.history('maint.t')")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(hist(v) == "optimize" && hist(1L) == "replace")
+    assert(hist.size == preVersions + 1)
+
+    // RESTORE by SQL: head content equals the asked version's
+    // (v1 = CREATE's empty commit, v2 = the CTAS select's 100 rows,
+    // v3 = +50, v4 = +50)
+    val restored = spark.sql("CALL graft.system.restore('maint.t', 3)")
+      .collect().head.getLong(0)
+    assert(restored == v + 1L)
+    assert(spark.sql("SELECT count(*) AS n FROM graft.maint.t")
+      .collect().head.getLong(0) == 150L)
+
+    // VACUUM by SQL: old versions' files retire; the head still reads
+    val vac = spark.sql("CALL graft.system.vacuum('maint.t', keep_last => 1)")
+      .collect().head
+    assert(vac.getLong(0) == restored && vac.getLong(1) > 0,
+      s"vacuum must retire files unreferenced by the head: $vac")
+    assert(spark.sql("SELECT count(*) AS n FROM graft.maint.t")
+      .collect().head.getLong(0) == 150L)
+    intercept[Exception] {
+      spark.sql(s"SELECT * FROM graft.maint.t VERSION AS OF 3").collect()
+    }
+  }
+
+  test("SQL optimize + vacuum mid-stream is a non-event for a live consumer") {
+    root
+    // the r10 optimize-mid-stream guarantee, re-driven through the SQL
+    // surface: a nightly CALL optimize + CALL vacuum while a graft-log
+    // consumer is live must not change what the consumer delivers
+    import org.apache.spark.sql.streaming.Trigger
+    def drain(t: String, checkpoint: String, out: String): Set[Long] = {
+      val q = spark.readStream.format("graft-log").load(t)
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", checkpoint)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      spark.read.parquet(out).select("id").collect().map(_.getLong(0)).toSet
+    }
+    def run(maintain: Boolean, name: String): Set[Long] = {
+      spark.sql(s"CREATE NAMESPACE IF NOT EXISTS graft.ms")
+      spark.sql(s"DROP TABLE IF EXISTS graft.ms.$name")
+      spark.sql(s"CREATE TABLE graft.ms.$name AS SELECT id FROM range(3)")
+      spark.sql(s"INSERT INTO graft.ms.$name SELECT id FROM range(3, 5)")
+      val t = s"$root/ms/$name"
+      val checkpoint = Files.createTempDirectory("graft_cat_ck_").toString
+      val out = Files.createTempDirectory("graft_cat_out_").toString
+      drain(t, checkpoint, out) // consumer catches up
+      if (maintain) {
+        spark.sql(s"CALL graft.system.optimize('ms.$name')")
+        spark.sql(s"CALL graft.system.vacuum('ms.$name', keep_last => 2)")
+      }
+      spark.sql(s"INSERT INTO graft.ms.$name SELECT id FROM range(5, 8)")
+      drain(t, checkpoint, out) // resumes from its checkpoint
+    }
+    val plain = run(maintain = false, "plain")
+    val maintained = run(maintain = true, "maint")
+    assert(maintained == plain && plain == (0L until 8L).toSet,
+      s"SQL maintenance changed the consumer's view: $maintained vs $plain")
+  }
 }
