@@ -59,15 +59,20 @@ object SnapshotLog {
   /** How often the committer publishes a full-state checkpoint. */
   val checkpointEvery: Int = 20
 
-  /** Log format version stamped into every record and checkpoint
-    * (`"fmt"`). Readers accept records up to this version and fail
-    * with an explicit unsupported-format message beyond it — the
+  /** Highest log format version this reader supports (`"fmt"`).
+    * Readers accept records up to this version and fail with an
+    * explicit unsupported-format message beyond it — the
     * Delta/Iceberg protocol-version hook, so future format evolution
     * is DETECTED instead of surfacing as "corrupt". A record with no
-    * `fmt` field is the fmt-1 (round-9) layout, which this reader
-    * still understands (fmt 2 only ADDS optional fields: `remove`,
-    * `cdc`, `dataChange`). */
-  val formatVersion: Int = 2
+    * `fmt` field is the fmt-1 (round-9) layout. Records are stamped
+    * with the MINIMUM version that understands them (Delta's
+    * protocol-minimum pattern): fmt 2 for the additive-optional fields
+    * (`remove`, `cdc`, `dataChange`, `nc`), fmt 3 only when the record
+    * carries COLUMN MAPPING (`colmap`/`dropcols`) — a reader ignoring
+    * those would misname or resurrect columns, so it must fail. */
+  val formatVersion: Int = 3
+  private def minFmt(r: CommitRecord): Int =
+    if (r.colmap.isDefined || r.dropped.isDefined) 3 else 2
 
   /** Longest string kept in a manifest bound (code points). Iceberg
     * truncates bounds the same way: a lower bound truncates to a
@@ -125,6 +130,13 @@ object SnapshotLog {
     * commit (compaction/re-clustering) whose logical content is
     * IDENTICAL to the previous version — change-feed consumers skip it
     * instead of failing. */
+  /** `colmap`/`dropped` carry COLUMN MAPPING changes (Delta's
+    * columnMapping, name mode): physical file column names are
+    * immutable; `colmap` lists (logical -> physical) for every RENAMED
+    * column and `dropped` the physical names excluded from reads.
+    * When present the record REPLACES the table's mapping (full value,
+    * not a delta) and stamps fmt 3 — a reader ignoring the field would
+    * misname or resurrect columns, so old readers must fail loudly. */
   final case class CommitRecord(version: Long, append: Boolean,
                                 adds: Seq[FileEntry],
                                 txn: Option[(String, Long)] = None,
@@ -132,19 +144,39 @@ object SnapshotLog {
                                 removes: Seq[String] = Seq.empty,
                                 cdc: Seq[FileEntry] = Seq.empty,
                                 cdcSchema: Option[String] = None,
-                                dataChange: Boolean = true) {
+                                dataChange: Boolean = true,
+                                colmap: Option[Seq[(String, String)]] = None,
+                                dropped: Option[Seq[String]] = None) {
     def rows: Long = adds.map(_.rows).sum
-    /** append | replace | rewrite | optimize — what this commit did. */
+    /** append | replace | rewrite | optimize | schema — what this commit did. */
     def kind: String =
-      if (!dataChange) "optimize"
+      if (colmap.isDefined || dropped.isDefined) "schema"
+      else if (!dataChange) "optimize"
       else if (removes.nonEmpty) "rewrite"
       else if (append) "append" else "replace"
   }
 
-  /** Resolved table state at a version: the exact live file set and
-    * the high-water batchId per idempotent writer. */
+  /** Resolved table state at a version: the exact live file set, the
+    * high-water batchId per idempotent writer, and the column mapping
+    * (logical -> physical renames + dropped physical names). */
   final case class TableState(version: Long, entries: Seq[FileEntry],
-                              txns: Map[String, Long])
+                              txns: Map[String, Long],
+                              colmap: Seq[(String, String)] = Seq.empty,
+                              dropped: Seq[String] = Seq.empty) {
+    def mapped: Boolean = colmap.nonEmpty || dropped.nonEmpty
+    /** Physical file-column name of a logical column (identity when
+      * never renamed). */
+    def physOf(l: String): String =
+      colmap.find(_._1 == l).map(_._2).getOrElse(l)
+    /** Logical name a physical file column surfaces under; None when
+      * the column was dropped. */
+    def logicalOf(p: String): Option[String] =
+      if (dropped.contains(p)) None
+      else colmap.find(_._2 == p).map(_._1)
+        // a physical name that IS some other column's logical name is
+        // shadowed by the rename, not surfaced twice
+        .orElse(if (colmap.exists(_._1 == p)) None else Some(p))
+  }
 
   /** Back-compat aligned-arrays view of a resolved version (what the
     * pre-checkpoint log exposed): `rowCount` is the rows THIS commit
@@ -232,8 +264,16 @@ object SnapshotLog {
 
   private def recordToJson(r: CommitRecord): String = {
     val o = mapper.createObjectNode()
-    o.put("fmt", formatVersion)
+    o.put("fmt", minFmt(r))
     o.put("version", r.version); o.put("append", r.append); o.put("rows", r.rows)
+    r.colmap.foreach { m =>
+      val a = o.putArray("colmap")
+      m.foreach { case (l, p) => val e = a.addArray(); e.add(l); e.add(p); () }
+    }
+    r.dropped.foreach { d =>
+      val a = o.putArray("dropcols")
+      d.foreach(a.add)
+    }
     r.txn.foreach { case (app, batch) =>
       val t = o.putObject("txn"); t.put("app", app); t.put("batch", batch)
     }
@@ -329,18 +369,37 @@ object SnapshotLog {
       case a: ArrayNode => (0 until a.size()).map(a.get(_).asText())
       case _ => sys.error(s"corrupt commit record v$v: remove is not an array")
     }.getOrElse(Seq.empty[String])
+    val colmap = Option(n.get("colmap")).map {
+      case a: ArrayNode => (0 until a.size()).map { i =>
+        (a.get(i).get(0).asText(), a.get(i).get(1).asText())
+      }
+      case _ => sys.error(s"corrupt commit record v$v: colmap is not an array")
+    }
+    val dropped = Option(n.get("dropcols")).map {
+      case a: ArrayNode => (0 until a.size()).map(a.get(_).asText()): Seq[String]
+      case _ => sys.error(s"corrupt commit record v$v: dropcols is not an array")
+    }
     CommitRecord(n.get("version").asLong(), n.get("append").asBoolean(),
       adds, txn, schema,
       removes = removes,
       cdc = entriesOf("cdc").map(_.copy(schema = cdcSchema)),
       cdcSchema = cdcSchema,
-      dataChange = Option(n.get("dataChange")).forall(_.asBoolean()))
+      dataChange = Option(n.get("dataChange")).forall(_.asBoolean()),
+      colmap = colmap, dropped = dropped)
   }
 
   private def stateToJson(st: TableState): String = {
     val o = mapper.createObjectNode()
-    o.put("fmt", formatVersion)
+    o.put("fmt", if (st.mapped) 3 else 2)
     o.put("version", st.version)
+    if (st.colmap.nonEmpty) {
+      val a = o.putArray("colmap")
+      st.colmap.foreach { case (l, p) => val e = a.addArray(); e.add(l); e.add(p); () }
+    }
+    if (st.dropped.nonEmpty) {
+      val a = o.putArray("dropcols")
+      st.dropped.foreach(a.add)
+    }
     val t = o.putObject("txns")
     st.txns.toSeq.sortBy(_._1).foreach { case (k, v) => t.put(k, v) }
     // schemas dedupe into one table; entries reference by index (a
@@ -372,13 +431,19 @@ object SnapshotLog {
       val txns = Option(n.get("txns")).map(t =>
         t.properties().iterator().asScala.map(e => e.getKey -> e.getValue.asLong()).toMap)
         .getOrElse(Map.empty[String, Long])
+      val colmap = Option(n.get("colmap")).map { cm =>
+        (0 until cm.size()).map(i =>
+          (cm.get(i).get(0).asText(), cm.get(i).get(1).asText()))
+      }.getOrElse(Seq.empty)
+      val dropped = Option(n.get("dropcols")).map(d =>
+        (0 until d.size()).map(d.get(_).asText()): Seq[String]).getOrElse(Seq.empty)
       Some(TableState(n.get("version").asLong(),
         (0 until a.size()).map { i =>
           val en = a.get(i)
           val e = entryFromJson(en)
           Option(en.get("si")).map(si => e.copy(schema = Some(schemas(si.asInt()))))
             .getOrElse(e)
-        }, txns))
+        }, txns, colmap, dropped))
     } catch {
       case scala.util.control.NonFatal(e) => sys.error(
         s"corrupt checkpoint ckpt-v$v of $table: ${e.getMessage} — " +
@@ -411,10 +476,14 @@ object SnapshotLog {
       }
       else if (r.append) st.entries ++ r.adds
       else r.adds // full replace
+    // the mapping, like txns, survives replaces: physical names are
+    // immutable, so a replace staged under the mapping stays mapped
     TableState(r.version, entries,
       r.txn.fold(st.txns) { case (app, batch) =>
         st.txns + (app -> math.max(batch, st.txns.getOrElse(app, Long.MinValue)))
-      })
+      },
+      r.colmap.getOrElse(st.colmap),
+      r.dropped.getOrElse(st.dropped))
   }
 
   /** Resolve the full table state at `v`: walk back to the nearest
@@ -549,11 +618,11 @@ object SnapshotLog {
     def alreadyApplied(): Option[Long] = txn.flatMap { case (app, batch) =>
       resolveHead(table).filter(_.txns.get(app).exists(_ >= batch)).map(_.version)
     }
-    // ONE head resolution serves both the txn replay check and the
-    // carried stats columns — the ingest hot path pays the
+    // ONE head resolution serves the txn replay check, the carried
+    // stats columns, AND the column mapping (writes must stage under
+    // PHYSICAL names) — the ingest hot path pays the
     // O(checkpoint-interval) metadata replay once per commit
-    val headState: Option[TableState] =
-      if (txn.isDefined || append) resolveHead(table) else None
+    val headState: Option[TableState] = resolveHead(table)
     val replayed = txn.flatMap { case (app, batch) => // replayed batch:
       // skip even the stage write
       headState.filter(_.txns.get(app).exists(_ >= batch)).map(_.version)
@@ -568,8 +637,14 @@ object SnapshotLog {
       else headState.map(indexedColumns).getOrElse(Seq.empty)
     statsFor.foreach(c => require(df.schema.fieldNames.contains(c),
       s"statsFor column $c is not in the staged schema ${df.schema.fieldNames.toSeq}"))
+    // a mapped table stages under PHYSICAL names (column mapping:
+    // logical names are the log's indirection, never the files')
+    val mapSt = headState.filter(_.mapped)
+    val dfPhys = mapSt.fold(df)(s => toPhysicalDf(df, s))
+    val statsPhys = mapSt.fold(statsFor)(s => statsFor.map(s.physOf))
+    val partByPhys = mapSt.fold(partitionBy)(s => partitionBy.map(s.physOf))
     val (stage, adds) =
-      stageEntries(spark, df, table, partitionBy, (statsFor ++ carryCols).distinct)
+      stageEntries(spark, dfPhys, table, partByPhys, (statsPhys ++ carryCols).distinct)
     var attempt = 0
     while (true) {
       val cur = latestVersion(table).getOrElse(0L)
@@ -589,7 +664,7 @@ object SnapshotLog {
       }
       val v = cur + 1
       val rec = CommitRecord(v, append && v > 1, adds, txn,
-        schema = if (adds.isEmpty) None else Some(df.schema.json),
+        schema = if (adds.isEmpty) None else Some(dfPhys.schema.json),
         dataChange = dataChange)
       val tmp = logDir(table).resolve(s".tmp-$stage-$attempt")
       Files.write(tmp, recordToJson(rec).getBytes("UTF-8"))
@@ -861,6 +936,119 @@ object SnapshotLog {
       expectedHead = headV, dataChange = true, fullReplace = true)
   }
 
+  // ------------------------------------------------------- column mapping
+
+  /** Logical view of a physical frame: dropped physical columns
+    * excluded, renamed ones surfaced under their logical names. Every
+    * read path exits through this; disk stays physical forever. */
+  private def applyColmap(df: DataFrame, st: TableState): DataFrame =
+    if (!st.mapped) df
+    else df.select(df.columns.toSeq.flatMap { p =>
+      st.logicalOf(p).map(l => if (l == p) col(p) else col(p).as(l))
+    }: _*)
+
+  /** Physical staging view of a logical frame (writes store PHYSICAL
+    * names). Refuses name collisions with dropped or renamed storage
+    * names — resurrecting a dropped column's storage would surface
+    * the dropped data under the new column. */
+  private def toPhysicalDf(df: DataFrame, st: TableState): DataFrame =
+    if (!st.mapped) df
+    else {
+      df.columns.foreach { l =>
+        val p = st.physOf(l)
+        require(!st.dropped.contains(p),
+          s"column $l maps to dropped physical column $p — pick another name " +
+            "(reusing a dropped column's storage name would resurrect its data)")
+        require(p != l || !st.colmap.exists(_._2 == l),
+          s"column name $l is in use as a renamed column's physical name")
+      }
+      df.select(df.columns.toSeq.map(l => col(l).as(st.physOf(l))): _*)
+    }
+
+  /** Predicate tree with column names substituted (logical <->
+    * physical translation for manifest pruning). */
+  private[graft] def renamePred(p: Pred, f: String => String): Pred = p match {
+    case Pred.Between(c, lo, hi) => Pred.Between(f(c), lo, hi)
+    case Pred.Eq(c, v) => Pred.Eq(f(c), v)
+    case Pred.In(c, vs) => Pred.In(f(c), vs)
+    case Pred.StrEq(c, v) => Pred.StrEq(f(c), v)
+    case Pred.StrIn(c, vs) => Pred.StrIn(f(c), vs)
+    case Pred.IsNull(c) => Pred.IsNull(f(c))
+    case Pred.NotNull(c) => Pred.NotNull(f(c))
+    case Pred.And(ps @ _*) => Pred.And(ps.map(renamePred(_, f)): _*)
+    case Pred.Or(ps @ _*) => Pred.Or(ps.map(renamePred(_, f)): _*)
+  }
+
+  /** `ALTER TABLE ... RENAME COLUMN` via column mapping (Delta's name
+    * mode): METADATA-ONLY — no file is rewritten, the physical name
+    * stays what the first commit wrote, and the new logical name is an
+    * indirection in the log. Old snapshots keep reading under their
+    * own (old) names, skipping stats stay valid (they key by physical
+    * name), and writes translate logical -> physical on staging. */
+  def renameColumn(spark: SparkSession, table: String,
+                   oldName: String, newName: String): Long = {
+    require(oldName != newName, "rename to the same name is a no-op")
+    val headV = latestVersion(table).getOrElse(sys.error(s"no committed version in $table"))
+    val st = resolve(table, headV)
+    val logical = read(spark, table, Some(headV)).schema.fieldNames.toSeq
+    require(logical.contains(oldName),
+      s"no column $oldName in $table (have ${logical.mkString(", ")})")
+    require(!logical.contains(newName), s"column $newName already exists in $table")
+    val phys = st.physOf(oldName)
+    val newMap = st.colmap.filterNot(_._1 == oldName) ++
+      (if (newName == phys) Seq.empty else Seq(newName -> phys))
+    publishSchemaChange(table, headV, newMap, st.dropped)
+  }
+
+  /** `ALTER TABLE ... DROP COLUMN` via column mapping: metadata-only —
+    * the physical column stays in the files (old snapshots still read
+    * it) but the head's logical schema excludes it. */
+  def dropColumn(spark: SparkSession, table: String, name: String): Long = {
+    val headV = latestVersion(table).getOrElse(sys.error(s"no committed version in $table"))
+    val st = resolve(table, headV)
+    val logical = read(spark, table, Some(headV)).schema.fieldNames.toSeq
+    require(logical.contains(name),
+      s"no column $name in $table (have ${logical.mkString(", ")})")
+    require(logical.size > 1, s"cannot drop the last column of $table")
+    val phys = st.physOf(name)
+    publishSchemaChange(table, headV,
+      st.colmap.filterNot(_._1 == name), (st.dropped :+ phys).distinct)
+  }
+
+  /** Publish a schema-change (column mapping) commit: zero adds,
+    * dataChange=false (physical content identical), fmt 3. Retries
+    * past racing DATA commits (the mapping derives only from the
+    * head's mapping); a racing schema change forces a re-derive. */
+  private def publishSchemaChange(table: String, expectedHead: Long,
+                                  colmap: Seq[(String, String)],
+                                  dropped: Seq[String]): Long = {
+    var head = expectedHead
+    var attempt = 0
+    while (true) {
+      val v = head + 1
+      val rec = CommitRecord(v, append = true, adds = Seq.empty,
+        dataChange = false, colmap = Some(colmap), dropped = Some(dropped))
+      val tmp = logDir(table).resolve(s".tmp-cm-${java.util.UUID.randomUUID()}")
+      Files.write(tmp, recordToJson(rec).getBytes("UTF-8"))
+      try {
+        Files.createLink(vPath(table, v), tmp)
+        if (v % checkpointEvery == 0) writeCheckpoint(table, resolve(table, v))
+        return v
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException =>
+          val newHead = latestVersion(table).getOrElse(head)
+          val winners = ((head + 1) to newHead).map(readRecord(table, _))
+          if (winners.exists(w => w.colmap.isDefined || w.dropped.isDefined) ||
+              attempt >= 20) sys.error(
+            s"concurrent schema change on $table: head moved past v$expectedHead; " +
+              "re-derive and retry")
+          attempt += 1
+          head = newHead
+      } finally Files.deleteIfExists(tmp)
+    }
+    -1L // unreachable
+  }
+
   /** MERGE-ON-READ DELETE (deletion vectors — Delta 3's shape): mark
     * every row matching `p` deleted by writing a POSITION SIDECAR
     * (`dv/<uuid>`, rows of (path, pos)) and re-listing the affected
@@ -888,10 +1076,11 @@ object SnapshotLog {
     import spark.implicits._
     val headV = latestVersion(table).getOrElse(sys.error(s"no committed version in $table"))
     val st = resolve(table, headV)
-    val cand = st.entries.filter(mightMatch(_, p))
+    val pp = renamePred(p, st.physOf) // logical predicate in, physical files
+    val cand = st.entries.filter(mightMatch(_, pp))
     if (cand.isEmpty) return headV // provably nothing to delete
     val data = readTagged(spark, table, cand) // live rows only (dvs applied)
-    val matched = data.filter(predColumn(data, p)).persist()
+    val matched = data.filter(predColumn(data, pp)).persist()
     try {
       val counts = matched.groupBy(RelCol).count().collect()
         .map(r => r.getString(0) -> r.getLong(1)).toMap
@@ -1031,7 +1220,10 @@ object SnapshotLog {
   def read(spark: SparkSession, table: String, asOf: Option[Long] = None): DataFrame = {
     val v = asOf.orElse(latestVersion(table))
       .getOrElse(sys.error(s"no committed version in $table"))
-    readFiles(spark, table, resolve(table, v).entries)
+    val st = resolve(table, v)
+    // the column mapping is VERSIONED state: time travel to a version
+    // before a rename reads under the names of that time
+    applyColmap(readFiles(spark, table, st.entries), st)
   }
 
   /** Time travel by TIMESTAMP (Delta's timestampAsOf): the newest
@@ -1292,7 +1484,8 @@ object SnapshotLog {
     val v = asOf.orElse(latestVersion(table))
       .getOrElse(sys.error(s"no committed version in $table"))
     val st = resolve(table, v)
-    st.entries.partition(mightMatch(_, p)) match {
+    val pp = renamePred(p, st.physOf) // predicates arrive logical; stats are physical
+    st.entries.partition(mightMatch(_, pp)) match {
       case (k, s) => (k.map(_.path), s.map(_.path))
     }
   }
@@ -1306,11 +1499,12 @@ object SnapshotLog {
     val v = asOf.orElse(latestVersion(table))
       .getOrElse(sys.error(s"no committed version in $table"))
     val st = resolve(table, v)
-    val (kept, _) = st.entries.partition(mightMatch(_, p))
-    if (kept.isEmpty) emptyLike(spark, table, st.entries)
+    val pp = renamePred(p, st.physOf)
+    val (kept, _) = st.entries.partition(mightMatch(_, pp))
+    if (kept.isEmpty) applyColmap(emptyLike(spark, table, st.entries), st)
     else {
       val out = readFiles(spark, table, kept)
-      out.filter(predColumn(out, p))
+      applyColmap(out.filter(predColumn(out, pp)), st)
     }
   }
 
@@ -1342,7 +1536,9 @@ object SnapshotLog {
     // existing clustering and leave every file with overlap-everything
     // bounds. Hash layout only for a stat-less table.
     val clusterCols =
-      (if (clusterBy.nonEmpty) clusterBy else dominantClusterColumns(st))
+      (if (clusterBy.nonEmpty) clusterBy
+       // manifest column names are PHYSICAL; the head frame is logical
+       else dominantClusterColumns(st).flatMap(st.logicalOf))
         .filter(head.columns.contains)
     val laid =
       if (clusterCols.nonEmpty)
@@ -1353,7 +1549,7 @@ object SnapshotLog {
     // table silently flattens it and directory pruning dies
     commit(spark, laid, table, expectedHead = Some(headV), dataChange = false,
       partitionBy = partitionBy,
-      statsFor = indexedColumns(st).filter(head.columns.contains))
+      statsFor = indexedColumns(st).flatMap(st.logicalOf).filter(head.columns.contains))
   }
 
   /** INCREMENTAL bin-packing OPTIMIZE (Delta's default OPTIMIZE
@@ -1500,7 +1696,7 @@ object SnapshotLog {
       .sortWithinPartitions(zc)
       .drop(zc)
     commit(spark, laid, table, expectedHead = Some(headV), dataChange = false,
-      statsFor = (indexedColumns(st) ++ cols).distinct
+      statsFor = (indexedColumns(st).flatMap(st.logicalOf) ++ cols).distinct
         .filter(head.columns.contains))
   }
 
@@ -1609,15 +1805,18 @@ object SnapshotLog {
     // the update batch evaluates several times (key pruning, the
     // anti-join, the change-data stage) — persist it so an expensive
     // upstream lineage (a CDC decode, a join) runs once, not four
-    // times. CDC batches are micro-batch-sized by assumption.
-    val updates = updates0.persist()
+    // times. CDC batches are micro-batch-sized by assumption. Mapped
+    // tables translate the batch to PHYSICAL names up front and do the
+    // whole merge in physical space (the staged rewrite is physical).
+    val updates = toPhysicalDf(updates0, st).persist()
+    val pkey = st.physOf(key)
     try {
-      val touched = updates.select(col(key)).distinct()
-      val (rewrite, _) = pruneByTouchedKeys(st.entries, touched, key)
+      val touched = updates.select(col(pkey)).distinct()
+      val (rewrite, _) = pruneByTouchedKeys(st.entries, touched, pkey)
       val staged =
         if (rewrite.isEmpty) updates // no file overlaps: pure insert
         else readFiles(spark, table, rewrite)
-          .join(touched, Seq(key), "left_anti")
+          .join(touched, Seq(pkey), "left_anti")
           // schema auto-merge (Delta's mergeSchema): an update batch
           // with NEW columns widens the table (old rows read null); a
           // batch MISSING table columns null-fills them in the rows it
@@ -1645,17 +1844,18 @@ object SnapshotLog {
                    key: String, opCol: String = "op"): Long = {
     val headV = latestVersion(table).getOrElse(sys.error(s"no committed version in $table"))
     val st = resolve(table, headV)
-    val changes = changes0.persist() // evaluated 4x — see merge
+    val changes = toPhysicalDf(changes0, st).persist() // evaluated 4x — see merge
+    val pkey = st.physOf(key)
     try {
-      val touched = changes.select(col(key)).distinct()
+      val touched = changes.select(col(pkey)).distinct()
       val upserts = changes.filter(col(opCol) =!= "D").drop(opCol)
       // file-pruned like merge: the touched keys (deletes included)
       // decide which files rewrite; the rest carry by reference
-      val (rewrite, _) = pruneByTouchedKeys(st.entries, touched, key)
+      val (rewrite, _) = pruneByTouchedKeys(st.entries, touched, pkey)
       val staged =
         if (rewrite.isEmpty) upserts
         else readFiles(spark, table, rewrite)
-          .join(touched, Seq(key), "left_anti")
+          .join(touched, Seq(pkey), "left_anti")
           .unionByName(upserts, allowMissingColumns = true) // see merge
       val cdc = changes.withColumn("_change_type",
           when(col(opCol) === "D", lit("delete"))
@@ -1720,9 +1920,10 @@ object SnapshotLog {
         "for the row-level feed, or re-read the snapshot"))
     val newEntries = recs.flatMap(_.adds)
     if (newEntries.isEmpty) spark.emptyDataFrame
-    else readFiles(spark, table, newEntries) // shares the grouped-scan
-    // union (incl. allowMissingColumns), so the change feed tolerates
-    // the same schema evolution the snapshot read does
+    // shares the grouped-scan union (incl. allowMissingColumns), so
+    // the change feed tolerates the same schema evolution the snapshot
+    // read does; the delta surfaces under the UNTIL version's mapping
+    else applyColmap(readFiles(spark, table, newEntries), resolve(table, untilV))
   }
 
   /** ROW-LEVEL change feed (CDF): every change in (sinceV, untilV] as
@@ -1765,7 +1966,11 @@ object SnapshotLog {
       rows.map(_.withColumn("_commit_version", lit(r.version)))
     }
     if (parts.isEmpty) spark.emptyDataFrame
-    else parts.reduce(_.unionByName(_, allowMissingColumns = true))
+    // rows surface under the UNTIL version's column mapping (physical
+    // names are immutable, so one mapping is correct for the range)
+    else applyColmap(
+      parts.reduce(_.unionByName(_, allowMissingColumns = true)),
+      resolve(table, untilV))
   }
 
   /** Polling incremental consumer — the micro-batch pull pattern over

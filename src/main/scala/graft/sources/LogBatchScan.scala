@@ -145,27 +145,37 @@ final class LogScan(table: String, fullSchema: StructType,
   // --------------------------------------------------------------- batch
   override def toBatch: Batch = this
 
-  /** The asked version's full entry list, resolved once (the scan is
-    * planned, runtime-filtered, and re-planned against one version). */
-  private lazy val allEntries: Seq[FileEntry] = {
+  /** The asked version's resolved state (entries + column mapping),
+    * resolved once (the scan is planned, runtime-filtered, and
+    * re-planned against one version). */
+  private lazy val state: SnapshotLog.TableState = {
     val v = versionAsOf
       .orElse(timestampAsOf.map(SnapshotLog.versionAsOfTimestamp(table, _)))
       .orElse(SnapshotLog.latestVersion(table))
       .getOrElse(sys.error(s"no committed version in $table"))
-    SnapshotLog.resolve(table, v).entries
+    SnapshotLog.resolve(table, v)
   }
+  private def allEntries: Seq[FileEntry] = state.entries
+  /** The table schema with field names translated to their PHYSICAL
+    * file/manifest names — what bounds merging and value typing key
+    * by (identity for unmapped tables). */
+  private lazy val physSchema: StructType =
+    if (!state.mapped) fullSchema
+    else StructType(fullSchema.fields.map(f => f.copy(name = state.physOf(f.name))))
 
   /** Snapshot entries manifest-pruned under the pushed predicate tree
     * plus any runtime filters — partition-directory values join the
     * per-file bounds so ONE conservative evaluation covers both
-    * pruning tiers. */
+    * pruning tiers. Predicates arrive under LOGICAL names; manifest
+    * stats and partition directories are PHYSICAL (column mapping). */
   private def keptEntries(): Seq[FileEntry] = {
-    val all = preds ++ runtimePreds
+    val all = (preds ++ runtimePreds)
+      .map(p => if (state.mapped) SnapshotLog.renamePred(p, state.physOf) else p)
     if (all.isEmpty) allEntries
     else {
       val p = if (all.size == 1) all.head else Pred.And(all: _*)
       allEntries.filter(e =>
-        SnapshotLog.mightMatch(LogBatchScan.withPartitionBounds(e, fullSchema), p))
+        SnapshotLog.mightMatch(LogBatchScan.withPartitionBounds(e, physSchema), p))
     }
   }
 
@@ -195,14 +205,20 @@ final class LogScan(table: String, fullSchema: StructType,
     if (readChangeFeed || !bucketingEnabled) return None
     val kept = keptEntries()
     if (kept.isEmpty) return None
+    // directory names are PHYSICAL; the reported partitioning must use
+    // LOGICAL names (a dropped partition column ends groupability)
     val layouts = kept.map(e => LogBatchScan.partitionValues(e.path).map(_._1))
-    val cols = layouts.head
-    if (cols.isEmpty || layouts.exists(_ != cols)) return None
+    val physCols = layouts.head
+    if (physCols.isEmpty || layouts.exists(_ != physCols)) return None
+    val colsOpt = physCols.map(state.logicalOf)
+    if (colsOpt.exists(_.isEmpty)) return None
+    val cols = colsOpt.flatten
     val types = cols.map(c => fullSchema.fields.find(_.name == c).map(_.dataType))
     if (types.exists(t => t.isEmpty || !LogBatchScan.keyType(t.get))) return None
+    val typeOf = cols.zip(types.flatten).toMap
     val groups = kept.groupBy { e =>
-      LogBatchScan.partitionValues(e.path).map { case (c, v) =>
-        v.map(LogBatchScan.keyValue(_, fullSchema(c).dataType)).orNull
+      LogBatchScan.partitionValues(e.path).zip(cols).map { case ((_, v), lc) =>
+        v.map(LogBatchScan.keyValue(_, typeOf(lc))).orNull
       }
     }
     Some((cols, groups.toSeq.map { case (k, es) => (k, es) }))
@@ -234,6 +250,7 @@ final class LogScan(table: String, fullSchema: StructType,
       val prunable = allEntries.flatMap(e =>
         e.num.keys ++ e.str.keys ++
           LogBatchScan.partitionValues(e.path).map(_._1)).distinct
+        .flatMap(state.logicalOf) // manifest names are physical
       // REQUIRED schema, not the table schema: Spark resolves these
       // against the scan's pruned output (PartitionPruning's
       // resolveRefs fails loudly on a column the projection dropped —
@@ -262,12 +279,13 @@ final class LogScan(table: String, fullSchema: StructType,
         .getOrElse(0L)
       LogPlanning.changeFeedPartitions(table, since, until,
         initialVersion = since, skipChangeCommits = skipChangeCommits,
-        readChangeFeed = true).toArray
+        readChangeFeed = true, colmap = state.colmap).toArray
     } else {
       def filePart(e: FileEntry): LogInputPartition =
         LogInputPartition(s"$table/${e.path}", relPath = e.path,
           partValues = LogBatchScan.partitionValues(e.path),
-          dvDirs = e.dv.map(d => s"$table/$d").toSeq)
+          dvDirs = e.dv.map(d => s"$table/$d").toSeq,
+          colmap = state.colmap)
       groupedEntries() match {
         case Some((_, groups)) => groups.map { case (k, es) =>
           LogGroupedPartition(es.map(filePart), k): InputPartition
@@ -360,14 +378,15 @@ object LogMetaAggregates {
     if (options.getBoolean("readChangeFeed", false)) return None
     if (agg.groupByExpressions().nonEmpty) return None
     if (agg.aggregateExpressions().isEmpty) return None
-    val entries: Seq[FileEntry] = {
+    val st: SnapshotLog.TableState = {
       val v = Option(options.get("versionAsOf")).map(_.toLong)
         .orElse(Option(options.get("timestampAsOf")).map(ts =>
           SnapshotLog.versionAsOfTimestamp(table, ts.toLong)))
         .orElse(SnapshotLog.latestVersion(table))
-      v.map(SnapshotLog.resolve(table, _).entries.filter(_.rows > 0))
-        .getOrElse(Seq.empty)
+      v.map(SnapshotLog.resolve(table, _))
+        .getOrElse(SnapshotLog.TableState(0L, Seq.empty, Map.empty))
     }
+    val entries: Seq[FileEntry] = st.entries.filter(_.rows > 0)
     val liveRows = entries.map(e => e.rows - e.dvRows).sum
 
     def singleCol(e: org.apache.spark.sql.connector.expressions.Expression): Option[String] =
@@ -384,6 +403,7 @@ object LogMetaAggregates {
       * of declining on its (legitimately) missing bounds. */
     def bound(c: String, lower: Boolean): Option[(DataType, Any)] = {
       val dt = schema.fields.find(_.name == c).map(_.dataType).getOrElse(return None)
+      val pc = st.physOf(c) // manifest stats key by physical name
       val ok = dt match {
         case ByteType | ShortType | IntegerType | LongType |
              FloatType | DoubleType => true
@@ -392,9 +412,9 @@ object LogMetaAggregates {
       if (!ok) return None
       if (entries.exists(_.dv.isDefined)) return None
       if (liveRows == 0L) return Some((dt, null)) // MIN/MAX of empty = null
-      val contributing = entries.filterNot(e => e.nulls.get(c).contains(e.rows))
+      val contributing = entries.filterNot(e => e.nulls.get(pc).contains(e.rows))
       if (contributing.isEmpty) return Some((dt, null)) // every row null
-      val bs = contributing.map(_.num.get(c).map(b => if (lower) b._1 else b._2))
+      val bs = contributing.map(_.num.get(pc).map(b => if (lower) b._1 else b._2))
       if (bs.exists(_.isEmpty)) return None
       val d = if (lower) bs.flatten.min else bs.flatten.max
       val v: Any = dt match {
@@ -419,7 +439,8 @@ object LogMetaAggregates {
     def countCol(c: String): Option[Long] = {
       if (!schema.fieldNames.contains(c)) return None
       if (entries.exists(_.dv.isDefined)) return None
-      val ns = entries.map(_.nulls.get(c))
+      val pc = st.physOf(c)
+      val ns = entries.map(_.nulls.get(pc))
       if (ns.exists(_.isEmpty)) None else Some(liveRows - ns.flatten.sum)
     }
 
@@ -451,9 +472,11 @@ object LogBatchScan {
   private[graft] def prunableColumns(table: String,
                                      schema: StructType): Seq[String] =
     SnapshotLog.latestVersion(table).toSeq.flatMap { v =>
-      SnapshotLog.resolve(table, v).entries.flatMap(e =>
+      val st = SnapshotLog.resolve(table, v)
+      st.entries.flatMap(e =>
         e.num.keys ++ e.str.keys ++ partitionValues(e.path).map(_._1))
-        .distinct.filter(schema.fieldNames.contains)
+        .distinct.flatMap(st.logicalOf) // manifest names are physical
+        .filter(schema.fieldNames.contains)
     }
 
   /** Hive `col=value` path segments of a staged entry as decoded raw

@@ -114,12 +114,15 @@ class LogCatalog extends TableCatalog with SupportsNamespaces
   }
 
   /** Partition columns: from live entry paths when data exists (the
-    * log is the truth), else from the create-time sidecar. */
+    * log is the truth), else from the create-time sidecar. Directory
+    * names are PHYSICAL — reported under their logical names. */
   private def partitionColsOf(p: Path): Seq[String] = {
-    val entries = SnapshotLog.latestVersion(p.toString).toSeq
-      .flatMap(v => SnapshotLog.resolve(p.toString, v).entries)
+    val st = SnapshotLog.latestVersion(p.toString)
+      .map(v => SnapshotLog.resolve(p.toString, v))
+    val entries = st.toSeq.flatMap(_.entries)
     val fromEntries = entries.headOption
-      .map(e => LogBatchScan.partitionValues(e.path).map(_._1)).getOrElse(Seq.empty)
+      .map(e => LogBatchScan.partitionValues(e.path).map(_._1)
+        .flatMap(pc => st.flatMap(_.logicalOf(pc)))).getOrElse(Seq.empty)
     if (fromEntries.nonEmpty) fromEntries
     else {
       val j = p.resolve("_graft_table.json")
@@ -166,30 +169,44 @@ class LogCatalog extends TableCatalog with SupportsNamespaces
     * empty append whose recorded schema carries the new columns — the
     * same union mechanism a widened write uses, so existing files are
     * untouched and surface null for the added columns (exactly the
-    * reader's evolution contract). Anything else (drop/rename/type
-    * changes) is refused: the log's schema is the union of committed
-    * schemas, and rewriting history is not a metadata operation. */
+    * reader's evolution contract).
+    * `RENAME COLUMN` / `DROP COLUMN` = COLUMN-MAPPING commits
+    * (Delta's name mode): metadata-only — no file rewrites; the
+    * physical file names stay what the first commit wrote and the
+    * log carries the logical indirection. Old snapshots keep their
+    * own (old) names under time travel. Type changes are refused. */
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
     val p = tablePath(ident)
     if (!isTable(p)) throw new NoSuchTableException(ident)
-    val adds = changes.map {
+    val spark = SparkSession.active
+    changes.foreach {
       case a: TableChange.AddColumn =>
         require(a.fieldNames().length == 1,
           "graft catalog: nested ADD COLUMN is not supported (flat schemas)")
-        StructField(a.fieldNames().head, a.dataType(), nullable = true)
+        val cur = SnapshotLog.read(spark, p.toString).schema
+        require(!cur.fieldNames.contains(a.fieldNames().head),
+          s"column ${a.fieldNames().head} already exists in ${ident.name()}")
+        SnapshotLog.commit(spark,
+          spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+            cur.add(StructField(a.fieldNames().head, a.dataType(), nullable = true))),
+          p.toString, append = true)
+        ()
+      case r: TableChange.RenameColumn =>
+        require(r.fieldNames().length == 1,
+          "graft catalog: nested RENAME COLUMN is not supported (flat schemas)")
+        SnapshotLog.renameColumn(spark, p.toString, r.fieldNames().head, r.newName())
+        ()
+      case d: TableChange.DeleteColumn =>
+        require(d.fieldNames().length == 1,
+          "graft catalog: nested DROP COLUMN is not supported (flat schemas)")
+        SnapshotLog.dropColumn(spark, p.toString, d.fieldNames().head)
+        ()
       case other => throw new UnsupportedOperationException(
-        s"graft catalog: only ADD COLUMNS alters a log-backed table " +
-          s"(schema is the union of committed schemas); got $other")
+        s"graft catalog: only ADD/RENAME/DROP COLUMN alter a log-backed " +
+          s"table; got $other")
     }
-    val spark = SparkSession.active
-    val cur = SnapshotLog.read(spark, p.toString).schema
-    adds.find(a => cur.fieldNames.contains(a.name)).foreach(a =>
-      sys.error(s"column ${a.name} already exists in ${ident.name()}"))
-    val widened = adds.foldLeft(cur)(_ add _)
-    SnapshotLog.commit(spark,
-      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], widened),
-      p.toString, append = true)
-    new LogStreamTable(p.toString, widened, partitionColsOf(p))
+    new LogStreamTable(p.toString,
+      SnapshotLog.read(spark, p.toString).schema, partitionColsOf(p))
   }
 
   override def dropTable(ident: Identifier): Boolean = {

@@ -46,11 +46,16 @@ final class LogColumnarReader(part: LogInputPartition, schema: StructType)
   LogSourceAudit.filesOpened.incrementAndGet()
   LogSourceAudit.columnarOpened.incrementAndGet()
 
-  /** Hive partition constants present in the required schema. */
+  /** Hive partition constants present in the required schema, keyed
+    * by LOGICAL name (directory names are physical — column mapping). */
   private val partConsts: Seq[(String, Option[String])] =
-    part.partValues.filter(pv => schema.fieldNames.contains(pv._1))
+    part.partValues.flatMap { case (pc, v) => part.logicalName(pc).map(l => (l, v)) }
+      .filter(pv => schema.fieldNames.contains(pv._1))
   private val partColNames = partConsts.map(_._1).toSet
+  /** Data fields requested from the file under their PHYSICAL names
+    * (positional batch columns — vector names never reach Spark). */
   private val dataFields = schema.fields.filterNot(f => partColNames.contains(f.name))
+    .map(f => f.copy(name = part.physName(f.name)))
   private val partSchema = StructType(partConsts.map { case (c, _) => schema(c) })
   private val partRow = InternalRow.fromSeq(partConsts.map { case (c, v) =>
     v.map(raw => LogPartitionReader.partValue(raw, schema(c).dataType)).orNull
@@ -102,8 +107,8 @@ final class LogColumnarReader(part: LogInputPartition, schema: StructType)
     val vecs: Array[ColumnVector] = schema.fields.map { f =>
       if (partColNames.contains(f.name))
         raw.column(dataFields.length + partSchema.fieldIndex(f.name))
-      else
-        raw.column(dataFields.indexWhere(_.name == f.name))
+      else // dataFields carry physical names
+        raw.column(dataFields.indexWhere(_.name == part.physName(f.name)))
     }
     new ColumnarBatch(vecs)
   }

@@ -81,16 +81,24 @@ final class LogDeltaWrite(table: String, insertSchema: StructType,
                           scanVersion: () => Long) extends DeltaWrite {
   private val stage = UUID.randomUUID().toString
 
+  /** Insert rows land under PHYSICAL column names (column mapping:
+    * Spark hands rows under logical names; files never carry them). */
+  private lazy val physSchema: StructType = {
+    val st = SnapshotLog.resolve(table, scanVersion())
+    if (!st.mapped) insertSchema
+    else StructType(insertSchema.fields.map(f => f.copy(name = st.physOf(f.name))))
+  }
+
   override def toBatch: DeltaBatchWrite = new DeltaBatchWrite {
     override def createBatchWriterFactory(info: PhysicalWriteInfo): DeltaWriterFactory =
-      new LogDeltaWriterFactory(table, stage, insertSchema)
+      new LogDeltaWriterFactory(table, stage, physSchema)
 
     override def commit(messages: Array[WriterCommitMessage]): Unit = {
       val spark = SparkSession.active
       val msgs = messages.toSeq.map(_.asInstanceOf[LogDeltaCommitMessage])
       val insertAdds = msgs.flatMap(_.inserts).map { f =>
         FileEntry(f.relPath, f.rows, num = f.numBounds,
-          schema = Some(insertSchema.json), bytes = f.bytes,
+          schema = Some(physSchema.json), bytes = f.bytes,
           nulls = f.nullCounts)
       }
       val posCounts = msgs.flatMap(_.deleteCounts).groupBy(_._1)
@@ -100,7 +108,7 @@ final class LogDeltaWrite(table: String, insertSchema: StructType,
         else Some(spark.read.schema(LogDeltaWriter.posSchema)
           .parquet(s"$table/dvtmp/$stage"))
       SnapshotLog.commitDelta(spark, table, scanVersion(), posDf,
-        posCounts, insertAdds, Some(insertSchema.json))
+        posCounts, insertAdds, Some(physSchema.json))
       graft.core.TempDirs.deleteRecursively(
         new java.io.File(s"$table/dvtmp/$stage"))
       ()

@@ -347,11 +347,19 @@ final class LogMicroBatchStream(table: String, schema: StructType,
     LogOffset(m.group(1).toLong)
   }
 
+  /** The column mapping the stream reads under — captured ONCE at
+    * stream construction, matching the schema the query captured; a
+    * later rename fails the stream (see changeFeedPartitions). */
+  private lazy val streamColmap: Seq[(String, String)] =
+    SnapshotLog.latestVersion(table)
+      .map(v => SnapshotLog.resolve(table, v).colmap).getOrElse(Seq.empty)
+
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val s = start.asInstanceOf[LogOffset].version
     val e = end.asInstanceOf[LogOffset].version
     LogPlanning.changeFeedPartitions(table, s, e, initialVersion,
-      skipChangeCommits, readChangeFeed).map(p => p: InputPartition).toArray
+      skipChangeCommits, readChangeFeed, colmap = streamColmap,
+      failOnSchemaChange = true).map(p => p: InputPartition).toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
@@ -366,7 +374,9 @@ final class LogMicroBatchStream(table: String, schema: StructType,
 object LogPlanning {
   def changeFeedPartitions(table: String, s: Long, e: Long,
                            initialVersion: Long, skipChangeCommits: Boolean,
-                           readChangeFeed: Boolean): Seq[LogInputPartition] = {
+                           readChangeFeed: Boolean,
+                           colmap: Seq[(String, String)] = Seq.empty,
+                           failOnSchemaChange: Boolean = false): Seq[LogInputPartition] = {
     if (e <= s) return Seq.empty
     val range = SnapshotLog.versions(table).filter(v => v > s && v <= e)
     // the batch is EXACTLY the commits (s, e] — if any were vacuumed,
@@ -382,6 +392,18 @@ object LogPlanning {
         "To stream the changes still in the log, restart with a fresh " +
         "checkpoint and .option(\"startingVersion\", <oldest surviving version>)")
     val recs = range.map(SnapshotLog.readRecord(table, _))
+    // a COLUMN MAPPING change mid-stream invalidates the schema the
+    // stream captured at start (Delta fails streams on schema changes
+    // the same way) — fail loudly; a fresh checkpoint picks up the
+    // new names. Batch CDF scans resolve the mapping at plan time and
+    // pass failOnSchemaChange=false (physical names are immutable, so
+    // the current mapping reads the whole range correctly).
+    if (failOnSchemaChange)
+      recs.find(r => r.colmap.isDefined || r.dropped.isDefined).foreach(r =>
+        sys.error(s"version ${r.version} of $table renames or drops columns — " +
+          "the stream's schema no longer matches; restart from a fresh " +
+          "checkpoint (with startingVersion past the schema change) to pick " +
+          "up the new column names"))
 
     /** Entries as readable partitions: deletion vectors ride along
       * (the reader skips dead positions — a vectored entry delivers
@@ -393,7 +415,8 @@ object LogPlanning {
         s"$table/${en.path}", changeType = tag, version = v,
         relPath = en.path,
         partValues = LogBatchScan.partitionValues(en.path),
-        dvDirs = en.dv.map(d => s"$table/$d").toSeq))
+        dvDirs = en.dv.map(d => s"$table/$d").toSeq,
+        colmap = colmap))
 
     recs.flatMap { r =>
       // the stream's FIRST batch may begin with a table-(re)defining
@@ -426,7 +449,7 @@ object LogPlanning {
         if (r.cdc.nonEmpty)
           r.cdc.filter(_.rows != 0L).map(ce => LogInputPartition(
             s"$table/${ce.path}", changeType = None, version = r.version,
-            relPath = ce.path))
+            relPath = ce.path, colmap = colmap))
         else if (r.append || initialSnapshot) partsOf(r.adds, insertTag, r.version)
         else sys.error(
           s"version ${r.version} of $table is a full ${r.kind} commit with no " +
@@ -459,7 +482,19 @@ final case class LogInputPartition(absPath: String,
                                    version: Long = 0L,
                                    relPath: String = "",
                                    partValues: Seq[(String, Option[String])] = Seq.empty,
-                                   dvDirs: Seq[String] = Seq.empty) extends InputPartition
+                                   dvDirs: Seq[String] = Seq.empty,
+                                   colmap: Seq[(String, String)] = Seq.empty)
+    extends InputPartition {
+  /** Physical file/directory column name of a logical schema field
+    * (column mapping; identity for unmapped tables). */
+  def physName(l: String): String =
+    colmap.find(_._1 == l).map(_._2).getOrElse(l)
+  /** Logical name a physical partition-directory column surfaces
+    * under (None once the rename shadows it). */
+  def logicalName(p: String): Option[String] =
+    colmap.find(_._2 == p).map(_._1)
+      .orElse(if (colmap.exists(_._1 == p)) None else Some(p))
+}
 
 /** All of one hive partition's files as ONE input partition, keyed by
   * the partition value tuple (Catalyst-typed) — the storage-partitioned
@@ -558,15 +593,19 @@ final class LogPartitionReader(part: LogInputPartition, schema: StructType)
     part.changeType.map(UTF8String.fromString).orNull
   private val relPathUtf8: UTF8String = UTF8String.fromString(part.relPath)
 
-  /** Partition constants pre-converted to Catalyst representation
-    * (columns pruned out of the required schema are dropped). */
+  /** Partition constants pre-converted to Catalyst representation,
+    * keyed by LOGICAL name (directory names are physical; columns
+    * pruned out of the required schema are dropped). */
   private val partConsts: Map[String, Any] = part.partValues
+    .flatMap { case (pc, v) => part.logicalName(pc).map(l => (l, v)) }
     .filter(pv => schema.fieldNames.contains(pv._1)).map { case (c, v) =>
       c -> v.map(raw => LogPartitionReader.partValue(raw, schema(c).dataType)).orNull
     }.toMap
 
   private val reader: ParquetReader[Group] = {
+    // requested under PHYSICAL names (what the files carry)
     val wanted = schema.fields.map(_.name).filterNot(partConsts.contains)
+      .map(part.physName)
     ParquetReader.builder[Group](new ProjectingGroupReadSupport(wanted),
       new org.apache.hadoop.fs.Path(part.absPath))
       .withConf(new Configuration()).build()
@@ -646,11 +685,14 @@ final class LogPartitionReader(part: LogInputPartition, schema: StructType)
         else if (f.name == LogStreamSource.RowPosCol && !gt.containsField(f.name))
           rowPos
         else if (partConsts.contains(f.name)) partConsts(f.name)
-        else if (!gt.containsField(f.name)) null // schema evolution: older file
         else {
-          val fi = gt.getFieldIndex(f.name)
-          if (g.getFieldRepetitionCount(fi) == 0) null // null cell
-          else convert(g, gt, fi, f.dataType)
+          val phys = part.physName(f.name)
+          if (!gt.containsField(phys)) null // schema evolution: older file
+          else {
+            val fi = gt.getFieldIndex(phys)
+            if (g.getFieldRepetitionCount(fi) == 0) null // null cell
+            else convert(g, gt, fi, f.dataType)
+          }
         }
       i += 1
     }

@@ -122,8 +122,41 @@ class LogCatalogSpec extends AnyFunSuite with SparkFixture {
     assert(rows.toSeq == Seq((1L, None), (2L, None), (3L, Some(1.5))),
       s"old rows must surface null for the added column: ${rows.toSeq}")
     intercept[Exception] { spark.sql("ALTER TABLE graft.ev.t ADD COLUMNS (id INT)") }
-    intercept[Exception] { spark.sql("ALTER TABLE graft.ev.t DROP COLUMN id") }
     spark.sql("DROP TABLE graft.ev.t")
+  }
+
+  test("ALTER TABLE RENAME/DROP COLUMN are metadata-only column-mapping commits") {
+    root
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.cm")
+    spark.sql("CREATE TABLE graft.cm.t AS SELECT id, CAST(id * 1.5 AS DOUBLE) AS score FROM range(10)")
+    val t = s"$root/cm/t"
+    val filesBefore = SnapshotLog.resolve(t, SnapshotLog.versions(t).last)
+      .entries.map(_.path).toSet
+
+    spark.sql("ALTER TABLE graft.cm.t RENAME COLUMN score TO rating")
+    assert(spark.sql("SELECT * FROM graft.cm.t").schema.fieldNames.toSeq
+      == Seq("id", "rating"))
+    assert(spark.sql("SELECT CAST(sum(rating) AS DOUBLE) AS s FROM graft.cm.t")
+      .collect().head.getDouble(0) == 67.5)
+    // metadata-only: the file set is untouched
+    val filesAfter = SnapshotLog.resolve(t, SnapshotLog.versions(t).last)
+      .entries.map(_.path).toSet
+    assert(filesAfter == filesBefore, "rename must rewrite no data file")
+    // writes under the NEW name land and read back
+    spark.sql("INSERT INTO graft.cm.t VALUES (100, 9.0)")
+    assert(spark.sql("SELECT rating FROM graft.cm.t WHERE id = 100")
+      .collect().head.getDouble(0) == 9.0)
+    // time travel reads under the OLD name
+    val beforeRename = SnapshotLog.versions(t)
+      .takeWhile(v => SnapshotLog.readRecord(t, v).kind != "schema").last
+    assert(spark.sql(s"SELECT * FROM graft.cm.t VERSION AS OF $beforeRename")
+      .schema.fieldNames.toSeq == Seq("id", "score"))
+
+    spark.sql("ALTER TABLE graft.cm.t DROP COLUMN rating")
+    assert(spark.sql("SELECT * FROM graft.cm.t").schema.fieldNames.toSeq == Seq("id"))
+    assert(spark.sql("SELECT count(*) AS n FROM graft.cm.t")
+      .collect().head.getLong(0) == 11L)
+    spark.sql("DROP TABLE graft.cm.t")
   }
 
   test("namespace listing and guards") {
