@@ -305,7 +305,8 @@ final class LogScan(table: String, fullSchema: StructType,
     }
 
   /** The BATCH read path is VECTORIZED by default (ColumnarBatch via
-    * Spark's own parquet reader — see [[LogColumnarReader]]); it falls
+    * Spark's own parquet reader — see [[LogColumnarReader]]; storage-
+    * partitioned key groups chain per-file columnar readers); it falls
     * back to the row-based Group reader only where a row cursor is
     * genuinely required. The decision is per SCAN (Spark forbids
     * mixing columnar and row partitions) and CONSERVATIVE across
@@ -317,7 +318,6 @@ final class LogScan(table: String, fullSchema: StructType,
       LogStreamSource.ChangeTypeCol, LogStreamSource.CommitVersionCol)
     val columnar = options.getBoolean("vectorizedRead", true) &&
       !readChangeFeed &&
-      groupedEntries().isEmpty && // SPJ chains a key group per task
       allEntries.forall(_.dv.isEmpty) && // dv skipping needs a row cursor
       !requiredSchema.fieldNames.exists(specials)
     new LogPartitionReaderFactory(requiredSchema, columnar)

@@ -526,10 +526,35 @@ final class LogPartitionReaderFactory(schema: StructType,
 
   override def createColumnarReader(partition: InputPartition): PartitionReader[ColumnarBatch] =
     partition match {
+      case g: LogGroupedPartition if columnar =>
+        new LogChainedColumnarReader(g.files, schema)
       case p: LogInputPartition if columnar => new LogColumnarReader(p, schema)
       case p => throw new UnsupportedOperationException(
         s"graft-log: no columnar read for $p")
     }
+}
+
+/** Sequential COLUMNAR reader over a storage-partitioned key group's
+  * files (one task = one partition value; batches stream file by
+  * file — the SPJ scan keeps vectorized decode). */
+final class LogChainedColumnarReader(parts: Seq[LogInputPartition],
+                                     schema: StructType)
+    extends PartitionReader[ColumnarBatch] {
+  private val it = parts.iterator
+  private var cur: LogColumnarReader = _
+  override def next(): Boolean = {
+    while (true) {
+      if (cur == null) {
+        if (!it.hasNext) return false
+        cur = new LogColumnarReader(it.next(), schema)
+      }
+      if (cur.next()) return true
+      cur.close(); cur = null
+    }
+    false
+  }
+  override def get(): ColumnarBatch = cur.get()
+  override def close(): Unit = if (cur != null) cur.close()
 }
 
 /** Sequential reader over a key group's files (one task reads one

@@ -12,8 +12,8 @@ import graft.core.SnapshotLog
   * reader + ColumnarToRow), match the row reader bit-for-bit across
   * the type surface, keep schema evolution and partition constants,
   * and fall back to the row reader exactly where a row cursor is
-  * required (deletion vectors, metadata columns, SPJ groups,
-  * streaming). */
+  * required (deletion vectors, metadata columns, streaming). SPJ key
+  * groups stay columnar — see LogSpjSpec. */
 class LogColumnarReadSpec extends AnyFunSuite with SparkFixture {
 
   private def freshTable(): String =

@@ -72,6 +72,30 @@ class LogSpjSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("SPJ key groups read columnar: every grouped file opens through the vectorized reader") {
+    import spark.implicits._
+    val fact = mkTable("graft_spj_c_", 0 until 80, i => s"a$i")
+    val dim = Files.createTempDirectory("graft_spj_d_").toString
+    SnapshotLog.commit(spark,
+      (0 until 4).map(b => (b, s"name$b")).toDF("bucket", "bname"),
+      dim, partitionBy = Seq("bucket"))
+    withBucketing {
+      val joined = spark.read.format("graft-log").load(fact)
+        .join(spark.read.format("graft-log").load(dim), Seq("bucket"))
+        .select(col("id"), col("bname"))
+      val f0 = LogSourceAudit.filesOpened.get()
+      val c0 = LogSourceAudit.columnarOpened.get()
+      assert(joined.collect().length == 80)
+      val nOpened = LogSourceAudit.filesOpened.get() - f0
+      val nColumnar = LogSourceAudit.columnarOpened.get() - c0
+      assert(nOpened > 0L && nColumnar == nOpened,
+        s"grouped scan must stay vectorized: opened=$nOpened columnar=$nColumnar")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange") && plan.contains("ColumnarToRow"),
+        s"SPJ must keep both the no-shuffle plan and columnar decode:\n$plan")
+    }
+  }
+
   test("opt-in only: without the conf a partitioned table keeps per-file task parallelism") {
     import spark.implicits._
     val t = Files.createTempDirectory("graft_spj_off_").toString
