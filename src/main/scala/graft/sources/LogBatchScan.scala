@@ -55,12 +55,17 @@ final class LogScanBuilder(table: String, schema: StructType,
     with SupportsPushDownAggregates with SupportsPushDownLimit {
 
   private var accepted: Array[sources.Filter] = Array.empty
+  private var allFilters: Array[sources.Filter] = Array.empty
   private var required: StructType = schema
   private var aggRows: Option[(StructType, Seq[Any])] = None
   private var limit: Option[Int] = None
 
   override def pushFilters(filters: Array[sources.Filter]): Array[sources.Filter] = {
     accepted = filters.filter(f => LogFilters.toPred(f).isDefined)
+    // the full set also reaches the scan: filters the MANIFEST cannot
+    // prune on (dates, string ranges) still skip row groups/pages
+    // inside kept files through the parquet reader's own stats
+    allFilters = filters
     filters // file-level pruning only: every filter stays a residual
   }
   override def pushedFilters(): Array[sources.Filter] = accepted
@@ -102,7 +107,8 @@ final class LogScanBuilder(table: String, schema: StructType,
   override def build(): Scan = aggRows match {
     case Some((aggSchema, row)) => new LogMetaAggScan(table, aggSchema, row)
     case None => new LogScan(table, schema, required,
-      accepted.flatMap(LogFilters.toPred).toSeq, options, limit)
+      accepted.flatMap(LogFilters.toPred).toSeq, options, limit,
+      allFilters.toSeq)
   }
 }
 
@@ -120,7 +126,8 @@ final class LogMetaAggScan(table: String, aggSchema: StructType,
 final class LogScan(table: String, fullSchema: StructType,
                     requiredSchema: StructType, preds: Seq[Pred],
                     options: CaseInsensitiveStringMap,
-                    limit: Option[Int] = None)
+                    limit: Option[Int] = None,
+                    srcFilters: Seq[sources.Filter] = Seq.empty)
     extends Scan with Batch with SupportsReportStatistics
     with SupportsRuntimeFiltering with SupportsReportPartitioning {
   LogStreamScan.requireFlat(fullSchema)
@@ -243,6 +250,7 @@ final class LogScan(table: String, fullSchema: StructType,
     * reported (indexed stats columns + hive partition columns), so
     * Spark plans pruning subqueries only where they can help. */
   private var runtimePreds: Seq[Pred] = Seq.empty
+  private var runtimeSrcFilters: Seq[sources.Filter] = Seq.empty
 
   override def filterAttributes(): Array[NamedReference] =
     if (readChangeFeed || groupedEntries().isDefined) Array.empty
@@ -259,14 +267,17 @@ final class LogScan(table: String, fullSchema: StructType,
         .map(Expressions.column).toArray
     }
 
-  override def filter(filters: Array[sources.Filter]): Unit =
+  override def filter(filters: Array[sources.Filter]): Unit = {
     // a pathological runtime IN (an unfiltered billion-key dim) would
     // cost more to evaluate per file than it prunes — ignore it; the
     // join itself still applies the keys exactly
-    runtimePreds = filters.filter {
+    val sane = filters.filter {
       case sources.In(_, vs) => vs.length <= 100000
       case _ => true
-    }.flatMap(LogFilters.toPred).toSeq
+    }
+    runtimePreds = sane.flatMap(LogFilters.toPred).toSeq
+    runtimeSrcFilters = sane.toSeq // row-group skipping inside kept files
+  }
 
   override def planInputPartitions(): Array[InputPartition] =
     if (readChangeFeed) {
@@ -306,21 +317,33 @@ final class LogScan(table: String, fullSchema: StructType,
 
   /** The BATCH read path is VECTORIZED by default (ColumnarBatch via
     * Spark's own parquet reader — see [[LogColumnarReader]]; storage-
-    * partitioned key groups chain per-file columnar readers); it falls
-    * back to the row-based Group reader only where a row cursor is
-    * genuinely required. The decision is per SCAN (Spark forbids
-    * mixing columnar and row partitions) and CONSERVATIVE across
-    * runtime filtering: eligibility checks the unpruned entry set, and
-    * runtime pruning only shrinks it, so a columnar promise never
-    * meets a deletion-vectored partition. */
+    * partitioned key groups chain per-file columnar readers;
+    * deletion-vectored entries serve batches through remapped
+    * live-position vectors); it falls back to the row-based Group
+    * reader only where a row cursor is genuinely required: metadata /
+    * CDF columns, whose per-row constants vary per file. The decision
+    * is per SCAN (Spark forbids mixing columnar and row partitions). */
   override def createReaderFactory(): PartitionReaderFactory = {
     val specials = Set(LogStreamSource.RelPathCol, LogStreamSource.RowPosCol,
       LogStreamSource.ChangeTypeCol, LogStreamSource.CommitVersionCol)
     val columnar = options.getBoolean("vectorizedRead", true) &&
       !readChangeFeed &&
-      allEntries.forall(_.dv.isEmpty) && // dv skipping needs a row cursor
       !requiredSchema.fieldNames.exists(specials)
-    new LogPartitionReaderFactory(requiredSchema, columnar)
+    // WITHIN-FILE skipping: the pushed + runtime filters also travel to
+    // the vectorized reader, which turns them into parquet
+    // FilterPredicates against each file's footer — row-group stats and
+    // column-index pages that provably cannot match are never decoded.
+    // Manifest pruning drops files; this drops the dead 99% INSIDE a
+    // kept file of a selective scan. Names translate to PHYSICAL here
+    // (the files know nothing of column mapping); a filter shape that
+    // cannot translate is simply not pushed (it stays a residual).
+    // Deletion-vectored files opt out at the reader (dv positions are
+    // sequential-row ordinals; skipping would shift them).
+    val parquetPushed =
+      if (!columnar) Seq.empty
+      else (srcFilters ++ runtimeSrcFilters)
+        .flatMap(LogFilters.renamePhys(_, state.physOf))
+    new LogPartitionReaderFactory(requiredSchema, columnar, parquetPushed)
   }
 
   /** Manifest-exact statistics of the PRUNED scan: live rows (dv rows
@@ -930,5 +953,31 @@ object LogFilters {
     }
     case Or(l, r) => for { a <- toPred(l); b <- toPred(r) } yield Pred.Or(a, b)
     case _ => None // Not/StartsWith: bounds cannot prove these
+  }
+
+  /** The filter with every attribute renamed logical -> physical (for
+    * the parquet-level pushdown: data files know nothing of column
+    * mapping). None for shapes this rewrite doesn't know — the filter
+    * is then simply not pushed into the file (it stays a residual), so
+    * dropping is always sound. */
+  def renamePhys(f: Filter, m: String => String): Option[Filter] = f match {
+    case EqualTo(a, v) => Some(EqualTo(m(a), v))
+    case EqualNullSafe(a, v) => Some(EqualNullSafe(m(a), v))
+    case GreaterThan(a, v) => Some(GreaterThan(m(a), v))
+    case GreaterThanOrEqual(a, v) => Some(GreaterThanOrEqual(m(a), v))
+    case LessThan(a, v) => Some(LessThan(m(a), v))
+    case LessThanOrEqual(a, v) => Some(LessThanOrEqual(m(a), v))
+    case In(a, vs) => Some(In(m(a), vs))
+    case IsNull(a) => Some(IsNull(m(a)))
+    case IsNotNull(a) => Some(IsNotNull(m(a)))
+    case StringStartsWith(a, v) => Some(StringStartsWith(m(a), v))
+    case StringEndsWith(a, v) => Some(StringEndsWith(m(a), v))
+    case StringContains(a, v) => Some(StringContains(m(a), v))
+    case And(l, r) =>
+      for { a <- renamePhys(l, m); b <- renamePhys(r, m) } yield And(a, b)
+    case Or(l, r) =>
+      for { a <- renamePhys(l, m); b <- renamePhys(r, m) } yield Or(a, b)
+    case Not(c) => renamePhys(c, m).map(Not)
+    case _ => None
   }
 }

@@ -29,22 +29,58 @@ import org.apache.spark.sql.vectorized.{ColumnVector, ColumnarBatch}
   * required schema's column order (Spark appends partition columns
   * last; the scan's declared schema may interleave them).
   *
+  * DELETION-VECTORED entries stay columnar too: a batch whose row
+  * range intersects the file's dead positions is served through
+  * [[RemappedColumnVector]]s — the Iceberg shape (its
+  * `ColumnVectorWithFilter` over a row-id mapping): each vector
+  * delegates every accessor through a live-position index, so dead
+  * rows vanish without copying a single value and merge-on-read
+  * tables keep vectorized decode between OPTIMIZEs. Batches with no
+  * dead rows pass through the identity batch.
+  *
   * What stays on the row reader, and why:
-  *  - deletion-vectored entries — dead-position skipping needs a row
-  *    cursor (a selective ColumnarBatch has no public mask API);
   *  - scans asking for row-identity / CDF metadata columns (row-level
   *    DML, change feeds) — per-row constants with per-file values;
-  *  - storage-partitioned (grouped) scans — one task chains a key
-  *    group's files sequentially;
   *  - the STREAMING micro-batch path — per-version file batches are
   *    small and bounded, and the stream's value is latency, not decode
   *    bandwidth.
   */
-final class LogColumnarReader(part: LogInputPartition, schema: StructType)
+final class LogColumnarReader(part: LogInputPartition, schema: StructType,
+                              pushed: Seq[org.apache.spark.sql.sources.Filter] = Seq.empty)
     extends PartitionReader[ColumnarBatch] {
 
   LogSourceAudit.filesOpened.incrementAndGet()
   LogSourceAudit.columnarOpened.incrementAndGet()
+
+  /** WITHIN-FILE skipping: the scan's pushed filters (already under
+    * PHYSICAL names) converted to parquet `FilterPredicate`s against
+    * THIS file's footer schema — Spark's own `ParquetFilters` does the
+    * type-correct translation (the same class the built-in parquet
+    * source uses), constructed per file so schema evolution is safe: a
+    * filter on a column this file doesn't carry simply doesn't convert.
+    * The reader then skips row groups by footer stats and pages by
+    * column index — a selective point query on a sorted/clustered 1 GB
+    * file decodes one row group, not eight. Deletion-vectored files
+    * opt out: dv positions are sequential-row ordinals, and skipping
+    * would shift them. Sound by construction — stats/index skipping
+    * only drops rows the filter provably rejects, and every filter
+    * stays a residual above the scan anyway. */
+  private val parquetFilter: Option[org.apache.parquet.filter2.predicate.FilterPredicate] =
+    if (pushed.isEmpty || part.dvDirs.nonEmpty) None
+    else {
+      val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+        new org.apache.hadoop.fs.Path(part.absPath), new Configuration())
+      val fr = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+      val msg = try fr.getFooter.getFileMetaData.getSchema finally fr.close()
+      val pf = new org.apache.spark.sql.execution.datasources.parquet.ParquetFilters(
+        msg, /* pushDownDate = */ true, /* pushDownTimestamp = */ true,
+        /* pushDownDecimal = */ true, /* pushDownStringPredicate = */ true,
+        /* pushDownInFilterThreshold = */ 10, /* caseSensitive = */ false,
+        org.apache.spark.sql.catalyst.util.RebaseDateTime.RebaseSpec(
+          org.apache.spark.sql.internal.LegacyBehaviorPolicy.CORRECTED))
+      pushed.flatMap(f => pf.createFilter(f))
+        .reduceOption(org.apache.parquet.filter2.predicate.FilterApi.and)
+    }
 
   /** Hive partition constants present in the required schema, keyed
     * by LOGICAL name (directory names are physical — column mapping). */
@@ -77,6 +113,8 @@ final class LogColumnarReader(part: LogInputPartition, schema: StructType)
     conf.set("spark.sql.caseSensitive", "false")
     conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "true")
     conf.set("spark.sql.legacy.parquet.nanosAsLong", "false")
+    parquetFilter.foreach(p =>
+      org.apache.parquet.hadoop.ParquetInputFormat.setFilterPredicate(conf, p))
     // every graft-log file is written by THIS engine (Spark 4 staged
     // writes or the task-side delta writer) — proleptic calendar, no
     // legacy rebase; INT96 appears only via Spark's own writer
@@ -113,13 +151,93 @@ final class LogColumnarReader(part: LogInputPartition, schema: StructType)
     new ColumnarBatch(vecs)
   }
 
+  /** Dead in-file positions (deletion vectors); null when the entry
+    * carries none. Positions are sequential-row ordinals — exactly
+    * what `batchStart + i` reproduces, since no filter is pushed into
+    * the parquet reader (manifest pruning is file-level; residual
+    * filters run above the scan), so the vectorized reader never
+    * skips rows. */
+  private val dead: java.util.HashSet[java.lang.Long] =
+    if (part.dvDirs.isEmpty) null
+    else LogPartitionReader.deadPositions(part.dvDirs, part.relPath)
+
+  /** Live-position mapping for the CURRENT batch (capacity matches the
+    * reader's), shared by reference with the remapped vectors. */
+  private val mapping: Array[Int] = if (dead == null) null else new Array[Int](4096)
+
+  /** The dv view of `out`: same column order, every vector remapped
+    * through `mapping`. Built once; `mapping` refills per batch. */
+  private val remapped: ColumnarBatch =
+    if (dead == null) null
+    else new ColumnarBatch(
+      (0 until schema.length).map(i => new RemappedColumnVector(out.column(i), mapping): ColumnVector).toArray)
+
+  private var batchStart: Long = 0L
+  private var cur: ColumnarBatch = out
+
   override def next(): Boolean = {
     val has = reader.nextKeyValue()
-    if (has) out.setNumRows(raw.numRows())
+    if (has) {
+      val n = raw.numRows()
+      LogSourceAudit.rowsDecoded.addAndGet(n)
+      if (dead == null || dead.isEmpty) { out.setNumRows(n); cur = out }
+      else {
+        var i = 0; var live = 0
+        while (i < n) {
+          if (!dead.contains(batchStart + i)) { mapping(live) = i; live += 1 }
+          i += 1
+        }
+        if (live == n) { out.setNumRows(n); cur = out }
+        else { remapped.setNumRows(live); cur = remapped }
+      }
+      batchStart += n
+    }
     has
   }
 
-  override def get(): ColumnarBatch = out
+  override def get(): ColumnarBatch = cur
 
   override def close(): Unit = reader.close()
+}
+
+/** A ColumnVector view that hides DELETED rows: every accessor routes
+  * `rowId` through a live-position `mapping` into the underlying
+  * reader-owned vector (Iceberg's ColumnVectorWithFilter shape — no
+  * values are copied; the mapping array refills in place per batch).
+  * Children are remapped with the SAME mapping: struct access
+  * (`getStruct` is final and reads children at the TOP-level rowId)
+  * and interval/variant accessors all route through `getChild`, while
+  * array/map element offsets live in child coordinate space and come
+  * back from the underlying vector's own `getArray`/`getMap`. */
+private[sources] final class RemappedColumnVector(u: ColumnVector, mapping: Array[Int])
+    extends ColumnVector(u.dataType()) {
+  // never owns memory: the parquet reader owns `u` and frees it on
+  // reader.close(); closing the view must not free under the reader
+  override def close(): Unit = ()
+  // conservative over the FULL batch (dead rows included): hasNull may
+  // answer true for a batch whose live rows are all set — callers use
+  // it only to pick the null-checking code path
+  override def hasNull: Boolean = u.hasNull
+  override def numNulls: Int = u.numNulls
+  override def isNullAt(rowId: Int): Boolean = u.isNullAt(mapping(rowId))
+  override def getBoolean(rowId: Int): Boolean = u.getBoolean(mapping(rowId))
+  override def getByte(rowId: Int): Byte = u.getByte(mapping(rowId))
+  override def getShort(rowId: Int): Short = u.getShort(mapping(rowId))
+  override def getInt(rowId: Int): Int = u.getInt(mapping(rowId))
+  override def getLong(rowId: Int): Long = u.getLong(mapping(rowId))
+  override def getFloat(rowId: Int): Float = u.getFloat(mapping(rowId))
+  override def getDouble(rowId: Int): Double = u.getDouble(mapping(rowId))
+  override def getArray(rowId: Int): org.apache.spark.sql.vectorized.ColumnarArray =
+    u.getArray(mapping(rowId))
+  override def getMap(rowId: Int): org.apache.spark.sql.vectorized.ColumnarMap =
+    u.getMap(mapping(rowId))
+  override def getDecimal(rowId: Int, precision: Int, scale: Int): org.apache.spark.sql.types.Decimal =
+    u.getDecimal(mapping(rowId), precision, scale)
+  override def getUTF8String(rowId: Int): org.apache.spark.unsafe.types.UTF8String =
+    u.getUTF8String(mapping(rowId))
+  override def getBinary(rowId: Int): Array[Byte] = u.getBinary(mapping(rowId))
+  private lazy val children =
+    new java.util.concurrent.ConcurrentHashMap[Integer, RemappedColumnVector]()
+  override def getChild(ordinal: Int): ColumnVector =
+    children.computeIfAbsent(ordinal, o => new RemappedColumnVector(u.getChild(o), mapping))
 }

@@ -514,7 +514,8 @@ final case class LogGroupedPartition(files: Seq[LogInputPartition],
   * agree), so the flag arrives from `LogScan.createReaderFactory`.
   * The streaming micro-batch path always passes false. */
 final class LogPartitionReaderFactory(schema: StructType,
-                                      columnar: Boolean = false)
+                                      columnar: Boolean = false,
+                                      pushed: Seq[org.apache.spark.sql.sources.Filter] = Seq.empty)
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
     partition match {
@@ -527,8 +528,8 @@ final class LogPartitionReaderFactory(schema: StructType,
   override def createColumnarReader(partition: InputPartition): PartitionReader[ColumnarBatch] =
     partition match {
       case g: LogGroupedPartition if columnar =>
-        new LogChainedColumnarReader(g.files, schema)
-      case p: LogInputPartition if columnar => new LogColumnarReader(p, schema)
+        new LogChainedColumnarReader(g.files, schema, pushed)
+      case p: LogInputPartition if columnar => new LogColumnarReader(p, schema, pushed)
       case p => throw new UnsupportedOperationException(
         s"graft-log: no columnar read for $p")
     }
@@ -538,7 +539,8 @@ final class LogPartitionReaderFactory(schema: StructType,
   * files (one task = one partition value; batches stream file by
   * file — the SPJ scan keeps vectorized decode). */
 final class LogChainedColumnarReader(parts: Seq[LogInputPartition],
-                                     schema: StructType)
+                                     schema: StructType,
+                                     pushed: Seq[org.apache.spark.sql.sources.Filter] = Seq.empty)
     extends PartitionReader[ColumnarBatch] {
   private val it = parts.iterator
   private var cur: LogColumnarReader = _
@@ -546,7 +548,7 @@ final class LogChainedColumnarReader(parts: Seq[LogInputPartition],
     while (true) {
       if (cur == null) {
         if (!it.hasNext) return false
-        cur = new LogColumnarReader(it.next(), schema)
+        cur = new LogColumnarReader(it.next(), schema, pushed)
       }
       if (cur.next()) return true
       cur.close(); cur = null
@@ -641,37 +643,7 @@ final class LogPartitionReader(part: LogInputPartition, schema: StructType)
     * this reader's sequential row counter reproduces exactly). */
   private val dead: java.util.HashSet[java.lang.Long] =
     if (part.dvDirs.isEmpty) null
-    else {
-      val s = new java.util.HashSet[java.lang.Long]()
-      part.dvDirs.foreach { dir =>
-        val fs = Option(new java.io.File(dir).listFiles())
-          .getOrElse(Array.empty[java.io.File])
-          .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
-        // a SHARDED sidecar (large purge: up to 10k shards, laid out
-        // path-contiguous by repartitionByRange) must not be read in
-        // full by every data-file reader — consult each shard's footer
-        // min/max of the `path` column and open only the shards that
-        // can contain this file's positions (O(shards) footer reads,
-        // O(relevant shards) row reads instead of O(all))
-        fs.foreach { f =>
-          if (fs.length == 1 ||
-              LogPartitionReader.shardMayContain(f, part.relPath)) {
-            val r = ParquetReader.builder[Group](new GroupReadSupport(),
-              new org.apache.hadoop.fs.Path(f.getPath))
-              .withConf(new Configuration()).build()
-            try {
-              var g = r.read()
-              while (g != null) {
-                if (g.getString("path", 0) == part.relPath)
-                  s.add(g.getLong("pos", 0))
-                g = r.read()
-              }
-            } finally r.close()
-          }
-        }
-      }
-      s
-    }
+    else LogPartitionReader.deadPositions(part.dvDirs, part.relPath)
 
   private var current: Group = _
   private var rowPos: Long = -1L
@@ -818,6 +790,39 @@ object LogPartitionReader {
     } finally r.close()
   }
 
+  /** One data file's dead in-file positions, collected from its
+    * deletion-vector sidecar directories. A SHARDED sidecar (large
+    * purge: up to 10k shards, laid out path-contiguous by
+    * repartitionByRange) must not be read in full by every data-file
+    * reader — each shard's footer min/max of the `path` column gates
+    * the open (O(shards) footer reads, O(relevant shards) row reads
+    * instead of O(all)). Shared by the row and the columnar reader. */
+  private[sources] def deadPositions(dvDirs: Seq[String], relPath: String)
+      : java.util.HashSet[java.lang.Long] = {
+    val s = new java.util.HashSet[java.lang.Long]()
+    dvDirs.foreach { dir =>
+      val fs = Option(new java.io.File(dir).listFiles())
+        .getOrElse(Array.empty[java.io.File])
+        .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+      fs.foreach { f =>
+        if (fs.length == 1 || shardMayContain(f, relPath)) {
+          val r = ParquetReader.builder[Group](new GroupReadSupport(),
+            new org.apache.hadoop.fs.Path(f.getPath))
+            .withConf(new Configuration()).build()
+          try {
+            var g = r.read()
+            while (g != null) {
+              if (g.getString("path", 0) == relPath)
+                s.add(g.getLong("pos", 0))
+              g = r.read()
+            }
+          } finally r.close()
+        }
+      }
+    }
+    s
+  }
+
   /** Hive partition-value string -> Catalyst value, by the TABLE
     * schema's type for the column (the same types Spark's own
     * partition inference restored when the log read used basePath). */
@@ -844,4 +849,8 @@ object LogSourceAudit {
   /** Of those, files opened through the VECTORIZED batch reader —
     * specs pin that the default batch path is columnar. */
   val columnarOpened = new java.util.concurrent.atomic.AtomicLong(0L)
+  /** Rows DECODED by the vectorized reader (post row-group / page
+    * skipping, pre dv remapping) — specs pin that a selective filter
+    * never decodes the row groups it provably cannot match. */
+  val rowsDecoded = new java.util.concurrent.atomic.AtomicLong(0L)
 }

@@ -67,6 +67,25 @@ object ScanProbe {
       graft.core.SnapshotLog.read(spark, t))
     println(f"[scanprobe] RESULT rows=$n columnar=$colSec%.2f row=$rowSec%.2f " +
       f"plain=$plainSec%.2f speedup=${rowSec / colSec}%.1fx")
+
+    // DELETION-VECTORED leg: a ~1% key-band purge lands partial hits in
+    // every file (the table is key-shuffled), so each file carries a dv
+    // — the merge-on-read shape every 100 TB table lives in between
+    // OPTIMIZEs. The columnar path must hold its lead through the
+    // remapped live-position vectors.
+    val hi = maxKey * facts
+    timed("deleteWhere ~1% key band (dv per file)") {
+      graft.core.SnapshotLog.deleteWhere(spark, t,
+        graft.core.SnapshotLog.Pred.Between("o_orderkey", 0.0, hi.toDouble / 100.0))
+    }
+    val nDv = spark.read.format("graft-log").load(t).count()
+    println(s"[scanprobe] rows after purge: $nDv")
+    val colDvSec = bench("columnar + deletion vectors",
+      spark.read.format("graft-log").load(t))
+    val rowDvSec = bench("row reader + deletion vectors",
+      spark.read.format("graft-log").option("vectorizedRead", "false").load(t))
+    println(f"[scanprobe] RESULT_DV rows=$nDv columnar=$colDvSec%.2f " +
+      f"row=$rowDvSec%.2f speedup=${rowDvSec / colDvSec}%.1fx")
     spark.stop()
   }
 }

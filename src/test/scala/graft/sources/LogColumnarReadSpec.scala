@@ -107,7 +107,7 @@ class LogColumnarReadSpec extends AnyFunSuite with SparkFixture {
     assert(n == 1L && nOpened == 1L && nCol2 == 1L, s"$n/$nOpened/$nCol2")
   }
 
-  test("deletion-vectored tables and metadata-column scans fall back to the row reader") {
+  test("deletion-vectored tables stay columnar: dead rows vanish through remapped vectors") {
     import spark.implicits._
     val t = freshTable()
     SnapshotLog.commit(spark,
@@ -116,12 +116,79 @@ class LogColumnarReadSpec extends AnyFunSuite with SparkFixture {
       t, statsFor = Seq("id"))
     SnapshotLog.deleteWhere(spark, t, SnapshotLog.Pred.Between("id", 10.0, 19.0))
     val (got, nOpened, nColumnar) = audited {
-      batchRead(t).select("id").collect().map(_.getLong(0)).toSet
+      batchRead(t).select("id", "payload")
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSet
     }
-    assert(got == (0L until 100L).toSet -- (10L to 19L))
-    assert(nOpened == 5L && nColumnar == 0L,
-      s"dv table must read row-based: opened=$nOpened columnar=$nColumnar")
-    // metadata columns (row-level DML's scan shape) also stay row-based
+    assert(got == ((0L until 100L).toSet -- (10L to 19L)).map(i => (i, s"p$i")))
+    assert(nOpened == 5L && nColumnar == 5L,
+      s"dv table must stay vectorized: opened=$nOpened columnar=$nColumnar")
+  }
+
+  test("dv remapping is exact across batch boundaries and null cells") {
+    import spark.implicits._
+    val t = freshTable()
+    // one file of 10k rows: several reader batches (capacity 4096);
+    // delete a spread that crosses every batch, incl. run heads/tails
+    SnapshotLog.commit(spark,
+      spark.range(0, 10000).select(
+        col("id"),
+        when(col("id") % 7 === 0, lit(null)).otherwise(concat(lit("s"), col("id"))).as("s"),
+        (col("id") * 1.25).as("d"))
+        .coalesce(1), t, statsFor = Seq("id"))
+    val deadIds = ((0L to 10L) ++ (4090L to 4100L) ++ (8190L to 8200L) ++ Seq(9999L)).toSet
+    SnapshotLog.deleteWhere(spark, t,
+      SnapshotLog.Pred.In("id", deadIds.toSeq.map(_.toDouble)))
+    val (rows, nOpened, nColumnar) = audited {
+      batchRead(t).collect().map { r =>
+        (r.getLong(0),
+          if (r.isNullAt(1)) null else r.getString(1),
+          r.getDouble(2))
+      }.toList.sortBy(_._1)
+    }
+    assert(nOpened == 1L && nColumnar == 1L, s"opened=$nOpened columnar=$nColumnar")
+    val expect = (0L until 10000L).filterNot(deadIds).map { i =>
+      (i, if (i % 7 == 0) null else s"s$i", i * 1.25)
+    }.toList
+    assert(rows == expect, "remapped batches must be value-identical to the surviving rows")
+  }
+
+  test("pushed filters skip row groups inside a kept file; dv files opt out and stay exact") {
+    import spark.implicits._
+    val t = freshTable()
+    // small parquet row groups so one FILE holds many skippable groups
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val oldBlock = hconf.get("parquet.block.size")
+    hconf.setInt("parquet.block.size", 64 * 1024)
+    try {
+      SnapshotLog.commit(spark,
+        spark.range(0, 200000).select(
+          col("id"), concat(lit("payload_"), col("id")).as("s"))
+          .coalesce(1).sortWithinPartitions("id"),
+        t, statsFor = Seq("id"))
+    } finally {
+      if (oldBlock == null) hconf.unset("parquet.block.size")
+      else hconf.set("parquet.block.size", oldBlock)
+    }
+    val d0 = LogSourceAudit.rowsDecoded.get()
+    val got = batchRead(t).filter(col("id") === 123456L).collect()
+    val decoded = LogSourceAudit.rowsDecoded.get() - d0
+    assert(got.length == 1 && got.head.getString(1) == "payload_123456")
+    assert(decoded > 0L && decoded < 50000L,
+      s"a point filter on a sorted file must skip most row groups: decoded=$decoded of 200000")
+    // a deletion-vectored file must NOT row-group-skip (positions are
+    // sequential ordinals) — and stays value-exact under the filter
+    SnapshotLog.deleteWhere(spark, t, SnapshotLog.Pred.Eq("id", 123456.0))
+    val d1 = LogSourceAudit.rowsDecoded.get()
+    val after = batchRead(t).filter(col("id").between(123450L, 123460L))
+      .collect().map(_.getLong(0)).toSet
+    val decodedDv = LogSourceAudit.rowsDecoded.get() - d1
+    assert(after == (123450L to 123460L).toSet - 123456L)
+    assert(decodedDv == 200000L,
+      s"dv files read every row (ordinals must not shift): decoded=$decodedDv")
+  }
+
+  test("metadata-column scans fall back to the row reader") {
+    import spark.implicits._
     val t2 = freshTable()
     SnapshotLog.commit(spark, Seq((1L, "a")).toDF("id", "payload"), t2)
     val (_, _, nCol2) = audited {
