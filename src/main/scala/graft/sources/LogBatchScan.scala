@@ -315,20 +315,17 @@ final class LogScan(table: String, fullSchema: StructType,
       }
     }
 
-  /** The BATCH read path is VECTORIZED by default (ColumnarBatch via
-    * Spark's own parquet reader — see [[LogColumnarReader]]; storage-
-    * partitioned key groups chain per-file columnar readers;
-    * deletion-vectored entries serve batches through remapped
-    * live-position vectors); it falls back to the row-based Group
-    * reader only where a row cursor is genuinely required: metadata /
-    * CDF columns, whose per-row constants vary per file. The decision
-    * is per SCAN (Spark forbids mixing columnar and row partitions). */
+  /** EVERY batch read is VECTORIZED (ColumnarBatch via Spark's own
+    * parquet reader — see [[LogColumnarReader]]): plain scans, storage-
+    * partitioned key groups (chained per-file columnar readers),
+    * deletion-vectored entries (remapped live-position vectors),
+    * metadata/CDF columns (per-file constant vectors; `_graft_pos`
+    * rides a position vector — so row-level DML target scans and batch
+    * CDF decode columnar too), in any combination. Only the STREAMING
+    * micro-batch path keeps the row reader. `vectorizedRead=false`
+    * opts a scan out (the A/B seam ScanProbe measures). */
   override def createReaderFactory(): PartitionReaderFactory = {
-    val specials = Set(LogStreamSource.RelPathCol, LogStreamSource.RowPosCol,
-      LogStreamSource.ChangeTypeCol, LogStreamSource.CommitVersionCol)
-    val columnar = options.getBoolean("vectorizedRead", true) &&
-      !readChangeFeed &&
-      !requiredSchema.fieldNames.exists(specials)
+    val columnar = options.getBoolean("vectorizedRead", true)
     // WITHIN-FILE skipping: the pushed + runtime filters also travel to
     // the vectorized reader, which turns them into parquet
     // FilterPredicates against each file's footer — row-group stats and
@@ -337,8 +334,8 @@ final class LogScan(table: String, fullSchema: StructType,
     // kept file of a selective scan. Names translate to PHYSICAL here
     // (the files know nothing of column mapping); a filter shape that
     // cannot translate is simply not pushed (it stays a residual).
-    // Deletion-vectored files opt out at the reader (dv positions are
-    // sequential-row ordinals; skipping would shift them).
+    // The reader opts out per file where ordinals must not shift:
+    // deletion-vectored entries, and any scan asking for `_graft_pos`.
     val parquetPushed =
       if (!columnar) Seq.empty
       else (srcFilters ++ runtimeSrcFilters)

@@ -38,12 +38,15 @@ import org.apache.spark.sql.vectorized.{ColumnVector, ColumnarBatch}
   * tables keep vectorized decode between OPTIMIZEs. Batches with no
   * dead rows pass through the identity batch.
   *
-  * What stays on the row reader, and why:
-  *  - scans asking for row-identity / CDF metadata columns (row-level
-  *    DML, change feeds) — per-row constants with per-file values;
-  *  - the STREAMING micro-batch path — per-version file batches are
-  *    small and bounded, and the stream's value is latency, not decode
-  *    bandwidth.
+  * METADATA / CDF columns are columnar too: `_commit_version`,
+  * `_graft_rel`, and an append's `_change_type` are file constants and
+  * ride the reader's appended constant vectors; `_graft_pos` rides a
+  * [[PositionColumnVector]] of file ordinals (remap-composable) — so
+  * the row-level DML target scan and batch CDF keep vectorized decode.
+  *
+  * What stays on the row reader: the STREAMING micro-batch path —
+  * per-version file batches are small and bounded, and the stream's
+  * value is latency, not decode bandwidth.
   */
 final class LogColumnarReader(part: LogInputPartition, schema: StructType,
                               pushed: Seq[org.apache.spark.sql.sources.Filter] = Seq.empty)
@@ -66,7 +69,8 @@ final class LogColumnarReader(part: LogInputPartition, schema: StructType,
     * only drops rows the filter provably rejects, and every filter
     * stays a residual above the scan anyway. */
   private val parquetFilter: Option[org.apache.parquet.filter2.predicate.FilterPredicate] =
-    if (pushed.isEmpty || part.dvDirs.nonEmpty) None
+    if (pushed.isEmpty || part.dvDirs.nonEmpty ||
+        schema.fieldNames.contains(LogStreamSource.RowPosCol)) None
     else {
       val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
         new org.apache.hadoop.fs.Path(part.absPath), new Configuration())
@@ -87,15 +91,40 @@ final class LogColumnarReader(part: LogInputPartition, schema: StructType,
   private val partConsts: Seq[(String, Option[String])] =
     part.partValues.flatMap { case (pc, v) => part.logicalName(pc).map(l => (l, v)) }
       .filter(pv => schema.fieldNames.contains(pv._1))
-  private val partColNames = partConsts.map(_._1).toSet
+
+  /** METADATA columns served as per-file constant vectors — the same
+    * per-row values the row reader synthesizes: `_commit_version` and
+    * `_graft_rel` are file constants by definition; `_change_type` is
+    * a constant only when the commit supplied the tag (an append's
+    * "insert") — a cdc change-data file CARRIES the column and reads
+    * it as data (and a plain file with no tag clips to an all-null
+    * vector, the row reader's null). `_graft_pos` is the one genuinely
+    * per-row metadatum; it rides [[PositionColumnVector]]. */
+  private val metaConsts: Seq[(String, Any)] = schema.fields.toSeq.flatMap { f =>
+    f.name match {
+      case LogStreamSource.CommitVersionCol => Some(f.name -> part.version)
+      case LogStreamSource.RelPathCol =>
+        Some(f.name -> org.apache.spark.unsafe.types.UTF8String.fromString(part.relPath))
+      case LogStreamSource.ChangeTypeCol if part.changeType.isDefined =>
+        Some(f.name -> org.apache.spark.unsafe.types.UTF8String.fromString(part.changeType.get))
+      case _ => None
+    }
+  }
+  private val hasPos = schema.fieldNames.contains(LogStreamSource.RowPosCol)
+  private val constNames = partConsts.map(_._1).toSet ++ metaConsts.map(_._1) +
+    LogStreamSource.RowPosCol
+
   /** Data fields requested from the file under their PHYSICAL names
     * (positional batch columns — vector names never reach Spark). */
-  private val dataFields = schema.fields.filterNot(f => partColNames.contains(f.name))
+  private val dataFields = schema.fields.filterNot(f => constNames.contains(f.name))
     .map(f => f.copy(name = part.physName(f.name)))
-  private val partSchema = StructType(partConsts.map { case (c, _) => schema(c) })
+  private val partSchema = StructType(
+    partConsts.map { case (c, _) => schema(c) } ++ metaConsts.map { case (c, _) => schema(c) })
   private val partRow = InternalRow.fromSeq(partConsts.map { case (c, v) =>
     v.map(raw => LogPartitionReader.partValue(raw, schema(c).dataType)).orNull
-  })
+  } ++ metaConsts.map(_._2))
+
+  private val posVec: PositionColumnVector = if (hasPos) new PositionColumnVector else null
 
   private val reader: VectorizedParquetRecordReader = {
     val conf = new Configuration()
@@ -143,7 +172,8 @@ final class LogColumnarReader(part: LogInputPartition, schema: StructType,
     * `nextBatch` calls — the reader refills in place). */
   private val out: ColumnarBatch = {
     val vecs: Array[ColumnVector] = schema.fields.map { f =>
-      if (partColNames.contains(f.name))
+      if (f.name == LogStreamSource.RowPosCol) posVec
+      else if (partSchema.fieldNames.contains(f.name))
         raw.column(dataFields.length + partSchema.fieldIndex(f.name))
       else // dataFields carry physical names
         raw.column(dataFields.indexWhere(_.name == part.physName(f.name)))
@@ -180,6 +210,7 @@ final class LogColumnarReader(part: LogInputPartition, schema: StructType,
     if (has) {
       val n = raw.numRows()
       LogSourceAudit.rowsDecoded.addAndGet(n)
+      if (posVec != null) posVec.start = batchStart
       if (dead == null || dead.isEmpty) { out.setNumRows(n); cur = out }
       else {
         var i = 0; var live = 0
@@ -240,4 +271,35 @@ private[sources] final class RemappedColumnVector(u: ColumnVector, mapping: Arra
     new java.util.concurrent.ConcurrentHashMap[Integer, RemappedColumnVector]()
   override def getChild(ordinal: Int): ColumnVector =
     children.computeIfAbsent(ordinal, o => new RemappedColumnVector(u.getChild(o), mapping))
+}
+
+/** The `_graft_pos` vector: row ordinals of the CURRENT batch within
+  * its file (`start` advances per batch). These are the coordinates
+  * deletion-vector sidecars address rows by, so they must be the
+  * file's sequential ordinals — which is also why a scan asking for
+  * positions disables parquet row-group/page skipping, and why a
+  * dv-remapped batch wraps this vector too (the remap then yields the
+  * live row's ORIGINAL ordinal, exactly the row reader's counter). */
+private[sources] final class PositionColumnVector
+    extends ColumnVector(org.apache.spark.sql.types.LongType) {
+  var start: Long = 0L
+  override def close(): Unit = ()
+  override def hasNull: Boolean = false
+  override def numNulls: Int = 0
+  override def isNullAt(rowId: Int): Boolean = false
+  override def getLong(rowId: Int): Long = start + rowId
+  private def nope = throw new UnsupportedOperationException(
+    "graft-log: the position vector is long-valued")
+  override def getBoolean(rowId: Int): Boolean = nope
+  override def getByte(rowId: Int): Byte = nope
+  override def getShort(rowId: Int): Short = nope
+  override def getInt(rowId: Int): Int = nope
+  override def getFloat(rowId: Int): Float = nope
+  override def getDouble(rowId: Int): Double = nope
+  override def getArray(rowId: Int): org.apache.spark.sql.vectorized.ColumnarArray = nope
+  override def getMap(rowId: Int): org.apache.spark.sql.vectorized.ColumnarMap = nope
+  override def getDecimal(rowId: Int, precision: Int, scale: Int): org.apache.spark.sql.types.Decimal = nope
+  override def getUTF8String(rowId: Int): org.apache.spark.unsafe.types.UTF8String = nope
+  override def getBinary(rowId: Int): Array[Byte] = nope
+  override def getChild(ordinal: Int): ColumnVector = nope
 }

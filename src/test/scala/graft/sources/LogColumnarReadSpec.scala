@@ -187,13 +187,31 @@ class LogColumnarReadSpec extends AnyFunSuite with SparkFixture {
       s"dv files read every row (ordinals must not shift): decoded=$decodedDv")
   }
 
-  test("metadata-column scans fall back to the row reader") {
+  test("metadata columns ride constant/position vectors: columnar, identical to the row reader") {
     import spark.implicits._
-    val t2 = freshTable()
-    SnapshotLog.commit(spark, Seq((1L, "a")).toDF("id", "payload"), t2)
-    val (_, _, nCol2) = audited {
-      batchRead(t2).select(col("id"), col("_graft_rel"), col("_graft_pos")).collect()
+    val t = freshTable()
+    SnapshotLog.commit(spark,
+      (0 until 300).map(i => (i.toLong, s"p$i")).toDF("id", "payload")
+        .repartitionByRange(3, col("id")), t, statsFor = Seq("id"))
+    // dv on one file: positions of SURVIVORS must stay file ordinals
+    SnapshotLog.deleteWhere(spark, t, SnapshotLog.Pred.Between("id", 10.0, 19.0))
+    val cols = Seq(col("id"), col("_graft_rel"), col("_graft_pos"))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select(cols: _*).collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    val (viaCol, _, nColumnar) = audited {
+      rows(batchRead(t).filter(col("id") < 250L))
     }
-    assert(nCol2 == 0L, "metadata-column scans need the row reader")
+    val viaRow = rows(spark.read.format("graft-log")
+      .option("vectorizedRead", "false").load(t).filter(col("id") < 250L))
+    assert(nColumnar > 0L, "metadata-column scans must stay vectorized")
+    assert(viaCol == viaRow,
+      "constant/position vectors must reproduce the row reader's metadata exactly")
+    assert(viaCol.map(_._1) == (0L until 250L).toSet -- (10L to 19L))
+    // positions asked => parquet skipping disabled (ordinals must not shift)
+    val d0 = LogSourceAudit.rowsDecoded.get()
+    rows(batchRead(t).filter(col("id") === 5L))
+    assert(LogSourceAudit.rowsDecoded.get() - d0 >= 100L,
+      "a _graft_pos scan must decode its kept file in full")
   }
 }
