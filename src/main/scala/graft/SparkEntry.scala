@@ -155,6 +155,7 @@ object SparkEntry {
     "log_batch_dv"     -> (graft.sources.LogBatchQueries.logBatchDv _),
     "log_write_roundtrip" -> (graft.sources.LogBatchQueries.logWriteRoundtrip _),
     "log_meta_agg"     -> (graft.sources.LogBatchQueries.logMetaAgg _),
+    "log_meta_groupby" -> (graft.sources.LogBatchQueries.logMetaGroupby _),
     "log_spj"          -> (graft.sources.LogBatchQueries.logSpj _),
     "stream_log_sink"  -> (graft.sources.LogBatchQueries.streamLogSink _),
     "log_catalog_sql"  -> (graft.sources.LogCatalogQueries.catalogSql _),
@@ -2099,6 +2100,14 @@ object SparkEntry {
         |FROM orders
         |WHERE o_orderkey > (SELECT max(o_orderkey) // 2 FROM orders)
         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "log_meta_groupby" -> // per-PARTITION metadata aggregate: GROUP BY
+      // the hive partition column answers COUNT/MIN/MAX per value from
+      // manifest stats (LocalScan, zero opens — LogMetaAggSpec); the
+      // oracle recomputes the groups with a real scan
+      """SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n_orders,
+        |  CAST(min(o_orderkey) AS BIGINT) AS min_key,
+        |  CAST(max(o_orderkey) AS BIGINT) AS max_key
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
     "log_spj" -> // storage-partitioned join: co-partitioned log tables
       // join with zero shuffle under v2 bucketing (plan pinned in
       // LogSpjSpec); values must equal the ordinary shuffled join

@@ -57,7 +57,7 @@ final class LogScanBuilder(table: String, schema: StructType,
   private var accepted: Array[sources.Filter] = Array.empty
   private var allFilters: Array[sources.Filter] = Array.empty
   private var required: StructType = schema
-  private var aggRows: Option[(StructType, Seq[Any])] = None
+  private var aggRows: Option[(StructType, Seq[Seq[Any]])] = None
   private var limit: Option[Int] = None
 
   override def pushFilters(filters: Array[sources.Filter]): Array[sources.Filter] = {
@@ -112,14 +112,15 @@ final class LogScanBuilder(table: String, schema: StructType,
   }
 }
 
-/** A pushed metadata aggregate as a driver-local scan: the single
-  * result row ships with the plan (`LocalScan`) — no job, no tasks,
-  * no file opens. */
+/** A pushed metadata aggregate as a driver-local scan: the result rows
+  * (one for a global aggregate, one per partition value for a pushed
+  * GROUP BY) ship with the plan (`LocalScan`) — no job, no tasks, no
+  * file opens. */
 final class LogMetaAggScan(table: String, aggSchema: StructType,
-                           row: Seq[Any]) extends LocalScan {
+                           resultRows: Seq[Seq[Any]]) extends LocalScan {
   override def readSchema(): StructType = aggSchema
   override def rows(): Array[org.apache.spark.sql.catalyst.InternalRow] =
-    Array(org.apache.spark.sql.catalyst.InternalRow.fromSeq(row))
+    resultRows.map(org.apache.spark.sql.catalyst.InternalRow.fromSeq).toArray
   override def description(): String = s"graft-log $table metadata-aggregate"
 }
 
@@ -394,9 +395,8 @@ object LogMetaAggregates {
 
   def resolve(table: String, schema: StructType,
               options: CaseInsensitiveStringMap,
-              agg: Aggregation): Option[(StructType, Seq[Any])] = {
+              agg: Aggregation): Option[(StructType, Seq[Seq[Any]])] = {
     if (options.getBoolean("readChangeFeed", false)) return None
-    if (agg.groupByExpressions().nonEmpty) return None
     if (agg.aggregateExpressions().isEmpty) return None
     val st: SnapshotLog.TableState = {
       val v = Option(options.get("versionAsOf")).map(_.toLong)
@@ -406,8 +406,16 @@ object LogMetaAggregates {
       v.map(SnapshotLog.resolve(table, _))
         .getOrElse(SnapshotLog.TableState(0L, Seq.empty, Map.empty))
     }
+    // partition-directory values merge in as point bounds + null facts
+    // (stats key by PHYSICAL name), so partition columns answer
+    // COUNT/MIN/MAX under exactly the same rules as stats columns
+    val physSchema =
+      if (!st.mapped) schema
+      else StructType(schema.fields.map(f => f.copy(name = st.physOf(f.name))))
     val entries: Seq[FileEntry] = st.entries.filter(_.rows > 0)
-    val liveRows = entries.map(e => e.rows - e.dvRows).sum
+      .map(e => LogBatchScan.withPartitionBounds(e, physSchema))
+
+    def liveOf(scope: Seq[FileEntry]): Long = scope.map(e => e.rows - e.dvRows).sum
 
     def singleCol(e: org.apache.spark.sql.connector.expressions.Expression): Option[String] =
       e match {
@@ -416,12 +424,12 @@ object LogMetaAggregates {
         case _ => None
       }
 
-    /** The extremum of `c` from bounds, as a catalyst value of the
-      * column's type — None declines the whole push. An entry whose
-      * recorded null count equals its rows is PROVABLY all-null for
-      * `c`: it contributes nothing to MIN/MAX and is skipped instead
-      * of declining on its (legitimately) missing bounds. */
-    def bound(c: String, lower: Boolean): Option[(DataType, Any)] = {
+    /** The extremum of `c` over `scope`'s bounds, as a catalyst value
+      * of the column's type — None declines the whole push. An entry
+      * whose recorded null count equals its rows is PROVABLY all-null
+      * for `c`: it contributes nothing to MIN/MAX and is skipped
+      * instead of declining on its (legitimately) missing bounds. */
+    def bound(c: String, lower: Boolean, scope: Seq[FileEntry]): Option[(DataType, Any)] = {
       val dt = schema.fields.find(_.name == c).map(_.dataType).getOrElse(return None)
       val pc = st.physOf(c) // manifest stats key by physical name
       val ok = dt match {
@@ -430,9 +438,9 @@ object LogMetaAggregates {
         case _ => false
       }
       if (!ok) return None
-      if (entries.exists(_.dv.isDefined)) return None
-      if (liveRows == 0L) return Some((dt, null)) // MIN/MAX of empty = null
-      val contributing = entries.filterNot(e => e.nulls.get(pc).contains(e.rows))
+      if (scope.exists(_.dv.isDefined)) return None
+      if (liveOf(scope) == 0L) return Some((dt, null)) // MIN/MAX of empty = null
+      val contributing = scope.filterNot(e => e.nulls.get(pc).contains(e.rows))
       if (contributing.isEmpty) return Some((dt, null)) // every row null
       val bs = contributing.map(_.num.get(pc).map(b => if (lower) b._1 else b._2))
       if (bs.exists(_.isEmpty)) return None
@@ -454,32 +462,81 @@ object LogMetaAggregates {
     }
 
     /** COUNT(c) = live rows minus recorded nulls — exact when every
-      * entry records a null count for `c` and none carries a deletion
-      * vector (a dead row may be one of the counted nulls). */
-    def countCol(c: String): Option[Long] = {
+      * entry in scope records a null count for `c` and none carries a
+      * deletion vector (a dead row may be one of the counted nulls). */
+    def countCol(c: String, scope: Seq[FileEntry]): Option[Long] = {
       if (!schema.fieldNames.contains(c)) return None
-      if (entries.exists(_.dv.isDefined)) return None
+      if (scope.exists(_.dv.isDefined)) return None
       val pc = st.physOf(c)
-      val ns = entries.map(_.nulls.get(pc))
-      if (ns.exists(_.isEmpty)) None else Some(liveRows - ns.flatten.sum)
+      val ns = scope.map(_.nulls.get(pc))
+      if (ns.exists(_.isEmpty)) None else Some(liveOf(scope) - ns.flatten.sum)
     }
 
-    val resolved = agg.aggregateExpressions().toSeq.map {
-      case _: CountStar => Some((LongType: DataType, liveRows: Any, false))
-      case cnt: Count if !cnt.isDistinct =>
-        singleCol(cnt.column()).flatMap(countCol)
-          .map(n => (LongType: DataType, n: Any, false))
-      case m: Min => singleCol(m.column()).flatMap(bound(_, lower = true))
-        .map { case (dt, v) => (dt, v, true) }
-      case m: Max => singleCol(m.column()).flatMap(bound(_, lower = false))
-        .map { case (dt, v) => (dt, v, true) }
-      case _ => None
+    /** Every asked aggregate resolved over one entry scope, or None
+      * (any unresolvable aggregate declines the whole push). */
+    def resolveAggs(scope: Seq[FileEntry]): Option[Seq[(DataType, Any, Boolean)]] = {
+      val resolved = agg.aggregateExpressions().toSeq.map {
+        case _: CountStar => Some((LongType: DataType, liveOf(scope): Any, false))
+        case cnt: Count if !cnt.isDistinct =>
+          singleCol(cnt.column()).flatMap(countCol(_, scope))
+            .map(n => (LongType: DataType, n: Any, false))
+        case m: Min => singleCol(m.column()).flatMap(bound(_, lower = true, scope))
+          .map { case (dt, v) => (dt, v, true) }
+        case m: Max => singleCol(m.column()).flatMap(bound(_, lower = false, scope))
+          .map { case (dt, v) => (dt, v, true) }
+        case _ => None
+      }
+      if (resolved.exists(_.isEmpty)) None else Some(resolved.flatten)
     }
-    if (resolved.exists(_.isEmpty)) return None
-    val fields = resolved.flatten.zipWithIndex.map { case ((dt, _, nullable), i) =>
-      StructField(s"agg_$i", dt, nullable)
+
+    def aggFields(r: Seq[(DataType, Any, Boolean)]): Seq[StructField] =
+      r.zipWithIndex.map { case ((dt, _, nullable), i) =>
+        StructField(s"agg_$i", dt, nullable)
+      }
+
+    if (agg.groupByExpressions().isEmpty) {
+      resolveAggs(entries).map(r =>
+        (StructType(aggFields(r)), Seq(r.map(_._2))))
+    } else {
+      // GROUP BY hive partition columns (the Delta/Iceberg "count per
+      // day from the manifest" shape): one result row per partition
+      // value, each group's aggregates under the same exactness rules.
+      // Sound only when every live entry carries EVERY grouped column
+      // in its `col=value` layout (one group per entry, no residue)
+      // and the value string reconstructs the exact catalyst value.
+      // A group whose live rows are all gone (dv'd to zero) is omitted
+      // — a real scan would produce no row for it.
+      val groupCols = agg.groupByExpressions().toSeq.map(singleCol)
+      if (groupCols.exists(_.isEmpty)) return None
+      val cols = groupCols.flatten
+      val dts = cols.map(c => schema.fields.find(_.name == c).map(_.dataType))
+      if (dts.exists(t => t.isEmpty || !LogBatchScan.keyType(t.get))) return None
+      val types = cols.zip(dts.flatten)
+      val physCols = cols.map(st.physOf)
+      val keyed = entries.map(e => (LogBatchScan.partitionValues(e.path).toMap, e))
+      if (keyed.exists { case (m, _) => !physCols.forall(m.contains) }) return None
+      val groups = keyed.groupBy { case (m, _) => physCols.map(m(_)) }
+        .toSeq.filter { case (_, es) => liveOf(es.map(_._2)) > 0L }
+      val rows = groups.map { case (key, es) =>
+        resolveAggs(es.map(_._2)).map { r =>
+          val keyVals = key.zip(types).map { case (raw, (_, dt)) =>
+            raw.map(LogBatchScan.keyValue(_, dt)).orNull
+          }
+          keyVals ++ r.map(_._2)
+        }
+      }
+      if (rows.exists(_.isEmpty)) return None
+      // output schema: grouped columns first, then the aggregates —
+      // the order Spark's complete aggregate pushdown projects by
+      val keyFields = types.map { case (c, dt) => StructField(c, dt, nullable = true) }
+      // agg field TYPES from the global scope (entry-local rules: it
+      // resolves whenever every group does, and for the empty table)
+      val aggF = resolveAggs(entries) match {
+        case Some(r) => aggFields(r)
+        case None => return None
+      }
+      Some((StructType(keyFields ++ aggF), rows.flatten.map(_.toSeq)))
     }
-    Some((StructType(fields), resolved.flatten.map(_._2)))
   }
 }
 
@@ -641,6 +698,27 @@ object LogBatchQueries {
         max("o_orderkey").cast("bigint").as("max_key"),
         min("o_totalprice").as("min_price"),
         max("o_totalprice").as("max_price"))
+  }
+
+  /** METADATA-ONLY aggregate per PARTITION: a GROUP BY on the hive
+    * partition column resolves COUNT/MIN/MAX per partition value from
+    * manifest stats alone — the "orders per status from the manifest"
+    * shape; at 100 TB a per-day row count on a date-partitioned table
+    * is a manifest sum, not a scan (LogMetaAggSpec pins zero opens +
+    * the LocalScan plan; this query pins the VALUES vs the oracle). */
+  def logMetaGroupby(spark: SparkSession, dir: String): DataFrame = {
+    val t = graft.core.TempDirs.stable(s"logmetagb:$dir")
+    graft.core.TempDirs.deleteRecursively(new java.io.File(t))
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(t))
+    SnapshotLog.commit(spark, graft.core.Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus")),
+      t, partitionBy = Seq("o_orderstatus"), statsFor = Seq("o_orderkey"))
+    spark.read.format("graft-log").load(t)
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n_orders"),
+        min("o_orderkey").as("min_key"),
+        max("o_orderkey").as("max_key"))
+      .orderBy("o_orderstatus")
   }
 
   /** STORAGE-PARTITIONED JOIN: customer and nation, both

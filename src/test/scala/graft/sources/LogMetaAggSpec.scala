@@ -95,6 +95,41 @@ class LogMetaAggSpec extends AnyFunSuite with SparkFixture {
     assert(r.getLong(0) == 0L && r.isNullAt(1))
   }
 
+  test("GROUP BY a partition column answers per-group from the manifest: zero opens") {
+    import spark.implicits._
+    val t = Files.createTempDirectory("graft_metaagg_g_").toString
+    SnapshotLog.commit(spark,
+      (0 until 120).map(i => (i.toLong, i % 3, s"p$i")).toDF("id", "bucket", "payload"),
+      t, partitionBy = Seq("bucket"), statsFor = Seq("id"))
+    def agg() = spark.read.format("graft-log").load(t)
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n"), min("id").as("lo"), max("id").as("hi"))
+    val df = agg()
+    val (rows, n) = opened(df.collect()
+      .map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap)
+    assert(n == 0L, s"per-partition aggregates must open zero files, opened $n")
+    assert(rows == Map(0 -> ((40L, 0L, 117L)), 1 -> ((40L, 1L, 118L)), 2 -> ((40L, 2L, 119L))))
+    assert(df.queryExecution.executedPlan.toString.contains("LocalTableScan"),
+      "a pushed per-partition aggregate plans as a driver-local scan")
+    // the DEFAULT partition (__HIVE_DEFAULT_PARTITION__) groups as a
+    // null key, still metadata-only
+    val t2 = Files.createTempDirectory("graft_metaagg_gn_").toString
+    SnapshotLog.commit(spark,
+      (0 until 60).map(i =>
+        (i.toLong, if (i % 2 == 0) java.lang.Integer.valueOf(i % 4) else null, s"p$i"))
+        .toDF("id", "bucket", "payload"),
+      t2, partitionBy = Seq("bucket"), statsFor = Seq("id"))
+    val (withNull, n2) = opened(spark.read.format("graft-log").load(t2)
+      .groupBy("bucket").agg(count(lit(1)).as("n"), max("id").as("hi")).collect()
+      .map(r => (if (r.isNullAt(0)) -1 else r.getInt(0)) -> ((r.getLong(1), r.getLong(2)))).toMap)
+    assert(n2 == 0L, s"null-partition grouping is still metadata-only, opened $n2")
+    assert(withNull(-1) == ((30L, 59L)) && withNull(0) == ((15L, 56L)) && withNull(2) == ((15L, 58L)))
+    // grouping by a NON-partition column: declined, computed exactly
+    val (g2, n4) = opened(spark.read.format("graft-log").load(t)
+      .groupBy("payload").count().count())
+    assert(g2 == 120L && n4 > 0L)
+  }
+
   test("LIMIT stops the file listing: 10 rows plan one file of five") {
     val t = freshTable()
     val df = spark.read.format("graft-log").load(t).limit(10)
