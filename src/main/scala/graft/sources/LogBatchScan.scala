@@ -136,6 +136,8 @@ final class LogScan(table: String, fullSchema: StructType,
   private val readChangeFeed = options.getBoolean("readChangeFeed", false)
   private val skipChangeCommits = options.getBoolean("skipChangeCommits", false)
   private val maxVersionsPerTrigger = Option(options.get("maxVersionsPerTrigger")).map(_.toLong)
+  private val maxFilesPerTrigger = Option(options.get("maxFilesPerTrigger")).map(_.toLong)
+  private val maxBytesPerTrigger = Option(options.get("maxBytesPerTrigger")).map(_.toLong)
   private val startingVersion = Option(options.get("startingVersion")).map(_.toLong)
   private val endingVersion = Option(options.get("endingVersion")).map(_.toLong)
   private val versionAsOf = Option(options.get("versionAsOf")).map(_.toLong)
@@ -148,7 +150,8 @@ final class LogScan(table: String, fullSchema: StructType,
   // ----------------------------------------------------------- streaming
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
     new LogMicroBatchStream(table, fullSchema, maxVersionsPerTrigger,
-      startingVersion, skipChangeCommits, readChangeFeed)
+      startingVersion, skipChangeCommits, readChangeFeed,
+      maxFilesPerTrigger, maxBytesPerTrigger)
 
   // --------------------------------------------------------------- batch
   override def toBatch: Batch = this

@@ -34,8 +34,15 @@ import graft.core.SnapshotLog
   * Options:
   *  - `maxVersionsPerTrigger` (long): admission control — cap how
   *    many log versions one micro-batch may cover; the backlog drains
-  *    across several batches (bounded per-trigger work, the
-  *    maxFilesPerTrigger analogue).
+  *    across several batches (bounded per-trigger work).
+  *  - `maxFilesPerTrigger` / `maxBytesPerTrigger` (long): FILE-level
+  *    admission control (Delta's options) — the offset carries a
+  *    sub-version file index, so one huge commit (a 10k-file
+  *    backfill) splits across micro-batches instead of becoming one
+  *    unbounded batch; at least one file per trigger always admits so
+  *    the stream progresses. Composable with `maxVersionsPerTrigger`;
+  *    bytes are the manifest-recorded file sizes (cdc change-data
+  *    files count as files, their recorded bytes ride the entries).
   *  - `startingVersion` (long): begin the CHANGES-ONLY stream at this
   *    log version instead of version 1 (Delta's startingVersion
   *    analogue) — versions before it are never delivered. This is the
@@ -298,16 +305,28 @@ object LogStreamScan {
     }
 }
 
-/** Offset = log version (the change feed's natural watermark). */
-final case class LogOffset(version: Long) extends Offset {
-  override def json(): String = s"""{"version":$version}"""
+/** Offset = log version plus an optional SUB-VERSION file index (the
+  * Delta DeltaSourceOffset shape): `index == -1` means `version` is
+  * fully consumed (exactly the pre-r12 offset, so old checkpoints
+  * deserialize unchanged); `index == k >= 0` means the first k files
+  * of `version`'s deliverable partition list are consumed — how
+  * `maxFilesPerTrigger`/`maxBytesPerTrigger` split one huge commit
+  * across micro-batches without unbounded per-trigger work. The
+  * per-version partition order is the commit record's stable adds
+  * order, so an index is exact across restarts. */
+final case class LogOffset(version: Long, index: Long = -1L) extends Offset {
+  override def json(): String =
+    if (index < 0L) s"""{"version":$version}"""
+    else s"""{"version":$version,"index":$index}"""
 }
 
 final class LogMicroBatchStream(table: String, schema: StructType,
                                 maxVersionsPerTrigger: Option[Long],
                                 startingVersion: Option[Long] = None,
                                 skipChangeCommits: Boolean = false,
-                                readChangeFeed: Boolean = false)
+                                readChangeFeed: Boolean = false,
+                                maxFilesPerTrigger: Option[Long] = None,
+                                maxBytesPerTrigger: Option[Long] = None)
     extends MicroBatchStream with SupportsTriggerAvailableNow {
 
   /** The version the stream's very first offset rests on — batches
@@ -322,7 +341,9 @@ final class LogMicroBatchStream(table: String, schema: StructType,
   override def prepareForTriggerAvailableNow(): Unit =
     availableNowCap = Some(SnapshotLog.latestVersion(table).getOrElse(0L))
 
-  override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
+  override def getDefaultReadLimit: ReadLimit =
+    maxFilesPerTrigger.map(f => ReadLimit.maxFiles(f.toInt))
+      .getOrElse(ReadLimit.allAvailable())
 
   override def initialOffset(): Offset = LogOffset(initialVersion)
 
@@ -330,12 +351,68 @@ final class LogMicroBatchStream(table: String, schema: StructType,
     throw new UnsupportedOperationException(
       "latestOffset(Offset, ReadLimit) should be called instead of this method")
 
+  /** One version's deliverable partitions, in the commit record's
+    * stable order — the unit sub-version offsets index into. Cached:
+    * admission control walks the same versions `planInputPartitions`
+    * then slices. */
+  private val partsCache =
+    new java.util.concurrent.ConcurrentHashMap[Long, Seq[LogInputPartition]]()
+  private def versionParts(v: Long): Seq[LogInputPartition] =
+    partsCache.computeIfAbsent(v, vv =>
+      LogPlanning.changeFeedPartitions(table, vv - 1, vv, initialVersion,
+        skipChangeCommits, readChangeFeed, colmap = streamColmap,
+        failOnSchemaChange = true))
+
+  /** ADMISSION CONTROL: `maxVersionsPerTrigger` bounds how many log
+    * versions one micro-batch covers; `maxFilesPerTrigger` /
+    * `maxBytesPerTrigger` additionally split a single huge commit at
+    * FILE granularity (sub-version offsets) — a 10k-file backfill
+    * commit drains across triggers with bounded per-trigger work
+    * instead of one unbounded batch. At least one file is always
+    * admitted, so the stream makes progress past any cap. */
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
-    val s = start.asInstanceOf[LogOffset].version
+    val so = start.asInstanceOf[LogOffset]
     val head0 = SnapshotLog.latestVersion(table).getOrElse(0L)
     val head = availableNowCap.fold(head0)(math.min(head0, _))
-    val end = maxVersionsPerTrigger.fold(head)(m => math.min(head, s + m))
-    LogOffset(math.max(s, end))
+    if (maxFilesPerTrigger.isEmpty && maxBytesPerTrigger.isEmpty) {
+      // version-granular admission (the pre-r12 shape); a mid-version
+      // start (options changed on an existing checkpoint) counts the
+      // unfinished version as the first admitted one
+      val base = if (so.index >= 0L) so.version - 1L else so.version
+      val end = maxVersionsPerTrigger.fold(head)(m => math.min(head, base + m))
+      if (end < so.version || (end == so.version && so.index >= 0L)) {
+        // cap landed inside the unfinished version: deliver its rest
+        if (so.version <= head) LogOffset(so.version) else so
+      } else LogOffset(math.max(so.version, end))
+    } else {
+      val maxF = maxFilesPerTrigger.getOrElse(Long.MaxValue)
+      val maxB = maxBytesPerTrigger.getOrElse(Long.MaxValue)
+      val maxV = maxVersionsPerTrigger.getOrElse(Long.MaxValue)
+      var v = if (so.index >= 0L) so.version else so.version + 1L
+      var files = 0L
+      var bytes = 0L
+      var versions = 0L
+      var endV = so.version
+      var endI = so.index
+      var full = false
+      while (!full && v <= head && versions < maxV) {
+        val parts = versionParts(v)
+        val skip = if (v == so.version && so.index >= 0L) so.index.toInt else 0
+        val remaining = parts.drop(skip)
+        var take = 0
+        while (take < remaining.size && !full) {
+          val p = remaining(take)
+          // always admit at least one file so the stream progresses
+          if (files > 0L &&
+              (files + 1L > maxF || bytes + p.bytes > maxB)) full = true
+          else { files += 1L; bytes += p.bytes; take += 1 }
+        }
+        if (take == remaining.size) { endV = v; endI = -1L; versions += 1L; v += 1L }
+        else if (take > 0) { endV = v; endI = (skip + take).toLong; full = true }
+        else full = true // zero admitted: offset stays at the boundary
+      }
+      LogOffset(endV, endI)
+    }
   }
 
   override def reportLatestOffset(): Offset =
@@ -344,7 +421,9 @@ final class LogMicroBatchStream(table: String, schema: StructType,
   override def deserializeOffset(json: String): Offset = {
     val m = "\"version\"\\s*:\\s*(\\d+)".r.findFirstMatchIn(json)
       .getOrElse(sys.error(s"malformed graft-log offset: $json"))
-    LogOffset(m.group(1).toLong)
+    val i = "\"index\"\\s*:\\s*(-?\\d+)".r.findFirstMatchIn(json)
+      .map(_.group(1).toLong).getOrElse(-1L) // pre-r12 checkpoints: whole version
+    LogOffset(m.group(1).toLong, i)
   }
 
   /** The column mapping the stream reads under — captured ONCE at
@@ -355,11 +434,24 @@ final class LogMicroBatchStream(table: String, schema: StructType,
       .map(v => SnapshotLog.resolve(table, v).colmap).getOrElse(Seq.empty)
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
-    val s = start.asInstanceOf[LogOffset].version
-    val e = end.asInstanceOf[LogOffset].version
-    LogPlanning.changeFeedPartitions(table, s, e, initialVersion,
-      skipChangeCommits, readChangeFeed, colmap = streamColmap,
-      failOnSchemaChange = true).map(p => p: InputPartition).toArray
+    val s = start.asInstanceOf[LogOffset]
+    val e = end.asInstanceOf[LogOffset]
+    if (s.index < 0L && e.index < 0L)
+      // whole-version range: one record walk, identical to pre-r12
+      LogPlanning.changeFeedPartitions(table, s.version, e.version,
+        initialVersion, skipChangeCommits, readChangeFeed,
+        colmap = streamColmap, failOnSchemaChange = true)
+        .map(p => p: InputPartition).toArray
+    else {
+      // sub-version slice: per-version lists cut at the file indexes
+      val firstV = if (s.index >= 0L) s.version else s.version + 1L
+      (firstV to e.version).flatMap { v =>
+        val parts = versionParts(v)
+        val lo = if (v == s.version && s.index >= 0L) s.index.toInt else 0
+        val hi = if (v == e.version && e.index >= 0L) e.index.toInt else parts.size
+        parts.slice(lo, hi)
+      }.map(p => p: InputPartition).toArray
+    }
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
@@ -416,7 +508,7 @@ object LogPlanning {
         relPath = en.path,
         partValues = LogBatchScan.partitionValues(en.path),
         dvDirs = en.dv.map(d => s"$table/$d").toSeq,
-        colmap = colmap))
+        colmap = colmap, bytes = en.bytes))
 
     recs.flatMap { r =>
       // the stream's FIRST batch may begin with a table-(re)defining
@@ -449,7 +541,7 @@ object LogPlanning {
         if (r.cdc.nonEmpty)
           r.cdc.filter(_.rows != 0L).map(ce => LogInputPartition(
             s"$table/${ce.path}", changeType = None, version = r.version,
-            relPath = ce.path, colmap = colmap))
+            relPath = ce.path, colmap = colmap, bytes = ce.bytes))
         else if (r.append || initialSnapshot) partsOf(r.adds, insertTag, r.version)
         else sys.error(
           s"version ${r.version} of $table is a full ${r.kind} commit with no " +
@@ -483,7 +575,8 @@ final case class LogInputPartition(absPath: String,
                                    relPath: String = "",
                                    partValues: Seq[(String, Option[String])] = Seq.empty,
                                    dvDirs: Seq[String] = Seq.empty,
-                                   colmap: Seq[(String, String)] = Seq.empty)
+                                   colmap: Seq[(String, String)] = Seq.empty,
+                                   bytes: Long = 0L)
     extends InputPartition {
   /** Physical file/directory column name of a logical schema field
     * (column mapping; identity for unmapped tables). */

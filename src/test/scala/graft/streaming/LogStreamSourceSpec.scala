@@ -500,4 +500,101 @@ class LogStreamSourceSpec extends AnyFunSuite with SparkFixture {
     assert(got == Set((1L, "en"), (2L, "de"), (3L, "en")),
       s"partition values must come back as columns, got $got")
   }
+
+  test("maxFilesPerTrigger splits ONE commit across micro-batches at file granularity") {
+    import graft.sources.{LogMicroBatchStream, LogOffset}
+    import org.apache.spark.sql.connector.read.streaming.ReadLimit
+    import spark.implicits._
+    val t = freshTable()
+    // one version, 5 files (range-partitioned: deterministic file count)
+    SnapshotLog.commit(spark,
+      (0 until 100).map(i => (i.toLong, s"p$i")).toDF("id", "payload")
+        .repartitionByRange(5, col("id")), t)
+    val stream = new LogMicroBatchStream(t,
+      spark.read.format("graft-log").load(t).schema,
+      maxVersionsPerTrigger = None, maxFilesPerTrigger = Some(2L))
+    var off = stream.initialOffset().asInstanceOf[LogOffset]
+    assert(off == LogOffset(0L))
+    val total = stream.planInputPartitions(LogOffset(0L), LogOffset(1L)).length
+    assert(total == 5, s"the commit must land 5 files, got $total")
+    var all = Seq.empty[String]
+    var steps = Seq.empty[LogOffset]
+    var guard = 0
+    while ({
+      val next = stream.latestOffset(off, ReadLimit.allAvailable())
+        .asInstanceOf[LogOffset]
+      val moved = next != off
+      if (moved) {
+        val parts = stream.planInputPartitions(off, next)
+          .map(_.asInstanceOf[graft.sources.LogInputPartition].relPath)
+        assert(parts.length <= 2, s"cap 2 files per trigger, got ${parts.length}")
+        all = all ++ parts
+        steps = steps :+ next
+        // offsets survive the checkpoint json round-trip exactly
+        assert(stream.deserializeOffset(next.json()) == next)
+        off = next
+      }
+      guard += 1; moved && guard < 10
+    }) ()
+    assert(steps == Seq(LogOffset(1L, 2L), LogOffset(1L, 4L), LogOffset(1L)),
+      s"sub-version drain must walk file indexes then close the version: $steps")
+    assert(all.distinct.length == 5, s"every file exactly once, got $all")
+    // a pre-r12 checkpoint (no index) still deserializes
+    assert(stream.deserializeOffset("""{"version":3}""") == LogOffset(3L))
+  }
+
+  test("maxBytesPerTrigger admits at least one file and drains completely") {
+    import graft.sources.{LogMicroBatchStream, LogOffset}
+    import org.apache.spark.sql.connector.read.streaming.ReadLimit
+    import spark.implicits._
+    val t = freshTable()
+    def part(rows: Range, n: Int) =
+      rows.map(i => (i.toLong, s"p$i")).toDF("id", "payload")
+        .repartitionByRange(n, col("id"))
+    SnapshotLog.commit(spark, part(0 until 60, 3), t)
+    SnapshotLog.commit(spark, part(60 until 100, 2), t, append = true)
+    val stream = new LogMicroBatchStream(t,
+      spark.read.format("graft-log").load(t).schema,
+      maxVersionsPerTrigger = None, maxBytesPerTrigger = Some(1L)) // < any file
+    var off = stream.initialOffset().asInstanceOf[LogOffset]
+    var n = 0
+    var files = 0
+    while ({
+      val next = stream.latestOffset(off, ReadLimit.allAvailable())
+        .asInstanceOf[LogOffset]
+      val moved = next != off
+      if (moved) {
+        val parts = stream.planInputPartitions(off, next)
+        assert(parts.length == 1, "a 1-byte cap must admit exactly one file per trigger")
+        files += parts.length; off = next; n += 1
+      }
+      moved && n < 20
+    }) ()
+    assert(files == 5 && n == 5, s"5 files over 2 versions drain one per trigger: $files/$n")
+  }
+
+  test("e2e: a maxFilesPerTrigger drain equals the unbatched drain, bit for bit") {
+    import spark.implicits._
+    val t = freshTable()
+    SnapshotLog.commit(spark,
+      (1 to 40).map(i => (i.toLong, s"p$i")).toDF("id", "payload")
+        .repartitionByRange(4, col("id")), t)
+    SnapshotLog.commit(spark, df(41, 42), t, append = true)
+    val name = s"logsrc_mft_${java.util.UUID.randomUUID().toString.replace("-", "").take(8)}"
+    val q = spark.readStream.format("graft-log")
+      .option("maxFilesPerTrigger", "1").load(t)
+      .writeStream.format("memory").queryName(name)
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", ck())
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val batches = q.recentProgress.count(_.numInputRows > 0)
+    val got = spark.table(name).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    spark.catalog.dropTempView(name)
+    assert(batches >= 5, s"1-file triggers over 5+ files must take >=5 batches, took $batches")
+    assert(got == (1L to 42L).map(i => (i, s"p$i")).toSet,
+      "file-granular batching must not lose or duplicate rows")
+  }
 }
