@@ -160,6 +160,8 @@ object SparkEntry {
     "stream_log_sink"  -> (graft.sources.LogBatchQueries.streamLogSink _),
     "log_catalog_sql"  -> (graft.sources.LogCatalogQueries.catalogSql _),
     "log_null_skip"    -> (graft.sources.LogBatchQueries.logNullSkip _),
+    "log_bloom_skip"   -> (graft.sources.LogBatchQueries.logBloomSkip _),
+    "log_clone"        -> (graft.sources.LogBatchQueries.logClone _),
     "log_sql_delete"   -> (graft.sources.LogBatchQueries.logSqlDelete _),
     "log_merge_into"   -> (graft.sources.LogBatchQueries.logMergeInto _),
     "schema_report"    -> ((s, d) => Catalog.schemaReport(s, d, "lineitem")),
@@ -2100,6 +2102,22 @@ object SparkEntry {
         |FROM orders
         |WHERE o_orderkey > (SELECT max(o_orderkey) // 2 FROM orders)
         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "log_bloom_skip" -> // per-file bloom-filter index: a doc_id point
+      // lookup on a length-clustered table — bounds overlap every
+      // file, the bloom sidecars prune to the holders (opened-file
+      // count pinned in BloomIndexSpec); the oracle replays the
+      // lookup against the raw parquet
+      """SELECT doc_id, lang, n_chars FROM documents
+        |WHERE doc_id IN (1, 7, 13, 29, 57) ORDER BY doc_id""".stripMargin,
+    "log_clone" -> // shallow clone + merge-on-read DELETE on the clone:
+      // zero bytes copied, vectors keyed by source-relative paths; the
+      // oracle replays the delete relationally (source intact is
+      // CloneSpec territory)
+      """SELECT lang, count(*) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM documents
+        |WHERE NOT (doc_id BETWEEN 100 AND 299)
+        |GROUP BY lang ORDER BY lang""".stripMargin,
     "log_meta_groupby" -> // per-PARTITION metadata aggregate: GROUP BY
       // the hive partition column answers COUNT/MIN/MAX per value from
       // manifest stats (LocalScan, zero opens — LogMetaAggSpec); the

@@ -105,6 +105,20 @@ object SnapshotLog {
     * ignorable instead of declining. Deletion vectors only shrink a
     * file's row set, so both proofs survive them. A column absent
     * from `nulls` has no recorded count (never pruned on). */
+  /** `idx` points at the file's BLOOM-INDEX sidecar (per-column
+    * filters for point-equality skipping, see [[BloomIndex]]) —
+    * immutable like the data file, sound across deletion vectors
+    * (a DV only removes rows: misses stay misses). Absent = no index,
+    * the file is never bloom-skipped.
+    *
+    * `base` is the SHALLOW-CLONE indirection (Delta CLONE): when set,
+    * the data file lives under `base` (the source table's root), not
+    * this table's — `path` stays the SOURCE-relative path so deletion
+    * vector row keys and hive `col=value` segments parse unchanged.
+    * dv/idx sidecar references of a cloned entry are stored ABSOLUTE
+    * instead (they are opaque locations, never row keys). Vacuum never
+    * deletes a based entry's data or an absolute sidecar — a clone
+    * does not own its source's files. */
   final case class FileEntry(path: String, rows: Long,
                              num: Map[String, (Double, Double)] = Map.empty,
                              str: Map[String, (String, String)] = Map.empty,
@@ -112,7 +126,9 @@ object SnapshotLog {
                              bytes: Long = 0L,
                              dv: Option[String] = None,
                              dvRows: Long = 0L,
-                             nulls: Map[String, Long] = Map.empty)
+                             nulls: Map[String, Long] = Map.empty,
+                             idx: Option[String] = None,
+                             base: Option[String] = None)
 
   /** What one commit DID: `append=false` with empty `removes`
     * redefines the table as exactly `adds`; `append=true` extends the
@@ -137,6 +153,11 @@ object SnapshotLog {
     * When present the record REPLACES the table's mapping (full value,
     * not a delta) and stamps fmt 3 — a reader ignoring the field would
     * misname or resurrect columns, so old readers must fail loudly. */
+  /** `props` carries TABLE PROPERTIES (Delta's tableProperties): when
+    * present the record REPLACES the table's property map (full value,
+    * like colmap). Properties are ADVISORY configuration (bloom-index
+    * columns, tuning knobs) — a reader that ignores them stays
+    * correct, just slower, so they do NOT bump the format version. */
   final case class CommitRecord(version: Long, append: Boolean,
                                 adds: Seq[FileEntry],
                                 txn: Option[(String, Long)] = None,
@@ -146,11 +167,14 @@ object SnapshotLog {
                                 cdcSchema: Option[String] = None,
                                 dataChange: Boolean = true,
                                 colmap: Option[Seq[(String, String)]] = None,
-                                dropped: Option[Seq[String]] = None) {
+                                dropped: Option[Seq[String]] = None,
+                                props: Option[Map[String, String]] = None) {
     def rows: Long = adds.map(_.rows).sum
-    /** append | replace | rewrite | optimize | schema — what this commit did. */
+    /** append | replace | rewrite | optimize | schema | props — what
+      * this commit did. */
     def kind: String =
       if (colmap.isDefined || dropped.isDefined) "schema"
+      else if (props.isDefined && adds.isEmpty && removes.isEmpty) "props"
       else if (!dataChange) "optimize"
       else if (removes.nonEmpty) "rewrite"
       else if (append) "append" else "replace"
@@ -162,7 +186,8 @@ object SnapshotLog {
   final case class TableState(version: Long, entries: Seq[FileEntry],
                               txns: Map[String, Long],
                               colmap: Seq[(String, String)] = Seq.empty,
-                              dropped: Seq[String] = Seq.empty) {
+                              dropped: Seq[String] = Seq.empty,
+                              props: Map[String, String] = Map.empty) {
     def mapped: Boolean = colmap.nonEmpty || dropped.nonEmpty
     /** Physical file-column name of a logical column (identity when
       * never renamed). */
@@ -224,6 +249,8 @@ object SnapshotLog {
     o.put("path", e.path); o.put("rows", e.rows)
     if (e.bytes > 0L) o.put("bytes", e.bytes): Unit
     e.dv.foreach { d => o.put("dv", d); o.put("dvRows", e.dvRows); () }
+    e.idx.foreach(i => o.put("idx", i): Unit)
+    e.base.foreach(b => o.put("base", b): Unit)
     if (e.num.nonEmpty) {
       val n = o.putObject("num")
       e.num.toSeq.sortBy(_._1).foreach { case (c, (lo, hi)) =>
@@ -259,7 +286,9 @@ object SnapshotLog {
       nulls = Option(n.get("nc")).map { m =>
         m.properties().iterator().asScala.map(e =>
           e.getKey -> e.getValue.asLong()).toMap
-      }.getOrElse(Map.empty))
+      }.getOrElse(Map.empty),
+      idx = Option(n.get("idx")).map(_.asText()),
+      base = Option(n.get("base")).map(_.asText()))
   }
 
   private def recordToJson(r: CommitRecord): String = {
@@ -273,6 +302,10 @@ object SnapshotLog {
     r.dropped.foreach { d =>
       val a = o.putArray("dropcols")
       d.foreach(a.add)
+    }
+    r.props.foreach { ps =>
+      val pn = o.putObject("props")
+      ps.toSeq.sortBy(_._1).foreach { case (k, v) => pn.put(k, v) }
     }
     r.txn.foreach { case (app, batch) =>
       val t = o.putObject("txn"); t.put("app", app); t.put("batch", batch)
@@ -379,13 +412,16 @@ object SnapshotLog {
       case a: ArrayNode => (0 until a.size()).map(a.get(_).asText()): Seq[String]
       case _ => sys.error(s"corrupt commit record v$v: dropcols is not an array")
     }
+    val props = Option(n.get("props")).map(p =>
+      p.properties().iterator().asScala.map(e =>
+        e.getKey -> e.getValue.asText()).toMap)
     CommitRecord(n.get("version").asLong(), n.get("append").asBoolean(),
       adds, txn, schema,
       removes = removes,
       cdc = entriesOf("cdc").map(_.copy(schema = cdcSchema)),
       cdcSchema = cdcSchema,
       dataChange = Option(n.get("dataChange")).forall(_.asBoolean()),
-      colmap = colmap, dropped = dropped)
+      colmap = colmap, dropped = dropped, props = props)
   }
 
   private def stateToJson(st: TableState): String = {
@@ -399,6 +435,10 @@ object SnapshotLog {
     if (st.dropped.nonEmpty) {
       val a = o.putArray("dropcols")
       st.dropped.foreach(a.add)
+    }
+    if (st.props.nonEmpty) {
+      val pn = o.putObject("props")
+      st.props.toSeq.sortBy(_._1).foreach { case (k, v) => pn.put(k, v) }
     }
     val t = o.putObject("txns")
     st.txns.toSeq.sortBy(_._1).foreach { case (k, v) => t.put(k, v) }
@@ -437,13 +477,16 @@ object SnapshotLog {
       }.getOrElse(Seq.empty)
       val dropped = Option(n.get("dropcols")).map(d =>
         (0 until d.size()).map(d.get(_).asText()): Seq[String]).getOrElse(Seq.empty)
+      val props = Option(n.get("props")).map(p =>
+        p.properties().iterator().asScala.map(e =>
+          e.getKey -> e.getValue.asText()).toMap).getOrElse(Map.empty[String, String])
       Some(TableState(n.get("version").asLong(),
         (0 until a.size()).map { i =>
           val en = a.get(i)
           val e = entryFromJson(en)
           Option(en.get("si")).map(si => e.copy(schema = Some(schemas(si.asInt()))))
             .getOrElse(e)
-        }, txns, colmap, dropped))
+        }, txns, colmap, dropped, props))
     } catch {
       case scala.util.control.NonFatal(e) => sys.error(
         s"corrupt checkpoint ckpt-v$v of $table: ${e.getMessage} — " +
@@ -483,7 +526,9 @@ object SnapshotLog {
         st.txns + (app -> math.max(batch, st.txns.getOrElse(app, Long.MinValue)))
       },
       r.colmap.getOrElse(st.colmap),
-      r.dropped.getOrElse(st.dropped))
+      r.dropped.getOrElse(st.dropped),
+      // properties, like the mapping and txns, survive replaces
+      r.props.getOrElse(st.props))
   }
 
   /** Resolve the full table state at `v`: walk back to the nearest
@@ -613,7 +658,8 @@ object SnapshotLog {
              expectedHead: Option[Long] = None,
              txn: Option[(String, Long)] = None,
              dataChange: Boolean = true,
-             maxRetries: Int = 20): Long = {
+             maxRetries: Int = 20,
+             props: Option[Map[String, String]] = None): Long = {
     Files.createDirectories(logDir(table))
     def alreadyApplied(): Option[Long] = txn.flatMap { case (app, batch) =>
       resolveHead(table).filter(_.txns.get(app).exists(_ >= batch)).map(_.version)
@@ -643,8 +689,15 @@ object SnapshotLog {
     val dfPhys = mapSt.fold(df)(s => toPhysicalDf(df, s))
     val statsPhys = mapSt.fold(statsFor)(s => statsFor.map(s.physOf))
     val partByPhys = mapSt.fold(partitionBy)(s => partitionBy.map(s.physOf))
+    // bloom-index config from the EFFECTIVE properties (this commit's
+    // own, else the head's): columns are logical in the property —
+    // resolve to the physical names the files stage under
+    val effProps = props.orElse(headState.map(_.props)).getOrElse(Map.empty)
+    val bloom = BloomIndex.specOf(effProps).map(s =>
+      s.copy(cols = mapSt.fold(s.cols)(st => s.cols.map(st.physOf))))
     val (stage, adds) =
-      stageEntries(spark, dfPhys, table, partByPhys, (statsPhys ++ carryCols).distinct)
+      stageEntries(spark, dfPhys, table, partByPhys,
+        (statsPhys ++ carryCols).distinct, bloom = bloom)
     var attempt = 0
     while (true) {
       val cur = latestVersion(table).getOrElse(0L)
@@ -665,7 +718,7 @@ object SnapshotLog {
       val v = cur + 1
       val rec = CommitRecord(v, append && v > 1, adds, txn,
         schema = if (adds.isEmpty) None else Some(dfPhys.schema.json),
-        dataChange = dataChange)
+        dataChange = dataChange, props = props)
       val tmp = logDir(table).resolve(s".tmp-$stage-$attempt")
       Files.write(tmp, recordToJson(rec).getBytes("UTF-8"))
       try {
@@ -691,7 +744,8 @@ object SnapshotLog {
     * Returns (stage uuid, entries). */
   private def stageEntries(spark: SparkSession, df: DataFrame, table: String,
                            partitionBy: Seq[String], statsCols: Seq[String],
-                           root: String = "data"): (String, Seq[FileEntry]) = {
+                           root: String = "data",
+                           bloom: Option[BloomIndex.Spec] = None): (String, Seq[FileEntry]) = {
     val stage = java.util.UUID.randomUUID().toString
     val stageDir = Paths.get(table, root, stage)
     val writer = df.write.mode("overwrite")
@@ -709,7 +763,11 @@ object SnapshotLog {
     }
     if (staged.isEmpty) return (stage, Seq.empty)
     val cols = statsCols.distinct.filter(df.schema.fieldNames.contains)
-    if (cols.isEmpty) {
+    // bloom-indexed columns present in THIS write (an append missing an
+    // indexed column simply stages no filter for it — never read-blocked)
+    val bloomCols = bloom.toSeq.flatMap(_.cols).distinct
+      .filter(df.schema.fieldNames.contains)
+    if (cols.isEmpty && bloomCols.isEmpty) {
       // no bounds wanted: row counts come straight from the parquet
       // FOOTERS the write just produced — driver-side metadata reads,
       // ZERO Spark jobs after the write (the stats-less commit's whole
@@ -733,15 +791,26 @@ object SnapshotLog {
     val sch = stagedDf.schema
     val (strCols, numCols) = cols.partition(c =>
       sch(c).dataType == org.apache.spark.sql.types.StringType)
-    // the ONE staged-data pass: per physical file, row count, min/max
-    // AND null count of every indexed column in a single aggregate
+    // the ONE staged-data pass: per physical file, row count, min/max,
+    // null count AND bloom filter of every indexed column in a single
+    // aggregate (the bloom rides `BloomFilterAggregate` over the same
+    // value view the bounds use — strings raw, numerics as doubles —
+    // so the probe side hashes identically)
     val aggs = count(lit(1)).as("_rows") +:
       ((numCols.flatMap(c => Seq(
         min(numericView(col(c), sch(c).dataType)).as(s"lo:$c"),
         max(numericView(col(c), sch(c).dataType)).as(s"hi:$c"))) ++
        strCols.flatMap(c => Seq(
          min(col(c)).as(s"slo:$c"), max(col(c)).as(s"shi:$c")))) ++
-       cols.map(c => count(col(c)).as(s"nn:$c")))
+       cols.map(c => count(col(c)).as(s"nn:$c")) ++
+       bloomCols.map { c =>
+         val key =
+           if (sch(c).dataType == org.apache.spark.sql.types.StringType)
+             xxhash64(col(c))
+           else xxhash64(numericView(col(c), sch(c).dataType))
+         org.apache.spark.sql.graft.Bridge.bloomFilterAgg(
+           key, bloom.get.items, bloom.get.numBits).as(s"bf:$c")
+       })
     val perFile = stagedDf
       .groupBy(input_file_name().as("_f"))
       .agg(aggs.head, aggs.tail: _*)
@@ -765,7 +834,7 @@ object SnapshotLog {
       s"commit stats pass: aggregate rows matched no staged file " +
         s"(${unmatched.take(3).mkString(", ")}) — path decoding disagreed; " +
         "refusing to record wrong per-file stats")
-    val entries = staged.map { rel =>
+    val entries = staged.zipWithIndex.map { case (rel, fi) =>
       val sz = Files.size(Paths.get(table, rel)) // driver-side stat, no job
       byRel.get(rel) match {
         case None => FileEntry(rel, 0L, bytes = sz) // zero-row part file
@@ -791,7 +860,23 @@ object SnapshotLog {
           // valuable case (it proves IS NULL matches nothing here)
           val nulls = cols.map(c =>
             c -> (rowsN - r.getLong(r.fieldIndex(s"nn:$c")))).toMap
-          FileEntry(rel, rowsN, num, str, bytes = sz, nulls = nulls)
+          // bloom sidecar: ONE file per data part, all its column
+          // filters together (the dv-sidecar pattern); an all-null
+          // column aggregates to null bytes and stages no filter
+          val blooms = bloomCols.flatMap { c =>
+            val bi = r.fieldIndex(s"bf:$c")
+            if (r.isNullAt(bi)) None
+            else Some(c -> r.getAs[Array[Byte]](bi))
+          }
+          val idxRel =
+            if (blooms.isEmpty) None
+            else {
+              val rel0 = s"idx/$stage/$fi.bloom"
+              BloomIndex.writeSidecar(Paths.get(table, rel0), blooms)
+              Some(rel0)
+            }
+          FileEntry(rel, rowsN, num, str, bytes = sz, nulls = nulls,
+            idx = idxRel)
       }
     }
     (stage, entries)
@@ -830,7 +915,12 @@ object SnapshotLog {
     val missing = removePaths.filterNot(prevPaths)
     require(missing.isEmpty,
       s"commitRewrite removes files not live at v$expectedHead: ${missing.take(3)}")
-    val (_, adds) = stageEntries(spark, df, table, Seq.empty, statsFor)
+    // bloom-indexed columns ride the rewrite too (resolved from the
+    // base version's properties; cols are logical -> physical)
+    val bloom = BloomIndex.specOf(prev.props).map(s =>
+      s.copy(cols = s.cols.map(prev.physOf)))
+    val (_, adds) = stageEntries(spark, df, table, Seq.empty, statsFor,
+      bloom = bloom)
     val (cdcEntries, cdcSchema) = changeData match {
       case None => (Seq.empty[FileEntry], None)
       case Some(cd) =>
@@ -927,13 +1017,66 @@ object SnapshotLog {
     // verify every file still exists (a vacuum may have kept the
     // RECORD but retired files unreferenced by surviving versions —
     // restoring to dangling entries would publish an unreadable head)
-    val missing = target.entries.filterNot(e => Files.exists(Paths.get(table, e.path)))
+    val missing = target.entries.filterNot(e =>
+      Files.exists(Paths.get(dataAbs(table, e))))
     if (missing.nonEmpty) sys.error(
       s"cannot restore $table to v$toVersion: ${missing.size} of its data files " +
         s"were vacuumed (first: ${missing.head.path})")
     publishRewrite(table, removePaths = Seq.empty, adds = target.entries,
       recordSchema = None, cdcEntries = Seq.empty, cdcSchema = None,
       expectedHead = headV, dataChange = true, fullReplace = true)
+  }
+
+  /** SHALLOW CLONE (Delta's CLONE): define `dst` as a NEW table whose
+    * v1 REFERENCES the source head's data files in place — one
+    * metadata-only commit, zero bytes copied, O(files) driver work
+    * however large the table. At 100 TB this is what makes "try the
+    * new dedup config against production" a one-second operation
+    * instead of a 100 TB copy.
+    *
+    * Mechanics: every entry gains `base` = the source root (its `path`
+    * stays SOURCE-relative, so deletion-vector row keys and hive
+    * `col=value` parsing are untouched); dv/bloom sidecar refs record
+    * absolute. Schema, column mapping, properties (bloom config
+    * included — the clone keeps index-skipping) carry; txn high-water
+    * marks do NOT (the clone is a different writer target). The clone
+    * then evolves independently: appends/DML/OPTIMIZE land LOCAL
+    * files; a full OPTIMIZE materializes every referenced byte locally
+    * (the promote-to-owned path). Vacuum of the CLONE never touches
+    * based data or absolute sidecars (it does not own them); vacuum of
+    * the SOURCE can retire files clones still reference — Delta's
+    * documented shallow-clone caveat, by design. */
+  def cloneTable(src: String, dst: String): Long = {
+    val headV = latestVersion(src).getOrElse(
+      sys.error(s"no committed version in $src"))
+    require(latestVersion(dst).isEmpty,
+      s"clone target $dst is already a graft-log table")
+    val st = resolve(src, headV)
+    val srcRoot = Paths.get(src).toAbsolutePath.normalize.toString
+    val entries = st.entries.map { e =>
+      e.copy(
+        base = Some(e.base.getOrElse(srcRoot)), // clone-of-clone keeps the ORIGINAL base
+        dv = e.dv.map(d => if (d.startsWith("/")) d else s"$srcRoot/$d"),
+        idx = e.idx.map(i => if (i.startsWith("/")) i else s"$srcRoot/$i"))
+    }
+    // the record needs a schema even when the source head is empty
+    val schemaJson = st.entries.flatMap(_.schema).headOption
+      .orElse((headV to 1L by -1L).view
+        .flatMap(v => readRecord(src, v).schema).headOption)
+    Files.createDirectories(logDir(dst))
+    val rec = CommitRecord(1L, append = false, adds = entries,
+      schema = schemaJson,
+      colmap = if (st.colmap.nonEmpty) Some(st.colmap) else None,
+      dropped = if (st.dropped.nonEmpty) Some(st.dropped) else None,
+      props = if (st.props.nonEmpty) Some(st.props) else None)
+    val tmp = logDir(dst).resolve(s".tmp-clone-${java.util.UUID.randomUUID()}")
+    Files.write(tmp, recordToJson(rec).getBytes("UTF-8"))
+    try Files.createLink(vPath(dst, 1L), tmp)
+    catch {
+      case _: java.nio.file.FileAlreadyExistsException => sys.error(
+        s"clone target $dst already has a v1 commit — clone needs a fresh directory")
+    } finally Files.deleteIfExists(tmp)
+    1L
   }
 
   // ------------------------------------------------------- column mapping
@@ -997,7 +1140,15 @@ object SnapshotLog {
     val phys = st.physOf(oldName)
     val newMap = st.colmap.filterNot(_._1 == oldName) ++
       (if (newName == phys) Seq.empty else Seq(newName -> phys))
-    publishSchemaChange(table, headV, newMap, st.dropped)
+    // bloom-index config names columns LOGICALLY — a rename rewrites
+    // the property in the same commit so the index follows the column
+    val newProps = st.props.get(BloomIndex.ColumnsProp)
+      .map(_.split(",").map(_.trim).map(c => if (c == oldName) newName else c)
+        .mkString(","))
+      .filter(_ => st.props.contains(BloomIndex.ColumnsProp))
+      .map(v => st.props + (BloomIndex.ColumnsProp -> v))
+      .filterNot(_ == st.props)
+    publishSchemaChange(table, headV, newMap, st.dropped, props = newProps)
   }
 
   /** `ALTER TABLE ... DROP COLUMN` via column mapping: metadata-only —
@@ -1015,19 +1166,67 @@ object SnapshotLog {
       st.colmap.filterNot(_._1 == name), (st.dropped :+ phys).distinct)
   }
 
+  /** `ALTER TABLE ... SET/UNSET TBLPROPERTIES`: a METADATA-ONLY commit
+    * whose record replaces the table's property map (Delta's
+    * tableProperties). Properties configure advisory behavior — e.g.
+    * the bloom index (`graft.bloom.columns`) — so the change affects
+    * FUTURE commits; existing files keep whatever indexes they have.
+    * Validates bloom config eagerly (a typo'd fpp should fail the
+    * ALTER, not the next write). Retries past racing DATA commits
+    * (the new map derives only from the head's map); a racing
+    * property/schema change forces a re-derive. */
+  def setProperties(table: String, set: Map[String, String],
+                    unset: Seq[String] = Seq.empty): Long = {
+    val headV = latestVersion(table).getOrElse(sys.error(s"no committed version in $table"))
+    var head = headV
+    var attempt = 0
+    while (true) {
+      val st = resolve(table, head)
+      val newProps = (st.props ++ set) -- unset
+      BloomIndex.specOf(newProps) // validates fpp/items bounds, fails loudly
+      val rec = CommitRecord(head + 1, append = true, adds = Seq.empty,
+        dataChange = false, props = Some(newProps))
+      val tmp = logDir(table).resolve(s".tmp-pr-${java.util.UUID.randomUUID()}")
+      Files.write(tmp, recordToJson(rec).getBytes("UTF-8"))
+      try {
+        Files.createLink(vPath(table, head + 1), tmp)
+        if ((head + 1) % checkpointEvery == 0)
+          writeCheckpoint(table, resolve(table, head + 1))
+        return head + 1
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException =>
+          val newHead = latestVersion(table).getOrElse(head)
+          val winners = ((head + 1) to newHead).map(readRecord(table, _))
+          if (winners.exists(w => w.props.isDefined || w.colmap.isDefined) ||
+              attempt >= 20) sys.error(
+            s"concurrent property/schema change on $table: head moved past " +
+              s"v$head; re-derive and retry")
+          attempt += 1
+          head = newHead
+      } finally Files.deleteIfExists(tmp)
+    }
+    -1L // unreachable
+  }
+
+  /** Head property map (empty when never set). */
+  def properties(table: String): Map[String, String] =
+    resolveHead(table).map(_.props).getOrElse(Map.empty)
+
   /** Publish a schema-change (column mapping) commit: zero adds,
     * dataChange=false (physical content identical), fmt 3. Retries
     * past racing DATA commits (the mapping derives only from the
     * head's mapping); a racing schema change forces a re-derive. */
   private def publishSchemaChange(table: String, expectedHead: Long,
                                   colmap: Seq[(String, String)],
-                                  dropped: Seq[String]): Long = {
+                                  dropped: Seq[String],
+                                  props: Option[Map[String, String]] = None): Long = {
     var head = expectedHead
     var attempt = 0
     while (true) {
       val v = head + 1
       val rec = CommitRecord(v, append = true, adds = Seq.empty,
-        dataChange = false, colmap = Some(colmap), dropped = Some(dropped))
+        dataChange = false, colmap = Some(colmap), dropped = Some(dropped),
+        props = props)
       val tmp = logDir(table).resolve(s".tmp-cm-${java.util.UUID.randomUUID()}")
       Files.write(tmp, recordToJson(rec).getBytes("UTF-8"))
       try {
@@ -1091,7 +1290,7 @@ object SnapshotLog {
       val allPos =
         if (oldDvDirs.isEmpty) newPos
         else newPos.unionByName(
-          spark.read.parquet(oldDvDirs.map(d => s"$table/$d"): _*)
+          spark.read.parquet(oldDvDirs.map(d => sideAbs(table, d)): _*)
             .join(affected.map(_.path).toDF("path"), Seq("path"), "left_semi"))
       val dvStage = java.util.UUID.randomUUID().toString
       // position rows are (string, long) — tiny for targeted deletes,
@@ -1150,7 +1349,7 @@ object SnapshotLog {
       val ins = spark.read
         .schema(org.apache.spark.sql.types.DataType.fromJson(insertSchemaJson.get)
           .asInstanceOf[org.apache.spark.sql.types.StructType])
-        .parquet(insertAdds.map(e => s"$table/${e.path}"): _*)
+        .parquet(insertAdds.map(e => dataAbs(table, e)): _*)
       val cdcDf = ins.withColumn("_change_type", lit("insert"))
       val (_, cdcEntries) = stageEntries(spark, cdcDf, table, Seq.empty, Seq.empty, root = "cdc")
       return publishRewrite(table, Seq.empty, insertAdds,
@@ -1175,7 +1374,7 @@ object SnapshotLog {
     val allPos =
       if (oldDvDirs.isEmpty) newPos
       else newPos.unionByName(
-        spark.read.parquet(oldDvDirs.map(d => s"$table/$d"): _*)
+        spark.read.parquet(oldDvDirs.map(d => sideAbs(table, d)): _*)
           .join(affected.map(_.path).toDF("path"), Seq("path"), "left_semi"))
     val totalPos = posCounts.values.sum + affected.map(_.dvRows).sum
     val laidPos =
@@ -1196,7 +1395,7 @@ object SnapshotLog {
         spark.read
           .schema(org.apache.spark.sql.types.DataType.fromJson(insertSchemaJson.get)
             .asInstanceOf[org.apache.spark.sql.types.StructType])
-          .parquet(insertAdds.map(e => s"$table/${e.path}"): _*)
+          .parquet(insertAdds.map(e => dataAbs(table, e)): _*)
           .withColumn("_change_type", lit("insert")),
         allowMissingColumns = true)
     val (_, cdcEntries) = stageEntries(spark, cdcDf, table, Seq.empty, Seq.empty, root = "cdc")
@@ -1245,6 +1444,15 @@ object SnapshotLog {
 
   private def stageOf(path: String): String = path.split("/").take(2).mkString("/")
 
+  /** Absolute location of an entry's DATA file: shallow-clone entries
+    * carry a `base` override (the source table root). */
+  private[graft] def dataAbs(table: String, e: FileEntry): String =
+    s"${e.base.getOrElse(table)}/${e.path}"
+  /** Sidecar references (dv stage dirs, bloom sidecars) resolve
+    * table-relative unless recorded ABSOLUTE (clone entries). */
+  private[graft] def sideAbs(table: String, rel: String): String =
+    if (rel.startsWith("/")) rel else s"$table/$rel"
+
   /** Plan the read of an exact entry list. Flat (unpartitioned) files
     * whose commits recorded the SAME schema collapse into ONE parquet
     * scan with that schema given explicitly — the read plan is
@@ -1282,22 +1490,26 @@ object SnapshotLog {
           .asInstanceOf[org.apache.spark.sql.types.StructType]
       val (part, flat) = entries.partition(
         _.path.split("/").drop(2).exists(_.contains("=")))
-      val partReads = part.groupBy(e => stageOf(e.path)).toSeq.sortBy(_._1)
-        .map { case (stage, es) =>
-          val r0 = spark.read.option("basePath", s"$table/$stage")
+      // group by (base, stage): a clone's entries resolve under the
+      // SOURCE root, so their basePath must too
+      val partReads = part.groupBy(e => (e.base.getOrElse(table), stageOf(e.path)))
+        .toSeq.sortBy(_._1)
+        .map { case ((root, stage), es) =>
+          val r0 = spark.read.option("basePath", s"$root/$stage")
           val r = es.head.schema.fold(r0)(sj => r0.schema(schemaOf(sj)))
-          r.parquet(es.map(e => s"$table/${e.path}").sorted: _*)
+          r.parquet(es.map(e => dataAbs(table, e)).sorted: _*)
         }
       val flatReads = flat.groupBy(_.schema).toSeq
         .sortBy(_._2.map(_.path).min).flatMap {
           case (Some(sj), es) =>
             Seq(spark.read.schema(schemaOf(sj))
-              .parquet(es.map(e => s"$table/${e.path}").sorted: _*))
+              .parquet(es.map(e => dataAbs(table, e)).sorted: _*))
           case (None, es) => // schema-less record: per-stage inference
-            es.groupBy(e => stageOf(e.path)).toSeq.sortBy(_._1).map {
-              case (stage, ss) =>
-                spark.read.option("basePath", s"$table/$stage")
-                  .parquet(ss.map(e => s"$table/${e.path}").sorted: _*)
+            es.groupBy(e => (e.base.getOrElse(table), stageOf(e.path)))
+              .toSeq.sortBy(_._1).map {
+              case ((root, stage), ss) =>
+                spark.read.option("basePath", s"$root/$stage")
+                  .parquet(ss.map(e => dataAbs(table, e)).sorted: _*)
             }
         }
       (partReads ++ flatReads).reduce(_.unionByName(_, allowMissingColumns = true))
@@ -1332,17 +1544,20 @@ object SnapshotLog {
       .sortBy(_._2.map(_.path).min).flatMap {
         case (Some(sj), es) =>
           Seq(tag(spark.read.schema(schemaOf(sj))
-            .parquet(es.map(e => s"$table/${e.path}").sorted: _*)))
+            .parquet(es.map(e => dataAbs(table, e)).sorted: _*)))
         case (None, es) => es.groupBy(e => stageOf(e.path)).toSeq.sortBy(_._1)
           .map { case (_, ss) =>
-            tag(spark.read.parquet(ss.map(e => s"$table/${e.path}").sorted: _*))
+            tag(spark.read.parquet(ss.map(e => dataAbs(table, e)).sorted: _*))
           }
       }
     val tagged = reads.reduce(_.unionByName(_, allowMissingColumns = true))
+    // the RelCol regexp extracts the SOURCE-relative "data/<stage>/<f>"
+    // from the absolute path, so clone entries key identically to the
+    // source's dv rows
     val dvDirs = entries.flatMap(_.dv).distinct.sorted
     if (dvDirs.isEmpty) tagged
     else tagged.join(
-      spark.read.parquet(dvDirs.map(d => s"$table/$d"): _*)
+      spark.read.parquet(dvDirs.map(d => sideAbs(table, d)): _*)
         .select(col("path").as(RelCol), col("pos").as(PosCol)),
       Seq(RelCol, PosCol), "left_anti")
   }
@@ -1500,7 +1715,12 @@ object SnapshotLog {
       .getOrElse(sys.error(s"no committed version in $table"))
     val st = resolve(table, v)
     val pp = renamePred(p, st.physOf)
-    val (kept, _) = st.entries.partition(mightMatch(_, pp))
+    val (keptB, _) = st.entries.partition(mightMatch(_, pp))
+    // bloom tier: point-equality atoms probe the per-file sidecars
+    // (bounded driver cost; a miss proves the file holds no match)
+    val kept = BloomIndex.prune(table, keptB, pp,
+      BloomIndex.driverMax(st.props),
+      scala.collection.mutable.Map.empty)
     if (kept.isEmpty) applyColmap(emptyLike(spark, table, st.entries), st)
     else {
       val out = readFiles(spark, table, kept)
@@ -1576,7 +1796,8 @@ object SnapshotLog {
     // effectively small — packing it materializes the deletions and
     // drops the vector (Delta's REORG/PURGE folded into OPTIMIZE)
     def sizeOf(e: FileEntry): Long = {
-      val phys = if (e.bytes > 0L) e.bytes else Files.size(Paths.get(table, e.path))
+      val phys = if (e.bytes > 0L) e.bytes
+        else Files.size(Paths.get(dataAbs(table, e)))
       // in doubles: phys * liveRows can overflow a long for TB-scale
       // files, and a negative "size" would misclassify the file as small
       if (e.dvRows > 0L && e.rows > 0L)
@@ -2050,17 +2271,26 @@ object SnapshotLog {
     // live files: one forward replay from the new base
     val liveFiles = states.flatMap(_.entries.map(_.path)).toSet
     val liveDv = states.flatMap(_.entries.flatMap(_.dv)).toSet
+    val liveIdx = states.flatMap(_.entries.flatMap(_.idx)).toSet
     // every file ever added (each exactly once, by its adding record),
     // plus the dead records' change-data files (cdc files are
     // referenced ONLY by their own record, so they die with it)
     val deadRecs = dead.map(readRecord(table, _))
+    // a clone does not own its source: based entries' data files and
+    // absolute sidecar refs NEVER die here (vacuum the SOURCE retires
+    // them — and, like Delta, doing so breaks shallow clones over it)
     val doomed = deadRecs.flatMap { r =>
-      r.adds.map(_.path) ++ r.cdc.map(_.path)
+      r.adds.filter(_.base.isEmpty).map(_.path) ++ r.cdc.map(_.path)
     }.distinct.filterNot(liveFiles)
     doomed.foreach(f => Files.deleteIfExists(Paths.get(table, f)))
     // deletion-vector stages referenced only by dead versions go too
-    deadRecs.flatMap(_.adds.flatMap(_.dv)).distinct.filterNot(liveDv)
+    deadRecs.flatMap(_.adds.flatMap(_.dv)).distinct
+      .filterNot(d => liveDv(d) || d.startsWith("/"))
       .foreach(d => TempDirs.deleteRecursively(Paths.get(table, d).toFile))
+    // bloom sidecars die with their entry (immutable, one per file)
+    deadRecs.flatMap(_.adds.flatMap(_.idx)).distinct
+      .filterNot(i => liveIdx(i) || i.startsWith("/"))
+      .foreach(i => Files.deleteIfExists(Paths.get(table, i)))
     dead.foreach { v =>
       Files.deleteIfExists(vPath(table, v))
       Files.deleteIfExists(ckptPath(table, v))
@@ -2091,11 +2321,12 @@ object SnapshotLog {
     val referenced = states
       .flatMap(_.entries.map(e => stageOf(e.path))).toSet ++
       vs.flatMap(v => readRecord(table, v).cdc.map(e => stageOf(e.path))) ++
-      states.flatMap(_.entries.flatMap(_.dv)) // dv values ARE stage dirs
+      states.flatMap(_.entries.flatMap(_.dv)) ++ // dv values ARE stage dirs
+      states.flatMap(_.entries.flatMap(_.idx.map(stageOf))) // bloom sidecars
     val cutoff = System.currentTimeMillis() - olderThanMs
     // dvtmp = row-level DML position staging: transient by contract
     // (the commit deletes it), so anything old enough is crash litter
-    Seq("data", "cdc", "dv", "dvtmp").flatMap { root =>
+    Seq("data", "cdc", "dv", "dvtmp", "idx").flatMap { root =>
       val rootDir = Paths.get(table, root)
       if (!Files.isDirectory(rootDir)) Seq.empty
       else {

@@ -179,15 +179,49 @@ final class LogScan(table: String, fullSchema: StructType,
     * per-file bounds so ONE conservative evaluation covers both
     * pruning tiers. Predicates arrive under LOGICAL names; manifest
     * stats and partition directories are PHYSICAL (column mapping). */
-  private def keptEntries(): Seq[FileEntry] = {
+  /** Pushed + runtime predicates under PHYSICAL names, as one tree. */
+  private def physPred(): Option[Pred] = {
     val all = (preds ++ runtimePreds)
       .map(p => if (state.mapped) SnapshotLog.renamePred(p, state.physOf) else p)
-    if (all.isEmpty) allEntries
-    else {
-      val p = if (all.size == 1) all.head else Pred.And(all: _*)
+    if (all.isEmpty) None
+    else Some(if (all.size == 1) all.head else Pred.And(all: _*))
+  }
+
+  private def keptEntries(): Seq[FileEntry] =
+    physPred().fold(allEntries) { p =>
       allEntries.filter(e =>
         SnapshotLog.mightMatch(LogBatchScan.withPartitionBounds(e, physSchema), p))
     }
+
+  // ------------------------------------------- bloom-index skipping
+  /** Scan-lifetime sidecar memo: a re-plan (runtime filters arrive,
+    * statistics asked twice) never re-reads a sidecar. */
+  private val sidecarCache = scala.collection.mutable.Map
+    .empty[String, Option[Map[String, org.apache.spark.util.sketch.BloomFilter]]]
+  private var bloomMemo: (Seq[Pred], (Seq[FileEntry], Boolean)) = null
+
+  /** Bounds-surviving entries with the BLOOM tier applied when the
+    * driver may (point-equality atoms present, candidate set within
+    * `graft.bloom.driverMaxFiles`, not a key-grouped SPJ scan — a
+    * group dropped on one side would break the alignment contract).
+    * Returns (entries, driverApplied); when the driver declines, the
+    * reader factory probes each file's sidecar ON THE EXECUTOR before
+    * opening the parquet — per-task KBs against 100s of MB, so the
+    * driver never holds O(table) index bytes. */
+  private def keptWithBloom(): (Seq[FileEntry], Boolean) = synchronized {
+    val key = preds ++ runtimePreds
+    if (bloomMemo != null && bloomMemo._1 == key) return bloomMemo._2
+    val kept = keptEntries()
+    val r = physPred() match {
+      case Some(p) if groupedEntries().isEmpty &&
+          kept.size <= graft.core.BloomIndex.driverMax(state.props) &&
+          graft.core.BloomIndex.bloomable(p) && kept.exists(_.idx.isDefined) =>
+        (graft.core.BloomIndex.prune(table, kept, p, Int.MaxValue, sidecarCache),
+          true)
+      case _ => (kept, false)
+    }
+    bloomMemo = (key, r)
+    r
   }
 
   // ------------------------------------- storage-partitioned grouping
@@ -297,16 +331,17 @@ final class LogScan(table: String, fullSchema: StructType,
         readChangeFeed = true, colmap = state.colmap).toArray
     } else {
       def filePart(e: FileEntry): LogInputPartition =
-        LogInputPartition(s"$table/${e.path}", relPath = e.path,
+        LogInputPartition(SnapshotLog.dataAbs(table, e), relPath = e.path,
           partValues = LogBatchScan.partitionValues(e.path),
-          dvDirs = e.dv.map(d => s"$table/$d").toSeq,
-          colmap = state.colmap)
+          dvDirs = e.dv.map(d => SnapshotLog.sideAbs(table, d)).toSeq,
+          colmap = state.colmap,
+          idxAbs = e.idx.map(i => SnapshotLog.sideAbs(table, i)))
       groupedEntries() match {
         case Some((_, groups)) => groups.map { case (k, es) =>
           LogGroupedPartition(es.map(filePart), k): InputPartition
         }.toArray
         case None =>
-          val kept = keptEntries()
+          val kept = keptWithBloom()._1
           // pushed LIMIT: stop listing once live rows cover the ask —
           // Spark re-applies the exact limit above (partial push)
           val limited = limit.fold(kept) { n =>
@@ -344,7 +379,16 @@ final class LogScan(table: String, fullSchema: StructType,
       if (!columnar) Seq.empty
       else (srcFilters ++ runtimeSrcFilters)
         .flatMap(LogFilters.renamePhys(_, state.physOf))
-    new LogPartitionReaderFactory(requiredSchema, columnar, parquetPushed)
+    // bloom probe placement: when the driver already applied the tier
+    // (small candidate set) the executors skip the re-probe; past the
+    // driver cap each TASK tests its own file's sidecar before opening
+    // the parquet — the placement that scales to O(table) files
+    val (_, driverBloomed) = keptWithBloom()
+    val bloomPred =
+      if (driverBloomed) None
+      else physPred().filter(graft.core.BloomIndex.bloomable)
+    new LogPartitionReaderFactory(requiredSchema, columnar, parquetPushed,
+      bloomPred = bloomPred)
   }
 
   /** Manifest-exact statistics of the PRUNED scan: live rows (dv rows
@@ -355,7 +399,7 @@ final class LogScan(table: String, fullSchema: StructType,
       override def sizeInBytes(): OptionalLong = OptionalLong.empty()
       override def numRows(): OptionalLong = OptionalLong.empty()
     }
-    val es = keptEntries()
+    val es = keptWithBloom()._1
     val rows = es.map(e => e.rows - e.dvRows).sum
     val bytes = es.map(_.bytes).sum
     new Statistics {
@@ -891,6 +935,58 @@ object LogBatchQueries {
         round(sum(col("maybe_price").cast("decimal(18,2)")), 2)
           .cast("double").as("total"))
       .orderBy("o_orderstatus")
+  }
+
+  /** BLOOM-INDEX file skipping (Delta's bloom filter index): the table
+    * clusters documents by LENGTH, so doc_id — the point-lookup key —
+    * interleaves across every file and min/max bounds keep all of
+    * them; the per-file bloom sidecars (`graft.bloom.columns=doc_id`)
+    * prune the IN-list lookup to the files that actually hold the ids
+    * (BloomIndexSpec pins the opened-file count). The oracle replays
+    * the lookup against the raw parquet. */
+  def logBloomSkip(spark: SparkSession, dir: String): DataFrame = {
+    val t = graft.core.TempDirs.stable(s"logbloom:$dir")
+    graft.core.TempDirs.deleteRecursively(new java.io.File(t))
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(t))
+    val docs = graft.core.Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+      .repartitionByRange(8, col("n_chars"), col("doc_id"))
+    SnapshotLog.commit(spark, docs, t, statsFor = Seq("n_chars"),
+      props = Some(Map(
+        graft.core.BloomIndex.ColumnsProp -> "doc_id",
+        graft.core.BloomIndex.ItemsProp -> "200000",
+        graft.core.BloomIndex.FppProp -> "0.01")))
+    spark.read.format("graft-log").load(t)
+      .filter(col("doc_id").isin(1L, 7L, 13L, 29L, 57L))
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+      .orderBy("doc_id")
+  }
+
+  /** SHALLOW CLONE: a zero-copy metadata clone of the documents table,
+    * then a merge-on-read DELETE on the CLONE — the source's files are
+    * referenced in place (nothing copied), the vectors land clone-local
+    * keyed by source-relative paths, and the aggregate over the clone
+    * must equal the oracle's relational replay. The source staying
+    * intact is CloneSpec territory. */
+  def logClone(spark: SparkSession, dir: String): DataFrame = {
+    val src = graft.core.TempDirs.stable(s"logclone_src:$dir")
+    val dst = graft.core.TempDirs.stable(s"logclone_dst:$dir")
+    Seq(src, dst).foreach { t =>
+      graft.core.TempDirs.deleteRecursively(new java.io.File(t))
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(t))
+    }
+    val docs = graft.core.Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+      .repartitionByRange(6, col("doc_id"))
+    SnapshotLog.commit(spark, docs, src, statsFor = Seq("doc_id"))
+    SnapshotLog.cloneTable(src, dst)
+    SnapshotLog.deleteWhere(spark, dst,
+      Pred.Between("doc_id", 100.0, 299.0))
+    spark.read.format("graft-log").load(dst)
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_chars").cast("bigint").as("sum_chars"))
+      .orderBy("lang")
   }
 
   /** Deletion vectors apply inside the batch relation, composed with

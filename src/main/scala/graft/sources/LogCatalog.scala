@@ -151,10 +151,17 @@ class LogCatalog extends TableCatalog with SupportsNamespaces
     }
     Files.createDirectories(p)
     val spark = SparkSession.active
+    // user TBLPROPERTIES persist in the log (engine-added keys like
+    // provider/location/owner stay out — they are not table state)
+    val reserved = Set("provider", "location", "owner", "external",
+      "comment", "format")
+    val userProps = properties.asScala.toMap
+      .filter { case (k, _) => !reserved(k) && !k.startsWith("option.") }
     // an empty commit records the schema; the table reads as 0 rows
     SnapshotLog.commit(spark,
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema),
-      p.toString)
+      p.toString,
+      props = if (userProps.nonEmpty) Some(userProps) else None)
     if (partCols.nonEmpty) {
       val m = new com.fasterxml.jackson.databind.ObjectMapper()
       val o = m.createObjectNode()
@@ -201,9 +208,25 @@ class LogCatalog extends TableCatalog with SupportsNamespaces
           "graft catalog: nested DROP COLUMN is not supported (flat schemas)")
         SnapshotLog.dropColumn(spark, p.toString, d.fieldNames().head)
         ()
+      case s: TableChange.SetProperty =>
+        // bloom-index columns must exist NOW (a typo'd column would
+        // silently never index; fail the ALTER instead)
+        if (s.property() == graft.core.BloomIndex.ColumnsProp) {
+          val have = SnapshotLog.read(spark, p.toString).schema.fieldNames.toSet
+          val asked = s.value().split(",").map(_.trim).filter(_.nonEmpty)
+          val missing = asked.filterNot(have)
+          require(missing.isEmpty,
+            s"bloom-index columns not in ${ident.name()}: ${missing.mkString(", ")} " +
+              s"(have ${have.mkString(", ")})")
+        }
+        SnapshotLog.setProperties(p.toString, Map(s.property() -> s.value()))
+        ()
+      case r: TableChange.RemoveProperty =>
+        SnapshotLog.setProperties(p.toString, Map.empty, unset = Seq(r.property()))
+        ()
       case other => throw new UnsupportedOperationException(
-        s"graft catalog: only ADD/RENAME/DROP COLUMN alter a log-backed " +
-          s"table; got $other")
+        s"graft catalog: only ADD/RENAME/DROP COLUMN and SET/UNSET " +
+          s"TBLPROPERTIES alter a log-backed table; got $other")
     }
     new LogStreamTable(p.toString,
       SnapshotLog.read(spark, p.toString).schema, partitionColsOf(p))
@@ -296,6 +319,16 @@ class LogCatalog extends TableCatalog with SupportsNamespaces
       val p = tablePath(tid)
       if (!isTable(p)) throw new NoSuchTableException(tid)
       p.toString
+    }, name => { // a NEW table's path (clone target): namespace must exist
+      val parts = name.split("\\.")
+      val tid = Identifier.of(parts.init, parts.last)
+      val p = tablePath(tid)
+      if (isTable(p)) throw new TableAlreadyExistsException(
+        (catalogName +: tid.namespace().toSeq :+ tid.name()))
+      if (!Files.isDirectory(nsPath(tid.namespace())))
+        throw new NoSuchNamespaceException((catalogName +: tid.namespace().toSeq).toArray)
+      Files.createDirectories(p)
+      p.toString
     })
   }
 }
@@ -310,7 +343,7 @@ object LogProcedures {
   import org.apache.spark.sql.types._
   import org.apache.spark.unsafe.types.UTF8String
 
-  val names: Seq[String] = Seq("optimize", "vacuum", "history", "restore")
+  val names: Seq[String] = Seq("optimize", "vacuum", "history", "restore", "clone")
 
   private final class ResultScan(schema: StructType, rows: Seq[Seq[Any]],
                                  what: String) extends LocalScan {
@@ -328,8 +361,22 @@ object LogProcedures {
   private def paramD(n: String, dt: DataType, default: String): ProcedureParameter =
     ProcedureParameter.in(n, dt).defaultValue(default).build()
 
-  def load(procName: String, resolve: String => String): UnboundProcedure =
+  def load(procName: String, resolve: String => String,
+           resolveNew: String => String = n =>
+             sys.error(s"procedure cannot create table $n here")): UnboundProcedure =
     procName.toLowerCase match {
+      case "clone" => unbound("clone",
+        Array(param("src", StringType), param("dst", StringType)),
+        (in, spark) => {
+          val s = resolve(in.getUTF8String(0).toString)
+          val d = resolveNew(in.getUTF8String(1).toString)
+          val v = graft.core.SnapshotLog.cloneTable(s, d)
+          val files = graft.core.SnapshotLog.resolve(d, v).entries.size.toLong
+          one(new ResultScan(
+            StructType(Seq(StructField("cloned_version", LongType, nullable = false),
+              StructField("referenced_files", LongType, nullable = false))),
+            Seq(Seq(v, files)), "clone"))
+        })
       case "optimize" => unbound("optimize",
         Array(param("tbl", StringType),
           paramD("target_files", IntegerType, "1"),

@@ -264,6 +264,13 @@ final class LogStreamTable(table: String, schema: StructType,
   override def name(): String = s"graft-log:$table" +
     asOfVersion.fold("")(v => s"@v$v")
   override def schema(): StructType = schema
+  /** Log-recorded table properties (SET TBLPROPERTIES persists them) —
+    * what DESCRIBE EXTENDED and downstream tooling surface. */
+  override def properties(): java.util.Map[String, String] = {
+    val m = new java.util.HashMap[String, String]()
+    graft.core.SnapshotLog.properties(table).foreach { case (k, v) => m.put(k, v) }
+    m
+  }
   // reflect the write partitioning back (DataFrameWriter verifies the
   // user's partitionBy against the table's declared transforms)
   override def partitioning(): Array[Transform] = partitionBy.map(c =>
@@ -504,10 +511,10 @@ object LogPlanning {
     def partsOf(es: Seq[graft.core.SnapshotLog.FileEntry], tag: Option[String],
                 v: Long): Seq[LogInputPartition] =
       es.filter(_.rows > 0).map(en => LogInputPartition(
-        s"$table/${en.path}", changeType = tag, version = v,
+        graft.core.SnapshotLog.dataAbs(table, en), changeType = tag, version = v,
         relPath = en.path,
         partValues = LogBatchScan.partitionValues(en.path),
-        dvDirs = en.dv.map(d => s"$table/$d").toSeq,
+        dvDirs = en.dv.map(d => graft.core.SnapshotLog.sideAbs(table, d)).toSeq,
         colmap = colmap, bytes = en.bytes))
 
     recs.flatMap { r =>
@@ -576,7 +583,8 @@ final case class LogInputPartition(absPath: String,
                                    partValues: Seq[(String, Option[String])] = Seq.empty,
                                    dvDirs: Seq[String] = Seq.empty,
                                    colmap: Seq[(String, String)] = Seq.empty,
-                                   bytes: Long = 0L)
+                                   bytes: Long = 0L,
+                                   idxAbs: Option[String] = None)
     extends InputPartition {
   /** Physical file/directory column name of a logical schema field
     * (column mapping; identity for unmapped tables). */
@@ -608,11 +616,29 @@ final case class LogGroupedPartition(files: Seq[LogInputPartition],
   * The streaming micro-batch path always passes false. */
 final class LogPartitionReaderFactory(schema: StructType,
                                       columnar: Boolean = false,
-                                      pushed: Seq[org.apache.spark.sql.sources.Filter] = Seq.empty)
+                                      pushed: Seq[org.apache.spark.sql.sources.Filter] = Seq.empty,
+                                      bloomPred: Option[graft.core.SnapshotLog.Pred] = None)
     extends PartitionReaderFactory {
+
+  /** EXECUTOR-side bloom probe (set only when the driver declined the
+    * tier): one ~KB sidecar read decides whether this task opens its
+    * parquet at all — a filter miss PROVES the pushed equality matches
+    * no row of the file. An unreadable/missing sidecar reads the file
+    * (conservative). Runs once per task, scales with files probed per
+    * task, never with table size. */
+  private def bloomSkips(p: LogInputPartition): Boolean =
+    bloomPred.isDefined && p.idxAbs.isDefined && {
+      try graft.core.BloomIndex.provablyEmpty(
+        graft.core.BloomIndex.readSidecar(
+          java.nio.file.Paths.get(p.idxAbs.get)), bloomPred.get)
+      catch { case scala.util.control.NonFatal(_) => false }
+    }
+
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
     partition match {
-      case g: LogGroupedPartition => new LogChainedReader(g.files, schema)
+      case g: LogGroupedPartition =>
+        new LogChainedReader(g.files.filterNot(bloomSkips), schema)
+      case p: LogInputPartition if bloomSkips(p) => LogEmptyReader
       case p: LogInputPartition => new LogPartitionReader(p, schema)
     }
 
@@ -621,11 +647,27 @@ final class LogPartitionReaderFactory(schema: StructType,
   override def createColumnarReader(partition: InputPartition): PartitionReader[ColumnarBatch] =
     partition match {
       case g: LogGroupedPartition if columnar =>
-        new LogChainedColumnarReader(g.files, schema, pushed)
+        new LogChainedColumnarReader(g.files.filterNot(bloomSkips), schema, pushed)
+      case p: LogInputPartition if columnar && bloomSkips(p) => LogEmptyColumnarReader
       case p: LogInputPartition if columnar => new LogColumnarReader(p, schema, pushed)
       case p => throw new UnsupportedOperationException(
         s"graft-log: no columnar read for $p")
     }
+}
+
+/** A bloom-skipped file's reader: proven to hold no matching row, so
+  * it yields nothing without touching the parquet. */
+private[sources] object LogEmptyReader extends PartitionReader[InternalRow] {
+  override def next(): Boolean = false
+  override def get(): InternalRow =
+    throw new IllegalStateException("empty reader has no rows")
+  override def close(): Unit = ()
+}
+private[sources] object LogEmptyColumnarReader extends PartitionReader[ColumnarBatch] {
+  override def next(): Boolean = false
+  override def get(): ColumnarBatch =
+    throw new IllegalStateException("empty reader has no batches")
+  override def close(): Unit = ()
 }
 
 /** Sequential COLUMNAR reader over a storage-partitioned key group's

@@ -45,6 +45,31 @@ object Bridge {
   def expressionOf(c: org.apache.spark.sql.Column): org.apache.spark.sql.catalyst.expressions.Expression =
     classic.ExpressionUtils.expression(c)
 
+  /** Per-group Bloom-filter build: Catalyst's `BloomFilterAggregate`
+    * (the aggregate Spark's InjectRuntimeFilter plants) over an
+    * `xxhash64(key)` column — a `TypedImperativeAggregate`, so a
+    * `groupBy(input_file_name)` builds one filter PER FILE in the same
+    * single pass that computes min/max bounds. Returns the serialized
+    * filter bytes (`BloomFilter.readFrom`-compatible); null for an
+    * empty group. `key` must be BIGINT (the xxhash64 of the indexed
+    * value — probe with `XxHash64Function.hash` of the same view). */
+  def bloomFilterAgg(key: org.apache.spark.sql.Column,
+                     items: Long, numBits: Long): org.apache.spark.sql.Column =
+    classic.ExpressionUtils.column(
+      new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
+        classic.ExpressionUtils.expression(key),
+        org.apache.spark.sql.catalyst.expressions.Literal(items),
+        org.apache.spark.sql.catalyst.expressions.Literal(numBits))
+        .toAggregateExpression())
+
+  /** Driver-side xxhash64 of one value, bit-identical to what the
+    * `xxhash64(col)` the bloom write-side aggregate hashed per row
+    * (seed 42, Catalyst value representation). */
+  def xxhash64Of(value: Any, dt: org.apache.spark.sql.types.DataType): Long =
+    org.apache.spark.sql.catalyst.expressions.XxHash64Function.hash(
+      org.apache.spark.sql.catalyst.CatalystTypeConverters.convertToCatalyst(value),
+      dt, 42L)
+
   /** Re-wrap a streaming micro-batch DataFrame (the one `Sink.addBatch`
     * receives) as an ordinary BATCH DataFrame over the SAME physical
     * execution: `df.queryExecution.toRdd` reuses the incremental plan
