@@ -695,9 +695,18 @@ object SnapshotLog {
     val effProps = props.orElse(headState.map(_.props)).getOrElse(Map.empty)
     val bloom = BloomIndex.specOf(effProps).map(s =>
       s.copy(cols = mapSt.fold(s.cols)(st => s.cols.map(st.physOf))))
+    // CHECK constraints ride the same stats pass (violations counted
+    // per file, enforced pre-publish); logical refs resolve physical,
+    // absent columns evaluate null (pass — the reader surfaces null)
+    val checks = Constraints.of(effProps).map { case (n, ex) =>
+      (n, ex, Constraints.violationsCol(spark, ex, l => {
+        val p = mapSt.fold(l)(_.physOf(l))
+        if (dfPhys.columns.contains(p)) Some(p) else None
+      }))
+    }
     val (stage, adds) =
       stageEntries(spark, dfPhys, table, partByPhys,
-        (statsPhys ++ carryCols).distinct, bloom = bloom)
+        (statsPhys ++ carryCols).distinct, bloom = bloom, checks = checks)
     var attempt = 0
     while (true) {
       val cur = latestVersion(table).getOrElse(0L)
@@ -745,7 +754,9 @@ object SnapshotLog {
   private def stageEntries(spark: SparkSession, df: DataFrame, table: String,
                            partitionBy: Seq[String], statsCols: Seq[String],
                            root: String = "data",
-                           bloom: Option[BloomIndex.Spec] = None): (String, Seq[FileEntry]) = {
+                           bloom: Option[BloomIndex.Spec] = None,
+                           checks: Seq[(String, String, org.apache.spark.sql.Column)] = Seq.empty)
+      : (String, Seq[FileEntry]) = {
     val stage = java.util.UUID.randomUUID().toString
     val stageDir = Paths.get(table, root, stage)
     val writer = df.write.mode("overwrite")
@@ -767,7 +778,7 @@ object SnapshotLog {
     // indexed column simply stages no filter for it — never read-blocked)
     val bloomCols = bloom.toSeq.flatMap(_.cols).distinct
       .filter(df.schema.fieldNames.contains)
-    if (cols.isEmpty && bloomCols.isEmpty) {
+    if (cols.isEmpty && bloomCols.isEmpty && checks.isEmpty) {
       // no bounds wanted: row counts come straight from the parquet
       // FOOTERS the write just produced — driver-side metadata reads,
       // ZERO Spark jobs after the write (the stats-less commit's whole
@@ -810,11 +821,23 @@ object SnapshotLog {
            else xxhash64(numericView(col(c), sch(c).dataType))
          org.apache.spark.sql.graft.Bridge.bloomFilterAgg(
            key, bloom.get.items, bloom.get.numBits).as(s"bf:$c")
-       })
+       } ++
+       checks.zipWithIndex.map { case ((_, _, c), i) => c.as(s"ck:$i") })
     val perFile = stagedDf
       .groupBy(input_file_name().as("_f"))
       .agg(aggs.head, aggs.tail: _*)
       .collect()
+    // CHECK-constraint abort BEFORE anything publishes: the staged
+    // directory dies here, so a violating write leaves no litter
+    if (checks.nonEmpty) {
+      val totals = checks.zipWithIndex.map { case ((n, ex, _), i) =>
+        (n, ex, perFile.map(r => r.getLong(r.fieldIndex(s"ck:$i"))).sum)
+      }
+      if (totals.exists(_._3 > 0L)) {
+        TempDirs.deleteRecursively(stageDir.toFile)
+        Constraints.enforce(table, totals)
+      }
+    }
     val marker = s"/$root/$stage/"
     val byRel = perFile.map { r =>
       val f0 = r.getString(0)
@@ -908,19 +931,26 @@ object SnapshotLog {
                     removePaths: Seq[String], expectedHead: Long,
                     statsFor: Seq[String] = Seq.empty,
                     changeData: Option[DataFrame] = None,
-                    dataChange: Boolean = true): Long = {
+                    dataChange: Boolean = true,
+                    partitionBy: Seq[String] = Seq.empty): Long = {
     Files.createDirectories(logDir(table))
     val prev = resolve(table, expectedHead)
     val prevPaths = prev.entries.map(_.path).toSet
     val missing = removePaths.filterNot(prevPaths)
     require(missing.isEmpty,
       s"commitRewrite removes files not live at v$expectedHead: ${missing.take(3)}")
-    // bloom-indexed columns ride the rewrite too (resolved from the
-    // base version's properties; cols are logical -> physical)
+    // bloom-indexed columns and CHECK constraints ride the rewrite too
+    // (resolved from the base version's properties, logical -> physical)
     val bloom = BloomIndex.specOf(prev.props).map(s =>
       s.copy(cols = s.cols.map(prev.physOf)))
-    val (_, adds) = stageEntries(spark, df, table, Seq.empty, statsFor,
-      bloom = bloom)
+    val checks = Constraints.of(prev.props).map { case (n, ex) =>
+      (n, ex, Constraints.violationsCol(spark, ex, l => {
+        val p = prev.physOf(l)
+        if (df.columns.contains(p)) Some(p) else None
+      }))
+    }
+    val (_, adds) = stageEntries(spark, df, table, partitionBy, statsFor,
+      bloom = bloom, checks = checks)
     val (cdcEntries, cdcSchema) = changeData match {
       case None => (Seq.empty[FileEntry], None)
       case Some(cd) =>
@@ -1212,6 +1242,30 @@ object SnapshotLog {
   def properties(table: String): Map[String, String] =
     resolveHead(table).map(_.props).getOrElse(Map.empty)
 
+  /** `ALTER TABLE ... ADD CONSTRAINT` (Delta's contract): validate the
+    * expression against EVERY live row first (one aggregate scan),
+    * then publish the property — a constraint that lands is a
+    * guarantee over the table's existing AND future content (future
+    * writes enforce it in their stats pass, pre-publish). */
+  def addConstraint(spark: SparkSession, table: String,
+                    name: String, expr: String): Long = {
+    require(name.matches("[A-Za-z0-9_]+"),
+      s"constraint name must be [A-Za-z0-9_]+, got '$name'")
+    require(!properties(table).contains(s"${Constraints.Prefix}$name"),
+      s"constraint $name already exists on $table")
+    val df = read(spark, table) // LOGICAL view, the names the expr uses
+    val viol = df.agg(Constraints.violationsCol(spark, expr,
+      l => if (df.columns.contains(l)) Some(l) else None)).head().getLong(0)
+    if (viol > 0L) sys.error(
+      s"cannot add CHECK constraint '$name' to $table: $viol existing " +
+        s"row(s) violate ($expr)")
+    setProperties(table, Map(s"${Constraints.Prefix}$name" -> expr))
+  }
+
+  def dropConstraint(table: String, name: String): Long =
+    setProperties(table, Map.empty,
+      unset = Seq(s"${Constraints.Prefix}$name"))
+
   /** Publish a schema-change (column mapping) commit: zero adds,
     * dataChange=false (physical content identical), fmt 3. Retries
     * past racing DATA commits (the mapping derives only from the
@@ -1344,6 +1398,27 @@ object SnapshotLog {
     import spark.implicits._
     if (posCounts.isEmpty && insertAdds.isEmpty) return expectedHead // no-op DML
     val st = resolve(table, expectedHead)
+    // CHECK constraints over the DML's staged INSERT rows (SQL MERGE /
+    // UPDATE post-images written by executor tasks bypass the commit
+    // stats pass): one driver-triggered aggregate over the insert
+    // files, pre-publish — a violating DML never becomes visible.
+    // Deletes only remove rows and need no check.
+    val checks = Constraints.of(st.props)
+    if (checks.nonEmpty && insertAdds.nonEmpty) {
+      val ins = spark.read
+        .schema(org.apache.spark.sql.types.DataType.fromJson(insertSchemaJson.get)
+          .asInstanceOf[org.apache.spark.sql.types.StructType])
+        .parquet(insertAdds.map(e => dataAbs(table, e)): _*)
+      val cks = checks.map { case (n, ex) =>
+        (n, ex, Constraints.violationsCol(spark, ex, l => {
+          val p = st.physOf(l)
+          if (ins.columns.contains(p)) Some(p) else None
+        }))
+      }
+      val row = ins.agg(cks.head._3, cks.tail.map(_._3): _*).head()
+      Constraints.enforce(table,
+        cks.zipWithIndex.map { case ((n, ex, _), i) => (n, ex, row.getLong(i)) })
+    }
     if (posCounts.isEmpty) {
       // pure-insert delta (a MERGE whose clauses only inserted)
       val ins = spark.read
@@ -1823,6 +1898,60 @@ object SnapshotLog {
     commitRewrite(spark, laid, table, small.map(_.path), headV,
       statsFor = indexedColumns(st).filter(head.columns.contains),
       dataChange = false)
+  }
+
+  /** PARTITION-SCOPED OPTIMIZE (Delta's `OPTIMIZE t WHERE part = v`):
+    * rewrite ONLY the files of one hive partition value into
+    * `targetFiles` clustered outputs; every other partition carries BY
+    * REFERENCE. At 100 TB maintenance is per-partition or it is
+    * nothing — you re-cluster yesterday's ingest directory, never the
+    * table, and the commit is O(that partition's files) data and
+    * metadata. `value` None targets the default (null) partition.
+    * The rewrite restages WITH the table's hive layout (directory
+    * pruning survives), recomputes stats/bloom sidecars, materializes
+    * any deletion vectors of the touched files, and publishes
+    * `dataChange=false` — content-identical, feed-silent, safe under
+    * a live stream like any compaction. A partition already at or
+    * under `targetFiles` clean files is a NO-OP (no commit). */
+  def compactWhere(spark: SparkSession, table: String, partCol: String,
+                   value: Option[String], targetFiles: Int,
+                   clusterBy: Seq[String] = Seq.empty): Long = {
+    import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+    val headV = latestVersion(table).getOrElse(sys.error(s"no committed version in $table"))
+    val st = resolve(table, headV)
+    val phys = st.physOf(partCol)
+    def partOf(e: FileEntry): Option[Option[String]] =
+      e.path.split("/").drop(2).dropRight(1).filter(_.contains("="))
+        .collectFirst {
+          case seg if seg.substring(0, seg.indexOf('=')) == phys =>
+            val raw = ExternalCatalogUtils.unescapePathName(
+              seg.substring(seg.indexOf('=') + 1))
+            if (raw == "__HIVE_DEFAULT_PARTITION__") None else Some(raw)
+        }
+    val touched = st.entries.filter(e => partOf(e).contains(value))
+    if (touched.isEmpty) {
+      val have = st.entries.flatMap(partOf).distinct
+      sys.error(s"no live files of $table in partition $phys=" +
+        s"${value.getOrElse("NULL")} (have: ${have.take(8).map(_.getOrElse("NULL")).mkString(", ")}" +
+        (if (have.isEmpty) "none — is the table hive-partitioned?" else "") + ")")
+    }
+    if (touched.size <= targetFiles && !touched.exists(_.dv.isDefined))
+      return headV // already compact and vector-free: no-op, no commit
+    // the full hive column list of the touched layout (all entries of
+    // one partition value share it by construction)
+    val partCols = touched.head.path.split("/").drop(2).dropRight(1)
+      .filter(_.contains("=")).map(s => s.substring(0, s.indexOf('='))).toSeq
+    val head = readFiles(spark, table, touched) // partition cols restored
+    val clusterCols =
+      (if (clusterBy.nonEmpty) clusterBy else dominantClusterColumns(st))
+        .filter(head.columns.contains)
+    val laid =
+      if (clusterCols.nonEmpty)
+        head.repartitionByRange(targetFiles, clusterCols.map(col): _*)
+      else head.repartition(targetFiles)
+    commitRewrite(spark, laid, table, touched.map(_.path), headV,
+      statsFor = indexedColumns(st).filter(head.columns.contains),
+      dataChange = false, partitionBy = partCols)
   }
 
   /** Order the table's indexed columns by how CLUSTERED the live

@@ -218,8 +218,15 @@ class LogCatalog extends TableCatalog with SupportsNamespaces
           require(missing.isEmpty,
             s"bloom-index columns not in ${ident.name()}: ${missing.mkString(", ")} " +
               s"(have ${have.mkString(", ")})")
-        }
-        SnapshotLog.setProperties(p.toString, Map(s.property() -> s.value()))
+          SnapshotLog.setProperties(p.toString, Map(s.property() -> s.value()))
+        } else if (s.property().startsWith(graft.core.Constraints.Prefix)) {
+          // a CHECK constraint set by SQL takes the ADD CONSTRAINT
+          // path: existing data must satisfy it or the ALTER fails
+          SnapshotLog.addConstraint(spark, p.toString,
+            s.property().substring(graft.core.Constraints.Prefix.length),
+            s.value())
+        } else
+          SnapshotLog.setProperties(p.toString, Map(s.property() -> s.value()))
         ()
       case r: TableChange.RemoveProperty =>
         SnapshotLog.setProperties(p.toString, Map.empty, unset = Seq(r.property()))
@@ -343,7 +350,7 @@ object LogProcedures {
   import org.apache.spark.sql.types._
   import org.apache.spark.unsafe.types.UTF8String
 
-  val names: Seq[String] = Seq("optimize", "vacuum", "history", "restore", "clone")
+  val names: Seq[String] = Seq("optimize", "vacuum", "history", "restore", "clone", "detail")
 
   private final class ResultScan(schema: StructType, rows: Seq[Seq[Any]],
                                  what: String) extends LocalScan {
@@ -380,17 +387,61 @@ object LogProcedures {
       case "optimize" => unbound("optimize",
         Array(param("tbl", StringType),
           paramD("target_files", IntegerType, "1"),
-          paramD("cluster_by", StringType, "NULL")),
+          paramD("cluster_by", StringType, "NULL"),
+          paramD("where", StringType, "NULL")),
         (in, spark) => {
           val t = resolve(in.getUTF8String(0).toString)
           val cluster =
             if (in.isNullAt(2)) Seq.empty[String]
             else in.getUTF8String(2).toString.split(",").map(_.trim).filter(_.nonEmpty).toSeq
-          val v = graft.core.SnapshotLog.compact(spark, t,
-            targetFiles = in.getInt(1), clusterBy = cluster)
+          // `where` scopes the compaction to ONE hive partition value
+          // ('col=value'; 'col=' = the null partition) — Delta's
+          // OPTIMIZE WHERE: per-partition maintenance, never the table
+          val v =
+            if (in.isNullAt(3))
+              graft.core.SnapshotLog.compact(spark, t,
+                targetFiles = in.getInt(1), clusterBy = cluster)
+            else {
+              val w = in.getUTF8String(3).toString
+              val eq = w.indexOf('=')
+              require(eq > 0, s"optimize where expects 'col=value', got '$w'")
+              val raw = w.substring(eq + 1)
+              graft.core.SnapshotLog.compactWhere(spark, t,
+                w.substring(0, eq).trim,
+                if (raw.isEmpty) None else Some(raw),
+                targetFiles = in.getInt(1), clusterBy = cluster)
+            }
           one(new ResultScan(
             StructType(Seq(StructField("compacted_version", LongType, nullable = false))),
             Seq(Seq(v)), "optimize"))
+        })
+      case "detail" => unbound("detail",
+        Array(param("tbl", StringType)),
+        (in, spark) => {
+          val t = resolve(in.getUTF8String(0).toString)
+          val head = graft.core.SnapshotLog.latestVersion(t)
+            .getOrElse(sys.error(s"no committed version in $t"))
+          val st = graft.core.SnapshotLog.resolve(t, head)
+          val live = st.entries
+          one(new ResultScan(
+            StructType(Seq(
+              StructField("version", LongType, nullable = false),
+              StructField("num_files", LongType, nullable = false),
+              StructField("live_rows", LongType, nullable = false),
+              StructField("size_bytes", LongType, nullable = false),
+              StructField("dv_files", LongType, nullable = false),
+              StructField("indexed_files", LongType, nullable = false),
+              StructField("cloned_files", LongType, nullable = false),
+              StructField("properties", StringType, nullable = false))),
+            Seq(Seq(head, live.size.toLong,
+              live.map(e => e.rows - e.dvRows).sum,
+              live.map(_.bytes).sum,
+              live.count(_.dv.isDefined).toLong,
+              live.count(_.idx.isDefined).toLong,
+              live.count(_.base.isDefined).toLong,
+              UTF8String.fromString(st.props.toSeq.sorted
+                .map { case (k, v) => s"$k=$v" }.mkString(";")))),
+            "detail"))
         })
       case "vacuum" => unbound("vacuum",
         Array(param("tbl", StringType),

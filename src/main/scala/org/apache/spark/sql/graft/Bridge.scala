@@ -70,6 +70,28 @@ object Bridge {
       org.apache.spark.sql.catalyst.CatalystTypeConverters.convertToCatalyst(value),
       dt, 42L)
 
+  /** Parse a SQL expression string (a CHECK constraint) and rewrite
+    * its column references through `name`: Some(physical) renames the
+    * attribute (column mapping — constraints are written in LOGICAL
+    * names, staged files carry PHYSICAL ones), None substitutes a NULL
+    * literal (a constrained column ABSENT from this write surfaces
+    * null, and SQL CHECK passes on null — Delta's semantics). Only
+    * single-part names rewrite; qualified names resolve as-is. */
+  def parsedExpr(spark: SparkSession, sql: String,
+                 name: String => Option[String]): org.apache.spark.sql.Column = {
+    val parsed = spark.asInstanceOf[classic.SparkSession]
+      .sessionState.sqlParser.parseExpression(sql)
+    val rewritten = parsed.transform {
+      case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+          if a.nameParts.length == 1 =>
+        name(a.nameParts.head) match {
+          case Some(p) => org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute(Seq(p))
+          case None => org.apache.spark.sql.catalyst.expressions.Literal(null)
+        }
+    }
+    classic.ExpressionUtils.column(rewritten)
+  }
+
   /** Re-wrap a streaming micro-batch DataFrame (the one `Sink.addBatch`
     * receives) as an ordinary BATCH DataFrame over the SAME physical
     * execution: `df.queryExecution.toRdd` reuses the incremental plan
