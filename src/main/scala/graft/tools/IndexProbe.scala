@@ -39,13 +39,16 @@ object IndexProbe {
       (r, s)
     }
 
+    // text rides along: the lookup projects it, so a file that fails
+    // to skip pays REAL decode — the 100 TB shape, not a footer test
     val docs0 = graft.core.Tables.documents(spark, dir)
-      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+      .select(col("doc_id"), col("text"), col("lang"), col("n_chars"))
     val maxId = docs0.agg(max("doc_id")).head().getLong(0) + 1L
     val big = (0 until mult).map(i =>
       docs0.withColumn("doc_id", col("doc_id") + lit(i.toLong * maxId)))
       .reduce(_ unionAll _)
       .repartitionByRange(32, col("n_chars"), col("doc_id"))
+    val rowsPerFile = math.max(1000L, maxId * mult / 32)
 
     val tPlain = java.nio.file.Files.createTempDirectory("graft_idxprobe_p_").toString
     val tBloom = java.nio.file.Files.createTempDirectory("graft_idxprobe_b_").toString
@@ -55,7 +58,8 @@ object IndexProbe {
     timed(s"commit ${mult}x docs (bloom on doc_id)") {
       SnapshotLog.commit(spark, big, tBloom, statsFor = Seq("doc_id"),
         props = Some(Map(BloomIndex.ColumnsProp -> "doc_id",
-          BloomIndex.ItemsProp -> "1000000", BloomIndex.FppProp -> "0.01")))
+          BloomIndex.ItemsProp -> (rowsPerFile * 2L).toString,
+          BloomIndex.FppProp -> "0.01")))
     }
     val rows = SnapshotLog.read(spark, tBloom).count()
     val files = SnapshotLog.resolve(tBloom, 1L).entries.size
@@ -66,8 +70,11 @@ object IndexProbe {
     val keys = Seq(1L, maxId + 7L, 2L * maxId + 13L, 3L * maxId % (mult * maxId), maxId - 1L)
     def lookup(t: String): (Long, Long) = {
       val before = LogSourceAudit.filesOpened.get()
+      // project TEXT for the matches: an unskipped file pays its
+      // decode, exactly what a fetch-the-document lookup costs
       val n = spark.read.format("graft-log").load(t)
-        .filter(col("doc_id").isin(keys: _*)).count()
+        .filter(col("doc_id").isin(keys: _*))
+        .agg(sum(length(col("text")))).head().getLong(0)
       (n, LogSourceAudit.filesOpened.get() - before)
     }
     // warm-up then 3 passes, min wins
@@ -78,7 +85,7 @@ object IndexProbe {
     val (bc, bOpened) = lookup(tBloom)
     require(pc == bc, s"bloom lookup must match plain: $pc vs $bc")
     println(f"[indexprobe] RESULT point-IN(5): plain $plain%.3f s / $pOpened files" +
-      f" vs bloom $bloom%.3f s / $bOpened files (rows=$pc)")
+      f" vs bloom $bloom%.3f s / $bOpened files (sum_len=$pc)")
 
     // executor-tier probe: force the driver to decline
     SnapshotLog.setProperties(tBloom, Map(BloomIndex.DriverMaxProp -> "0"))
