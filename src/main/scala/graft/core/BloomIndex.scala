@@ -67,10 +67,16 @@ object BloomIndex {
   /** Max bounds-surviving files the DRIVER will probe sidecars for;
     * larger scans defer the probe to the executors. */
   val DriverMaxProp = "graft.bloom.driverMaxFiles"
+  /** Max TOTAL sidecar bytes the driver will read per scan (checked by
+    * cheap size stats before any read): a candidate set under the file
+    * cap can still carry GBs of filters when `items` is large — past
+    * this the probe moves to the executors too. */
+  val DriverMaxBytesProp = "graft.bloom.driverMaxBytes"
 
   val DefaultFpp = 0.01
   val DefaultItems = 100000L
   val DefaultDriverMax = 2048
+  val DefaultDriverMaxBytes = 64L << 20
 
   /** Parsed bloom config; `cols` as stored in the property (LOGICAL
     * names — callers translate through column mapping). */
@@ -99,6 +105,22 @@ object BloomIndex {
 
   def driverMax(props: Map[String, String]): Int =
     props.get(DriverMaxProp).map(_.toInt).getOrElse(DefaultDriverMax)
+  def driverMaxBytes(props: Map[String, String]): Long =
+    props.get(DriverMaxBytesProp).map(_.toLong).getOrElse(DefaultDriverMaxBytes)
+
+  /** Driver-tier admission by BYTES: size stats (no reads) over the
+    * candidates' sidecars, minus those already memoized in `cache`. */
+  def withinDriverBytes(tableRoot: String, entries: Seq[FileEntry], maxBytes: Long,
+                        cached: String => Boolean): Boolean = {
+    var total = 0L
+    entries.foreach(_.idx.foreach { rel =>
+      if (!cached(rel)) {
+        try total += Files.size(sidecarPath(tableRoot, rel))
+        catch { case NonFatal(_) => () } // missing sidecar reads nothing
+      }
+    })
+    total <= maxBytes
+  }
 
   // --------------------------------------------------------- sidecar codec
 

@@ -1792,10 +1792,15 @@ object SnapshotLog {
     val pp = renamePred(p, st.physOf)
     val (keptB, _) = st.entries.partition(mightMatch(_, pp))
     // bloom tier: point-equality atoms probe the per-file sidecars
-    // (bounded driver cost; a miss proves the file holds no match)
-    val kept = BloomIndex.prune(table, keptB, pp,
-      BloomIndex.driverMax(st.props),
-      scala.collection.mutable.Map.empty)
+    // (driver cost bounded by file count AND total sidecar bytes; a
+    // miss proves the file holds no match)
+    val kept =
+      if (BloomIndex.withinDriverBytes(table, keptB,
+          BloomIndex.driverMaxBytes(st.props), _ => false))
+        BloomIndex.prune(table, keptB, pp,
+          BloomIndex.driverMax(st.props),
+          scala.collection.mutable.Map.empty)
+      else keptB
     if (kept.isEmpty) applyColmap(emptyLike(spark, table, st.entries), st)
     else {
       val out = readFiles(spark, table, kept)

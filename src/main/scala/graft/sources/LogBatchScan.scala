@@ -215,7 +215,10 @@ final class LogScan(table: String, fullSchema: StructType,
     val r = physPred() match {
       case Some(p) if groupedEntries().isEmpty &&
           kept.size <= graft.core.BloomIndex.driverMax(state.props) &&
-          graft.core.BloomIndex.bloomable(p) && kept.exists(_.idx.isDefined) =>
+          graft.core.BloomIndex.bloomable(p) && kept.exists(_.idx.isDefined) &&
+          graft.core.BloomIndex.withinDriverBytes(table, kept,
+            graft.core.BloomIndex.driverMaxBytes(state.props),
+            sidecarCache.contains) =>
         (graft.core.BloomIndex.prune(table, kept, p, Int.MaxValue, sidecarCache),
           true)
       case _ => (kept, false)

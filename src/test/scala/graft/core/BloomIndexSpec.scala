@@ -113,6 +113,17 @@ class BloomIndexSpec extends AnyFunSuite with SparkFixture {
       s"executor probe must open $expect of 8 planned files, opened $n")
   }
 
+  test("past graft.bloom.driverMaxBytes the driver declines too — executors still skip") {
+    val t = bloomTable()
+    SnapshotLog.setProperties(t, Map(BloomIndex.DriverMaxBytesProp -> "0"))
+    val expect = keptByBloom(t, Pred.StrEq("key", "k0042"))
+    val (rows, n) = opened(spark.read.format("graft-log").load(t)
+      .filter(col("key") === "k0042").select("id").collect())
+    assert(rows.map(_.getLong(0)).toSeq == Seq(42L))
+    assert(n == expect.toLong,
+      s"byte-bounded driver defers to executor probe: expected $expect opens, got $n")
+  }
+
   test("deletion vectors stay sound: a vectored key still probes true, reads, and yields no row") {
     val t = bloomTable()
     SnapshotLog.deleteWhere(spark, t, Pred.Eq("id", 500.0))
