@@ -704,6 +704,10 @@ object SnapshotLog {
         if (dfPhys.columns.contains(p)) Some(p) else None
       }))
     }
+    // appends extend the live entry set: shared columns must agree in
+    // type (or widen exactly) or the read-side union fails later
+    if (append) headState.foreach(s =>
+      requireWriteCompatible(table, dfPhys.schema, s.entries))
     val (stage, adds) =
       stageEntries(spark, dfPhys, table, partByPhys,
         (statsPhys ++ carryCols).distinct, bloom = bloom, checks = checks)
@@ -939,6 +943,11 @@ object SnapshotLog {
     val missing = removePaths.filterNot(prevPaths)
     require(missing.isEmpty,
       s"commitRewrite removes files not live at v$expectedHead: ${missing.take(3)}")
+    // the staged adds will coexist with the CARRIED entries: types must
+    // agree (or widen exactly) with every surviving file's schema
+    val goneSet = removePaths.toSet
+    requireWriteCompatible(table, df.schema,
+      prev.entries.filterNot(e => goneSet(e.path)))
     // bloom-indexed columns and CHECK constraints ride the rewrite too
     // (resolved from the base version's properties, logical -> physical)
     val bloom = BloomIndex.specOf(prev.props).map(s =>
@@ -1518,6 +1527,52 @@ object SnapshotLog {
     read(spark, table, Some(versionAsOfTimestamp(table, tsMillis)))
 
   private def stageOf(path: String): String = path.split("/").take(2).mkString("/")
+
+  /** Exact-only TYPE WIDENING partial order (Delta's type widening
+    * set): may a column recorded as `from` re-declare as `to` with
+    * zero value change? Integral up-chain, small-integral -> float,
+    * and everything-exact -> double. long -> double and int -> float
+    * are LOSSY (beyond 2^53 / 2^24) and refuse. */
+  private[core] def widensTo(from: org.apache.spark.sql.types.DataType,
+                             to: org.apache.spark.sql.types.DataType): Boolean = {
+    import org.apache.spark.sql.types._
+    if (from == to) true
+    else (from, to) match {
+      case (ByteType, ShortType | IntegerType | LongType | FloatType | DoubleType) => true
+      case (ShortType, IntegerType | LongType | FloatType | DoubleType) => true
+      case (IntegerType, LongType | DoubleType) => true
+      case (FloatType, DoubleType) => true
+      case _ => false
+    }
+  }
+
+  /** WRITE-TIME schema compatibility (Delta's write enforcement): every
+    * column an append/rewrite shares with the existing entries must be
+    * the SAME type or a safe widening in either direction — a
+    * re-declared INT as STRING would make the read-side union coerce
+    * through string casts that fail (or silently convert) at scan
+    * time, long after the bad write was accepted. Refusing at the
+    * write is the honest failure. Entries without a recorded schema
+    * skip (pre-schema records). Non-append REPLACES redefine the table
+    * and may change anything. */
+  private def requireWriteCompatible(table: String,
+                                     staged: org.apache.spark.sql.types.StructType,
+                                     existing: Seq[FileEntry]): Unit = {
+    import org.apache.spark.sql.types._
+    val stagedTypes = staged.fields.map(f => f.name -> f.dataType).toMap
+    existing.flatMap(_.schema).distinct.foreach { sj =>
+      DataType.fromJson(sj).asInstanceOf[StructType].fields.foreach { f =>
+        stagedTypes.get(f.name).foreach { st =>
+          if (!widensTo(f.dataType, st) && !widensTo(st, f.dataType)) sys.error(
+            s"incompatible write to $table: column ${f.name} is " +
+              s"${f.dataType.simpleString} in existing files and ${st.simpleString} " +
+              "in this write — graft-log accepts only exact numeric widenings " +
+              "(byte<short<int<long; byte,short<float; byte,short,int,float<double). " +
+              "Rewrite the table (replace) or use a new column name")
+        }
+      }
+    }
+  }
 
   /** Absolute location of an entry's DATA file: shallow-clone entries
     * carry a `base` override (the source table root). */
