@@ -168,7 +168,8 @@ object SnapshotLog {
                                 dataChange: Boolean = true,
                                 colmap: Option[Seq[(String, String)]] = None,
                                 dropped: Option[Seq[String]] = None,
-                                props: Option[Map[String, String]] = None) {
+                                props: Option[Map[String, String]] = None,
+                                ts: Long = 0L) {
     def rows: Long = adds.map(_.rows).sum
     /** append | replace | rewrite | optimize | schema | props — what
       * this commit did. */
@@ -187,7 +188,8 @@ object SnapshotLog {
                               txns: Map[String, Long],
                               colmap: Seq[(String, String)] = Seq.empty,
                               dropped: Seq[String] = Seq.empty,
-                              props: Map[String, String] = Map.empty) {
+                              props: Map[String, String] = Map.empty,
+                              ts: Long = 0L) {
     def mapped: Boolean = colmap.nonEmpty || dropped.nonEmpty
     /** Physical file-column name of a logical column (identity when
       * never renamed). */
@@ -295,6 +297,7 @@ object SnapshotLog {
     val o = mapper.createObjectNode()
     o.put("fmt", minFmt(r))
     o.put("version", r.version); o.put("append", r.append); o.put("rows", r.rows)
+    if (r.ts > 0L) o.put("ts", r.ts): Unit
     r.colmap.foreach { m =>
       val a = o.putArray("colmap")
       m.foreach { case (l, p) => val e = a.addArray(); e.add(l); e.add(p); () }
@@ -350,6 +353,23 @@ object SnapshotLog {
     * duplicate of the same (appId, batchId) can land. No-op in
     * production. */
   @volatile private[core] var onStagedHook: () => Unit = () => ()
+
+  /** IN-COMMIT TIMESTAMP for the record about to publish at `v`
+    * (Delta's inCommitTimestamps): the commit instant is DATA, not a
+    * file mtime — a table copied, backed up, or restored keeps its
+    * time-travel ordering. Monotonic: clamped one past the previous
+    * version's timestamp (clock skew between writers cannot reorder
+    * history). */
+  private def commitTs(table: String, v: Long): Long = {
+    val prev =
+      if (v <= 1L) 0L
+      else try readRecord(table, v - 1).ts
+      catch { case scala.util.control.NonFatal(_) =>
+        try resolve(table, v - 1).ts
+        catch { case scala.util.control.NonFatal(_) => 0L }
+      }
+    math.max(System.currentTimeMillis(), prev + 1L)
+  }
 
   /** One commit record. Fails loudly on a missing (vacuumed) or
     * corrupt record — never a partial snapshot. */
@@ -421,13 +441,15 @@ object SnapshotLog {
       cdc = entriesOf("cdc").map(_.copy(schema = cdcSchema)),
       cdcSchema = cdcSchema,
       dataChange = Option(n.get("dataChange")).forall(_.asBoolean()),
-      colmap = colmap, dropped = dropped, props = props)
+      colmap = colmap, dropped = dropped, props = props,
+      ts = Option(n.get("ts")).map(_.asLong()).getOrElse(0L))
   }
 
   private def stateToJson(st: TableState): String = {
     val o = mapper.createObjectNode()
     o.put("fmt", if (st.mapped) 3 else 2)
     o.put("version", st.version)
+    if (st.ts > 0L) o.put("ts", st.ts): Unit
     if (st.colmap.nonEmpty) {
       val a = o.putArray("colmap")
       st.colmap.foreach { case (l, p) => val e = a.addArray(); e.add(l); e.add(p); () }
@@ -486,7 +508,8 @@ object SnapshotLog {
           val e = entryFromJson(en)
           Option(en.get("si")).map(si => e.copy(schema = Some(schemas(si.asInt()))))
             .getOrElse(e)
-        }, txns, colmap, dropped, props))
+        }, txns, colmap, dropped, props,
+        ts = Option(n.get("ts")).map(_.asLong()).getOrElse(0L)))
     } catch {
       case scala.util.control.NonFatal(e) => sys.error(
         s"corrupt checkpoint ckpt-v$v of $table: ${e.getMessage} — " +
@@ -528,7 +551,8 @@ object SnapshotLog {
       r.colmap.getOrElse(st.colmap),
       r.dropped.getOrElse(st.dropped),
       // properties, like the mapping and txns, survive replaces
-      r.props.getOrElse(st.props))
+      r.props.getOrElse(st.props),
+      math.max(st.ts, r.ts))
   }
 
   /** Resolve the full table state at `v`: walk back to the nearest
@@ -731,7 +755,7 @@ object SnapshotLog {
       val v = cur + 1
       val rec = CommitRecord(v, append && v > 1, adds, txn,
         schema = if (adds.isEmpty) None else Some(dfPhys.schema.json),
-        dataChange = dataChange, props = props)
+        dataChange = dataChange, props = props, ts = commitTs(table, v))
       val tmp = logDir(table).resolve(s".tmp-$stage-$attempt")
       Files.write(tmp, recordToJson(rec).getBytes("UTF-8"))
       try {
@@ -1010,7 +1034,7 @@ object SnapshotLog {
       val rec = CommitRecord(v, append = removePaths.isEmpty && !fullReplace, adds,
         schema = recordSchema,
         removes = removePaths, cdc = cdcEntries, cdcSchema = cdcSchema,
-        dataChange = dataChange)
+        dataChange = dataChange, ts = commitTs(table, v))
       val tmp = logDir(table).resolve(s".tmp-rw-${java.util.UUID.randomUUID()}")
       Files.write(tmp, recordToJson(rec).getBytes("UTF-8"))
       try {
@@ -1107,7 +1131,8 @@ object SnapshotLog {
       schema = schemaJson,
       colmap = if (st.colmap.nonEmpty) Some(st.colmap) else None,
       dropped = if (st.dropped.nonEmpty) Some(st.dropped) else None,
-      props = if (st.props.nonEmpty) Some(st.props) else None)
+      props = if (st.props.nonEmpty) Some(st.props) else None,
+      ts = commitTs(dst, 1L))
     val tmp = logDir(dst).resolve(s".tmp-clone-${java.util.UUID.randomUUID()}")
     Files.write(tmp, recordToJson(rec).getBytes("UTF-8"))
     try Files.createLink(vPath(dst, 1L), tmp)
@@ -1224,7 +1249,8 @@ object SnapshotLog {
       val newProps = (st.props ++ set) -- unset
       BloomIndex.specOf(newProps) // validates fpp/items bounds, fails loudly
       val rec = CommitRecord(head + 1, append = true, adds = Seq.empty,
-        dataChange = false, props = Some(newProps))
+        dataChange = false, props = Some(newProps),
+        ts = commitTs(table, head + 1))
       val tmp = logDir(table).resolve(s".tmp-pr-${java.util.UUID.randomUUID()}")
       Files.write(tmp, recordToJson(rec).getBytes("UTF-8"))
       try {
@@ -1289,7 +1315,7 @@ object SnapshotLog {
       val v = head + 1
       val rec = CommitRecord(v, append = true, adds = Seq.empty,
         dataChange = false, colmap = Some(colmap), dropped = Some(dropped),
-        props = props)
+        props = props, ts = commitTs(table, v))
       val tmp = logDir(table).resolve(s".tmp-cm-${java.util.UUID.randomUUID()}")
       Files.write(tmp, recordToJson(rec).getBytes("UTF-8"))
       try {
@@ -1509,17 +1535,37 @@ object SnapshotLog {
     applyColmap(readFiles(spark, table, st.entries), st)
   }
 
+  /** The commit instant of version `v`: the IN-COMMIT timestamp the
+    * record carries (monotonic data, survives copies/backups/restores
+    * of the table directory) — falling back to the record file's mtime
+    * only for pre-ICT records. */
+  def commitTimestamp(table: String, v: Long): Long = {
+    val r = readRecord(table, v)
+    if (r.ts > 0L) r.ts
+    else Files.getLastModifiedTime(vPath(table, v)).toMillis
+  }
+
   /** Time travel by TIMESTAMP (Delta's timestampAsOf): the newest
-    * surviving version whose commit record was published at or before
-    * `tsMillis` (record publish is the atomic commit instant, so its
-    * mtime IS the commit time). Fails loudly when every surviving
-    * version is newer — the caller asked for vacuumed history. */
-  def versionAsOfTimestamp(table: String, tsMillis: Long): Long =
-    versions(table).filter(v =>
-      Files.getLastModifiedTime(vPath(table, v)).toMillis <= tsMillis)
-      .lastOption.getOrElse(sys.error(
-        s"no surviving version of $table at or before $tsMillis " +
-          "(vacuumed, or the table is newer than the asked instant)"))
+    * surviving version whose commit instant is at or before
+    * `tsMillis`. Commit instants are the records' IN-COMMIT
+    * timestamps (mtime only for pre-ICT history), so the answer
+    * survives the table directory being copied or restored — mtimes
+    * do not. Instants are MONOTONIC by construction, so the lookup is
+    * a binary search — O(log versions) record reads, not O(versions).
+    * Fails loudly when every surviving version is newer — the caller
+    * asked for vacuumed history. */
+  def versionAsOfTimestamp(table: String, tsMillis: Long): Long = {
+    val vs = versions(table).toIndexedSeq
+    if (vs.isEmpty || commitTimestamp(table, vs.head) > tsMillis) sys.error(
+      s"no surviving version of $table at or before $tsMillis " +
+        "(vacuumed, or the table is newer than the asked instant)")
+    var lo = 0; var hi = vs.size - 1 // invariant: ts(vs(lo)) <= asked
+    while (lo < hi) {
+      val mid = (lo + hi + 1) / 2
+      if (commitTimestamp(table, vs(mid)) <= tsMillis) lo = mid else hi = mid - 1
+    }
+    vs(lo)
+  }
 
   /** Snapshot read at a wall-clock instant. */
   def readAsOfTimestamp(spark: SparkSession, table: String,
@@ -2287,9 +2333,10 @@ object SnapshotLog {
     val vs = versions(table)
     val rows = vs.zip(statesFrom(table, vs)).map { case (v, st) =>
       val r = readRecord(table, v)
-      (r.version, r.kind, r.rows, st.entries.size.toLong)
+      (r.version, r.kind, r.rows, st.entries.size.toLong,
+        new java.sql.Timestamp(commitTimestamp(table, v)))
     }
-    rows.toDF("version", "kind", "row_count", "n_files")
+    rows.toDF("version", "kind", "row_count", "n_files", "commit_ts")
   }
 
   /** The version range (sinceV, untilV] IF every record in it still

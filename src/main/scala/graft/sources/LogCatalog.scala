@@ -463,12 +463,14 @@ object LogProcedures {
           val t = resolve(in.getUTF8String(0).toString)
           val rows = graft.core.SnapshotLog.history(spark, t).collect().toSeq
             .map(r => Seq[Any](r.getLong(0), UTF8String.fromString(r.getString(1)),
-              r.getLong(2), r.getLong(3)))
+              r.getLong(2), r.getLong(3),
+              r.getTimestamp(4).getTime * 1000L)) // TimestampType = micros
           one(new ResultScan(
             StructType(Seq(StructField("version", LongType, nullable = false),
               StructField("kind", StringType, nullable = false),
               StructField("row_count", LongType, nullable = false),
-              StructField("n_files", LongType, nullable = false))),
+              StructField("n_files", LongType, nullable = false),
+              StructField("commit_ts", TimestampType, nullable = false))),
             rows, "history"))
         })
       case "restore" => unbound("restore",
