@@ -152,6 +152,44 @@ class CloneSpec extends AnyFunSuite with SparkFixture {
     assert(SnapshotLog.read(spark, dst2).count() == 400L)
   }
 
+  test("cloning a table that ALREADY carries deletion vectors keeps them; clone-local deletes layer on top") {
+    val src = srcTable()
+    SnapshotLog.deleteWhere(spark, src, Pred.Between("id", 0.0, 49.0))
+    val dst = cloneDir()
+    SnapshotLog.cloneTable(src, dst)
+    val st = SnapshotLog.resolve(dst, 1L)
+    assert(st.entries.exists(_.dv.exists(_.startsWith("/"))),
+      "source dv refs record absolute on the clone")
+    val ids0 = SnapshotLog.read(spark, dst).select("id").collect().map(_.getLong(0)).toSet
+    assert(ids0 == (50L until 400L).toSet, "the source's vectors apply on the clone")
+    // a clone-local delete UNIONS with the source's vectors
+    SnapshotLog.deleteWhere(spark, dst, Pred.Between("id", 50.0, 99.0))
+    val ids1 = SnapshotLog.read(spark, dst).select("id").collect().map(_.getLong(0)).toSet
+    assert(ids1 == (100L until 400L).toSet)
+    // and through the vectorized DSv2 path too
+    assert(spark.read.format("graft-log").load(dst).count() == 300L)
+    // the source still sees only its own vectors
+    assert(SnapshotLog.read(spark, src).count() == 350L)
+  }
+
+  test("a stream over a clone delivers the referenced snapshot (AvailableNow == batch read)") {
+    val src = srcTable()
+    val dst = cloneDir()
+    SnapshotLog.cloneTable(src, dst)
+    val out = Files.createTempDirectory("graft_clone_stream_out_").toString
+    val ckpt = Files.createTempDirectory("graft_clone_stream_ck_").toString
+    val q = spark.readStream.format("graft-log").load(dst)
+      .writeStream.format("parquet")
+      .option("path", out).option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(60000L)
+    val streamed = spark.read.parquet(out).select("id", "key", "lang")
+      .collect().map(_.toSeq).toSet
+    val batch = SnapshotLog.read(spark, dst).collect().map(_.toSeq).toSet
+    assert(streamed == batch && streamed.size == 400)
+  }
+
   test("SQL: CALL graft.system.clone — zero-copy by name, guarded targets") {
     val root = Files.createTempDirectory("graft_clonecat_").toString
     spark.conf.set("spark.sql.catalog.graftc",

@@ -97,6 +97,31 @@ class ConstraintsSpec extends AnyFunSuite with SparkFixture {
     } finally spark.sql("DROP TABLE graft_check_t")
   }
 
+  test("the streaming SINK enforces constraints: a violating micro-batch fails the query, nothing commits") {
+    import spark.implicits._
+    val t = table()
+    SnapshotLog.addConstraint(spark, t, "pos_price", "price > 0")
+    val head = SnapshotLog.latestVersion(t).get
+    // feed: a small graft-log source table carrying the violating row
+    val src = Files.createTempDirectory("graft_check_sink_src_").toString
+    SnapshotLog.commit(spark,
+      Seq((900L, -4.0, "bad")).toDF("id", "price", "user"), src)
+    val ckpt = Files.createTempDirectory("graft_check_sink_ck_").toString
+    val q = spark.readStream.format("graft-log").load(src)
+      .select("id", "price", "user")
+      .writeStream.format("graft-log")
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start(t)
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q.awaitTermination()
+    }
+    assert(e.getMessage.contains("pos_price") ||
+      Option(e.getCause).exists(_.getMessage != null &&
+        e.getCause.getMessage.contains("pos_price")), e.toString)
+    assert(SnapshotLog.latestVersion(t).contains(head), "violating trigger commits nothing")
+  }
+
   test("column mapping: the constraint follows the LOGICAL name through staging") {
     import spark.implicits._
     val t = table()
