@@ -166,7 +166,7 @@ object Cli {
   def optimize(spark: SparkSession, args: Array[String]): Seq[(String, Long)] = {
     require(args.length >= 2 && args(0) == "optimize",
       "usage: optimize <table> [--target-files N] [--cluster-by c1[,c2]] [--partition-by p1[,p2]] [--min-file-mb M] " +
-        "[--zorder a,b[,c...]] [--vacuum-keep K] [--vacuum-orphans]")
+        "[--zorder a,b[,c...]] [--where col=value] [--vacuum-keep K] [--vacuum-orphans]")
     val table = args(1)
     val flags = args.drop(2)
     def flagValue(name: String): Option[String] = flags.sliding(2).collectFirst {
@@ -180,6 +180,17 @@ object Cli {
     // ingest is normal, so re-derive from the new head and retry a
     // few times before giving up
     def compactOnce(): Long = (flagValue("--zorder"), flagValue("--min-file-mb")) match {
+      case _ if flagValue("--where").isDefined => // ONE hive partition
+        // value rewrites; everything else carries by reference
+        val w = flagValue("--where").get
+        val eq = w.indexOf('=')
+        require(eq > 0, s"--where expects col=value, got '$w'")
+        val raw = w.substring(eq + 1)
+        graft.core.SnapshotLog.compactWhere(spark, table,
+          w.substring(0, eq).trim,
+          if (raw.isEmpty) None else Some(raw), target,
+          clusterBy = flagValue("--cluster-by")
+            .map(_.split(',').toSeq.map(_.trim)).getOrElse(Seq.empty))
       case (Some(zz), _) => // 2..N dims, round-robin bit-interleaved
         graft.core.SnapshotLog.compactZorder(spark, table, target,
           zz.split(',').toSeq.map(_.trim))
@@ -250,6 +261,11 @@ object Cli {
         args.headOption match {
           case Some("pipeline") => pipeline(spark, args)
           case Some("optimize") => optimize(spark, args)
+          case Some("clone") => // zero-copy metadata clone
+            require(args.length == 3, "usage: clone <src-table> <dst-table>")
+            val v = graft.core.SnapshotLog.cloneTable(args(1), args(2))
+            println(s"[cli] cloned ${args(1)} -> ${args(2)} at v$v " +
+              s"(${graft.core.SnapshotLog.resolve(args(2), v).entries.size} referenced files, zero copied)")
           case _ => run(spark, args)
         }
         0

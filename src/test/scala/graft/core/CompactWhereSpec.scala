@@ -86,6 +86,14 @@ class CompactWhereSpec extends AnyFunSuite with SparkFixture {
     assert(nullsAfter == nullsBefore)
   }
 
+  test("CLI: optimize --where scopes the compaction like the procedure") {
+    val t = table()
+    val deBefore = filesOf(t, "de")
+    graft.tools.Cli.optimize(spark,
+      Array("optimize", t, "--target-files", "1", "--where", "lang=en"))
+    assert(filesOf(t, "en").size == 1 && filesOf(t, "de") == deBefore)
+  }
+
   test("SQL: CALL optimize(where) scopes to the partition; CALL detail reports the table") {
     val root = Files.createTempDirectory("graft_cw_cat_").toString
     spark.conf.set("spark.sql.catalog.graftw",
