@@ -851,10 +851,54 @@ object SnapshotLog {
            key, bloom.get.items, bloom.get.numBits).as(s"bf:$c")
        } ++
        checks.zipWithIndex.map { case ((_, _, c), i) => c.as(s"ck:$i") })
-    val perFile = stagedDf
+    val aggDf = stagedDf
       .groupBy(input_file_name().as("_f"))
       .agg(aggs.head, aggs.tail: _*)
-      .collect()
+    // bloom sidecars write ON THE EXECUTORS, inside the same pass: the
+    // filter bytes never ride the collect — a 10k-file backfill with
+    // MB-sized filters would otherwise land GBs on the driver. The
+    // aggregated row maps to (stats, sidecar-path) per file; sidecar
+    // writes are idempotent (deterministic bytes, create-truncate), so
+    // task retries and speculation are benign; a commit that dies
+    // before publish leaves idx/<stage> to the orphan sweep.
+    val perFile: Array[org.apache.spark.sql.Row] =
+      if (bloomCols.isEmpty) aggDf.collect()
+      else {
+        val tableB = table; val stageB = stage
+        val bloomColsB = bloomCols
+        val markerB = s"/$root/$stage/"
+        val outSchema = org.apache.spark.sql.types.StructType(
+          aggDf.schema.fields.filterNot(_.name.startsWith("bf:")) :+
+            org.apache.spark.sql.types.StructField("_idx",
+              org.apache.spark.sql.types.StringType, nullable = true))
+        aggDf.map({ r =>
+          val f0 = r.getString(0)
+          val f = try new java.net.URI(f0).getPath catch { case _: Exception => f0 }
+          val i = f.indexOf(markerB)
+          val idxRel =
+            if (i < 0) null // the driver fails loudly on the unmatched rel below
+            else {
+              val blooms = bloomColsB.flatMap { c =>
+                val bi = r.fieldIndex(s"bf:$c")
+                if (r.isNullAt(bi)) None else Some(c -> r.getAs[Array[Byte]](bi))
+              }
+              if (blooms.isEmpty) null
+              else {
+                // mirror the staged layout under idx/<stage>/ — hive
+                // partition dirs reuse part-file NAMES across values,
+                // so the name alone would collide
+                val rest = f.substring(i + markerB.length)
+                val ir = s"idx/$stageB/$rest.bloom"
+                BloomIndex.writeSidecar(Paths.get(tableB, ir), blooms)
+                ir
+              }
+            }
+          org.apache.spark.sql.Row.fromSeq(
+            r.toSeq.zip(r.schema.fields).collect {
+              case (v, fld) if !fld.name.startsWith("bf:") => v
+            } :+ idxRel)
+        })(org.apache.spark.sql.Encoders.row(outSchema)).collect()
+      }
     // CHECK-constraint abort BEFORE anything publishes: the staged
     // directory dies here, so a violating write leaves no litter
     if (checks.nonEmpty) {
@@ -863,6 +907,8 @@ object SnapshotLog {
       }
       if (totals.exists(_._3 > 0L)) {
         TempDirs.deleteRecursively(stageDir.toFile)
+        // executor-written bloom sidecars of the aborted stage go too
+        TempDirs.deleteRecursively(Paths.get(table, "idx", stage).toFile)
         Constraints.enforce(table, totals)
       }
     }
@@ -885,7 +931,7 @@ object SnapshotLog {
       s"commit stats pass: aggregate rows matched no staged file " +
         s"(${unmatched.take(3).mkString(", ")}) — path decoding disagreed; " +
         "refusing to record wrong per-file stats")
-    val entries = staged.zipWithIndex.map { case (rel, fi) =>
+    val entries = staged.map { rel =>
       val sz = Files.size(Paths.get(table, rel)) // driver-side stat, no job
       byRel.get(rel) match {
         case None => FileEntry(rel, 0L, bytes = sz) // zero-row part file
@@ -911,21 +957,12 @@ object SnapshotLog {
           // valuable case (it proves IS NULL matches nothing here)
           val nulls = cols.map(c =>
             c -> (rowsN - r.getLong(r.fieldIndex(s"nn:$c")))).toMap
-          // bloom sidecar: ONE file per data part, all its column
-          // filters together (the dv-sidecar pattern); an all-null
-          // column aggregates to null bytes and stages no filter
-          val blooms = bloomCols.flatMap { c =>
-            val bi = r.fieldIndex(s"bf:$c")
-            if (r.isNullAt(bi)) None
-            else Some(c -> r.getAs[Array[Byte]](bi))
-          }
+          // bloom sidecar: written executor-side in the stats pass
+          // (one file per data part, all its column filters together —
+          // the dv-sidecar pattern); the row carries only its path
           val idxRel =
-            if (blooms.isEmpty) None
-            else {
-              val rel0 = s"idx/$stage/$fi.bloom"
-              BloomIndex.writeSidecar(Paths.get(table, rel0), blooms)
-              Some(rel0)
-            }
+            if (bloomCols.isEmpty) None
+            else Option(r.getString(r.fieldIndex("_idx")))
           FileEntry(rel, rowsN, num, str, bytes = sz, nulls = nulls,
             idx = idxRel)
       }
