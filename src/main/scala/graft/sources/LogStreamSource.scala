@@ -368,7 +368,7 @@ final class LogMicroBatchStream(table: String, schema: StructType,
     partsCache.computeIfAbsent(v, vv =>
       LogPlanning.changeFeedPartitions(table, vv - 1, vv, initialVersion,
         skipChangeCommits, readChangeFeed, colmap = streamColmap,
-        failOnSchemaChange = true))
+        failOnSchemaChange = true, streamDropped = streamMapping._2))
 
   /** ADMISSION CONTROL: `maxVersionsPerTrigger` bounds how many log
     * versions one micro-batch covers; `maxFilesPerTrigger` /
@@ -434,11 +434,15 @@ final class LogMicroBatchStream(table: String, schema: StructType,
   }
 
   /** The column mapping the stream reads under — captured ONCE at
-    * stream construction, matching the schema the query captured; a
-    * later rename fails the stream (see changeFeedPartitions). */
-  private lazy val streamColmap: Seq[(String, String)] =
+    * stream construction, matching the schema the query captured. A
+    * mapping change mid-run fails the stream; a RESTART captures the
+    * new mapping, so the same checkpoint resumes from its offset and
+    * re-delivers nothing (see changeFeedPartitions). */
+  private lazy val streamMapping: (Seq[(String, String)], Seq[String]) =
     SnapshotLog.latestVersion(table)
-      .map(v => SnapshotLog.resolve(table, v).colmap).getOrElse(Seq.empty)
+      .map { v => val st = SnapshotLog.resolve(table, v); (st.colmap, st.dropped) }
+      .getOrElse((Seq.empty, Seq.empty))
+  private def streamColmap: Seq[(String, String)] = streamMapping._1
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val s = start.asInstanceOf[LogOffset]
@@ -447,7 +451,8 @@ final class LogMicroBatchStream(table: String, schema: StructType,
       // whole-version range: one record walk, identical to pre-r12
       LogPlanning.changeFeedPartitions(table, s.version, e.version,
         initialVersion, skipChangeCommits, readChangeFeed,
-        colmap = streamColmap, failOnSchemaChange = true)
+        colmap = streamColmap, failOnSchemaChange = true,
+        streamDropped = streamMapping._2)
         .map(p => p: InputPartition).toArray
     else {
       // sub-version slice: per-version lists cut at the file indexes
@@ -475,7 +480,8 @@ object LogPlanning {
                            initialVersion: Long, skipChangeCommits: Boolean,
                            readChangeFeed: Boolean,
                            colmap: Seq[(String, String)] = Seq.empty,
-                           failOnSchemaChange: Boolean = false): Seq[LogInputPartition] = {
+                           failOnSchemaChange: Boolean = false,
+                           streamDropped: Seq[String] = Seq.empty): Seq[LogInputPartition] = {
     if (e <= s) return Seq.empty
     val range = SnapshotLog.versions(table).filter(v => v > s && v <= e)
     // the batch is EXACTLY the commits (s, e] — if any were vacuumed,
@@ -493,16 +499,22 @@ object LogPlanning {
     val recs = range.map(SnapshotLog.readRecord(table, _))
     // a COLUMN MAPPING change mid-stream invalidates the schema the
     // stream captured at start (Delta fails streams on schema changes
-    // the same way) — fail loudly; a fresh checkpoint picks up the
-    // new names. Batch CDF scans resolve the mapping at plan time and
-    // pass failOnSchemaChange=false (physical names are immutable, so
-    // the current mapping reads the whole range correctly).
+    // the same way) — fail loudly UNLESS the record's mapping IS the
+    // one this stream already reads under: a RESTARTED stream captures
+    // the post-change mapping at construction, so the same checkpoint
+    // resumes from its offset and delivers the pending versions under
+    // the new names (physical names are immutable — pre-change files
+    // translate correctly). Only a mapping the stream has NOT adopted
+    // fails. Batch CDF scans resolve the mapping at plan time and pass
+    // failOnSchemaChange=false.
     if (failOnSchemaChange)
-      recs.find(r => r.colmap.isDefined || r.dropped.isDefined).foreach(r =>
-        sys.error(s"version ${r.version} of $table renames or drops columns — " +
-          "the stream's schema no longer matches; restart from a fresh " +
-          "checkpoint (with startingVersion past the schema change) to pick " +
-          "up the new column names"))
+      recs.filter(r => r.colmap.isDefined || r.dropped.isDefined).foreach { r =>
+        if (r.colmap.getOrElse(Seq.empty) != colmap ||
+            r.dropped.getOrElse(Seq.empty) != streamDropped) sys.error(
+          s"version ${r.version} of $table renames or drops columns — " +
+            "the stream's schema no longer matches; RESTART the stream (the " +
+            "same checkpoint resumes from its offset under the new names)")
+      }
 
     /** Entries as readable partitions: deletion vectors ride along
       * (the reader skips dead positions — a vectored entry delivers

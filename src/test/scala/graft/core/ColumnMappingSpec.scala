@@ -174,7 +174,7 @@ class ColumnMappingSpec extends AnyFunSuite with SparkFixture {
     assert(SnapshotLog.read(spark, t).filter(col("language") === "fr").count() == 1L)
   }
 
-  test("a stream fails loudly on a mid-stream rename; change feeds map to current names") {
+  test("a RESTART resumes the same checkpoint across a rename; a MID-RUN rename still fails loudly") {
     import spark.implicits._
     val t = freshTable()
     SnapshotLog.commit(spark, Seq((1L, "p1")).toDF("id", "payload"), t)
@@ -190,8 +190,14 @@ class ColumnMappingSpec extends AnyFunSuite with SparkFixture {
     drain()
     SnapshotLog.renameColumn(spark, t, "id", "doc_id")
     SnapshotLog.commit(spark, Seq((2L, "p2")).toDF("doc_id", "payload"), t, append = true)
-    val e = intercept[Exception] { drain() }
-    assert(e.getMessage != null)
+    // the restarted stream captures the post-rename mapping, ADOPTS the
+    // schema commit in its pending range, and resumes from the SAME
+    // checkpoint — no fresh checkpoint, no lost offset, no redelivery
+    drain()
+    val delivered = spark.read.option("mergeSchema", "true").parquet(out)
+    assert(delivered.count() == 2L, "row 1 not redelivered, row 2 delivered once")
+    assert(delivered.filter(col("payload") === "p2")
+      .select("doc_id").head().getLong(0) == 2L, "pending rows arrive under the NEW name")
     // the row-level change feed surfaces its range under the CURRENT
     // names (physical identity makes one mapping correct); the schema
     // commit itself is invisible (dataChange=false)
@@ -200,5 +206,22 @@ class ColumnMappingSpec extends AnyFunSuite with SparkFixture {
     assert(feed.schema.fieldNames.contains("doc_id") &&
       !feed.schema.fieldNames.contains("id"))
     assert(feed.select("doc_id").collect().map(_.getLong(0)).toSet == Set(2L))
+
+    // MID-RUN: a rename landing while the query RUNS is still a loud
+    // failure — the stream captured the pre-rename mapping at start
+    val ck2 = Files.createTempDirectory("graft_colmap_ck2_").toString
+    val out2 = Files.createTempDirectory("graft_colmap_out2_").toString
+    val q = spark.readStream.format("graft-log").load(t)
+      .writeStream.format("parquet")
+      .option("path", out2).option("checkpointLocation", ck2)
+      .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(100L))
+      .start()
+    try {
+      q.processAllAvailable() // first batch done under the captured mapping
+      SnapshotLog.renameColumn(spark, t, "doc_id", "key2")
+      SnapshotLog.commit(spark, Seq((3L, "p3")).toDF("key2", "payload"), t, append = true)
+      val e = intercept[Exception] { q.processAllAvailable() }
+      assert(e.getMessage != null)
+    } finally if (q.isActive) q.stop()
   }
 }
