@@ -70,9 +70,20 @@ object SnapshotLog {
     * (`remove`, `cdc`, `dataChange`, `nc`), fmt 3 only when the record
     * carries COLUMN MAPPING (`colmap`/`dropcols`) — a reader ignoring
     * those would misname or resurrect columns, so it must fail. */
-  val formatVersion: Int = 3
+  val formatVersion: Int = 4
+  /** The LOWEST format a reader must understand to read this record
+    * CORRECTLY — the protocol-minimum rule: fields an old reader could
+    * not safely ignore bump it. `base` (shallow clone — ignoring it
+    * resolves files under the wrong root) and CHECK constraints in
+    * `props` (an old WRITER ignoring them would commit violating rows;
+    * writers read the head first, so the gate reaches them) stamp 4;
+    * column mapping stamps 3; advisory fields (bloom config, `idx`,
+    * `ts`) stay at 2 — ignoring them is slower, never wrong. */
   private def minFmt(r: CommitRecord): Int =
-    if (r.colmap.isDefined || r.dropped.isDefined) 3 else 2
+    if (r.adds.exists(_.base.isDefined) ||
+        r.props.exists(ps => Constraints.of(ps).nonEmpty)) 4
+    else if (r.colmap.isDefined || r.dropped.isDefined) 3
+    else 2
 
   /** Longest string kept in a manifest bound (code points). Iceberg
     * truncates bounds the same way: a lower bound truncates to a
@@ -447,7 +458,10 @@ object SnapshotLog {
 
   private def stateToJson(st: TableState): String = {
     val o = mapper.createObjectNode()
-    o.put("fmt", if (st.mapped) 3 else 2)
+    o.put("fmt",
+      if (st.entries.exists(_.base.isDefined) ||
+          Constraints.of(st.props).nonEmpty) 4
+      else if (st.mapped) 3 else 2)
     o.put("version", st.version)
     if (st.ts > 0L) o.put("ts", st.ts): Unit
     if (st.colmap.nonEmpty) {
@@ -752,6 +766,21 @@ object SnapshotLog {
         val raced = alreadyApplied()
         if (raced.isDefined) return raced.get
       }
+      // a CHECK constraint that landed after this write derived its
+      // checks (any time from head resolution through retries) means
+      // the staged rows were never validated against it: fail loudly
+      // instead of publishing unvalidated rows into a constrained table
+      if (!headState.map(_.version).contains(cur)) {
+        val known = Constraints.of(effProps).map(_._1).toSet
+        ((headState.map(_.version).getOrElse(0L) + 1L) to cur)
+          .map(readRecord(table, _)).flatMap(_.props).foreach { ps =>
+            val added = Constraints.of(ps).filterNot(c => known(c._1))
+            if (added.nonEmpty) sys.error(
+              s"concurrent ADD CONSTRAINT on $table (${added.map(_._1).mkString(", ")}) " +
+                "landed while this write was staging — its rows were not " +
+                "validated against the new constraint; re-run the write")
+          }
+      }
       val v = cur + 1
       val rec = CommitRecord(v, append && v > 1, adds, txn,
         schema = if (adds.isEmpty) None else Some(dfPhys.schema.json),
@@ -766,6 +795,8 @@ object SnapshotLog {
       } catch {
         case _: java.nio.file.FileAlreadyExistsException =>
           Files.delete(tmp) // lost the race: re-read head, retry at v+1
+          // (the retry re-runs the constraint-race check above on the
+          // winners it finds)
           attempt += 1
           if (attempt > maxRetries) sys.error(s"commit contention on $table")
       }
@@ -1066,6 +1097,10 @@ object SnapshotLog {
     val ourRemoves = removePaths.toSet
     var head = expectedHead
     var attempt = 0
+    // the constraints this rewrite's staged rows WERE validated under
+    // (a racing winner introducing a new one is a conflict)
+    lazy val knownConstraints =
+      Constraints.of(resolve(table, expectedHead).props).map(_._1).toSet
     while (true) {
       val v = head + 1
       val rec = CommitRecord(v, append = removePaths.isEmpty && !fullReplace, adds,
@@ -1086,9 +1121,14 @@ object SnapshotLog {
             // any no-removes non-append winner REDEFINED the table —
             // including a zero-adds replace (truncate / overwrite of
             // an empty frame): re-publishing our stale file list over
-            // it would resurrect the rows it erased
+            // it would resurrect the rows it erased. A winner that
+            // ADDED CHECK constraints also conflicts: this rewrite's
+            // staged rows were validated against the pre-winner
+            // property map
             val wReplace = w.removes.isEmpty && !w.append
-            !wReplace && !w.removes.exists(ourRemoves.contains)
+            val wNewConstraint = w.props.exists(ps =>
+              Constraints.of(ps).exists(c => !knownConstraints(c._1)))
+            !wReplace && !wNewConstraint && !w.removes.exists(ourRemoves.contains)
           }
           if (!disjoint || attempt >= 20) sys.error(
             s"concurrent modification on $table: head moved past v$expectedHead " +
@@ -1159,9 +1199,10 @@ object SnapshotLog {
         dv = e.dv.map(d => if (d.startsWith("/")) d else s"$srcRoot/$d"),
         idx = e.idx.map(i => if (i.startsWith("/")) i else s"$srcRoot/$i"))
     }
-    // the record needs a schema even when the source head is empty
+    // the record needs a schema even when the source head is empty —
+    // walk only the SURVIVING records (early history may be vacuumed)
     val schemaJson = st.entries.flatMap(_.schema).headOption
-      .orElse((headV to 1L by -1L).view
+      .orElse(versions(src).reverse.view
         .flatMap(v => readRecord(src, v).schema).headOption)
     Files.createDirectories(logDir(dst))
     val rec = CommitRecord(1L, append = false, adds = entries,
@@ -1238,6 +1279,10 @@ object SnapshotLog {
     require(logical.contains(oldName),
       s"no column $oldName in $table (have ${logical.mkString(", ")})")
     require(!logical.contains(newName), s"column $newName already exists in $table")
+    // a CHECK constraint binds to the LOGICAL name in its expression —
+    // renaming under it would leave the expression vacuous (or worse,
+    // bound to a future column reusing the name). Delta blocks this.
+    requireNotConstrained(spark, st, oldName, "rename")
     val phys = st.physOf(oldName)
     val newMap = st.colmap.filterNot(_._1 == oldName) ++
       (if (newName == phys) Seq.empty else Seq(newName -> phys))
@@ -1262,10 +1307,30 @@ object SnapshotLog {
     require(logical.contains(name),
       s"no column $name in $table (have ${logical.mkString(", ")})")
     require(logical.size > 1, s"cannot drop the last column of $table")
+    requireNotConstrained(spark, st, name, "drop")
     val phys = st.physOf(name)
+    // a dropped column leaves the bloom-index property too
+    val newProps = st.props.get(BloomIndex.ColumnsProp).map { v =>
+      val kept = v.split(",").map(_.trim).filterNot(_ == name)
+      if (kept.isEmpty) st.props - BloomIndex.ColumnsProp
+      else st.props + (BloomIndex.ColumnsProp -> kept.mkString(","))
+    }.filterNot(_ == st.props)
     publishSchemaChange(table, headV,
-      st.colmap.filterNot(_._1 == name), (st.dropped :+ phys).distinct)
+      st.colmap.filterNot(_._1 == name), (st.dropped :+ phys).distinct,
+      props = newProps)
   }
+
+  /** Refuse RENAME/DROP of a column a CHECK constraint references —
+    * the expression would silently stop (or wrongly keep) enforcing.
+    * Drop the constraint first, alter, re-add under the new name. */
+  private def requireNotConstrained(spark: SparkSession, st: TableState,
+                                    col: String, what: String): Unit =
+    Constraints.of(st.props).foreach { case (n, ex) =>
+      if (org.apache.spark.sql.graft.Bridge.exprAttributes(spark, ex).contains(col))
+        sys.error(s"cannot $what column $col: CHECK constraint '$n' ($ex) " +
+          "references it — drop the constraint first, then re-add it " +
+          "under the new name")
+    }
 
   /** `ALTER TABLE ... SET/UNSET TBLPROPERTIES`: a METADATA-ONLY commit
     * whose record replaces the table's property map (Delta's
@@ -1326,6 +1391,14 @@ object SnapshotLog {
     require(!properties(table).contains(s"${Constraints.Prefix}$name"),
       s"constraint $name already exists on $table")
     val df = read(spark, table) // LOGICAL view, the names the expr uses
+    // every referenced column must exist NOW: an unresolvable name
+    // would evaluate as null forever — a constraint that silently
+    // enforces nothing (Delta fails ADD CONSTRAINT the same way)
+    val missing = org.apache.spark.sql.graft.Bridge.exprAttributes(spark, expr)
+      .filterNot(df.columns.contains)
+    require(missing.isEmpty,
+      s"CHECK constraint '$name' references columns not in $table: " +
+        s"${missing.mkString(", ")} (have ${df.columns.mkString(", ")})")
     val viol = df.agg(Constraints.violationsCol(spark, expr,
       l => if (df.columns.contains(l)) Some(l) else None)).head().getLong(0)
     if (viol > 0L) sys.error(
@@ -1587,21 +1660,25 @@ object SnapshotLog {
     * `tsMillis`. Commit instants are the records' IN-COMMIT
     * timestamps (mtime only for pre-ICT history), so the answer
     * survives the table directory being copied or restored — mtimes
-    * do not. Instants are MONOTONIC by construction, so the lookup is
-    * a binary search — O(log versions) record reads, not O(versions).
-    * Fails loudly when every surviving version is newer — the caller
-    * asked for vacuumed history. */
+    * do not. Instants are clamped NON-DECREASING from the right before
+    * the lookup: a pre-ICT record whose mtime was clobbered FORWARD by
+    * a restore cannot claim to be younger than its ICT successor (its
+    * effective instant caps at the successor's — the honest reading
+    * of "this version existed by then"). Fails loudly when every
+    * surviving version is newer — the caller asked for vacuumed
+    * history. */
   def versionAsOfTimestamp(table: String, tsMillis: Long): Long = {
-    val vs = versions(table).toIndexedSeq
-    if (vs.isEmpty || commitTimestamp(table, vs.head) > tsMillis) sys.error(
-      s"no surviving version of $table at or before $tsMillis " +
-        "(vacuumed, or the table is newer than the asked instant)")
-    var lo = 0; var hi = vs.size - 1 // invariant: ts(vs(lo)) <= asked
-    while (lo < hi) {
-      val mid = (lo + hi + 1) / 2
-      if (commitTimestamp(table, vs(mid)) <= tsMillis) lo = mid else hi = mid - 1
-    }
-    vs(lo)
+    val vs = versions(table)
+    val inst = vs.map(v => commitTimestamp(table, v))
+    // eff(i) = min(inst(i), eff(i+1) - 1): a version is strictly older
+    // than its successor, so clamped regions stay individually
+    // addressable (a no-op on well-formed strictly-increasing history)
+    val eff = inst.scanRight(Long.MaxValue)((a, b) =>
+      math.min(a, if (b == Long.MaxValue) b else b - 1)).init
+    vs.zip(eff).filter(_._2 <= tsMillis).lastOption.map(_._1)
+      .getOrElse(sys.error(
+        s"no surviving version of $table at or before $tsMillis " +
+          "(vacuumed, or the table is newer than the asked instant)"))
   }
 
   /** Snapshot read at a wall-clock instant. */
@@ -1929,14 +2006,16 @@ object SnapshotLog {
     val st = resolve(table, v)
     val pp = renamePred(p, st.physOf)
     val (keptB, _) = st.entries.partition(mightMatch(_, pp))
-    // bloom tier: point-equality atoms probe the per-file sidecars
-    // (driver cost bounded by file count AND total sidecar bytes; a
-    // miss proves the file holds no match)
+    // bloom tier: point-equality atoms probe the per-file sidecars —
+    // the CHEAP guards (atom shape, file-count cap) gate the
+    // O(candidates) sidecar size sweep, which gates the reads
     val kept =
-      if (BloomIndex.withinDriverBytes(table, keptB,
-          BloomIndex.driverMaxBytes(st.props), _ => false))
-        BloomIndex.prune(table, keptB, pp,
-          BloomIndex.driverMax(st.props),
+      if (BloomIndex.bloomable(pp) &&
+          keptB.size <= BloomIndex.driverMax(st.props) &&
+          keptB.exists(_.idx.isDefined) &&
+          BloomIndex.withinDriverBytes(table, keptB,
+            BloomIndex.driverMaxBytes(st.props), _ => false))
+        BloomIndex.prune(table, keptB, pp, Int.MaxValue,
           scala.collection.mutable.Map.empty)
       else keptB
     if (kept.isEmpty) applyColmap(emptyLike(spark, table, st.entries), st)
@@ -2085,8 +2164,12 @@ object SnapshotLog {
     val partCols = touched.head.path.split("/").drop(2).dropRight(1)
       .filter(_.contains("=")).map(s => s.substring(0, s.indexOf('='))).toSeq
     val head = readFiles(spark, table, touched) // partition cols restored
+    // the frame is PHYSICAL (readFiles, not read()): user clusterBy
+    // names arrive logical — translate, or a mapped table silently
+    // loses its clustering to a plain repartition
     val clusterCols =
-      (if (clusterBy.nonEmpty) clusterBy else dominantClusterColumns(st))
+      (if (clusterBy.nonEmpty) clusterBy.map(st.physOf)
+       else dominantClusterColumns(st))
         .filter(head.columns.contains)
     val laid =
       if (clusterCols.nonEmpty)

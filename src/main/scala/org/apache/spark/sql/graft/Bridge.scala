@@ -70,6 +70,18 @@ object Bridge {
       org.apache.spark.sql.catalyst.CatalystTypeConverters.convertToCatalyst(value),
       dt, 42L)
 
+  /** The single-part column names a SQL expression references —
+    * what a CHECK constraint binds to (validation + rename/drop
+    * guards). */
+  def exprAttributes(spark: SparkSession, sql: String): Seq[String] = {
+    val parsed = spark.asInstanceOf[classic.SparkSession]
+      .sessionState.sqlParser.parseExpression(sql)
+    parsed.collect {
+      case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+          if a.nameParts.length == 1 => a.nameParts.head
+    }.distinct
+  }
+
   /** Parse a SQL expression string (a CHECK constraint) and rewrite
     * its column references through `name`: Some(physical) renames the
     * attribute (column mapping — constraints are written in LOGICAL

@@ -86,6 +86,20 @@ class CompactWhereSpec extends AnyFunSuite with SparkFixture {
     assert(nullsAfter == nullsBefore)
   }
 
+  test("clusterBy on a column-MAPPED table translates to the physical frame (clustering survives)") {
+    val t = table()
+    SnapshotLog.renameColumn(spark, t, "id", "doc_id")
+    SnapshotLog.compactWhere(spark, t, "lang", Some("en"), targetFiles = 2,
+      clusterBy = Seq("doc_id"))
+    val st = SnapshotLog.resolve(t, SnapshotLog.latestVersion(t).get)
+    val enBounds = st.entries.filter(_.path.contains("lang=en"))
+      .flatMap(_.num.get("id")) // stats key by the PHYSICAL name
+    assert(enBounds.size == 2, s"stats must survive the mapped rewrite: $st")
+    val sorted = enBounds.sortBy(_._1)
+    assert(sorted(0)._2 <= sorted(1)._1,
+      s"range clustering on the renamed column must hold: $sorted")
+  }
+
   test("CLI: optimize --where scopes the compaction like the procedure") {
     val t = table()
     val deBefore = filesOf(t, "de")

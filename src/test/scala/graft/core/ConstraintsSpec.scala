@@ -136,6 +136,57 @@ class ConstraintsSpec extends AnyFunSuite with SparkFixture {
     assert(SnapshotLog.read(spark, t).count() == 101L)
   }
 
+  test("ADD CONSTRAINT refuses unresolvable columns (a typo'd name would enforce nothing, forever)") {
+    val t = table()
+    val e = intercept[IllegalArgumentException] {
+      SnapshotLog.addConstraint(spark, t, "typo", "PRICE_X > 0")
+    }
+    assert(e.getMessage.contains("PRICE_X"), e.getMessage)
+    assert(!SnapshotLog.properties(t).keys.exists(_.contains("typo")))
+  }
+
+  test("RENAME/DROP of a constrained column refuses: drop the constraint first") {
+    import spark.implicits._
+    val t = table()
+    SnapshotLog.addConstraint(spark, t, "pos_price", "price > 0")
+    val e1 = intercept[RuntimeException] {
+      SnapshotLog.renameColumn(spark, t, "price", "amount")
+    }
+    assert(e1.getMessage.contains("pos_price"), e1.getMessage)
+    val e2 = intercept[RuntimeException] {
+      SnapshotLog.dropColumn(spark, t, "price")
+    }
+    assert(e2.getMessage.contains("pos_price"), e2.getMessage)
+    // the documented path: drop constraint -> alter -> re-add
+    SnapshotLog.dropConstraint(t, "pos_price")
+    SnapshotLog.renameColumn(spark, t, "price", "amount")
+    SnapshotLog.addConstraint(spark, t, "pos_amount", "amount > 0")
+    intercept[RuntimeException] {
+      SnapshotLog.commit(spark,
+        Seq((600L, -1.0, "bad")).toDF("id", "amount", "user"), t, append = true)
+    }
+  }
+
+  test("a write racing a concurrent ADD CONSTRAINT fails loudly instead of landing unvalidated rows") {
+    import spark.implicits._
+    val t = table()
+    // inject: the constraint lands AFTER this commit resolved the head
+    // (no constraints) but BEFORE it publishes — the lost-CAS retry
+    // must detect the new constraint and refuse
+    SnapshotLog.onStagedHook = () => {
+      SnapshotLog.addConstraint(spark, t, "pos_price", "price > 0")
+      SnapshotLog.onStagedHook = () => ()
+    }
+    try {
+      val e = intercept[RuntimeException] {
+        SnapshotLog.commit(spark,
+          Seq((700L, -9.0, "bad")).toDF("id", "price", "user"), t, append = true)
+      }
+      assert(e.getMessage.contains("concurrent ADD CONSTRAINT"), e.getMessage)
+      assert(SnapshotLog.read(spark, t).filter(col("price") < 0).count() == 0L)
+    } finally SnapshotLog.onStagedHook = () => ()
+  }
+
   test("drop re-allows; SQL ALTER SET TBLPROPERTIES takes the validated ADD path") {
     import spark.implicits._
     val t = table()

@@ -68,6 +68,23 @@ class InCommitTimestampSpec extends AnyFunSuite with SparkFixture {
       .count() == 1L)
   }
 
+  test("a restored MIXED history (pre-ICT prefix, ICT suffix) clamps: travel still finds the ICT versions") {
+    val t = Files.createTempDirectory("graft_ict_mixed_").toString
+    SnapshotLog.commit(spark, df(1), t)
+    SnapshotLog.commit(spark, df(2), t, append = true)
+    // make v1 pre-ICT and clobber its mtime an hour FORWARD (the
+    // restore case): its raw instant now exceeds v2's recorded one
+    val p = Paths.get(t, "_graft_log", "v1.json")
+    Files.writeString(p, Files.readString(p).replaceAll(""""ts":\d+,?""", ""))
+    Files.setLastModifiedTime(p,
+      FileTime.fromMillis(System.currentTimeMillis() + 3600L * 1000L))
+    val ict2 = SnapshotLog.readRecord(t, 2L).ts
+    // without the right-clamp this errored "nothing at or before":
+    // v1's effective instant caps at v2's recorded one
+    assert(SnapshotLog.versionAsOfTimestamp(t, ict2) == 2L)
+    assert(SnapshotLog.versionAsOfTimestamp(t, ict2 - 1L) == 1L)
+  }
+
   test("pre-ICT records (no ts field) fall back to mtime — old tables keep working") {
     val t = Files.createTempDirectory("graft_ict_old_").toString
     SnapshotLog.commit(spark, df(1), t)
