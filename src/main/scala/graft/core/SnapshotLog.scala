@@ -2610,7 +2610,11 @@ object SnapshotLog {
     * oldest survivor BEFORE its history dies, so delta-record replay
     * never dead-ends on a vacuumed record. Returns deleted relative
     * paths. */
-  def vacuum(table: String, keepFrom: Long): Seq[String] = {
+  /** `dryRun` (Delta's VACUUM DRY RUN): compute and return the doomed
+    * data-file list WITHOUT deleting anything — no files, no dv/idx
+    * sidecars, no records, no checkpoint re-base. The operational
+    * look-before-you-leap for a destructive cleanup. */
+  def vacuum(table: String, keepFrom: Long, dryRun: Boolean = false): Seq[String] = {
     val all = versions(table)
     if (all.isEmpty) return Seq.empty
     val cutoff = math.min(keepFrom, all.last) // the live head never dies
@@ -2622,7 +2626,7 @@ object SnapshotLog {
     // base must be a checkpoint or the walk would dead-end on a
     // deleted record
     val states = statesFrom(table, live)
-    if (readCheckpoint(table, live.head).isEmpty)
+    if (!dryRun && readCheckpoint(table, live.head).isEmpty)
       writeCheckpoint(table, states.head)
     // live files: one forward replay from the new base
     val liveFiles = states.flatMap(_.entries.map(_.path)).toSet
@@ -2638,6 +2642,7 @@ object SnapshotLog {
     val doomed = deadRecs.flatMap { r =>
       r.adds.filter(_.base.isEmpty).map(_.path) ++ r.cdc.map(_.path)
     }.distinct.filterNot(liveFiles)
+    if (dryRun) return doomed // report only: nothing was touched
     doomed.foreach(f => Files.deleteIfExists(Paths.get(table, f)))
     // deletion-vector stages referenced only by dead versions go too
     deadRecs.flatMap(_.adds.flatMap(_.dv)).distinct

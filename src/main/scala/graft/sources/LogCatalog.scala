@@ -445,17 +445,20 @@ object LogProcedures {
         })
       case "vacuum" => unbound("vacuum",
         Array(param("tbl", StringType),
-          paramD("keep_last", IntegerType, "1")),
+          paramD("keep_last", IntegerType, "1"),
+          paramD("dry_run", BooleanType, "false")),
         (in, spark) => {
           val t = resolve(in.getUTF8String(0).toString)
           val head = graft.core.SnapshotLog.latestVersion(t)
             .getOrElse(sys.error(s"no committed version in $t"))
           val keepFrom = math.max(1L, head - in.getInt(1) + 1L)
-          val removed = graft.core.SnapshotLog.vacuum(t, keepFrom)
+          val dry = !in.isNullAt(2) && in.getBoolean(2)
+          val removed = graft.core.SnapshotLog.vacuum(t, keepFrom, dryRun = dry)
           one(new ResultScan(
             StructType(Seq(StructField("keep_from", LongType, nullable = false),
-              StructField("removed_files", LongType, nullable = false))),
-            Seq(Seq(keepFrom, removed.size.toLong)), "vacuum"))
+              StructField("removed_files", LongType, nullable = false),
+              StructField("dry_run", BooleanType, nullable = false))),
+            Seq(Seq(keepFrom, removed.size.toLong, dry)), "vacuum"))
         })
       case "history" => unbound("history",
         Array(param("tbl", StringType)),

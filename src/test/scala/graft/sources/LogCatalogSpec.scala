@@ -200,9 +200,19 @@ class LogCatalogSpec extends AnyFunSuite with SparkFixture {
     assert(spark.sql("SELECT count(*) AS n FROM graft.maint.t")
       .collect().head.getLong(0) == 150L)
 
+    // DRY RUN first (Delta's look-before-you-leap): reports the doomed
+    // list, touches NOTHING — every version still time-travels
+    val dry = spark.sql(
+      "CALL graft.system.vacuum('maint.t', keep_last => 1, dry_run => true)")
+      .collect().head
+    assert(dry.getLong(1) > 0 && dry.getBoolean(2), s"dry run reports: $dry")
+    assert(spark.sql("SELECT count(*) FROM graft.maint.t VERSION AS OF 3")
+      .collect().head.getLong(0) >= 0L, "dry run must not retire history")
     // VACUUM by SQL: old versions' files retire; the head still reads
     val vac = spark.sql("CALL graft.system.vacuum('maint.t', keep_last => 1)")
       .collect().head
+    assert(vac.getLong(1) == dry.getLong(1),
+      "the real vacuum removes exactly what the dry run reported")
     assert(vac.getLong(0) == restored && vac.getLong(1) > 0,
       s"vacuum must retire files unreferenced by the head: $vac")
     assert(spark.sql("SELECT count(*) AS n FROM graft.maint.t")
