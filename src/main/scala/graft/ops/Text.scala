@@ -155,9 +155,14 @@ object Text {
     * the agg's map-side combine collapses each partition to one row per
     * distinct content before the exchange. */
   private def exactClassMap(docs: DataFrame): DataFrame = {
+    // One shuffle, not two: rep = min(doc_id) over the content-hash
+    // partition. The former groupBy(fp)+self-join shipped the (doc_id,
+    // fp) table through the agg exchange AND both join exchanges; the
+    // window needs exactly one hash exchange of the same narrow rows
+    // (guide §2.4 "remove shuffles outright"). Output identical.
     val fps = docs.select(col("doc_id"), md5(col("text")).as("fp"))
-    val reps = fps.groupBy("fp").agg(min(col("doc_id")).as("rep"))
-    fps.join(reps, "fp").select(col("doc_id"), col("rep"))
+    fps.withColumn("rep", min(col("doc_id")).over(Window.partitionBy("fp")))
+      .select(col("doc_id"), col("rep"))
   }
 
   /** Only the class representatives' documents (left-semi: the docs
@@ -576,12 +581,22 @@ object Text {
       .write.mode("overwrite").parquet(bPath)
     val buckets = spark.read.parquet(bPath)
     val sizes = buckets.groupBy("band", "bh").agg(count(lit(1)).as("cnt"))
-    val dropped = sizes.filter(col("cnt") > maxBucket).count()
-    if (dropped > 0)
-      System.err.println(s"[graft] minhashCandidates($tag): dropped $dropped " +
-        s"LSH buckets wider than $maxBucket reps (recall loss is bounded " +
-        s"to pairs meeting ONLY in mega-buckets)")
-    val ok = sizes.filter(col("cnt") > 1 && col("cnt") <= maxBucket).select("band", "bh")
+    // The oversize audit rides the candidate job as an observed metric
+    // instead of its own count() action (one fewer job per dedup call;
+    // guide §1.2). The log fires asynchronously when the candidate
+    // frame is first materialized — same visibility, zero extra pass.
+    // The data-facing audit remains `minhash_bucket_stats`.
+    val obs = org.apache.spark.sql.Observation()
+    val sizesObs = sizes.observe(obs,
+      sum(when(col("cnt") > maxBucket, 1L).otherwise(0L)).as("dropped"))
+    obs.future.foreach { row =>
+      val dropped = if (row.isNullAt(0)) 0L else row.getLong(0)
+      if (dropped > 0)
+        System.err.println(s"[graft] minhashCandidates($tag): dropped $dropped " +
+          s"LSH buckets wider than $maxBucket reps (recall loss is bounded " +
+          s"to pairs meeting ONLY in mega-buckets)")
+    }(scala.concurrent.ExecutionContext.global)
+    val ok = sizesObs.filter(col("cnt") > 1 && col("cnt") <= maxBucket).select("band", "bh")
     val ids = buckets.join(ok, Seq("band", "bh"), "left_semi")
       .groupBy("band", "bh")
       .agg(sort_array(collect_set(col("doc_id"))).as("ids"))
@@ -744,27 +759,40 @@ object Text {
     val tmp = graft.core.TempDirs.stable(s"lp:$tag")
     val edges = pairs.select(col("d1").as("src"), col("d2").as("dst"))
       .union(pairs.select(col("d2").as("src"), col("d1").as("dst")))
-    edges.select(col("src").as("id")).distinct()
-      .withColumn("label", col("id"))
-      .write.mode("overwrite").parquet(s"$tmp/labels")
-    var changed = 1L
-    var iter = 0
+    // ONE action per round, down from three (guide §1.2 "the
+    // distributed algorithm" / §2.4): the round's output is written
+    // DIRECTLY under its final schema into the other of two
+    // alternating directories (no read-modify-rewrite copy pass), and
+    // the convergence count rides the same write job as an observed
+    // metric instead of a separate count() over the written files.
+    // Round 1 is additionally FUSED with initialization: over identity
+    // labels (label = id) the neighbor-min join degenerates to
+    // min(id, min(dst)) in one aggregate — no labels0 write, no join.
+    // Labels produced are bit-identical to the former
+    // init + write-next/count/rewrite-labels shape.
+    val obs0 = org.apache.spark.sql.Observation()
+    edges.groupBy(col("src").as("id")).agg(min(col("dst")).as("nmin"))
+      .select(col("id"), least(col("id"), col("nmin")).as("label"))
+      .observe(obs0, sum(when(col("label") < col("id"), 1L).otherwise(0L)).as("changed"))
+      .write.mode("overwrite").parquet(s"$tmp/labels1")
+    var changed = obs0.get.get("changed").collect { case n: Long => n }.getOrElse(0L)
+    var iter = 1
     while (changed > 0 && iter < maxIter) {
-      val labels = spark.read.parquet(s"$tmp/labels")
+      val labels = spark.read.parquet(s"$tmp/labels${iter % 2}")
       val neighborMin = edges
         .join(labels.select(col("id").as("dst"), col("label").as("nl")), "dst")
         .groupBy(col("src").as("id")).agg(min(col("nl")).as("nmin"))
-      val next = labels.join(neighborMin, Seq("id"), "left")
+      val obs = org.apache.spark.sql.Observation()
+      labels.join(neighborMin, Seq("id"), "left")
         .select(col("id"), col("label"),
           least(col("label"), coalesce(col("nmin"), col("label"))).as("nlabel"))
-      next.write.mode("overwrite").parquet(s"$tmp/next")
-      val mat = spark.read.parquet(s"$tmp/next")
-      changed = mat.filter(col("nlabel") < col("label")).count()
-      mat.select(col("id"), col("nlabel").as("label"))
-        .write.mode("overwrite").parquet(s"$tmp/labels")
+        .observe(obs, sum(when(col("nlabel") < col("label"), 1L).otherwise(0L)).as("changed"))
+        .select(col("id"), col("nlabel").as("label"))
+        .write.mode("overwrite").parquet(s"$tmp/labels${(iter + 1) % 2}")
+      changed = obs.get.get("changed").collect { case n: Long => n }.getOrElse(0L)
       iter += 1
     }
-    spark.read.parquet(s"$tmp/labels")
+    spark.read.parquet(s"$tmp/labels${iter % 2}")
   }
 
   /** Expand rep-level component labels to members: a duplicate class

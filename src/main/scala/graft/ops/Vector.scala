@@ -448,8 +448,11 @@ object Vector {
     val tmp = graft.core.TempDirs.stable(s"semdd:$dir")
     val raw = Tables.embeddings(spark, dir)
       .select(col("vec_id"), dbl(col("embedding")).as("emb"))
-    val reps0 = raw.groupBy("emb").agg(min(col("vec_id")).as("rep"))
-    raw.join(reps0, "emb")
+    // One shuffle, not two: rep = min(vec_id) over the embedding
+    // partition — the former groupBy(emb)+self-join shipped the
+    // 512-byte vectors through the agg exchange AND both join
+    // exchanges (guide §2.4). Output identical.
+    raw.withColumn("rep", min(col("vec_id")).over(Window.partitionBy("emb")))
       .select(col("vec_id").as("doc_id"), col("rep")) // Text.expandRepPairs' shape
       .write.mode("overwrite").parquet(s"$tmp/classes")
     val classMap = spark.read.parquet(s"$tmp/classes")

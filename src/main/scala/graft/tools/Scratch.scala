@@ -20,6 +20,26 @@ object Scratch {
     spark.sparkContext.setLogLevel("WARN")
     val dir = args(0)
     val explain = sys.env.get("SCRATCH_EXPLAIN").contains("1")
+    // SCRATCH_JOBS=1: print every Spark job's wall time + description,
+    // to see where a multi-job query (parquet-barriered pipelines,
+    // iterative loops) actually spends its seconds (guide §1.1).
+    if (sys.env.get("SCRATCH_JOBS").contains("1")) {
+      val starts = new java.util.concurrent.ConcurrentHashMap[Int, (Long, String)]()
+      spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+          val desc = Option(js.properties)
+            .flatMap(p => Option(p.getProperty("spark.job.description"))).getOrElse("")
+          starts.put(js.jobId, (System.nanoTime(), desc))
+        }
+        override def onJobEnd(je: org.apache.spark.scheduler.SparkListenerJobEnd): Unit = {
+          Option(starts.remove(je.jobId)).foreach { case (t0, desc) =>
+            val dt = (System.nanoTime() - t0) / 1e9
+            if (dt >= 0.05)
+              System.err.println(f"[job] id=${je.jobId}%-4d ${dt}%6.2f s  $desc")
+          }
+        }
+      })
+    }
     args.drop(1).foreach { name =>
       if (explain) {
         println(s"========== $name ==========")
