@@ -280,8 +280,14 @@ object Vector {
     * nProbe=2. */
   def ivfTrainedRecall(spark: SparkSession, dir: String,
                        nQueries: Int = 8, k: Int = 3): DataFrame = {
-    val truth = knnBrute(spark, dir, nQueries, k)
+    // The truth table feeds BOTH the semi-join and the per-query
+    // denominator below; barrier it or the broadcast-NLJ brute pass
+    // runs twice inside the one plan (guide §1.2).
+    val tmp = graft.core.TempDirs.stable(s"ivf_recall:$dir")
+    knnBrute(spark, dir, nQueries, k)
       .select(col("query_id"), col("neighbor_id"))
+      .write.mode("overwrite").parquet(s"$tmp/truth")
+    val truth = spark.read.parquet(s"$tmp/truth")
     val approx = ivfCosineTrained(spark, dir, nQueries = nQueries, k = k)
       .select(col("query_id").as("q2"), col("neighbor_id").as("n2"))
     val hits = truth.join(approx,
@@ -308,10 +314,50 @@ object Vector {
   def ivfNprobeSweep(spark: SparkSession, dir: String, lists: Int = 8,
                      nQueries: Int = 8, k: Int = 3): DataFrame = {
     val cents = trainIvfCentroids(spark, dir, lists)
-    val truth = knnBrute(spark, dir, nQueries, k)
+    // ONE corpus assignment + ONE probe join (with the probed list's
+    // per-query rank KEPT) covers every sweep point: nProbe = p's
+    // candidate set is exactly `list_rank <= p`, so each point is a
+    // filter + per-query re-rank over the materialized candidate table
+    // instead of its own full ivfWith pass (4 corpus passes -> 1), and
+    // the brute-force truth is computed once behind a barrier instead
+    // of once per point inside the union plan (guide §1.2). Every
+    // (query, candidate) pair appears exactly once (a vector lives in
+    // one list), with the same rounded sim and the same rank ordering
+    // as ivfWith — per-point output is bit-identical to the previous
+    // per-nProbe ivfWith runs (IvfTrainingSpec pins the sweep).
+    val tmp = graft.core.TempDirs.stable(s"ivf_sweep:$dir")
+    knnBrute(spark, dir, nQueries, k)
       .select(col("query_id"), col("neighbor_id"))
+      .write.mode("overwrite").parquet(s"$tmp/truth")
+    val truth = spark.read.parquet(s"$tmp/truth")
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), dbl(col("embedding")).as("emb"))
+      .withColumn("nrm", nNorm(spark)(col("emb")))
+    val dots = array(cents.indices.map(kk =>
+      round(nDot(spark)(col("emb"), typedLit(cents(kk))), 6)): _*)
+    val corpusList = e
+      .withColumn("k", (array_position(dots, array_max(dots)) - 1).cast("int"))
+      .select(col("k"), col("vec_id").as("neighbor_id"),
+        col("emb").as("ce"), col("nrm").as("cn"))
+    val byVec = Window.partitionBy("vec_id").orderBy(col("cdot").desc, col("k").asc)
+    val probes = e.filter(col("vec_id") < nQueries)
+      .select(col("vec_id"), col("emb"), col("nrm"),
+        posexplode(dots).as(Seq("k", "cdot")))
+      .withColumn("crn", row_number().over(byVec))
+      .select(col("k").cast("int").as("k"), col("vec_id").as("query_id"),
+        col("emb").as("qe"), col("nrm").as("qn"), col("crn"))
+    corpusList.join(broadcast(probes), Seq("k"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"), col("crn"),
+        round(nDot(spark)(col("qe"), col("ce")) / (col("qn") * col("cn")), 4).as("sim"))
+      .write.mode("overwrite").parquet(s"$tmp/cand")
+    val cand = spark.read.parquet(s"$tmp/cand")
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("sim").desc, col("neighbor_id").asc)
     val per = Seq(1, 2, 4, lists).distinct.map { np =>
-      val approx = ivfWith(spark, dir, cents, np, nQueries, k)
+      val approx = cand.filter(col("crn") <= np)
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= k)
         .select(col("query_id").as("q2"), col("neighbor_id").as("n2"))
       truth.join(approx,
           col("query_id") === col("q2") && col("neighbor_id") === col("n2"),

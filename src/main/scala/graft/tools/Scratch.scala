@@ -14,6 +14,10 @@ object Scratch {
       .config("spark.ui.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", sys.env.getOrElse("SCRATCH_AQE", "true"))
+      .config("spark.hadoop.fs.file.impl",
+        if (sys.env.get("SCRATCH_RAWFS").contains("1"))
+          "org.apache.hadoop.fs.RawLocalFileSystem"
+        else "org.apache.hadoop.fs.LocalFileSystem")
       .config("spark.sql.warehouse.dir",
         java.nio.file.Files.createTempDirectory("graft_wh_").toString)
       .getOrCreate()
@@ -36,6 +40,22 @@ object Scratch {
             val dt = (System.nanoTime() - t0) / 1e9
             if (dt >= 0.05)
               System.err.println(f"[job] id=${je.jobId}%-4d ${dt}%6.2f s  $desc")
+          }
+        }
+      })
+      spark.streams.addListener(new org.apache.spark.sql.streaming.StreamingQueryListener {
+        import org.apache.spark.sql.streaming.StreamingQueryListener._
+        override def onQueryStarted(e: QueryStartedEvent): Unit = ()
+        override def onQueryTerminated(e: QueryTerminatedEvent): Unit = ()
+        override def onQueryProgress(e: QueryProgressEvent): Unit = {
+          val p = e.progress
+          System.err.println(s"[stream] batch=${p.batchId} rows=${p.numInputRows} " +
+            s"durations=${p.durationMs}")
+          p.stateOperators.foreach { so =>
+            System.err.println(s"[stream]   state op=${so.operatorName} " +
+              s"rowsTotal=${so.numRowsTotal} updated=${so.numRowsUpdated} " +
+              s"removed=${so.numRowsRemoved} updMs=${so.allUpdatesTimeMs} " +
+              s"rmMs=${so.allRemovalsTimeMs} commitMs=${so.commitTimeMs}")
           }
         }
       })
