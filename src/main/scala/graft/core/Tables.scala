@@ -5,8 +5,27 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 /** Corpus table accessors (TESTDATA.md layout: `$dir/<name>.parquet`).
   * Plain parquet reads so Catalyst keeps pushdown + pruning. */
 object Tables {
-  def table(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+  /** Inferred-schema cache, keyed by file path. Schema inference reads
+    * the parquet footer on the DRIVER on every `spark.read.parquet`
+    * call; queries reference each table several times and the bench
+    * sweeps every query three times, so the same immutable footer was
+    * being re-read thousands of times per run. Caching METADATA (never
+    * data, never results) is exactly what a real catalog/table format
+    * does. The corpus dirs are read-only; a probe corpus is written by
+    * a different JVM than the one that benches it. */
+  private val schemaCache =
+    new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.sql.types.StructType]()
+
+  def table(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val path = s"$dir/$name.parquet"
+    spark.read.schema(schemaOf(spark, path)).parquet(path)
+  }
+
+  /** The cached inferred schema of one corpus parquet path (see
+    * schemaCache above). Also used by the streaming file source, which
+    * must pass an explicit schema anyway. */
+  def schemaOf(spark: SparkSession, path: String): org.apache.spark.sql.types.StructType =
+    schemaCache.computeIfAbsent(path, p => spark.read.parquet(p).schema)
 
   def region(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "region")
   def nation(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "nation")

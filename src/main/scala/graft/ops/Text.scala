@@ -482,7 +482,14 @@ object Text {
     * files (train slice directory-pruned), never the in-memory frame.
     * `tools/Cli pipeline` calls this with its user-facing output dir. */
   def publishCut(spark: SparkSession, manifest: DataFrame, out: String): DataFrame = {
+    // Cluster by the partition key before the partitioned write
+    // (Iceberg's write.distribution-mode=hash; guide §6): without it
+    // every upstream task opens a file in every (split, lang) dir —
+    // hundreds of KB-sized files here, the many-small-files problem at
+    // any scale. One shuffle of the manifest (ids + flags, no text)
+    // buys one well-sized file per partition.
     manifest
+      .repartition(col("split"), col("lang"))
       .write.mode("overwrite").partitionBy("split", "lang").parquet(out)
     spark.read.parquet(out)
       .filter(col("split") === "train") // directory-pruned read-back

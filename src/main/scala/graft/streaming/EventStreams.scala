@@ -48,7 +48,7 @@ object EventStreams {
   private def eventStream(spark: SparkSession, dir: String,
       maxFilesPerTrigger: Option[Int] = None): DataFrame = {
     val path = s"$dir/events.parquet"
-    val schema = spark.read.parquet(path).schema
+    val schema = graft.core.Tables.schemaOf(spark, path)
     val reader0 = spark.readStream.schema(schema)
     val reader = maxFilesPerTrigger.fold(reader0)(n =>
       reader0.option("maxFilesPerTrigger", n))
