@@ -991,11 +991,18 @@ object Text {
       .write.mode("overwrite").parquet(s"$tmp/buckets")
     val buckets = spark.read.parquet(s"$tmp/buckets")
     val sizes = buckets.groupBy("m", "key").agg(count(lit(1)).as("cnt"))
-    val dropped = sizes.filter(col("cnt") > maxBucket).count()
-    if (dropped > 0)
-      System.err.println(s"[graft] simhashCandidates($dir): dropped $dropped " +
-        s"blocking buckets wider than $maxBucket reps")
-    val ok = sizes.filter(col("cnt") > 1 && col("cnt") <= maxBucket).select("m", "key")
+    // Oversize audit as an observed metric (async log), not its own
+    // count() action — same shape as minhashRepCandidates.
+    val obs = org.apache.spark.sql.Observation()
+    val sizesObs = sizes.observe(obs,
+      sum(when(col("cnt") > maxBucket, 1L).otherwise(0L)).as("dropped"))
+    obs.future.foreach { row =>
+      val dropped = if (row.isNullAt(0)) 0L else row.getLong(0)
+      if (dropped > 0)
+        System.err.println(s"[graft] simhashCandidates($dir): dropped $dropped " +
+          s"blocking buckets wider than $maxBucket reps")
+    }(scala.concurrent.ExecutionContext.global)
+    val ok = sizesObs.filter(col("cnt") > 1 && col("cnt") <= maxBucket).select("m", "key")
     val capped = buckets.join(ok, Seq("m", "key"), "left_semi")
     val repPairs = capped.as("x").join(capped.as("y"),
         col("x.m") === col("y.m") && col("x.key") === col("y.key") &&

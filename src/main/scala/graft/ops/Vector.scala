@@ -169,8 +169,9 @@ object Vector {
     // both self-join sides — lazy lineage would recompute the dedup
     // groupBy / normalize / banding ~4-5x per call.
     val tmp = graft.core.TempDirs.stable(s"embnd:$dir")
-    val reps0 = raw.groupBy("emb").agg(min(col("vec_id")).as("rep"))
-    raw.join(reps0, "emb")
+    // One shuffle, not two (guide §2.4): window min over the embedding
+    // partition instead of groupBy + self-join on 512-byte vectors.
+    raw.withColumn("rep", min(col("vec_id")).over(Window.partitionBy("emb")))
       .select(col("vec_id").as("doc_id"), col("rep")) // Text.expandRepPairs' shape
       .write.mode("overwrite").parquet(s"$tmp/classes")
     val classMap = spark.read.parquet(s"$tmp/classes")
@@ -187,11 +188,19 @@ object Vector {
     // Defensive cap on NEAR-dup (not identical) mega-buckets, with the
     // drop surfaced — same contract as the minhash candidate stage.
     val sizes = banded.groupBy("band", "bucket").agg(count(lit(1)).as("cnt"))
-    val dropped = sizes.filter(col("cnt") > maxBucket).count()
-    if (dropped > 0)
-      System.err.println(s"[graft] embNearDups($dir): dropped $dropped LSH " +
-        s"buckets wider than $maxBucket reps")
-    val ok = sizes.filter(col("cnt") > 1 && col("cnt") <= maxBucket)
+    // Oversize audit as an observed metric on the candidate job (async
+    // log on materialization) instead of its own count() action — same
+    // shape as minhashRepCandidates.
+    val obs = org.apache.spark.sql.Observation()
+    val sizesObs = sizes.observe(obs,
+      sum(when(col("cnt") > maxBucket, 1L).otherwise(0L)).as("dropped"))
+    obs.future.foreach { row =>
+      val dropped = if (row.isNullAt(0)) 0L else row.getLong(0)
+      if (dropped > 0)
+        System.err.println(s"[graft] embNearDups($dir): dropped $dropped LSH " +
+          s"buckets wider than $maxBucket reps")
+    }(scala.concurrent.ExecutionContext.global)
+    val ok = sizesObs.filter(col("cnt") > 1 && col("cnt") <= maxBucket)
       .select("band", "bucket")
     val capped = banded.join(ok, Seq("band", "bucket"), "left_semi")
     val cand = capped.as("x").join(capped.as("y"),
