@@ -18,6 +18,15 @@ object Bench {
       // CorpusContractSpec.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")
+      // Honor the advisory partition size when AQE coalesces shuffle
+      // partitions instead of preserving parallelism with many tiny
+      // partitions (guide §2.2; Spark's own tuning doc recommends
+      // false). Scale-adaptive by construction: the post-shuffle
+      // partition count derives from runtime data size, so this is the
+      // same setting a production cluster runs — initial partitions
+      // stay at $SPARK_GRAFT_CPUS, so lower-core driver runs still
+      // measure the same scaling.
+      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
       // default 100-entry codegen cache thrashes across 44 query plans
       .config("spark.sql.codegen.cache.maxEntries", "2000")
       // keep managed tables (ctas) out of the repo and stale-proof

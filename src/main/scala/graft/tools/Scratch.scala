@@ -14,6 +14,8 @@ object Scratch {
       .config("spark.ui.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", sys.env.getOrElse("SCRATCH_AQE", "true"))
+      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst",
+        sys.env.getOrElse("SCRATCH_PARFIRST", "true"))
       .config("spark.hadoop.fs.file.impl",
         if (sys.env.get("SCRATCH_RAWFS").contains("1"))
           "org.apache.hadoop.fs.RawLocalFileSystem"
