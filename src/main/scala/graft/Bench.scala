@@ -18,15 +18,13 @@ object Bench {
       // CorpusContractSpec.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")
-      // Honor the advisory partition size when AQE coalesces shuffle
-      // partitions instead of preserving parallelism with many tiny
-      // partitions (guide §2.2; Spark's own tuning doc recommends
-      // false). Scale-adaptive by construction: the post-shuffle
-      // partition count derives from runtime data size, so this is the
-      // same setting a production cluster runs — initial partitions
-      // stay at $SPARK_GRAFT_CPUS, so lower-core driver runs still
-      // measure the same scaling.
-      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
+      // MEASURED AND REVERTED (r12): coalescePartitions.parallelismFirst
+      // =false (size-first AQE coalescing, guide §2.2) won 20-40% on a
+      // local[4] sample but LOST ~3.5% net on the full local[32] bench
+      // (jaccard_pairs +0.9 s, training_cut +0.6 s): at this scale
+      // factor the advisory size coalesces CPU-bound stages below the
+      // core count. Default (parallelism-first) kept; see
+      // OPTIMIZATION_r12.md.
       // default 100-entry codegen cache thrashes across 44 query plans
       .config("spark.sql.codegen.cache.maxEntries", "2000")
       // keep managed tables (ctas) out of the repo and stale-proof

@@ -66,18 +66,40 @@ object EventStreams {
     }
   }
 
+  /** Scope `spark.sql.streaming.noDataMicroBatches.enabled=false` to
+    * one capture query (read at query start; queries run sequentially).
+    * A Complete-mode sink rewrites the FULL result every batch and an
+    * Update-mode sink emits nothing on empty input, so the final
+    * no-data micro-batch — there only for eager state eviction — adds
+    * no rows to a memory-sink capture and was costing nearly as much
+    * as the data batch (state scan + 32x store commits, measured via
+    * the Scratch streaming listener). Append-mode/parquet-sink queries
+    * NEED that batch (watermark finalization emits closed windows /
+    * outer nulls) and keep the default. */
+  private def withoutNoDataBatch[T](spark: SparkSession)(body: => T): T = {
+    val key = "spark.sql.streaming.noDataMicroBatches.enabled"
+    val saved = spark.conf.getOption(key)
+    spark.conf.set(key, "false")
+    try body finally saved match {
+      case Some(v) => spark.conf.set(key, v)
+      case None    => spark.conf.unset(key)
+    }
+  }
+
   /** Run a streaming DF to completion into a memory sink; return the
     * final result. Complete mode: the sink holds the full result. */
   private def runComplete(df: DataFrame, checkpointDir: String): DataFrame = {
     val name = sinkName("graft")
-    val q = df.writeStream
-      .format("memory")
-      .queryName(name)
-      .outputMode(OutputMode.Complete())
-      .option("checkpointLocation", s"$checkpointDir/$name")
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    withoutNoDataBatch(df.sparkSession) {
+      val q = df.writeStream
+        .format("memory")
+        .queryName(name)
+        .outputMode(OutputMode.Complete())
+        .option("checkpointLocation", s"$checkpointDir/$name")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
     materializeAndDrop(df.sparkSession, name)
   }
 
@@ -1000,13 +1022,15 @@ object EventStreams {
   def userCounts(spark: SparkSession, dir: String): DataFrame = {
     val updates = userCountUpdates(spark, dir)
     val name = sinkName("graft")
-    val q = updates.writeStream
-      .format("memory").queryName(name)
-      .outputMode(OutputMode.Update())
-      .option("checkpointLocation", s"${ckpt()}/$name")
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    withoutNoDataBatch(spark) {
+      val q = updates.writeStream
+        .format("memory").queryName(name)
+        .outputMode(OutputMode.Update())
+        .option("checkpointLocation", s"${ckpt()}/$name")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
     finalizeUserCounts(materializeAndDrop(spark, name))
   }
 
@@ -1061,13 +1085,15 @@ object EventStreams {
           OutputMode.Update(),
           implicitly[org.apache.spark.sql.Encoder[UserCountUpdate]])
       val name = sinkName("graft")
-      val q = updates.toDF().writeStream
-        .format("memory").queryName(name)
-        .outputMode(OutputMode.Update())
-        .option("checkpointLocation", s"${ckpt()}/$name")
-        .trigger(Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
+      withoutNoDataBatch(spark) {
+        val q = updates.toDF().writeStream
+          .format("memory").queryName(name)
+          .outputMode(OutputMode.Update())
+          .option("checkpointLocation", s"${ckpt()}/$name")
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
       finalizeUserCounts(materializeAndDrop(spark, name))
     } finally saved match {
       case Some(v) => spark.conf.set(key, v)
