@@ -940,14 +940,21 @@ object EventStreams {
       joinType)
       .select(coalesce(col("user_id"), col("p_user")).as("user_id"),
               col("c_ts"), col("p_ts"))
-    val q = joined.writeStream
-      .format("parquet")
-      .option("path", out)
-      .option("checkpointLocation", ck)
-      .outputMode(OutputMode.Append())
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    // INNER matches emit in the data batch itself; only the OUTER
+    // variants need the trailing no-data batch (watermark eviction is
+    // what EMITS their null-padded rows). Skipping it for inner joins
+    // changes nothing in the sink (oracle-verified).
+    def run(): Unit = {
+      val q = joined.writeStream
+        .format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ck)
+        .outputMode(OutputMode.Append())
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    if (joinType == "inner") withoutNoDataBatch(spark)(run()) else run()
     // `div`, not floor(/): Divide on longs is DOUBLE division, and a
     // 1-ulp round-down on an exactly-ms-aligned max flips floor() to
     // N-1 while the oracle's integer // stays at N.
@@ -1048,16 +1055,21 @@ object EventStreams {
     graft.core.TempDirs.deleteRecursively(new java.io.File(out))
     graft.core.TempDirs.deleteRecursively(new java.io.File(ck))
     val updates = userCountUpdates(spark, dir, maxFilesPerTrigger)
-    val q = updates.writeStream
-      .outputMode(OutputMode.Update())
-      .option("checkpointLocation", ck)
-      .trigger(Trigger.AvailableNow())
-      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
-                       _: Long) =>
-        batch.write.mode("append").parquet(out); ()
-      }
-      .start()
-    q.awaitTermination()
+    // Update-mode foreachBatch: a no-data batch carries zero updates
+    // (NoTimeout state — nothing fires), so the trailing eager-eviction
+    // batch appends nothing; skip it (same rows, oracle-verified).
+    withoutNoDataBatch(spark) {
+      val q = updates.writeStream
+        .outputMode(OutputMode.Update())
+        .option("checkpointLocation", ck)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+                         _: Long) =>
+          batch.write.mode("append").parquet(out); ()
+        }
+        .start()
+      q.awaitTermination()
+    }
     finalizeUserCounts(spark.read.schema(updates.schema).parquet(out))
   }
 
