@@ -690,8 +690,19 @@ object Text {
     minhashRepCandidates(spark, reps, tag, maxBucket)
       .write.mode("overwrite").parquet(s"$tmp/cand")
     val cand = spark.read.parquet(s"$tmp/cand")
-    val sh = shingles(reps)
-    val sizes = shingleSizes(reps)
+    // ONE tokenize+shingle pass over the candidate docs, not two full
+    // rep passes plus a third tokenize for sizes: explode shingles
+    // once, keep only docs on either side of a candidate pair (the
+    // semi-joins below did that anyway), barrier the bounded result,
+    // and read the per-doc set size off its row counts (shingles()
+    // explodes array_distinct, so count == shingleSizes exactly).
+    val candIds = cand.select(col("d1").as("doc_id"))
+      .unionByName(cand.select(col("d2").as("doc_id"))).distinct()
+    shingles(reps).join(candIds, Seq("doc_id"), "left_semi")
+      .write.mode("overwrite").parquet(s"$tmp/candsh")
+    val sh = spark.read.parquet(s"$tmp/candsh")
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).cast("bigint").as("n"))
+      .select(col("doc_id"), col("n"))
     val cd1 = cand.select("d1").distinct()
     val cd2 = cand.select("d2").distinct()
     val s1 = sh.join(cd1, sh("doc_id") === cd1("d1"), "left_semi").toDF("d1", "sh")
@@ -826,8 +837,17 @@ object Text {
     * join (pairs meet only on shared shingles), so cost is bounded by
     * shingle co-occurrence, not |docs|^2. */
   def jaccardPairs(spark: SparkSession, dir: String, threshold: Double = 0.5): DataFrame = {
-    val sh = shingles(Tables.documents(spark, dir))
-    val sizes = shingleSizes(Tables.documents(spark, dir))
+    // ONE tokenize+shingle pass, not three: the exploded distinct-hash
+    // table feeds both self-join sides through a parquet barrier, and
+    // the per-doc set size IS its row count there (shingles() explodes
+    // array_distinct, so count == shingleSizes; docs with no shingles
+    // appear on neither side of the inner joins in either formulation).
+    val tmp = graft.core.TempDirs.stable(s"jaccard:$dir")
+    shingles(Tables.documents(spark, dir))
+      .write.mode("overwrite").parquet(s"$tmp/sh")
+    val sh = spark.read.parquet(s"$tmp/sh")
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).cast("bigint").as("n"))
+      .select(col("doc_id"), col("n"))
     val a = sh.toDF("d1", "sh")
     val b = sh.toDF("d2", "sh")
     val inter = a.join(b, Seq("sh")).filter(col("d1") < col("d2"))

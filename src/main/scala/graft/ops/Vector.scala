@@ -633,6 +633,14 @@ object Vector {
       .select(transform(col("emb"), x => x / col("nrm")).as("u"))
       .persist()
     var cents = pseudoRandomCentroids(lists, dim).map(unit)
+    // AQE adds a query-stage job (plus a scheduling round trip) to
+    // every iteration's K-row collect and can re-plan nothing useful
+    // for a 2-stage aggregate over a persisted input; scope it off for
+    // the Lloyd loop (saved/restored — queries run sequentially).
+    // Results are unaffected: the sums are exact decimals.
+    val aqeKey = "spark.sql.adaptive.enabled"
+    val aqeSaved = spark.conf.getOption(aqeKey)
+    spark.conf.set(aqeKey, "false")
     try for (_ <- 0 until iters) {
       val dots = array(cents.indices.map(kk =>
         round(nDot(spark)(col("u"), typedLit(cents(kk))), 6)): _*)
@@ -652,7 +660,13 @@ object Vector {
           case None => cents(kk)
         }
       }
-    } finally u.unpersist()
+    } finally {
+      u.unpersist()
+      aqeSaved match {
+        case Some(v) => spark.conf.set(aqeKey, v)
+        case None    => spark.conf.unset(aqeKey)
+      }
+    }
     cents
   }
 
