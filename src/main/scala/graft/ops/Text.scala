@@ -325,8 +325,12 @@ object Text {
     val csize = classMap.groupBy("rep").agg(count(lit(1)).as("m"))
     val nd = fp.join(csize.withColumnRenamed("rep", "doc_id"), "doc_id")
       .groupBy("wmin").agg(sum(col("m")).as("nd"))
-    val keep = fp.join(nd.filter(col("nd") <= maxDf), "wmin")
+    // `keep` feeds both candidate sides AND the within gate — barrier
+    // it or the df aggregate + cap join replay three times in one plan.
+    fp.join(nd.filter(col("nd") <= maxDf), "wmin")
       .select("doc_id", "wmin")
+      .write.mode("overwrite").parquet(s"$tmp/keep")
+    val keep = spark.read.parquet(s"$tmp/keep")
     val repPairs = keep.select(col("doc_id").as("d1"), col("wmin"))
       .join(keep.select(col("doc_id").as("d2"), col("wmin")), "wmin")
       .filter(col("d1") < col("d2"))
@@ -405,8 +409,13 @@ object Text {
     val csize = classMap.groupBy("rep").agg(count(lit(1)).as("m"))
     val nd = fp.join(csize.withColumnRenamed("rep", "doc_id"), "doc_id")
       .groupBy("wmin").agg(sum(col("m")).as("nd"))
-    val keep = fp.join(nd.filter(col("nd") <= maxDf), "wmin")
+    // barrier `keep`: it feeds both candidate sides and the
+    // eligibility gate (three replays of the df agg + cap join
+    // otherwise).
+    fp.join(nd.filter(col("nd") <= maxDf), "wmin")
       .select("doc_id", "wmin")
+      .write.mode("overwrite").parquet(s"$tmp/keep")
+    val keep = spark.read.parquet(s"$tmp/keep")
     val cand = keep.select(col("doc_id").as("d1"), col("wmin"))
       .join(keep.select(col("doc_id").as("d2"), col("wmin")), "wmin")
       .filter(col("d1") < col("d2"))
