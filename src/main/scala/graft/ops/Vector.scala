@@ -577,7 +577,13 @@ object Vector {
     * space. Declared rows-only (trained-k-means upstream). */
   def semanticKeepBest(spark: SparkSession, dir: String,
                        dim: Int = 64): DataFrame = {
-    val classes = semanticDupClasses(spark, dir)
+    // Barrier the class table: `member` feeds both the centroid
+    // aggregate and the final rank join, so the lazy class subtree
+    // (label join + sort) would replay twice in one plan.
+    val tmp = graft.core.TempDirs.stable(s"semkb:$dir")
+    semanticDupClasses(spark, dir)
+      .write.mode("overwrite").parquet(s"$tmp/classes")
+    val classes = spark.read.parquet(s"$tmp/classes")
     val e = Tables.embeddings(spark, dir)
       .select(col("vec_id"), dbl(col("embedding")).as("emb"))
     val member = classes.join(e, "vec_id")
