@@ -16,6 +16,11 @@ object Scratch {
       .config("spark.sql.adaptive.enabled", sys.env.getOrElse("SCRATCH_AQE", "true"))
       .config("spark.sql.adaptive.coalescePartitions.parallelismFirst",
         sys.env.getOrElse("SCRATCH_PARFIRST", "true"))
+      .config("spark.sql.streaming.stateStore.providerClass",
+        if (sys.env.get("SCRATCH_ROCKSDB").contains("1"))
+          "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+        else
+          "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider")
       .config("spark.hadoop.fs.file.impl",
         if (sys.env.get("SCRATCH_RAWFS").contains("1"))
           "org.apache.hadoop.fs.RawLocalFileSystem"
