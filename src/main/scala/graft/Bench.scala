@@ -117,10 +117,14 @@ object Bench {
       val todo = if (sweep == 1) names
                  else names.filter(n => best.get(n).forall(_ >= 0.5))
       for (name <- todo if sweep == 1 || elapsedMin < 15) {
+        // Label every job with its query (guide §1.5) so the UI /
+        // event log attribute multi-job pipelines correctly.
+        spark.sparkContext.setJobDescription(s"bench:$name sweep=$sweep")
         val t0 = System.nanoTime()
         val ok =
           try { SparkEntry.queries(name)(spark, sfDir).count(); true }
           catch { case e: Throwable => failed(name) = e.getClass.getSimpleName; false }
+        spark.sparkContext.setJobDescription(null)
         val dt = (System.nanoTime() - t0) / 1e9
         System.err.println(s"[bench] $name sweep=$sweep ${fmt(dt)}${if (ok) "" else " FAILED"}")
         // time-to-crash is not a measurement: a broken query must hole
