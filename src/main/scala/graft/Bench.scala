@@ -18,6 +18,15 @@ object Bench {
       // CorpusContractSpec.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")
+      // Dataset-level caches (the k-means unit-vector persist) compile
+      // their subtree into an InMemoryRelation; without this flag the
+      // CACHED plan is planned with AQE's re-partitioning disabled
+      // (Spark 4.1 default false), so every shuffle inside it runs at
+      // the full shuffle-partition count with no coalescing.
+      // Scale-neutral: it simply extends the session's existing AQE
+      // policy to cached subtrees (the same value is right on a
+      // cluster; outputs re-verified bit-identical).
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
       // MEASURED AND REVERTED (r12): coalescePartitions.parallelismFirst
       // =false (size-first AQE coalescing, guide §2.2) won 20-40% on a
       // local[4] sample but LOST ~3.5% net on the full local[32] bench

@@ -330,6 +330,13 @@ object SparkEntry {
     "semantic_dedup"   -> ((s, d) => Vector.semanticDedup(s, d)),
     "semantic_decontaminate" -> ((s, d) => Vector.semanticDecontaminate(s, d)),
     "semantic_decontaminate_exact" -> ((s, d) => Vector.semanticDecontaminateExact(s, d)),
+    // NOT the 100 TB path (by design): jaccard_pairs is the EXACT
+    // ground-truth twin the capped sketches are judged against, so its
+    // postings self-join is deliberately uncapped — sum(df^2) work, a
+    // single million-doc boilerplate shingle implies ~10^12 pairs. The
+    // operator logs a postings-cost audit (max/avg df, implied pairs)
+    // before the join; production dedup at scale runs minhash_neardups
+    // / winnow_pairs, whose bucket/df caps bound exactly this term.
     "jaccard_pairs"    -> ((s, d) => Text.jaccardPairs(s, d)),
     "minhash_candidates" -> ((s, d) => Text.minhashCandidates(s, d)),
     "minhash_bucket_stats" -> ((s, d) => Text.minhashBucketStats(s, d)),

@@ -13,6 +13,8 @@ object Verify {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // AQE applies inside barrier-cached subtrees (see Bench.scala)
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
       // Corpus-regen proofing: a TIMESTAMP(NANOS) events.parquet is
       // unreadable without this flag (it surfaces as LongType nanos,
       // which Tables.events normalizes). The current corpus is

@@ -5,16 +5,21 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 /** Corpus table accessors (TESTDATA.md layout: `$dir/<name>.parquet`).
   * Plain parquet reads so Catalyst keeps pushdown + pruning. */
 object Tables {
-  /** Inferred-schema cache, keyed by file path. Schema inference reads
-    * the parquet footer on the DRIVER on every `spark.read.parquet`
-    * call; queries reference each table several times and the bench
-    * sweeps every query three times, so the same immutable footer was
-    * being re-read thousands of times per run. Caching METADATA (never
-    * data, never results) is exactly what a real catalog/table format
-    * does. The corpus dirs are read-only; a probe corpus is written by
-    * a different JVM than the one that benches it. */
-  private val schemaCache =
-    new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.sql.types.StructType]()
+  /** Inferred-schema cache, keyed by (path, mtime). Schema inference
+    * reads the parquet footer on the DRIVER on every
+    * `spark.read.parquet` call; queries reference each table several
+    * times and the bench sweeps every query three times, so the same
+    * immutable footer was being re-read thousands of times per run.
+    * Caching METADATA (never data, never results) is exactly what a
+    * real catalog/table format does. The mtime in the key (of the file,
+    * or of the directory for directory tables — either changes when the
+    * table is rewritten) invalidates the entry if a corpus is ever
+    * regenerated at the same path inside one JVM (ADVICE r12: a
+    * path-only key would silently read the stale schema). Stale
+    * (path, old-mtime) entries are dropped on sight, so the map holds
+    * one entry per live path. */
+  private val schemaCache = new java.util.concurrent.ConcurrentHashMap[
+    String, (Long, org.apache.spark.sql.types.StructType)]()
 
   def table(spark: SparkSession, dir: String, name: String): DataFrame = {
     val path = s"$dir/$name.parquet"
@@ -24,8 +29,16 @@ object Tables {
   /** The cached inferred schema of one corpus parquet path (see
     * schemaCache above). Also used by the streaming file source, which
     * must pass an explicit schema anyway. */
-  def schemaOf(spark: SparkSession, path: String): org.apache.spark.sql.types.StructType =
-    schemaCache.computeIfAbsent(path, p => spark.read.parquet(p).schema)
+  def schemaOf(spark: SparkSession, path: String): org.apache.spark.sql.types.StructType = {
+    val mtime = new java.io.File(path).lastModified()
+    val hit = schemaCache.get(path)
+    if (hit != null && hit._1 == mtime) hit._2
+    else {
+      val schema = spark.read.parquet(path).schema
+      schemaCache.put(path, (mtime, schema))
+      schema
+    }
+  }
 
   def region(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "region")
   def nation(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "nation")

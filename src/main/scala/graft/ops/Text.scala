@@ -159,7 +159,12 @@ object Text {
     // partition. The former groupBy(fp)+self-join shipped the (doc_id,
     // fp) table through the agg exchange AND both join exchanges; the
     // window needs exactly one hash exchange of the same narrow rows
-    // (guide §2.4 "remove shuffles outright"). Output identical.
+    // (guide §2.4 "remove shuffles outright"). Output identical UNDER
+    // THE CORPUS CONTRACT (text is never null — CorpusContractSpec):
+    // a null md5(text) row would have been dropped by the old inner
+    // equi-join but lands in the window's one null partition here
+    // (ADVICE r12 — noted, not filtered: the extra filter would cost
+    // every real corpus for a row the contract forbids).
     val fps = docs.select(col("doc_id"), md5(col("text")).as("fp"))
     fps.withColumn("rep", min(col("doc_id")).over(Window.partitionBy("fp")))
       .select(col("doc_id"), col("rep"))
@@ -311,26 +316,23 @@ object Text {
     // the df CAP still counts every copy (each class contributes its
     // SIZE — fp sets of copies are identical), so boilerplate-drop
     // decisions don't move when the corpus gets dirtier.
-    val tmp = graft.core.TempDirs.stable(s"winnow_pairs:$dir")
     val docs = Tables.documents(spark, dir)
-    exactClassMap(docs).write.mode("overwrite").parquet(s"$tmp/classes")
-    val classMap = spark.read.parquet(s"$tmp/classes")
+    val classMap = graft.core.Barriers.cached(s"winnow_pairs:$dir/classes",
+      exactClassMap(docs))
     // the fp set feeds the df agg, the cap join, both self-join sides
     // and the within payload — barrier it or each reference replays
     // tokenize + posexplode + the winnow windows over the reps
-    winnowedGramsOf(repDocsOf(docs, classMap))
-      .select("doc_id", "wmin").distinct()
-      .write.mode("overwrite").parquet(s"$tmp/fps")
-    val fp = spark.read.parquet(s"$tmp/fps")
+    val fp = graft.core.Barriers.cached(s"winnow_pairs:$dir/fps",
+      winnowedGramsOf(repDocsOf(docs, classMap))
+        .select("doc_id", "wmin").distinct())
     val csize = classMap.groupBy("rep").agg(count(lit(1)).as("m"))
     val nd = fp.join(csize.withColumnRenamed("rep", "doc_id"), "doc_id")
       .groupBy("wmin").agg(sum(col("m")).as("nd"))
     // `keep` feeds both candidate sides AND the within gate — barrier
     // it or the df aggregate + cap join replay three times in one plan.
-    fp.join(nd.filter(col("nd") <= maxDf), "wmin")
-      .select("doc_id", "wmin")
-      .write.mode("overwrite").parquet(s"$tmp/keep")
-    val keep = spark.read.parquet(s"$tmp/keep")
+    val keep = graft.core.Barriers.cached(s"winnow_pairs:$dir/keep",
+      fp.join(nd.filter(col("nd") <= maxDf), "wmin")
+        .select("doc_id", "wmin"))
     val repPairs = keep.select(col("doc_id").as("d1"), col("wmin"))
       .join(keep.select(col("doc_id").as("d2"), col("wmin")), "wmin")
       .filter(col("d1") < col("d2"))
@@ -391,31 +393,25 @@ object Text {
     // class. The df cap still counts every copy (classes contribute
     // their SIZE), so output is bit-identical to the uncomposed form.
     val spark = docs.sparkSession
-    val tmp = graft.core.TempDirs.stable(tag)
-    exactClassMap(docs).write.mode("overwrite").parquet(s"$tmp/classes")
-    val classMap = spark.read.parquet(s"$tmp/classes")
-    repDocsOf(docs, classMap).write.mode("overwrite").parquet(s"$tmp/reps")
-    val reps = spark.read.parquet(s"$tmp/reps")
+    val classMap = graft.core.Barriers.cached(s"$tag/classes", exactClassMap(docs))
+    val reps = graft.core.Barriers.cached(s"$tag/reps", repDocsOf(docs, classMap))
     // rep grams feed both sides of the pair join AND the self-join —
     // barrier them or each reference replays tokenize + window
-    kgramsOf(reps).write.mode("overwrite").parquet(s"$tmp/grams")
-    val g = spark.read.parquet(s"$tmp/grams")
+    val g = graft.core.Barriers.cached(s"$tag/grams", kgramsOf(reps))
     // fps derive from the gram BARRIER (winnowing is a window pass over
     // (doc_id, pos, h)) and are barriered themselves: they feed the df
     // agg, the cap join, both candidate sides and the eligibility gate
-    winnowedFromGrams(g).select("doc_id", "wmin").distinct()
-      .write.mode("overwrite").parquet(s"$tmp/fps")
-    val fp = spark.read.parquet(s"$tmp/fps")
+    val fp = graft.core.Barriers.cached(s"$tag/fps",
+      winnowedFromGrams(g).select("doc_id", "wmin").distinct())
     val csize = classMap.groupBy("rep").agg(count(lit(1)).as("m"))
     val nd = fp.join(csize.withColumnRenamed("rep", "doc_id"), "doc_id")
       .groupBy("wmin").agg(sum(col("m")).as("nd"))
     // barrier `keep`: it feeds both candidate sides and the
     // eligibility gate (three replays of the df agg + cap join
     // otherwise).
-    fp.join(nd.filter(col("nd") <= maxDf), "wmin")
-      .select("doc_id", "wmin")
-      .write.mode("overwrite").parquet(s"$tmp/keep")
-    val keep = spark.read.parquet(s"$tmp/keep")
+    val keep = graft.core.Barriers.cached(s"$tag/keep",
+      fp.join(nd.filter(col("nd") <= maxDf), "wmin")
+        .select("doc_id", "wmin"))
     val cand = keep.select(col("doc_id").as("d1"), col("wmin"))
       .join(keep.select(col("doc_id").as("d2"), col("wmin")), "wmin")
       .filter(col("d1") < col("d2"))
@@ -495,10 +491,17 @@ object Text {
     // (Iceberg's write.distribution-mode=hash; guide §6): without it
     // every upstream task opens a file in every (split, lang) dir —
     // hundreds of KB-sized files here, the many-small-files problem at
-    // any scale. One shuffle of the manifest (ids + flags, no text)
-    // buys one well-sized file per partition.
+    // any scale. REBALANCE (not a plain repartition, VERDICT r12 #7):
+    // a hash repartition on ~15 (split, lang) combos caps write
+    // parallelism at 15 tasks and produces ONE arbitrarily large file
+    // per combo at real scale; AQE's rebalance both coalesces tiny
+    // partitions AND splits any combo larger than the advisory size
+    // into several tasks/files (Iceberg's hash distribution +
+    // target-file-size pairing) — scale-adaptive with no extra action,
+    // no constant tuned to either local mode or the cluster. The
+    // shuffled payload is still the manifest (ids + flags, no text).
     manifest
-      .repartition(col("split"), col("lang"))
+      .hint("rebalance", col("split"), col("lang"))
       .write.mode("overwrite").partitionBy("split", "lang").parquet(out)
     spark.read.parquet(out)
       .filter(col("split") === "train") // directory-pruned read-back
@@ -592,10 +595,8 @@ object Text {
 
   private[ops] def minhashRepCandidates(spark: SparkSession, repDocs: DataFrame,
       tag: String, maxBucket: Int = DefaultMaxBucket): DataFrame = {
-    val bPath = s"${graft.core.TempDirs.stable(s"mh_buckets:$tag")}/buckets"
-    bandedSignature(minhashSignaturesOf(repDocs))
-      .write.mode("overwrite").parquet(bPath)
-    val buckets = spark.read.parquet(bPath)
+    val buckets = graft.core.Barriers.cached(s"mh_buckets:$tag",
+      bandedSignature(minhashSignaturesOf(repDocs)))
     val sizes = buckets.groupBy("band", "bh").agg(count(lit(1)).as("cnt"))
     // The oversize audit rides the candidate job as an observed metric
     // instead of its own count() action (one fewer job per dedup call;
@@ -664,14 +665,12 @@ object Text {
     // holds a file-index snapshot that a later same-tag run would
     // invalidate mid-collect (ADVICE r4).
     val tag = s"minhash_cand:$dir"
-    val tmp = graft.core.TempDirs.stable(tag)
     val docs = Tables.documents(spark, dir)
       .filter(size(split(col("text"), " ")) >= 3) // only shingle-able docs sketch
     // classMap feeds expandRepPairs five ways (m1, m2, both salted
     // within sides, sizes) plus repDocsOf — materialize once, or the
     // full-corpus md5 scan + groupBy + join recomputes per reference.
-    exactClassMap(docs).write.mode("overwrite").parquet(s"$tmp/classes")
-    val classMap = spark.read.parquet(s"$tmp/classes")
+    val classMap = graft.core.Barriers.cached(s"$tag/classes", exactClassMap(docs))
     val repCand = minhashRepCandidates(spark, repDocsOf(docs, classMap),
       tag, maxBucket)
     expandRepPairs(repCand, classMap, Seq.empty, Seq.empty)
@@ -679,26 +678,24 @@ object Text {
   }
 
   /** Rep-level verified near-dups + the class map, both materialized
-    * through parquet barriers under `tag` (candidates are re-read three
+    * through in-JVM barriers under `tag` (candidates are consumed three
     * times by the verify stage; the class map twice by expansion —
     * lazy lineage would recompute the full LSH pass each time; an eager
-    * localCheckpoint measured wildly unstable under AQE, 2s-60s).
+    * localCheckpoint measured wildly unstable under AQE, 2s-60s; the
+    * r12 parquet barriers cost an action + commit + read-back listing
+    * EACH, which was the dedup family's fixed per-query floor).
     * Verification runs over REPRESENTATIVE shingles only, so its cost
     * tracks distinct-content near-dup volume, never duplicate volume. */
   private def minhashRepVerified(spark: SparkSession, dir: String,
       threshold: Double, maxBucket: Int, tag: String): (DataFrame, DataFrame) = {
-    val tmp = graft.core.TempDirs.stable(tag)
     val docs = Tables.documents(spark, dir)
       .filter(size(split(col("text"), " ")) >= 3)
-    exactClassMap(docs).write.mode("overwrite").parquet(s"$tmp/classes")
-    val classMap = spark.read.parquet(s"$tmp/classes")
+    val classMap = graft.core.Barriers.cached(s"$tag/classes", exactClassMap(docs))
     // reps feed three scans (signatures, verify shingles, shingle
     // sizes) — each would otherwise re-run the docs scan + semi-join.
-    repDocsOf(docs, classMap).write.mode("overwrite").parquet(s"$tmp/reps")
-    val reps = spark.read.parquet(s"$tmp/reps")
-    minhashRepCandidates(spark, reps, tag, maxBucket)
-      .write.mode("overwrite").parquet(s"$tmp/cand")
-    val cand = spark.read.parquet(s"$tmp/cand")
+    val reps = graft.core.Barriers.cached(s"$tag/reps", repDocsOf(docs, classMap))
+    val cand = graft.core.Barriers.cached(s"$tag/cand",
+      minhashRepCandidates(spark, reps, tag, maxBucket))
     // ONE tokenize+shingle pass over the candidate docs, not two full
     // rep passes plus a third tokenize for sizes: explode shingles
     // once, keep only docs on either side of a candidate pair (the
@@ -707,9 +704,8 @@ object Text {
     // explodes array_distinct, so count == shingleSizes exactly).
     val candIds = cand.select(col("d1").as("doc_id"))
       .unionByName(cand.select(col("d2").as("doc_id"))).distinct()
-    shingles(reps).join(candIds, Seq("doc_id"), "left_semi")
-      .write.mode("overwrite").parquet(s"$tmp/candsh")
-    val sh = spark.read.parquet(s"$tmp/candsh")
+    val sh = graft.core.Barriers.cached(s"$tag/candsh",
+      shingles(reps).join(candIds, Seq("doc_id"), "left_semi"))
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).cast("bigint").as("n"))
       .select(col("doc_id"), col("n"))
     val cd1 = cand.select("d1").distinct()
@@ -720,14 +716,13 @@ object Text {
       .filter(col("d1") < col("d2"))
       .join(cand, Seq("d1", "d2"), "left_semi")
       .groupBy("d1", "d2").agg(count(lit(1)).as("inter"))
-    inter
+    val verified = graft.core.Barriers.cached(s"$tag/verified", inter
       .join(sizes.toDF("d1", "na"), "d1")
       .join(sizes.toDF("d2", "nb"), "d2")
       .withColumn("jaccard", round(col("inter") / (col("na") + col("nb") - col("inter")), 4))
       .filter(col("jaccard") >= threshold)
-      .select(col("d1"), col("d2"), col("jaccard"))
-      .write.mode("overwrite").parquet(s"$tmp/verified")
-    (classMap, spark.read.parquet(s"$tmp/verified"))
+      .select(col("d1"), col("d2"), col("jaccard")))
+    (classMap, verified)
   }
 
   /** MinHash near-dup pairs with exact-Jaccard verification of the LSH
@@ -783,43 +778,47 @@ object Text {
     * and the semantic (embedding) CC. */
   private[ops] def minLabelPropagation(spark: SparkSession, pairs: DataFrame,
       tag: String, maxIter: Int): DataFrame = {
-    val tmp = graft.core.TempDirs.stable(s"lp:$tag")
     val edges = pairs.select(col("d1").as("src"), col("d2").as("dst"))
       .union(pairs.select(col("d2").as("src"), col("d1").as("dst")))
-    // ONE action per round, down from three (guide §1.2 "the
-    // distributed algorithm" / §2.4): the round's output is written
-    // DIRECTLY under its final schema into the other of two
-    // alternating directories (no read-modify-rewrite copy pass), and
-    // the convergence count rides the same write job as an observed
-    // metric instead of a separate count() over the written files.
-    // Round 1 is additionally FUSED with initialization: over identity
-    // labels (label = id) the neighbor-min join degenerates to
-    // min(id, min(dst)) in one aggregate — no labels0 write, no join.
-    // Labels produced are bit-identical to the former
-    // init + write-next/count/rewrite-labels shape.
-    val obs0 = org.apache.spark.sql.Observation()
-    edges.groupBy(col("src").as("id")).agg(min(col("dst")).as("nmin"))
-      .select(col("id"), least(col("id"), col("nmin")).as("label"))
-      .observe(obs0, sum(when(col("label") < col("id"), 1L).otherwise(0L)).as("changed"))
-      .write.mode("overwrite").parquet(s"$tmp/labels1")
-    var changed = obs0.get.get("changed").collect { case n: Long => n }.getOrElse(0L)
+    // ONE action per round (guide §1.2), now through the in-JVM barrier
+    // instead of alternating parquet dirs: each round's labels persist
+    // in the block store (no output commit, no read-back listing), and
+    // the materializing action IS the convergence aggregate — the count
+    // is read off the round's own rows, so there is no observed-metric
+    // side channel to lose through plan caching (ADVICE r12: a missing
+    // metric can no longer silently read as converged; a SQL-null here
+    // means exactly "zero rows", i.e. an edgeless graph). The cached
+    // frame carries (id, prev, label) so the SAME aggregate serves
+    // round 1 (prev = id, fused with initialization: over identity
+    // labels the neighbor-min join degenerates to min(id, min(dst)))
+    // and every later round (prev = last round's label). Alternating
+    // parity tags mirror the old alternating dirs: registering round
+    // i+1 drops round i-1's blocks while round i (the input) stays
+    // live. Labels are bit-identical to the r12 shape.
+    def changedCount(labels: DataFrame): Long =
+      Option(labels
+        .agg(sum(when(col("label") < col("prev"), 1L).otherwise(0L)))
+        .head().get(0)).collect { case n: Long => n }.getOrElse(0L)
+    var labels = graft.core.Barriers.cached(s"lp:$tag:1",
+      edges.groupBy(col("src").as("id")).agg(min(col("dst")).as("nmin"))
+        .select(col("id"), col("id").as("prev"),
+          least(col("id"), col("nmin")).as("label")), eager = false)
+    var changed = changedCount(labels)
     var iter = 1
     while (changed > 0 && iter < maxIter) {
-      val labels = spark.read.parquet(s"$tmp/labels${iter % 2}")
+      val prev = labels.select(col("id"), col("label"))
       val neighborMin = edges
-        .join(labels.select(col("id").as("dst"), col("label").as("nl")), "dst")
+        .join(prev.select(col("id").as("dst"), col("label").as("nl")), "dst")
         .groupBy(col("src").as("id")).agg(min(col("nl")).as("nmin"))
-      val obs = org.apache.spark.sql.Observation()
-      labels.join(neighborMin, Seq("id"), "left")
-        .select(col("id"), col("label"),
-          least(col("label"), coalesce(col("nmin"), col("label"))).as("nlabel"))
-        .observe(obs, sum(when(col("nlabel") < col("label"), 1L).otherwise(0L)).as("changed"))
-        .select(col("id"), col("nlabel").as("label"))
-        .write.mode("overwrite").parquet(s"$tmp/labels${(iter + 1) % 2}")
-      changed = obs.get.get("changed").collect { case n: Long => n }.getOrElse(0L)
+      labels = graft.core.Barriers.cached(s"lp:$tag:${(iter + 1) % 2}",
+        prev.join(neighborMin, Seq("id"), "left")
+          .select(col("id"), col("label").as("prev"),
+            least(col("label"), coalesce(col("nmin"), col("label"))).as("label")),
+        eager = false)
+      changed = changedCount(labels)
       iter += 1
     }
-    spark.read.parquet(s"$tmp/labels${iter % 2}")
+    labels.select(col("id"), col("label"))
   }
 
   /** Expand rep-level component labels to members: a duplicate class
@@ -847,14 +846,32 @@ object Text {
     * shingle co-occurrence, not |docs|^2. */
   def jaccardPairs(spark: SparkSession, dir: String, threshold: Double = 0.5): DataFrame = {
     // ONE tokenize+shingle pass, not three: the exploded distinct-hash
-    // table feeds both self-join sides through a parquet barrier, and
+    // table feeds both self-join sides through an in-JVM barrier, and
     // the per-doc set size IS its row count there (shingles() explodes
     // array_distinct, so count == shingleSizes; docs with no shingles
     // appear on neither side of the inner joins in either formulation).
-    val tmp = graft.core.TempDirs.stable(s"jaccard:$dir")
-    shingles(Tables.documents(spark, dir))
-      .write.mode("overwrite").parquet(s"$tmp/sh")
-    val sh = spark.read.parquet(s"$tmp/sh")
+    val sh = graft.core.Barriers.cached(s"jaccard:$dir/sh",
+      shingles(Tables.documents(spark, dir)), eager = false) // audit below materializes
+    // SCALE GUARD (audit only — output untouched): the postings
+    // self-join below is deliberately UNCAPPED — this operator is the
+    // exact ground truth the capped sketches (minhash maxBucket, winnow
+    // maxDf) are judged against, so dropping hot shingles would change
+    // its semantics. The price is that join work is sum over shingles
+    // of df^2: ONE boilerplate shingle shared by a million docs at
+    // 100 TB implies ~10^12 candidate pairs. Surface that cost BEFORE
+    // the join runs, from the barrier the join reads anyway (this
+    // aggregate doubles as the barrier's materializing action — same
+    // job count as the r12 parquet-barrier shape).
+    val audit = sh.groupBy("sh").agg(count(lit(1)).as("c"))
+      .agg(max(col("c")).as("max_df"), avg(col("c")).as("avg_df"),
+        sum(col("c") * (col("c") - 1) / 2).as("implied_pairs"))
+      .head()
+    if (!audit.isNullAt(0))
+      System.err.println(s"[graft] jaccardPairs($dir) postings audit: " +
+        s"max_df=${audit.getLong(0)} avg_df=${"%.2f".format(audit.getDouble(1))} " +
+        s"implied_candidate_pairs=${"%.0f".format(audit.getDouble(2))} " +
+        s"(exact-ground-truth op: uncapped by design; use minhash_neardups/" +
+        s"winnow_pairs for the capped 100 TB path)")
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).cast("bigint").as("n"))
       .select(col("doc_id"), col("n"))
     val a = sh.toDF("d1", "sh")
@@ -1009,16 +1026,14 @@ object Text {
         .foldLeft(lit(0L): Column)((acc, ch) => acc * lit(1L << w) + ch)
       struct(lit(m).as("m"), key.as("key"))
     }
-    val tmp = graft.core.TempDirs.stable(s"simhash:$dir")
-    exactClassMap(docs).write.mode("overwrite").parquet(s"$tmp/classes")
-    val classMap = spark.read.parquet(s"$tmp/classes")
+    val classMap = graft.core.Barriers.cached(s"simhash:$dir/classes",
+      exactClassMap(docs))
     val sig = simhashOf(repDocsOf(docs, classMap))
-    // Bucket table through a parquet barrier: the size audit and both
-    // self-join sides read it back instead of recomputing signatures.
-    sig.select(col("doc_id"), col("simhash"), explode(array(keyed: _*)).as("mk"))
-      .select(col("doc_id"), col("simhash"), col("mk.m").as("m"), col("mk.key").as("key"))
-      .write.mode("overwrite").parquet(s"$tmp/buckets")
-    val buckets = spark.read.parquet(s"$tmp/buckets")
+    // Bucket table through an in-JVM barrier: the size audit and both
+    // self-join sides consume it instead of recomputing signatures.
+    val buckets = graft.core.Barriers.cached(s"simhash:$dir/buckets",
+      sig.select(col("doc_id"), col("simhash"), explode(array(keyed: _*)).as("mk"))
+        .select(col("doc_id"), col("simhash"), col("mk.m").as("m"), col("mk.key").as("key")))
     val sizes = buckets.groupBy("m", "key").agg(count(lit(1)).as("cnt"))
     // Oversize audit as an observed metric (async log), not its own
     // count() action — same shape as minhashRepCandidates.

@@ -168,23 +168,19 @@ object Vector {
     // both verify joins, and the bucket table feeds the size audit plus
     // both self-join sides — lazy lineage would recompute the dedup
     // groupBy / normalize / banding ~4-5x per call.
-    val tmp = graft.core.TempDirs.stable(s"embnd:$dir")
     // One shuffle, not two (guide §2.4): window min over the embedding
     // partition instead of groupBy + self-join on 512-byte vectors.
-    raw.withColumn("rep", min(col("vec_id")).over(Window.partitionBy("emb")))
-      .select(col("vec_id").as("doc_id"), col("rep")) // Text.expandRepPairs' shape
-      .write.mode("overwrite").parquet(s"$tmp/classes")
-    val classMap = spark.read.parquet(s"$tmp/classes")
-    raw.join(
-        classMap.filter(col("doc_id") === col("rep")).select(col("doc_id").as("vec_id")),
-        Seq("vec_id"), "left_semi")
-      .withColumn("nrm", nNorm(spark)(col("emb"))) // per-vector, pre-join
-      .write.mode("overwrite").parquet(s"$tmp/reps")
-    val e = spark.read.parquet(s"$tmp/reps")
-    e.select(col("vec_id"),
-        posexplode(bandCols(spark, bands, bitsPerBand, dim)).as(Seq("band", "bucket")))
-      .write.mode("overwrite").parquet(s"$tmp/buckets")
-    val banded = spark.read.parquet(s"$tmp/buckets")
+    val classMap = graft.core.Barriers.cached(s"embnd:$dir/classes",
+      raw.withColumn("rep", min(col("vec_id")).over(Window.partitionBy("emb")))
+        .select(col("vec_id").as("doc_id"), col("rep"))) // Text.expandRepPairs' shape
+    val e = graft.core.Barriers.cached(s"embnd:$dir/reps",
+      raw.join(
+          classMap.filter(col("doc_id") === col("rep")).select(col("doc_id").as("vec_id")),
+          Seq("vec_id"), "left_semi")
+        .withColumn("nrm", nNorm(spark)(col("emb")))) // per-vector, pre-join
+    val banded = graft.core.Barriers.cached(s"embnd:$dir/buckets",
+      e.select(col("vec_id"),
+        posexplode(bandCols(spark, bands, bitsPerBand, dim)).as(Seq("band", "bucket"))))
     // Defensive cap on NEAR-dup (not identical) mega-buckets, with the
     // drop surfaced — same contract as the minhash candidate stage.
     val sizes = banded.groupBy("band", "bucket").agg(count(lit(1)).as("cnt"))
@@ -292,11 +288,9 @@ object Vector {
     // The truth table feeds BOTH the semi-join and the per-query
     // denominator below; barrier it or the broadcast-NLJ brute pass
     // runs twice inside the one plan (guide §1.2).
-    val tmp = graft.core.TempDirs.stable(s"ivf_recall:$dir")
-    knnBrute(spark, dir, nQueries, k)
-      .select(col("query_id"), col("neighbor_id"))
-      .write.mode("overwrite").parquet(s"$tmp/truth")
-    val truth = spark.read.parquet(s"$tmp/truth")
+    val truth = graft.core.Barriers.cached(s"ivf_recall:$dir/truth",
+      knnBrute(spark, dir, nQueries, k)
+        .select(col("query_id"), col("neighbor_id")))
     val approx = ivfCosineTrained(spark, dir, nQueries = nQueries, k = k)
       .select(col("query_id").as("q2"), col("neighbor_id").as("n2"))
     val hits = truth.join(approx,
@@ -334,11 +328,9 @@ object Vector {
     // one list), with the same rounded sim and the same rank ordering
     // as ivfWith — per-point output is bit-identical to the previous
     // per-nProbe ivfWith runs (IvfTrainingSpec pins the sweep).
-    val tmp = graft.core.TempDirs.stable(s"ivf_sweep:$dir")
-    knnBrute(spark, dir, nQueries, k)
-      .select(col("query_id"), col("neighbor_id"))
-      .write.mode("overwrite").parquet(s"$tmp/truth")
-    val truth = spark.read.parquet(s"$tmp/truth")
+    val truth = graft.core.Barriers.cached(s"ivf_sweep:$dir/truth",
+      knnBrute(spark, dir, nQueries, k)
+        .select(col("query_id"), col("neighbor_id")))
     val e = Tables.embeddings(spark, dir)
       .select(col("vec_id"), dbl(col("embedding")).as("emb"))
       .withColumn("nrm", nNorm(spark)(col("emb")))
@@ -355,12 +347,11 @@ object Vector {
       .withColumn("crn", row_number().over(byVec))
       .select(col("k").cast("int").as("k"), col("vec_id").as("query_id"),
         col("emb").as("qe"), col("nrm").as("qn"), col("crn"))
-    corpusList.join(broadcast(probes), Seq("k"))
-      .filter(col("query_id") =!= col("neighbor_id"))
-      .select(col("query_id"), col("neighbor_id"), col("crn"),
-        round(nDot(spark)(col("qe"), col("ce")) / (col("qn") * col("cn")), 4).as("sim"))
-      .write.mode("overwrite").parquet(s"$tmp/cand")
-    val cand = spark.read.parquet(s"$tmp/cand")
+    val cand = graft.core.Barriers.cached(s"ivf_sweep:$dir/cand",
+      corpusList.join(broadcast(probes), Seq("k"))
+        .filter(col("query_id") =!= col("neighbor_id"))
+        .select(col("query_id"), col("neighbor_id"), col("crn"),
+          round(nDot(spark)(col("qe"), col("ce")) / (col("qn") * col("cn")), 4).as("sim")))
     val w = Window.partitionBy("query_id")
       .orderBy(col("sim").desc, col("neighbor_id").asc)
     val per = Seq(1, 2, 4, lists).distinct.map { np =>
@@ -500,23 +491,20 @@ object Vector {
     // is unchanged; within-list cost tracks DISTINCT vectors. Measured
     // on the 8x verbatim-copy probe: the pair stage's candidate volume
     // stays at the 1x level while output grows with duplicate volume.
-    val tmp = graft.core.TempDirs.stable(s"semdd:$dir")
     val raw = Tables.embeddings(spark, dir)
       .select(col("vec_id"), dbl(col("embedding")).as("emb"))
     // One shuffle, not two: rep = min(vec_id) over the embedding
     // partition — the former groupBy(emb)+self-join shipped the
     // 512-byte vectors through the agg exchange AND both join
     // exchanges (guide §2.4). Output identical.
-    raw.withColumn("rep", min(col("vec_id")).over(Window.partitionBy("emb")))
-      .select(col("vec_id").as("doc_id"), col("rep")) // Text.expandRepPairs' shape
-      .write.mode("overwrite").parquet(s"$tmp/classes")
-    val classMap = spark.read.parquet(s"$tmp/classes")
-    raw.join(
-        classMap.filter(col("doc_id") === col("rep")).select(col("doc_id").as("vec_id")),
-        Seq("vec_id"), "left_semi")
-      .withColumn("nrm", nNorm(spark)(col("emb")))
-      .write.mode("overwrite").parquet(s"$tmp/reps")
-    val e = spark.read.parquet(s"$tmp/reps")
+    val classMap = graft.core.Barriers.cached(s"semdd:$dir/classes",
+      raw.withColumn("rep", min(col("vec_id")).over(Window.partitionBy("emb")))
+        .select(col("vec_id").as("doc_id"), col("rep"))) // Text.expandRepPairs' shape
+    val e = graft.core.Barriers.cached(s"semdd:$dir/reps",
+      raw.join(
+          classMap.filter(col("doc_id") === col("rep")).select(col("doc_id").as("vec_id")),
+          Seq("vec_id"), "left_semi")
+        .withColumn("nrm", nNorm(spark)(col("emb"))))
     // centroids train on the FULL corpus (paper semantics: duplicates
     // weight the clustering) — linear map+agg cost, no quadratic term
     val cents = trainIvfCentroids(spark, dir, lists, iters, dim)
@@ -554,11 +542,10 @@ object Vector {
                          threshold: Double = 0.4, dim: Int = 64,
                          iters: Int = 5, maxIter: Int = 20): DataFrame = {
     val (classMap, repPairs) = semanticRepPairs(spark, dir, lists, threshold, dim, iters)
-    val tmp = graft.core.TempDirs.stable(s"semcc:$dir")
     // barrier the pair graph: the label loop would otherwise replay
     // k-means + the within-list join every iteration
-    repPairs.select("d1", "d2").write.mode("overwrite").parquet(s"$tmp/pairs")
-    val pairs = spark.read.parquet(s"$tmp/pairs")
+    val pairs = graft.core.Barriers.cached(s"semcc:$dir/pairs",
+      repPairs.select("d1", "d2"))
     val repLabels = Text.minLabelPropagation(spark, pairs, s"semcc:$dir", maxIter)
     Text.labelsToClasses(classMap, repLabels)
       .select(col("doc_id").as("vec_id"), col("class_id"))
@@ -580,10 +567,8 @@ object Vector {
     // Barrier the class table: `member` feeds both the centroid
     // aggregate and the final rank join, so the lazy class subtree
     // (label join + sort) would replay twice in one plan.
-    val tmp = graft.core.TempDirs.stable(s"semkb:$dir")
-    semanticDupClasses(spark, dir)
-      .write.mode("overwrite").parquet(s"$tmp/classes")
-    val classes = spark.read.parquet(s"$tmp/classes")
+    val classes = graft.core.Barriers.cached(s"semkb:$dir/classes",
+      semanticDupClasses(spark, dir))
     val e = Tables.embeddings(spark, dir)
       .select(col("vec_id"), dbl(col("embedding")).as("emb"))
     val member = classes.join(e, "vec_id")
@@ -647,24 +632,39 @@ object Vector {
     val aqeKey = "spark.sql.adaptive.enabled"
     val aqeSaved = spark.conf.getOption(aqeKey)
     spark.conf.set(aqeKey, "false")
-    try for (_ <- 0 until iters) {
-      val dots = array(cents.indices.map(kk =>
-        round(nDot(spark)(col("u"), typedLit(cents(kk))), 6)): _*)
-      val sums = (0 until dim).map(i =>
-        sum(element_at(col("u"), i + 1).cast("decimal(38,12)")).as(s"s$i")) :+
-        count(lit(1)).as("n")
-      val rows = u
-        .withColumn("k", (array_position(dots, array_max(dots)) - 1).cast("int"))
-        .groupBy("k").agg(sums.head, sums.tail: _*)
-        .collect() // K rows of K x dim decimals — centroid-sized, never data-sized
-      val byK = rows.map(r => r.getInt(0) -> r).toMap
-      cents = cents.indices.map { kk =>
-        byK.get(kk) match {
-          case Some(r) =>
-            val n = r.getLong(dim + 1).toDouble
-            unit((0 until dim).map(i => r.getDecimal(i + 1).doubleValue() / n))
-          case None => cents(kk)
+    try {
+      // EARLY STOP at a fixed point (guide §1.2 — remove whole passes):
+      // the Lloyd update is a deterministic function of the current
+      // centroids, so the moment an iteration reproduces them exactly
+      // (Seq equality over the rounded doubles), every remaining
+      // iteration would be a bit-identical no-op — skipping them cannot
+      // change the result (IvfTrainingSpec's bit-stability pin still
+      // holds). Any inequality — including -0.0 vs 0.0 or NaN — just
+      // means no early stop: conservative, never wrong.
+      var it = 0
+      var converged = false
+      while (it < iters && !converged) {
+        val dots = array(cents.indices.map(kk =>
+          round(nDot(spark)(col("u"), typedLit(cents(kk))), 6)): _*)
+        val sums = (0 until dim).map(i =>
+          sum(element_at(col("u"), i + 1).cast("decimal(38,12)")).as(s"s$i")) :+
+          count(lit(1)).as("n")
+        val rows = u
+          .withColumn("k", (array_position(dots, array_max(dots)) - 1).cast("int"))
+          .groupBy("k").agg(sums.head, sums.tail: _*)
+          .collect() // K rows of K x dim decimals — centroid-sized, never data-sized
+        val byK = rows.map(r => r.getInt(0) -> r).toMap
+        val next = cents.indices.map { kk =>
+          byK.get(kk) match {
+            case Some(r) =>
+              val n = r.getLong(dim + 1).toDouble
+              unit((0 until dim).map(i => r.getDecimal(i + 1).doubleValue() / n))
+            case None => cents(kk)
+          }
         }
+        converged = next == cents
+        cents = next
+        it += 1
       }
     } finally {
       u.unpersist()

@@ -251,6 +251,8 @@ object Cli {
             .map(_.group(1)).getOrElse("4")))
       .config("spark.ui.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // AQE applies inside barrier-cached subtrees (see Bench.scala)
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // fail loudly AND promptly: exit codes for CI, System.exit so a

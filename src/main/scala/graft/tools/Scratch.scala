@@ -5,15 +5,18 @@ import org.apache.spark.sql.SparkSession
   * driver contract). Args: <sfDir> <queryName>... */
 object Scratch {
   def main(args: Array[String]): Unit = {
+    val cpus = sys.env.getOrElse("SCRATCH_CPUS", "4")
     val spark = SparkSession.builder()
       .withExtensions(new graft.functions.GraftExtensions)
-      .master("local[4]")
+      .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions",
-        sys.env.getOrElse("SCRATCH_PARTS", "4"))
+        sys.env.getOrElse("SCRATCH_PARTS", cpus))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", sys.env.getOrElse("SCRATCH_AQE", "true"))
+      // match Bench/Verify: AQE applies inside barrier-cached subtrees
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
       .config("spark.sql.adaptive.coalescePartitions.parallelismFirst",
         sys.env.getOrElse("SCRATCH_PARFIRST", "true"))
       .config("spark.sql.streaming.stateStore.providerClass",
@@ -29,6 +32,11 @@ object Scratch {
         java.nio.file.Files.createTempDirectory("graft_wh_").toString)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // SCRATCH_CONF="k=v;k2=v2": ad-hoc session conf overrides for A/Bs
+    sys.env.get("SCRATCH_CONF").foreach(_.split(";").filter(_.contains("="))
+      .foreach { kv =>
+        val Array(k, v) = kv.split("=", 2); spark.conf.set(k, v)
+      })
     val dir = args(0)
     val explain = sys.env.get("SCRATCH_EXPLAIN").contains("1")
     // SCRATCH_JOBS=1: print every Spark job's wall time + description,
@@ -73,7 +81,9 @@ object Scratch {
         graft.SparkEntry.queries(name)(spark, dir).explain("formatted")
       } else {
         val t0 = System.nanoTime()
+        spark.sparkContext.setJobDescription(s"scratch:$name")
         val n = graft.SparkEntry.queries(name)(spark, dir).count()
+        spark.sparkContext.setJobDescription(null)
         println(f"[scratch] $name rows=$n time=${(System.nanoTime() - t0) / 1e9}%.2f s")
       }
     }

@@ -119,6 +119,22 @@ object Bridge {
         .queryExecution.toRdd, df.schema, isStreaming = false)
   }
 
+  /** Materialization-barrier building block (core/Barriers): the
+    * frame's rows as a persistable RDD of COPIED InternalRows (the
+    * row-buffer-reuse copy Dataset.checkpoint performs) plus a batch
+    * DataFrame leaf over that RDD. Building `toRdd` runs the frame's
+    * plan through the normal query path — AQE fully applies to its
+    * shuffles, exactly as the old write-to-parquet barrier did — while
+    * the leaf keeps downstream plans barrier-deep. No CacheManager
+    * involvement: persistence (the caller's) is RDD-identity-keyed, so
+    * two calls can never alias each other's data. */
+  def rddBarrier(df: DataFrame): (org.apache.spark.rdd.RDD[org.apache.spark.sql.catalyst.InternalRow], DataFrame) = {
+    val cs = df.sparkSession.asInstanceOf[classic.SparkSession]
+    val rdd = df.asInstanceOf[classic.Dataset[org.apache.spark.sql.Row]]
+      .queryExecution.toRdd.map(_.copy())
+    (rdd, cs.internalCreateDataFrame(rdd, df.schema, isStreaming = false))
+  }
+
   /** Drop cached catalog-plugin instances so a changed
     * `spark.sql.catalog.<name>.*` conf takes effect (plugins cache
     * their options at first use). */

@@ -422,17 +422,18 @@ class PlanAuditSpec extends AnyFunSuite with SparkFixture {
   }
 
   test("winnow_pairs + winnow_spans: heavy stages stay behind barriers — the declared plan replays no tokenize") {
-    // the composed forms materialize classes/fps/grams to scratch
-    // parquet at build time; the RETURNED plan must join those barrier
-    // reads, never re-derive fingerprints from text (a posexplode or a
-    // split() in the plan means a barrier reference regressed to lineage
-    // replay — the multi-reference recompute the round-8 fix removed)
+    // the composed forms materialize classes/fps/grams through in-JVM
+    // barriers (Barriers.cached: persist + LogicalRDD leaf) at build
+    // time; the RETURNED plan must scan those barrier leaves, never
+    // re-derive fingerprints from text (a posexplode or a split() in
+    // the plan means a barrier reference regressed to lineage replay —
+    // the multi-reference recompute the round-8 fix removed)
     for ((name, df) <- Seq(
         ("winnow_pairs", Text.winnowPairs(spark, sf)),
         ("winnow_spans", Text.winnowSpans(spark, sf)))) {
       val p = planOf(df)
-      assert(p.contains("graft_scratch_"),
-        s"$name must read its scratch barriers:\n$p")
+      assert(p.contains("Scan ExistingRDD"),
+        s"$name must read its barrier leaves:\n$p")
       assert(!p.toLowerCase.contains("posexplode") && !p.contains("split(text"),
         s"$name replays gram derivation inside the declared plan:\n$p")
       assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
@@ -440,12 +441,12 @@ class PlanAuditSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
-  test("training_cut: composition stays barriered — dedup stage reads its parquet barrier, no cartesian") {
+  test("training_cut: composition stays barriered — dedup stage reads its barrier, no cartesian") {
     val p = planOf(Text.trainingCut(spark, sf))
     // the dup-classes upstream (shingles -> minhash -> label propagation)
-    // must come in through dupClasses' scratch-parquet barrier, not be
+    // must come in through dupClasses' in-JVM barrier leaf, not be
     // replayed inline in the manifest plan
-    assert(p.contains("graft_scratch_"),
+    assert(p.contains("Scan ExistingRDD"),
       s"dedup stage must read the materialization barrier:\n$p")
     assert(!p.contains("CartesianProduct"),
       s"only the 1-row stats broadcast may be non-equi:\n$p")
