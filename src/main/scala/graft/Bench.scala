@@ -39,6 +39,15 @@ object Bench {
       // keep managed tables (ctas) out of the repo and stale-proof
       .config("spark.sql.warehouse.dir",
         java.nio.file.Files.createTempDirectory("graft_wh_").toString)
+      // No libhadoop in this environment: Hadoop's local-fs permission
+      // ops fall back to fork/exec'ing `chmod` per created file/dir —
+      // stack-sampled as the dominant cost of streaming state-store
+      // commits (serialized under the provider-registry lock) and a
+      // per-file tax on every local write. Two scheme-appropriate
+      // replacements, semantics identical (see the classes' docs):
+      .config("spark.hadoop.fs.file.impl", "graft.core.FastLocalFileSystem")
+      .config("spark.sql.streaming.checkpointFileManagerClass",
+        "graft.streaming.NioCheckpointFileManager")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Warm the scan path once (file listing, parquet reader JIT, first

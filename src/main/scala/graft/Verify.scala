@@ -24,6 +24,11 @@ object Verify {
       // keep managed tables (ctas) out of the repo and stale-proof
       .config("spark.sql.warehouse.dir",
         java.nio.file.Files.createTempDirectory("graft_wh_").toString)
+      // fork-free local-fs permission ops + NIO checkpoint manager
+      // (see Bench.scala / the classes' docs)
+      .config("spark.hadoop.fs.file.impl", "graft.core.FastLocalFileSystem")
+      .config("spark.sql.streaming.checkpointFileManagerClass",
+        "graft.streaming.NioCheckpointFileManager")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

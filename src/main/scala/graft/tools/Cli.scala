@@ -253,6 +253,11 @@ object Cli {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       // AQE applies inside barrier-cached subtrees (see Bench.scala)
       .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
+      // fork-free local-fs permission ops + NIO checkpoint manager
+      // (see Bench.scala / the classes' docs)
+      .config("spark.hadoop.fs.file.impl", "graft.core.FastLocalFileSystem")
+      .config("spark.sql.streaming.checkpointFileManagerClass",
+        "graft.streaming.NioCheckpointFileManager")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // fail loudly AND promptly: exit codes for CI, System.exit so a

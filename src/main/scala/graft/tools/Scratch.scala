@@ -27,7 +27,9 @@ object Scratch {
       .config("spark.hadoop.fs.file.impl",
         if (sys.env.get("SCRATCH_RAWFS").contains("1"))
           "org.apache.hadoop.fs.RawLocalFileSystem"
-        else "org.apache.hadoop.fs.LocalFileSystem")
+        else "graft.core.FastLocalFileSystem")
+      .config("spark.sql.streaming.checkpointFileManagerClass",
+        sys.env.getOrElse("SCRATCH_CKPT_FM", "graft.streaming.NioCheckpointFileManager"))
       .config("spark.sql.warehouse.dir",
         java.nio.file.Files.createTempDirectory("graft_wh_").toString)
       .getOrCreate()
@@ -58,6 +60,21 @@ object Scratch {
           }
         }
       })
+      spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+        private val subs = new java.util.concurrent.ConcurrentHashMap[Int, Long]()
+        override def onStageSubmitted(s: org.apache.spark.scheduler.SparkListenerStageSubmitted): Unit =
+          subs.put(s.stageInfo.stageId, System.nanoTime())
+        override def onStageCompleted(s: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+          val si = s.stageInfo
+          val wall = Option(subs.remove(si.stageId))
+            .map(t0 => (System.nanoTime() - t0) / 1e9).getOrElse(-1.0)
+          val m = si.taskMetrics
+          if (wall >= 0.10)
+            System.err.println(f"[stage] id=${si.stageId}%-4d wall=$wall%5.2f s " +
+              f"tasks=${si.numTasks}%-3d exec=${m.executorRunTime / 1e3}%6.2f s " +
+              f"cpu=${m.executorCpuTime / 1e9}%6.2f s ${si.name.takeWhile(_ != '(')}")
+        }
+      })
       spark.streams.addListener(new org.apache.spark.sql.streaming.StreamingQueryListener {
         import org.apache.spark.sql.streaming.StreamingQueryListener._
         override def onQueryStarted(e: QueryStartedEvent): Unit = ()
@@ -74,6 +91,36 @@ object Scratch {
           }
         }
       })
+    }
+    // SCRATCH_STACKS=1: in-process sampler — every 100ms aggregate the
+    // top frames of busy executor-task threads (jstack attach is flaky
+    // in this sandbox; this always works).
+    if (sys.env.get("SCRATCH_STACKS").contains("1")) {
+      val counts = new java.util.concurrent.ConcurrentHashMap[String, Integer]()
+      val t = new Thread(() => {
+        while (true) {
+          Thread.sleep(100)
+          val it = Thread.getAllStackTraces.entrySet().iterator()
+          while (it.hasNext) {
+            val e = it.next()
+            if (e.getKey.getName.startsWith("Executor task launch")) {
+              val st = e.getValue
+              if (st.nonEmpty && !st(0).toString.contains("Unsafe.park")) {
+                val key = st.take(12).mkString(" <- ")
+                counts.merge(key, 1, (a, b) => a + b)
+              }
+            }
+          }
+        }
+      })
+      t.setDaemon(true)
+      t.start()
+      Runtime.getRuntime.addShutdownHook(new Thread(() => {
+        import scala.jdk.CollectionConverters._
+        counts.asScala.toSeq.sortBy(-_._2).take(25).foreach { case (k, n) =>
+          System.err.println(s"[stacks] $n x $k")
+        }
+      }))
     }
     args.drop(1).foreach { name =>
       if (explain) {

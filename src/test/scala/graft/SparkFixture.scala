@@ -24,6 +24,11 @@ object SparkFixture {
       .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
       .config("spark.sql.warehouse.dir",
         java.nio.file.Files.createTempDirectory("graft_wh_").toString)
+      // fork-free local-fs + NIO checkpoint manager (mirrors Bench/
+      // Verify so the whole suite exercises the production I/O layer)
+      .config("spark.hadoop.fs.file.impl", "graft.core.FastLocalFileSystem")
+      .config("spark.sql.streaming.checkpointFileManagerClass",
+        "graft.streaming.NioCheckpointFileManager")
       .getOrCreate()
     s.sparkContext.setLogLevel("ERROR")
     s
