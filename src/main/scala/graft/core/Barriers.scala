@@ -73,6 +73,17 @@ object Barriers {
     rdd.persist(StorageLevel.MEMORY_AND_DISK)
     Option(live.put(tag, rdd)).foreach(_.unpersist(false))
     if (eagerOverride.getOrElse(eager)) { out.count(): Unit }
+    // MEASURED AND REJECTED (r13): re-spreading an AQE-coalesced
+    // 1-partition barrier across defaultParallelism (rdd.repartition
+    // before persist) regressed the dedup/semantic family 20-40% at
+    // bench SF (training_cut warm-min 4.75 -> 6.30 s, semantic_keep_best
+    // 4.74 -> 6.44 s): per-stage task scheduling and 32x32 shuffle-block
+    // fan-out outweigh the parallelism on KB-scale barriers. AQE's
+    // coalescing is the right call at every scale — it only produces a
+    // 1-partition barrier when the data is small enough that one core
+    // is fastest. See OPTIMIZATION_r13.md "negative results".
+    if (sys.env.get("GRAFT_BARRIER_DEBUG").contains("1"))
+      System.err.println(s"[barrier] $tag parts=${rdd.getNumPartitions}")
     out
   }
 
