@@ -90,4 +90,21 @@ object Barriers {
   /** Drop a tag's live entry (tests / explicit cleanup). */
   def drop(tag: String): Unit =
     Option(live.remove(tag)).foreach(_.unpersist(false))
+
+  /** Re-spread a MATERIALIZED BARRIER LEAF before a compute-heavy
+    * per-row pass (signature/gram hashing: md5 + base-conversion per
+    * shingle — orders of magnitude more CPU per byte than a shuffle).
+    * AQE rightly coalesces a small barrier to one partition, which is
+    * optimal for its cheap consumers but serializes the expensive pass
+    * on one core; this targeted round-robin exchange parallelizes that
+    * ONE consumer without touching the others (the blanket
+    * spread-everything variant regressed — see OPTIMIZATION_r13.md
+    * negative results). No-op when the leaf already carries >= cores
+    * partitions, which is exactly the real-scale case; only call on
+    * barrier leaves — partition inspection of an unexecuted AQE plan
+    * would materialize its stages as a side effect. */
+  def spreadLeaf(df: DataFrame): DataFrame = {
+    val cores = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < cores) df.repartition(cores) else df
+  }
 }

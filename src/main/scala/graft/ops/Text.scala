@@ -397,7 +397,8 @@ object Text {
     val reps = graft.core.Barriers.cached(s"$tag/reps", repDocsOf(docs, classMap))
     // rep grams feed both sides of the pair join AND the self-join —
     // barrier them or each reference replays tokenize + window
-    val g = graft.core.Barriers.cached(s"$tag/grams", kgramsOf(reps))
+    val g = graft.core.Barriers.cached(s"$tag/grams",
+      kgramsOf(graft.core.Barriers.spreadLeaf(reps)))
     // fps derive from the gram BARRIER (winnowing is a window pass over
     // (doc_id, pos, h)) and are barriered themselves: they feed the df
     // agg, the cap join, both candidate sides and the eligibility gate
@@ -695,7 +696,7 @@ object Text {
     // sizes) — each would otherwise re-run the docs scan + semi-join.
     val reps = graft.core.Barriers.cached(s"$tag/reps", repDocsOf(docs, classMap))
     val cand = graft.core.Barriers.cached(s"$tag/cand",
-      minhashRepCandidates(spark, reps, tag, maxBucket))
+      minhashRepCandidates(spark, graft.core.Barriers.spreadLeaf(reps), tag, maxBucket))
     // ONE tokenize+shingle pass over the candidate docs, not two full
     // rep passes plus a third tokenize for sizes: explode shingles
     // once, keep only docs on either side of a candidate pair (the
@@ -705,7 +706,7 @@ object Text {
     val candIds = cand.select(col("d1").as("doc_id"))
       .unionByName(cand.select(col("d2").as("doc_id"))).distinct()
     val sh = graft.core.Barriers.cached(s"$tag/candsh",
-      shingles(reps).join(candIds, Seq("doc_id"), "left_semi"))
+      shingles(graft.core.Barriers.spreadLeaf(reps)).join(candIds, Seq("doc_id"), "left_semi"))
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).cast("bigint").as("n"))
       .select(col("doc_id"), col("n"))
     val cd1 = cand.select("d1").distinct()
