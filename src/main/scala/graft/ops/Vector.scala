@@ -618,11 +618,21 @@ object Vector {
     // across Lloyd iterations — every iteration re-reads `u`, and
     // without the cache each one re-scans + re-normalizes the corpus
     // (MLlib k-means caches its input for the same reason).
-    val u = Tables.embeddings(spark, dir)
+    // SPREAD before persisting: the corpus parquet is one row group at
+    // bench SF, so the cached input holds ONE partition and every
+    // iteration's dot+argmax+aggregate stage runs single-task (measured
+    // 0.21-0.27 s CPU x 5 iterations per train call on a 32-core
+    // session). Scale-adaptive, same gate as Barriers.spreadLeaf: only
+    // when the file provably cannot fill the session's cores; a real
+    // corpus already scans wider and skips the exchange.
+    val eFile = new java.io.File(s"$dir/embeddings.parquet")
+    val cores = spark.sparkContext.defaultParallelism
+    val u0 = Tables.embeddings(spark, dir)
       .select(dbl(col("embedding")).as("emb"))
       .withColumn("nrm", nNorm(spark)(col("emb")))
       .select(transform(col("emb"), x => x / col("nrm")).as("u"))
-      .persist()
+    val u = (if (eFile.isFile && eFile.length < cores.toLong * 32L * 1024 * 1024)
+      u0.repartition(cores) else u0).persist()
     var cents = pseudoRandomCentroids(lists, dim).map(unit)
     // AQE adds a query-stage job (plus a scheduling round trip) to
     // every iteration's K-row collect and can re-plan nothing useful
